@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table sources over the driver-provided fixture layout
+  * (`TESTDATA.md`): one parquet directory per table under a scale-factor
+  * directory. Parity with reference S-1 (`Trainer.scala:94`:
+  * `spark.sqlContext.read.parquet(path)`), minus the S3 filesystem — the
+  * path scheme is caller-provided so `s3a://` works unchanged on a
+  * cluster.
+  *
+  * Scale note: `spark.read.parquet` gives the vectorized reader, predicate
+  * pushdown and partition pruning for free; all callers must push filters
+  * through these DataFrames rather than collecting.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Register every fixture table as a temp view (S-2 parity,
+    * `Trainer.scala:95`) so `spark.sql` text works against them — the
+    * reference's delegated SQL surface (`Trainer.scala:110-121`).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}
