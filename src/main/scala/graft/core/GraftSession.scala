@@ -16,8 +16,8 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def builder(
-      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
-      shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
       appName: String = "graft"): SparkSession.Builder =
     SparkSession
       .builder()
@@ -30,10 +30,18 @@ object GraftSession {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
 
-  /** Get-or-create with graft defaults (used by tests and mains). */
+  /** Get-or-create with graft defaults (used by tests and mains).
+    * `getOrCreate` silently ignores configs when a session already exists
+    * in the JVM, so correctness-critical settings are verified and a
+    * warning logged if a pre-existing session diverges.
+    */
   def get(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    val tz = s.conf.get("spark.sql.session.timeZone", "")
+    if (tz != "UTC")
+      System.err.println(s"[graft] WARN: pre-existing SparkSession has " +
+        s"timeZone=$tz, not UTC; graft defaults were not applied")
     s
   }
 

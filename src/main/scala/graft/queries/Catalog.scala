@@ -1,0 +1,409 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.relational.Staging
+import graft.relational.Staging.StagingSpec
+
+/** A named query with an optional DuckDB-equivalent oracle SQL.
+  *
+  * Every query orders its output deterministically (unique key combos) so
+  * the harness compare never depends on partition/run order, and every
+  * float aggregate is rounded identically on both sides — distributed
+  * summation order differs between engines, so raw double aggregates are
+  * not bit-comparable (SURVEY §7.4 item 3).
+  */
+final case class RegisteredQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The engine's registered query inventory (SURVEY §2.2 delegated surface
+  * plus the encode-stratum SQL-expressible slices). The reference exposes
+  * this whole surface through its SQL REPL (reference
+  * `Trainer.scala:110-121`); here each category is authored as a
+  * first-class DataFrame program so plans stay declarative: filters reach
+  * the parquet scan, small dimensions broadcast, aggregates get map-side
+  * partial combine from Catalyst.
+  */
+object Catalog {
+
+  // ---------------------------------------------------------------- agg
+
+  /** TPC-H Q1 core (SURVEY §7.2): scan → hash-agg → sort. */
+  val q1PricingSummary = RegisteredQuery(
+    "q1_pricing_summary",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(avg(l_quantity), 6) AS avg_qty,
+      round(avg(l_discount), 6) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Distinct aggregation (expand/partial-distinct plan in Spark). */
+  val aggDistinct = RegisteredQuery(
+    "agg_distinct",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      count(DISTINCT o_custkey) AS n_cust,
+      count(*) AS n_orders,
+      round(max(o_totalprice), 2) AS max_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** ROLLUP grouping sets; NULLS FIRST pinned on both sides (DuckDB
+    * defaults to NULLS LAST, Spark to NULLS FIRST).
+    */
+  val rollupCount = RegisteredQuery(
+    "rollup_count",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+      round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  // ------------------------------------------------------------ staging
+
+  /** Reference P-1..P-4 staging projection (drop-by-prefix + selective
+    * CAST; reference `Trainer.scala:100-107`) registered as a checkable
+    * query. Dropping `l_ship*` also keeps timestamps out of the compare.
+    */
+  val stagingProjection = RegisteredQuery(
+    "staging_projection",
+    (s, d) =>
+      Staging.stage(
+          Tables.lineitem(s, d),
+          StagingSpec(dropPrefixes = Seq("l_ship"), widenIntegers = true))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_partkey, l_suppkey,
+      CAST(l_linenumber AS DOUBLE) AS l_linenumber,
+      l_quantity, l_extendedprice, l_discount, l_tax,
+      l_returnflag, l_linestatus
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Filter + narrow projection — both must reach the parquet scan
+    * (PushedFilters / ReadSchema in the formatted plan).
+    */
+  val filterPushdown = RegisteredQuery(
+    "filter_pushdown",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  // -------------------------------------------------------------- joins
+
+  /** Fact ⋈ broadcast dimension + aggregation. `broadcast()` is explicit:
+    * at 100 TB the orders side is huge while customer stays dimension-
+    * sized, so the hint keeps the join shuffle-free regardless of stats.
+    */
+  val joinInnerAgg = RegisteredQuery(
+    "join_inner_agg",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name,
+      round(sum(o_totalprice), 2) AS total_spend, count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name ORDER BY c_custkey"""))
+
+  /** Three-way star join: lineitem ⋈ orders ⋈ broadcast customer. */
+  val joinMultiway = RegisteredQuery(
+    "join_multiway",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Left-semi join (EXISTS). */
+  val joinSemi = RegisteredQuery(
+    "join_semi",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** Left-anti join (NOT EXISTS). */
+  val joinAnti = RegisteredQuery(
+    "join_anti",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  // ------------------------------------------------------------ windows
+
+  /** Top-N per group via row_number; tie-broken on the unique key so the
+    * result is deterministic.
+    */
+  val windowTopnPerGroup = RegisteredQuery(
+    "window_topn_per_group",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+      FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk"""))
+
+  /** Running aggregate over an explicit ROWS frame. */
+  val windowRunningSum = RegisteredQuery(
+    "window_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        AS running_spend
+      FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  // --------------------------------------------------------- sort/top-k
+
+  /** Global top-k: Spark plans TakeOrderedAndProject (no full sort). */
+  val topkOrders = RegisteredQuery(
+    "topk_orders",
+    (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  // ------------------------------------------------------------ set ops
+
+  val setopUnion = RegisteredQuery(
+    "setop_union",
+    (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey")),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey AS nationkey FROM supplier
+      ORDER BY nationkey"""))
+
+  val setopExcept = RegisteredQuery(
+    "setop_except",
+    (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+      ORDER BY nationkey"""))
+
+  // --------------------------------------------------- scalar functions
+
+  /** Date/string/math/conditional scalar surface in one projection.
+    * Scalar float math on identical inputs is bit-exact across engines
+    * (IEEE 754: *, -, sqrt are correctly rounded), so the float outputs
+    * are NOT rounded — `round(x, 2)` is the one non-portable op (Spark
+    * HALF_UPs the exact binary double, DuckDB rounds the scaled value,
+    * and inputs near a .005 tie diverge). Casts pin narrower Spark types.
+    */
+  val scalarFunctions = RegisteredQuery(
+    "scalar_functions",
+    (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"),
+        concat(col("l_returnflag"), lit("-"), col("l_linestatus"))
+          .as("flag_status"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("disc_price"),
+        when(col("l_discount") > 0.05, "HIGH").otherwise("LOW").as("disc_band"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        length(concat(col("l_returnflag"), col("l_linestatus"))).as("code_len"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+      CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+      CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+      l_returnflag || '-' || l_linestatus AS flag_status,
+      l_extendedprice * (1 - l_discount) AS disc_price,
+      CASE WHEN l_discount > 0.05 THEN 'HIGH' ELSE 'LOW' END AS disc_band,
+      sqrt(l_quantity) AS qty_sqrt,
+      CAST(length(l_returnflag || l_linestatus) AS INTEGER) AS code_len
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** JSON scalar extraction over the events props column. */
+  val jsonExtract = RegisteredQuery(
+    "json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+      FROM events ORDER BY event_id"""))
+
+  /** Time-bucketed aggregation over the stream-shaped events table —
+    * the batch twin of the tumbling-window streaming query.
+    */
+  val eventsHourly = RegisteredQuery(
+    "events_hourly",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour_start")),
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+      count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1 ORDER BY hour_start"""))
+
+  // ---------------------------------------------------- encode stratum
+
+  /** A-1 distinct categorical key discovery ("path=value" keys) as ONE
+    * job over all columns — explode+distinct instead of the reference's
+    * per-frame collect (reference `DataframeModeler.scala:163-170`).
+    */
+  val keyDiscovery = RegisteredQuery(
+    "key_discovery",
+    (s, d) =>
+      graft.encode.KeyDiscovery
+        .keysFrame(Tables.customer(s, d), Seq("c_mktsegment", "c_nationkey"))
+        .orderBy(col("key")),
+    Some("""SELECT 'c_mktsegment=' || c_mktsegment AS key FROM customer
+      UNION SELECT 'c_nationkey=' || CAST(c_nationkey AS VARCHAR) FROM customer
+      ORDER BY key"""))
+
+  /** A-2/A-3 per-column moments with population-σ semantics (reference
+    * `DataframeModeler.scala:125-137`) — one aggregate job for all
+    * columns, partial+final combine from Catalyst.
+    */
+  val moments = RegisteredQuery(
+    "moments",
+    (s, d) =>
+      graft.encode.Moments
+        .momentsFrame(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("path")),
+    Some("""SELECT * FROM (
+      SELECT 'l_quantity' AS path, count(l_quantity) AS n,
+        round(avg(l_quantity), 6) AS mean,
+        round(stddev_pop(l_quantity), 6) AS std_pop FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', count(l_extendedprice),
+        round(avg(l_extendedprice), 6), round(stddev_pop(l_extendedprice), 6)
+        FROM lineitem
+      UNION ALL SELECT 'l_discount', count(l_discount),
+        round(avg(l_discount), 6), round(stddev_pop(l_discount), 6)
+        FROM lineitem
+      UNION ALL SELECT 'l_tax', count(l_tax),
+        round(avg(l_tax), 6), round(stddev_pop(l_tax), 6) FROM lineitem)
+      ORDER BY path"""))
+
+  // --------------------------------------------------------- LLM: dedup
+
+  /** Exact dedup survivors: hash-groupBy keeps the first doc per distinct
+    * text. groupBy(min) not window row_number: map-side partial agg, no
+    * per-group sort — the shape that survives 100 TB.
+    */
+  val dedupExact = RegisteredQuery(
+    "dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("text_hash"), col("n_copies"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT min(doc_id) AS doc_id, md5(text) AS text_hash,
+      count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------- registry
+
+  val all: Seq[RegisteredQuery] = Seq(
+    q1PricingSummary, aggDistinct, rollupCount,
+    stagingProjection, filterPushdown,
+    joinInnerAgg, joinMultiway, joinSemi, joinAnti,
+    windowTopnPerGroup, windowRunningSum,
+    topkOrders, setopUnion, setopExcept,
+    scalarFunctions, jsonExtract, eventsHourly,
+    keyDiscovery, moments, dedupExact)
+
+  def byName(name: String): RegisteredQuery =
+    all.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(s"no registered query named $name"))
+}

@@ -14,16 +14,19 @@ import org.apache.spark.sql.types._
   * `StructType => Seq[Column]` function, so Catalyst sees a plain
   * projection (column pruning + pushdown apply as usual).
   *
-  * Deviation from the reference (documented per SURVEY §7.4 item 5): the
-  * reference only widens `IntegerType`; we also widen `LongType` so
-  * bigint keys in the fixtures don't crash the downstream encoder.
+  * Widening policy (deviation documented per SURVEY §7.4 item 5): like
+  * the reference, `widenIntegers` covers Int (plus Short/Byte, which the
+  * reference never sees). `LongType` is NOT widened unless `widenLongs`
+  * is explicitly set — longs above 2^53 lose precision as doubles, so
+  * silently widening bigint key columns could corrupt joins.
   */
 object Staging {
 
   final case class StagingSpec(
       dropPrefixes: Seq[String] = Nil,
       labelColumn: Option[String] = None,
-      widenIntegers: Boolean = true)
+      widenIntegers: Boolean = true,
+      widenLongs: Boolean = false)
 
   /** P-1/P-4: build the staged select-list from a schema. */
   def stagingColumns(schema: StructType, spec: StagingSpec): Seq[Column] =
@@ -32,7 +35,9 @@ object Staging {
       else if (spec.labelColumn.contains(f.name)) Some(col(f.name))
       else
         f.dataType match {
-          case IntegerType | LongType | ShortType | ByteType if spec.widenIntegers =>
+          case IntegerType | ShortType | ByteType if spec.widenIntegers =>
+            Some(col(f.name).cast(DoubleType).as(f.name))
+          case LongType if spec.widenLongs =>
             Some(col(f.name).cast(DoubleType).as(f.name))
           case _ => Some(col(f.name))
         }

@@ -10,37 +10,53 @@ import org.apache.spark.sql.types.StructType
   * (`DataframeModeler.scala:252-258`: `zipWithIndex` each, RDD `join`,
   * merge) and concatenates schemas for the DataFrame variant
   * (`DataframeModeler.scala:246-250`). It silently drops rows when counts
-  * differ; ours asserts equal cardinality instead (SURVEY §7.4 item 1)
-  * because silent truncation at 100 TB is data loss.
+  * differ; ours raises instead (SURVEY §7.4 item 1) because silent
+  * truncation at 100 TB is data loss.
   *
-  * Scale note: when all inputs share partition structure (the common case
-  * — frames derived narrowly from one parent) `RDD.zipPartitions`-style
-  * `zip` is shuffle-free; otherwise we fall back to the reference's
-  * index-join, which shuffles each side once on the synthetic index.
-  * Callers that can join on a real key should — positional identity does
-  * not survive repartitioning and is discouraged for new code.
+  * Path selection is decided eagerly from ONE light probe job per input
+  * (per-partition element counts). The probe also yields the totals for
+  * the equal-cardinality check, so no extra `count()` pass exists, and —
+  * unlike `RDD.zip`'s own lazy validation, which only surfaces as a task
+  * failure at action time — the decision here is deterministic:
+  *   - identical per-partition layouts → narrow `RDD.zip`, shuffle-free
+  *     and provably safe;
+  *   - anything else → `zipWithIndex` + index equi-join (one shuffle per
+  *     side, no sort: positional identity is restored by the join key, so
+  *     row order of the result is unspecified, same as any join).
+  * Positional identity does not survive repartitioning; callers that can
+  * join on a real key should — this primitive exists for reference parity
+  * (label/feature/prediction splicing, `Trainer.scala:196-200`).
   */
 object Zip {
 
-  /** J-1: positional zip of N RDDs. */
+  /** One job: element count of every partition (probe for path choice). */
+  def partitionSizes[T](rdd: RDD[T]): Array[Long] = {
+    val pairs = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.foldLeft(0L)((n, _) => n + 1)))
+      }
+      .collect()
+    val sizes = Array.fill(rdd.getNumPartitions)(0L)
+    pairs.foreach { case (i, n) => sizes(i) = n }
+    sizes
+  }
+
+  /** J-1: positional zip of N RDDs. Raises on unequal total counts. */
   def zipRdds[T: scala.reflect.ClassTag](rdds: Seq[RDD[T]]): RDD[Seq[T]] = {
     require(rdds.nonEmpty, "zip of zero RDDs")
-    val counts = rdds.map(_.count())
-    require(counts.distinct.size == 1,
-      s"positional zip requires equal row counts, got $counts")
-    val sameLayout = rdds.forall(_.getNumPartitions == rdds.head.getNumPartitions)
-    if (sameLayout) {
-      // try the narrow path; Spark validates per-partition sizes lazily
-      try {
-        return rdds.map(_.map(Seq(_))).reduce((a, b) => a.zip(b).map { case (x, y) => x ++ y })
-      } catch { case _: IllegalArgumentException => () }
-    }
-    val indexed = rdds.map(_.zipWithIndex().map(_.swap))
-    indexed
-      .map(_.mapValues(Seq(_)))
-      .reduce((a, b) => a.join(b).mapValues { case (x, y) => x ++ y })
-      .sortByKey()
-      .values
+    if (rdds.size == 1) return rdds.head.map(Seq(_))
+    val layouts = rdds.map(partitionSizes)
+    val totals = layouts.map(_.sum)
+    require(totals.distinct.size == 1,
+      s"positional zip requires equal row counts, got $totals")
+    val narrow = layouts.forall(l => java.util.Arrays.equals(l, layouts.head))
+    if (narrow)
+      rdds.map(_.map(Seq(_)))
+        .reduce((a, b) => a.zip(b).map { case (x, y) => x ++ y })
+    else
+      rdds.map(_.zipWithIndex().map(_.swap).mapValues(Seq(_)))
+        .reduce((a, b) => a.join(b).mapValues { case (x, y) => x ++ y })
+        .values
   }
 
   /** J-2: positional zip of N DataFrames; schemas concatenate. */

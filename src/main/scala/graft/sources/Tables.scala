@@ -28,7 +28,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's TimestampType (µs) cannot hold natively — the vectorized
+    * reader refuses it outright. Read nanos as long and convert to a µs
+    * timestamp, the same truncation DuckDB applies when it coerces
+    * TIMESTAMP_NS to TIMESTAMP, so both engines see identical values.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness compare.
+
+Runs each oracle SQL from <outdir>/oracle_sql.json in DuckDB over the
+fixture parquet tables, loads the Spark result parquet from
+<outdir>/<name>/, sorts columns by name on both sides, and compares
+row count, schema (column names), and values.
+
+Usage: python3 check_correctness.py <sfdir> <outdir>
+"""
+import json, sys, math
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_sig(df):
+    cols = sorted(df.columns)
+    rows = [tuple(norm_cell(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    return cols, rows
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:
+            results[name] = {"status": "oracle_error", "err": str(e)[:200]}
+            continue
+        try:
+            sdf = pd.read_parquet(f"{outdir}/{name}")
+        except Exception as e:
+            results[name] = {"status": "spark_missing", "err": str(e)[:200]}
+            continue
+        ocols, orows = frame_sig(odf)
+        scols, srows = frame_sig(sdf)
+        r = {"rows_match": len(orows) == len(srows),
+             "schema_match": ocols == scols,
+             "hash_match": orows == srows}
+        if not r["schema_match"]:
+            r["oracle_cols"] = ocols
+            r["spark_cols"] = scols
+        elif not r["hash_match"]:
+            for i, (a, b) in enumerate(zip(orows, srows)):
+                if a != b:
+                    r["first_diff"] = {"row": i, "oracle": a[:8], "spark": b[:8]}
+                    break
+            else:
+                r["first_diff"] = {"note": f"row count {len(orows)} vs {len(srows)}"}
+        r["status"] = "ok" if all(
+            [r["rows_match"], r["schema_match"], r["hash_match"]]) else "MISMATCH"
+        results[name] = r
+    n_ok = sum(1 for r in results.values() if r["status"] == "ok")
+    print(json.dumps(results, indent=1, default=str))
+    print(f"\n{n_ok}/{len(results)} green")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
