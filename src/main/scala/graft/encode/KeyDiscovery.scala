@@ -22,10 +22,20 @@ object KeyDiscovery {
 
   /** Lazy frame of distinct "path=value" keys — single column `key`. */
   def keysFrame(df: DataFrame, categoricalCols: Seq[String],
-      pathPrefix: String = ""): DataFrame = {
-    require(categoricalCols.nonEmpty, "no categorical columns given")
-    val keyExprs = categoricalCols.map { c =>
-      concat(lit(pathPrefix + c + "="), col(c).cast("string")).as("key")
+      pathPrefix: String = ""): DataFrame =
+    keysFrameOf(df,
+      categoricalCols.map(c => (pathPrefix + c) -> col(c)))
+
+  /** Variant over explicit (path, column) pairs — used by the encoder for
+    * nested struct leaves. Null cells key as "path=null" (the string the
+    * reference's `value.toString` would produce for a boxed null — except
+    * the reference NPEs there; nulls-as-a-category is the documented
+    * deviation).
+    */
+  def keysFrameOf(df: DataFrame, leaves: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(leaves.nonEmpty, "no categorical columns given")
+    val keyExprs = leaves.map { case (p, c) =>
+      concat(lit(p + "="), coalesce(c.cast("string"), lit("null"))).as("key")
     }
     df.select(explode(array(keyExprs: _*)).as("key")).distinct()
   }

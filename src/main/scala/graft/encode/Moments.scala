@@ -49,16 +49,26 @@ object Moments {
 
   /** Driver-side stats map (tiny: one entry per column). */
   def compute(df: DataFrame, numericCols: Seq[String],
-      pathPrefix: String = ""): Map[String, ColumnStats] = {
-    require(numericCols.nonEmpty, "no numeric columns given")
-    val row = df.agg(aggExprs(numericCols).head, aggExprs(numericCols).tail: _*)
-      .collect().head
-    numericCols.zipWithIndex.map { case (c, i) =>
+      pathPrefix: String = ""): Map[String, ColumnStats] =
+    computeOf(df, numericCols.map(c => (pathPrefix + c) -> col(c)))
+
+  /** Variant over explicit (path, column) pairs — used by the encoder for
+    * nested struct leaves. Still ONE aggregate job for all paths.
+    */
+  def computeOf(df: DataFrame,
+      leaves: Seq[(String, Column)]): Map[String, ColumnStats] = {
+    require(leaves.nonEmpty, "no numeric columns given")
+    val exprs = leaves.flatMap { case (p, c) =>
+      Seq(count(c).as(s"${p}__n"), avg(c).as(s"${p}__mean"),
+        stddev_pop(c).as(s"${p}__std"))
+    }
+    val row = df.agg(exprs.head, exprs.tail: _*).collect().head
+    leaves.map(_._1).zipWithIndex.map { case (p, i) =>
       val base = i * 3
       val n = row.getLong(base)
       val mean = if (row.isNullAt(base + 1)) Double.NaN else row.getDouble(base + 1)
       val std = if (row.isNullAt(base + 2)) Double.NaN else row.getDouble(base + 2)
-      (pathPrefix + c) -> ColumnStats(pathPrefix + c, n, mean, std)
+      p -> ColumnStats(p, n, mean, std)
     }.toMap
   }
 }

@@ -374,6 +374,22 @@ object Catalog {
         round(avg(l_tax), 6), round(stddev_pop(l_tax), 6) FROM lineitem)
       ORDER BY path"""))
 
+  /** E-1 `evalToDataframe`: fit + encode customer → one array<double>
+    * column. Not SQL-expressible (HMAC-seeded init) → rows-only check;
+    * determinism is pinned by EncoderSpec goldens instead.
+    */
+  val encodeEval = RegisteredQuery(
+    "encode_eval",
+    (s, d) => {
+      import graft.encode.Encoder
+      val df = Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          col("c_acctbal"))
+      val state = Encoder.fit(df, Encoder.EncoderSpec(featureDim = 8))
+      Encoder.evalToDataframe(s, df, state, "features")
+    },
+    None)
+
   // --------------------------------------------------------- LLM: dedup
 
   /** Exact dedup survivors: hash-groupBy keeps the first doc per distinct
@@ -401,7 +417,7 @@ object Catalog {
     windowTopnPerGroup, windowRunningSum,
     topkOrders, setopUnion, setopExcept,
     scalarFunctions, jsonExtract, eventsHourly,
-    keyDiscovery, moments, dedupExact)
+    keyDiscovery, moments, encodeEval, dedupExact)
 
   def byName(name: String): RegisteredQuery =
     all.find(_.name == name).getOrElse(
