@@ -390,6 +390,30 @@ object Catalog {
     },
     None)
 
+  /** E-5 training loop smoke: 3 GD iterations of a small classifier
+    * predicting c_nationkey from segment+balance. Output = (iteration,
+    * loss) rows; rows-only check (loss trajectory is pinned by
+    * TrainerSpec instead). Kept small so bench time stays bounded.
+    */
+  val trainLoop = RegisteredQuery(
+    "train_loop",
+    (s, d) => {
+      import graft.encode.Encoder.EncoderSpec
+      import graft.train.DistributedTrainer
+      val df = Tables.customer(s, d).select(
+        col("c_mktsegment"), col("c_acctbal"),
+        (col("c_nationkey") + lit(1)).cast("int").as("label"))
+      val result = DistributedTrainer.fit(s, df,
+        EncoderSpec(featureDim = 8),
+        DistributedTrainer.TrainConfig(
+          hidden = Seq(8), classes = 25, labelCol = "label",
+          iterations = 3, initialStep = 0.5))
+      import s.implicits._
+      result.lossHistory.zipWithIndex
+        .map { case (l, i) => (i, l) }.toDF("iteration", "loss")
+    },
+    None)
+
   // --------------------------------------------------------- LLM: dedup
 
   /** Exact dedup survivors: hash-groupBy keeps the first doc per distinct
@@ -417,7 +441,7 @@ object Catalog {
     windowTopnPerGroup, windowRunningSum,
     topkOrders, setopUnion, setopExcept,
     scalarFunctions, jsonExtract, eventsHourly,
-    keyDiscovery, moments, encodeEval, dedupExact)
+    keyDiscovery, moments, encodeEval, trainLoop, dedupExact)
 
   def byName(name: String): RegisteredQuery =
     all.find(_.name == name).getOrElse(

@@ -1,0 +1,72 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.storage.StorageLevel
+
+/** L-2..L-5 and C-1..C-3: sampling, partition-sizing, micro-batching,
+  * persistence-level helpers.
+  *
+  * Thin by design — each maps to one Spark builtin — but with the two
+  * policies the reference leaves implicit made explicit:
+  *   - every random op takes a SEED (the reference's `randomSplit`/
+  *     `sample` are unseeded, `Trainer.scala:170-172`, so its runs are
+  *     unreproducible — SURVEY §7.4 item 2);
+  *   - the partition-size heuristic (≈10k rows/partition, min 2,
+  *     reference `Trainer.scala:172`) is a named function, not an inline
+  *     formula.
+  */
+object Sampling {
+
+  /** L-2 (reference `Trainer.scala:170`). */
+  def randomSplit(df: DataFrame, weights: Array[Double], seed: Long): Array[Dataset[Row]] =
+    df.randomSplit(weights, seed)
+
+  /** L-3 (reference `Trainer.scala:71, 172`). */
+  def sample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** L-4: reference partition heuristic `max(rows/10000, 2)`
+    * (`Trainer.scala:172`). `rowCount` is caller-provided so this stays
+    * action-free; pair with AQE for runtime coalescing.
+    */
+  def partitionsForRows(rowCount: Long, targetRowsPerPartition: Long = 10000L): Int =
+    math.max((rowCount / targetRowsPerPartition).toInt, 2)
+
+  def repartitionForRows(df: DataFrame, rowCount: Long,
+      targetRowsPerPartition: Long = 10000L): DataFrame =
+    df.repartition(partitionsForRows(rowCount, targetRowsPerPartition))
+
+  /** L-5: driver micro-batching (reference `collect().grouped(1000)`,
+    * `ModelingStrategy.scala:100, 124`) — but via `toLocalIterator`, so
+    * only one partition is resident on the driver at a time.
+    */
+  def microBatches(df: DataFrame, batchSize: Int = 1000): Iterator[Seq[Row]] =
+    df.toLocalIterator().asScala.grouped(batchSize).map(_.toSeq)
+
+  private implicit class IterOps[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+}
+
+/** C-1..C-3 persistence tiers (reference `Trainer.scala:94, 142, 174`:
+  * DISK_ONLY for raw input, MEMORY_ONLY_SER for working sets).
+  */
+object Caching {
+  def persistDisk(df: DataFrame): DataFrame = df.persist(StorageLevel.DISK_ONLY)
+  def persistMemSer(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_ONLY_SER)
+  def cache(df: DataFrame): DataFrame = df.cache()
+  def unpersist(df: DataFrame): DataFrame = df.unpersist()
+
+  /** Scoped lifecycle: persist for the duration of `body`, always
+    * unpersist (reference leaks persists on exception paths,
+    * `Trainer.scala:171-190`).
+    */
+  def withPersist[A](df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_ONLY_SER)(
+      body: DataFrame => A): A = {
+    df.persist(level)
+    try body(df) finally df.unpersist()
+  }
+}
