@@ -1,0 +1,238 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (north-star
+  * surface). Four families:
+  *
+  *   - **exact**: hash-groupBy on the normalized-text fingerprint;
+  *   - **MinHash + banded LSH**: shingle → minhash signature → band
+  *     hashes → `groupBy(band)` — candidates meet only inside a bucket,
+  *     so there is NO all-pairs join anywhere (the property that makes
+  *     near-dedup feasible at 100 TB; a crossJoin would be O(n²));
+  *   - **SimHash**: 64-bit signature, near-dup candidates via band
+  *     rotation over bit chunks;
+  *   - **n-gram Jaccard**: the exact verifier applied only to LSH
+  *     candidates.
+  *
+  * MinHash signatures are pure Column expressions (lambda over
+  * `sequence()` with `xxhash64` — codegen'd, one scan, no UDF). SimHash
+  * uses one UDF (64 per-bit accumulators defeat expression form).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ shingle
+
+  /** Word k-shingles of the normalized text, distinct. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(
+          transform(sequence(lit(1), size(toks) - lit(k - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+
+  // ------------------------------------------------------------ minhash
+
+  /** FNV-1a 64-bit string hash mixed with a salt via splitmix64 — the
+    * per-hash-function family for MinHash. Deterministic across JVMs.
+    */
+  private[llm] def saltedHash(s: String, salt: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    val bytes = s.getBytes("UTF-8")
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    // splitmix64 finalize over (h ^ salt-stretch) — decorrelates the family
+    var z = h ^ (salt * 0x9e3779b97f4a7c15L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** One-pass MinHash band hashes as a single UDF: word k-shingles of
+    * the token array → `numHashes` minhashes → `bands` band hashes.
+    *
+    * Deliberately a UDF, not nested higher-order-function expressions:
+    * Catalyst's CollapseProject inlines an aliased signature column into
+    * every band expression and lambda functions are interpreted, so the
+    * expression form re-evaluates the full shingle×hash matrix once per
+    * band — measured minutes per 500 rows. The UDF computes the matrix
+    * exactly once per row; tokenization stays in codegen upstream.
+    */
+  def minhashBandsUdf(shingleK: Int, numHashes: Int, bands: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    udf((tokens: Seq[String]) => {
+      val shingleIt: Iterator[String] =
+        if (tokens.length < shingleK) Iterator(tokens.mkString(" "))
+        else tokens.sliding(shingleK).map(_.mkString(" "))
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      shingleIt.foreach { sh =>
+        if (seen.add(sh)) {
+          var i = 0
+          while (i < numHashes) {
+            val h = saltedHash(sh, i)
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+      }
+      (0 until bands).map { b =>
+        var h = 1125899906842597L
+        var j = b * rowsPerBand
+        while (j < (b + 1) * rowsPerBand) { h = h * 31 + sig(j); j += 1 }
+        h ^ (b * 0x9e3779b97f4a7c15L) // band index in the key: bucket
+                                      // collisions across bands don't mix
+      }
+    })
+  }
+
+  /** Band-hash column for a text column (tokens in codegen, one UDF). */
+  def bandHashes(text: Column, shingleK: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): Column =
+    minhashBandsUdf(shingleK, numHashes, bands)(TextAnalysis.tokens(text))
+
+  /** Exact Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  /** Candidate near-dup pairs via banded LSH: explode band hashes,
+    * self-join within (band index, band hash) buckets with `idA < idB`,
+    * then verify candidates with exact Jaccard ≥ `threshold`.
+    *
+    * Scale shape: the only shuffle is the groupBy on band hash; bucket
+    * sizes are bounded by collision rate, not corpus size. The join
+    * inside a bucket is an equi-join on the bucket key — Spark plans a
+    * shuffle hash join keyed by (band, hash), never a cartesian over the
+    * corpus. Exact duplicates (which can form huge buckets) should be
+    * removed with `exactClusters` FIRST; `maxBucket` guards against
+    * degenerate buckets turning quadratic.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val withSig = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("sh"),
+      explode(bandHashes(col(textCol), shingleK, numHashes, bands))
+        .as("band"))
+    // drop degenerate buckets before the self-join
+    val buckets = withSig
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+      .filter(col("bucket_n") <= maxBucket && col("bucket_n") > 1)
+      .drop("bucket_n")
+    val a = buckets.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = buckets.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
+
+  /** One-pass near-dup clustering: every doc labeled by the minimum doc
+    * id sharing any LSH band with it (single groupBy + min, no
+    * iteration). This is a conservative approximation of connected
+    * components — chains longer than one hop keep distinct labels; for
+    * dedup survivorship that under-merges, never over-merges beyond a
+    * shared band.
+    */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val exploded = df.select(
+      col(idCol).as("id"),
+      explode(bandHashes(col(textCol), shingleK, numHashes, bands))
+        .as("band"))
+    val bandMin = exploded.groupBy(col("band"))
+      .agg(min(col("id")).as("band_min"))
+    exploded.join(bandMin, Seq("band"))
+      .groupBy(col("id"))
+      .agg(min(col("band_min")).as("cluster_id"))
+  }
+
+  /** Exact-duplicate clusters on the normalized-text fingerprint:
+    * (id, cluster_id = min id with identical content, n_copies).
+    */
+  def exactClusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .withColumn("cluster_id",
+        min(col("id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .withColumn("n_copies",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .select(col("id"), col("cluster_id"), col("n_copies"))
+
+  // ------------------------------------------------------------ simhash
+
+  /** 64-bit SimHash of the token multiset. One UDF per row (per-bit
+    * weighted sums don't reduce to array expressions cleanly); the
+    * surrounding tokenization stays in codegen.
+    */
+  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((tokens: Seq[String]) => {
+      val acc = new Array[Int](64)
+      tokens.foreach { t =>
+        // FNV-1a 64-bit over the token bytes — deterministic across JVMs
+        var h = 0xcbf29ce484222325L
+        t.getBytes("UTF-8").foreach { b =>
+          h ^= (b & 0xffL); h *= 0x100000001b3L
+        }
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+      sig
+    })
+
+  def simhashCol(text: Column): Column = simhash64(TextAnalysis.tokens(text))
+
+  /** Hamming distance between two 64-bit signatures (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: split the 64-bit signature into
+    * `chunks` pieces; two docs within hamming distance `chunks-1` share
+    * at least one exact chunk (pigeonhole), so grouping by chunk value
+    * finds all of them without an all-pairs join. Verified with the true
+    * hamming distance ≤ maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val bits = 64 / chunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val sigs = df.select(col(idCol).as("id"),
+      simhashCol(col(textCol)).as("sig"))
+    val pieces = (0 until chunks).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("sig"), c * bits).bitwiseAND(lit(mask)).as("piece")))
+    val exploded = sigs.select(col("id"), col("sig"),
+      explode(array(pieces: _*)).as("cp"))
+      .select(col("id"), col("sig"),
+        col("cp.chunk").as("chunk"), col("cp.piece").as("piece"))
+    val a = exploded.select(col("chunk"), col("piece"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = exploded.select(col("chunk"), col("piece"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "piece"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

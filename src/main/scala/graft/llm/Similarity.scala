@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (north-star surface).
+  *
+  * Two physical strategies for the same logical top-k-by-cosine:
+  *
+  *   - **brute force**: score every row with a pure-expression cosine
+  *     (`aggregate` over `zip_with` — codegen'd) and `orderBy().limit(k)`
+  *     — Spark plans TakeOrderedAndProject: per-partition heaps, only k
+  *     rows per partition reach the driver. Exact; O(n) per query; the
+  *     right baseline and the verifier for ANN recall.
+  *   - **LSH (random hyperplanes)**: a deterministic signed-projection
+  *     signature buckets vectors; a query probes its own bucket plus
+  *     Hamming-1 neighbors. At 100 TB the bucketed table is
+  *     pre-partitioned by signature so a probe touches only matching
+  *     partitions, turning per-query cost from O(n) to O(n / 2^bits ·
+  *     probes).
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns — pure expression. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against a literal query vector. */
+  def topKBrute(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Double], k: Int): DataFrame = {
+    val q = typedLit(query.toSeq)
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol), cosine(v, q).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (seeded by plane index via the
+    * same HMAC scheme as the encoder).
+    */
+  def hyperplanes(dim: Int, bits: Int, seedPrefix: String = "lsh"): Array[Array[Double]] =
+    Array.tabulate(bits) { p =>
+      val rnd = new java.util.Random(
+        graft.encode.Deterministic.seedFor(s"$seedPrefix/$p"))
+      Array.fill(dim)(rnd.nextGaussian())
+    }
+
+  /** Signature expression: bit p set iff dot(v, plane_p) ≥ 0. */
+  def signature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      when(dot(vec, typedLit(plane.toSeq)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed index: (id, vec, sig). Persist + repartition by sig at
+    * scale so probes prune partitions.
+    */
+  def lshIndex(df: DataFrame, vecCol: String, idCol: String,
+      planes: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as("id"), v.as("vec"),
+      signature(v, planes).as("sig"))
+  }
+
+  /** ANN top-k: score only rows whose signature is within hamming
+    * distance `probeHamming` of the query's signature (0 = own bucket,
+    * 1 = own + all one-bit flips, …).
+    */
+  def topKAnn(index: DataFrame, query: Array[Double],
+      planes: Array[Array[Double]], k: Int, probeHamming: Int = 1): DataFrame = {
+    val qSig = planes.zipWithIndex.map { case (plane, p) =>
+      val d = plane.zip(query).map { case (a, b) => a * b }.sum
+      if (d >= 0) 1L << p else 0L
+    }.sum
+    val q = typedLit(query.toSeq)
+    index
+      .filter(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probeHamming)
+      .select(col("id"), cosine(col("vec"), q).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** All-pairs similarity join above a cosine threshold, restricted to
+    * LSH buckets (same-signature pairs only) — the scale-safe shape of
+    * "find all near-duplicate embeddings". Exact within a bucket.
+    */
+  def similarityJoin(index: DataFrame, threshold: Double): DataFrame = {
+    val a = index.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = index.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (north-star
+  * surface; no reference counterpart — the reference's text handling
+  * stops at categorical "path=value" strings).
+  *
+  * Everything here is pure Column expressions — whole-stage codegen,
+  * no UDFs — so the operators scan-pipeline at 100 TB: one pass, no
+  * shuffle, filters composable on top.
+  */
+object TextAnalysis {
+
+  /** Lowercased, punctuation-stripped normalization (the canonical form
+    * used by fingerprinting and shingling).
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^\\p{L}\\p{Nd}]+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalized(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** BPE-ish subword count estimate: words plus an extra unit per 4
+    * chars of long words (a cheap, deterministic stand-in for a real
+    * tokenizer's subword splitting; good enough for budget accounting).
+    */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, w) => acc + greatest(lit(1), ceil(length(w) / lit(4)).cast("int")))
+
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[\\p{L}\\p{Nd}\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Fraction of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = typedLit(stopwords)
+    aggregate(tokens(text), lit(0),
+      (acc, t) => acc + when(array_contains(sw, t), 1).otherwise(0))
+      .cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+  }
+
+  def meanWordLength(text: Column): Column =
+    aggregate(tokens(text), lit(0), (acc, w) => acc + length(w))
+      .cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: long enough, mostly letters, a
+    * sane stopword fraction, plausible word lengths. The weights are a
+    * heuristic, not learned — each component is independently exposed
+    * above so pipelines can threshold on the raw signals.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    val swr = stopwordRatio(text, stopwords)
+    val swScore = lit(1.0) - least(abs(swr - lit(0.4)) * lit(2.5), lit(1.0))
+    val mwl = meanWordLength(text)
+    val wordScore = when(mwl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    (lenScore * lit(0.3) + punctScore * lit(0.2) +
+      swScore * lit(0.3) + wordScore * lit(0.2))
+  }
+
+  /** Document fingerprint: 64-bit hash of the normalized text (xxhash64
+    * — Spark builtin, codegen'd). Identical normalized content ⇒
+    * identical fingerprint; the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column = xxhash64(normalized(text))
+
+  /** MD5 fingerprint variant (hex string) — portable to any engine with
+    * md5, which makes it the oracle-checkable flavor.
+    */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  // ------------------------------------------------------------ lang-id
+
+  /** Tiny per-language function-word profiles (public knowledge). The
+    * score of a language is the fraction of tokens that are among its
+    * function words; argmax wins, "und" (undetermined) when every score
+    * is ~0.
+    */
+  val LanguageProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
+      "for", "with", "as", "his", "on", "be", "at", "by", "had", "not"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ich", "nicht", "sie",
+      "es", "ein", "eine", "mit", "auf", "für", "den", "von", "zu", "im"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "je", "ne", "pas", "vous",
+      "un", "une", "du", "des", "dans", "que", "qui", "pour", "sur", "au"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "que", "en",
+      "un", "una", "por", "con", "para", "su", "se", "del", "al", "lo"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "不", "人",
+      "们", "来", "到", "时", "大", "地", "为", "子", "中", "你"))
+
+  /** Language score: token-level function-word ratio for space-delimited
+    * scripts; character-level ratio when the profile is single
+    * characters (CJK — no whitespace tokenization exists there).
+    */
+  def langScore(text: Column, profile: Seq[String]): Column =
+    if (profile.forall(_.length == 1)) {
+      val chars = split(normalized(text), "")
+      val p = typedLit(profile)
+      aggregate(chars, lit(0),
+        (acc, c) => acc + when(array_contains(p, c), 1).otherwise(0))
+        .cast("double") / greatest(size(chars), lit(1)).cast("double")
+    } else stopwordRatio(text, profile)
+
+  /** Best-scoring language label, or "und" below `minScore`. One pass,
+    * pure expressions (a when-chain over the profile map, evaluated in
+    * sorted language order so ties resolve deterministically to the
+    * alphabetically-first language).
+    */
+  def langId(text: Column, minScore: Double = 0.05,
+      profiles: Map[String, Seq[String]] = LanguageProfiles): Column = {
+    val scored = profiles.toSeq.sortBy(_._1)
+      .map { case (l, p) => l -> langScore(text, p) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // reverse fold so the FIRST language in sorted order wins ties
+    scored.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s >= lit(minScore) && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Minimal English stopword list for quality scoring. */
+  val EnglishStopwords: Seq[String] = LanguageProfiles("en") ++ Seq(
+    "a", "an", "are", "but", "from", "or", "this", "which", "you", "we",
+    "they", "have", "has", "were", "been", "their", "its", "can", "will")
+}

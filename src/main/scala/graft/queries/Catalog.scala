@@ -432,6 +432,158 @@ object Catalog {
       count(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY doc_id"""))
 
+  // ------------------------------------------------- LLM: text analysis
+
+  /** Token/char/punct stats per document — oracle-checkable (identical
+    * regex semantics both engines, integer outputs).
+    */
+  val textStats = RegisteredQuery(
+    "text_stats",
+    (s, d) => {
+      import graft.llm.TextAnalysis._
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        charCount(col("text")).as("n_char"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(regexp_replace(col("text"), "[\\p{L}\\p{Nd}\\s]", ""))
+          .as("n_punct"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(length(text) AS INTEGER) AS n_char,
+      CAST(len(regexp_split_to_array(trim(regexp_replace(lower(text),
+        '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens,
+      CAST(length(regexp_replace(text, '[\p{L}\p{Nd}\s]', '', 'g'))
+        AS INTEGER) AS n_punct
+      FROM documents ORDER BY doc_id"""))
+
+  /** MD5 fingerprint of the normalized text — the exact-dedup key,
+    * oracle-checkable.
+    */
+  val docFingerprint = RegisteredQuery(
+    "doc_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.llm.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      md5(trim(regexp_replace(lower(text), '[^\p{L}\p{Nd}]+', ' ', 'g')))
+        AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  /** Language-ID over documents (rows-only: the synthetic fixture text
+    * shares one vocabulary across langs; accuracy on real-language text
+    * is pinned in TextAnalysisSpec).
+    */
+  val langId = RegisteredQuery(
+    "lang_id",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.llm.TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id")),
+    None)
+
+  /** Quality scoring over documents (rows-only; component signals are
+    * individually unit-tested).
+    */
+  val qualityScore = RegisteredQuery(
+    "quality_score",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.llm.TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+    None)
+
+  // ------------------------------------------------ LLM: near-dup + ANN
+
+  /** MinHash-LSH near-dup clustering: every doc labeled with the min
+    * doc id sharing an LSH band. Rows-only (hash-dependent); planted
+    * near-dups are verified in DedupSpec.
+    */
+  val dedupMinhash = RegisteredQuery(
+    "dedup_minhash",
+    (s, d) =>
+      graft.llm.Dedup.minhashClusters(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id")),
+    None)
+
+  /** SimHash signatures per doc (rows-only). */
+  val dedupSimhash = RegisteredQuery(
+    "dedup_simhash",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.llm.Dedup.simhashCol(col("text")).as("simhash"))
+        .orderBy(col("doc_id")),
+    None)
+
+  /** Brute-force cosine top-10 against the vec_id=0 embedding — exact,
+    * oracle-checked against DuckDB's list_cosine_similarity. Spark plans
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  val simTopkBrute = RegisteredQuery(
+    "sim_topk_brute",
+    (s, d) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      Similarity.topKBrute(emb, "embedding", "vec_id", query, 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
+  /** LSH-bucketed ANN top-10 (rows-only; recall vs brute force is
+    * pinned in SimilaritySpec).
+    */
+  val simTopkAnn = RegisteredQuery(
+    "sim_topk_ann",
+    (s, d) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      // 6 bits ≈ 64 buckets: sized for the 500-row fixture (probe set
+      // covers ~1/3 of buckets). At corpus scale, bits grows with
+      // log2(n / target-bucket-size) — the bucket count, not the probe
+      // fraction, is what scales.
+      val planes = Similarity.hyperplanes(query.length, bits = 6)
+      val index = Similarity.lshIndex(emb, "embedding", "vec_id", planes)
+      Similarity.topKAnn(index, query, planes, k = 10, probeHamming = 2)
+        .select(col("id"), round(col("score"), 6).as("score"))
+    },
+    None)
+
+  /** Multimodal plumbing: documents text → binary media struct → stub
+    * decode → typed metadata (rows-only; the decode is a documented
+    * deterministic stub, the schema/batch plumbing is the real part).
+    */
+  val multimodalMeta = RegisteredQuery(
+    "multimodal_meta",
+    (s, d) => {
+      import graft.llm.Multimodal
+      val media = Tables.documents(s, d).select(
+        col("doc_id"),
+        Multimodal.asMedia(col("text"), "image/fake").as("media"))
+      Multimodal.withDecodedMeta(media, "media")
+        .select(col("doc_id"), col("decoded.width"), col("decoded.height"),
+          col("decoded.n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[RegisteredQuery] = Seq(
@@ -441,7 +593,9 @@ object Catalog {
     windowTopnPerGroup, windowRunningSum,
     topkOrders, setopUnion, setopExcept,
     scalarFunctions, jsonExtract, eventsHourly,
-    keyDiscovery, moments, encodeEval, trainLoop, dedupExact)
+    keyDiscovery, moments, encodeEval, trainLoop, dedupExact,
+    textStats, docFingerprint, langId, qualityScore,
+    dedupMinhash, dedupSimhash, simTopkBrute, simTopkAnn, multimodalMeta)
 
   def byName(name: String): RegisteredQuery =
     all.find(_.name == name).getOrElse(

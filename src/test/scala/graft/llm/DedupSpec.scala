@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest to hide from hunters"
+  private val nearDup = base.replace("lazy", "sleepy") // one-word change
+  private val unrelated = "completely different content about database " +
+    "query optimization with columnar storage and vectorized execution " +
+    "engines processing analytical workloads at massive scale every day"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base) // 4 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact clusters group identical normalized content") {
+    val out = Dedup.exactClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((1L, 2L))) // cluster 1, two copies
+    assert(out(4L) == ((1L, 2L)))
+    assert(out(2L) == ((2L, 1L)))
+    assert(out(3L) == ((3L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-dup pair, skips unrelated") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup not found: $pairs")
+    assert(pairs.contains((1L, 4L))) // exact dups are trivially near
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc matched: $pairs")
+  }
+
+  test("jaccard verification bounds: identical=1, disjoint=0") {
+    val df = Seq((base, base, unrelated)).toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.jaccard(Dedup.shingles(col("a")), Dedup.shingles(col("b"))).as("same"),
+      Dedup.jaccard(Dedup.shingles(col("a")), Dedup.shingles(col("c"))).as("diff"))
+      .collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) < 0.05)
+  }
+
+  test("minhash clusters: near-dups share a cluster id") {
+    val out = Dedup.minhashClusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L) && out(1L) == out(4L),
+      s"near-dups not clustered: $out")
+    assert(out(3L) != out(1L), s"unrelated merged: $out")
+  }
+
+  test("simhash: identical text => distance 0; near-dup within 12 bits") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhashCol(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 12)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 12)
+  }
+
+  test("simhash pairs via band rotation find the exact dup") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      chunks = 4, maxHamming = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), s"exact dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("shingles of short text degrade to whole-text shingle") {
+    val df = Seq(Tuple1("two words")).toDF("t")
+    val sh = df.select(Dedup.shingles(col("t"), 3)).collect()
+      .head.getSeq[String](0)
+    assert(sh == Seq("two words"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.llm
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asMedia builds binary content + typed metadata struct") {
+    val df = Seq((1L, "some fake image bytes")).toDF("id", "payload")
+      .select(col("id"), Multimodal.asMedia(col("payload"), "image/png").as("m"))
+    val schema = df.schema("m").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema("content").dataType == org.apache.spark.sql.types.BinaryType)
+    val meta = df.select(col("m.meta.mime"), col("m.meta.n_bytes")).collect().head
+    assert(meta.getString(0) == "image/png")
+    assert(meta.getInt(1) == 21)
+  }
+
+  test("stub decode is deterministic and null-safe") {
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, null))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.asMedia(col("payload"), "image/fake").as("m"))
+    val out = Multimodal.withDecodedMeta(df, "m")
+      .select(col("id"), col("decoded.width"), col("decoded.height"))
+      .collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2))))).toMap
+    assert(byId(1L).isDefined && byId(1L) == byId(2L)) // deterministic
+    assert(byId(1L).exists { case (w, h) => w >= 64 && h >= 64 })
+    assert(byId(3L).isEmpty) // null content -> null dims
+  }
+
+  test("feature stub produces fixed-dim vectors usable by Similarity") {
+    val df = Seq((1L, "payload one"), (2L, "payload two")).toDF("id", "payload")
+      .select(col("id"),
+        Multimodal.featureStub(16)(col("payload").cast("binary")).as("vec"))
+    val rows = df.collect()
+    assert(rows.forall(_.getSeq[Double](1).length == 16))
+    val top = Similarity.topKBrute(df, "vec", "id",
+      rows.head.getSeq[Double](1).toArray, 1).collect()
+    assert(top.head.getLong(0) == 1L) // self-similarity wins
+  }
+
+  test("byte-based repartition sizes by data volume not rows") {
+    val df = (1 to 10).map(i => (i.toLong, "x" * 100)).toDF("id", "payload")
+      .select(col("id"), Multimodal.asMedia(col("payload"), "video/fake").as("m"))
+    val repart = Multimodal.repartitionByBytes(df, "m",
+      totalBytes = 10L * (512L << 20), targetBytesPerPartition = 512L << 20)
+    assert(repart.rdd.getNumPartitions == 10)
+  }
+}

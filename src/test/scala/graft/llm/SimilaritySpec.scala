@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomVecs(n: Int, dim: Int): Seq[(Long, Seq[Double])] = {
+    val rnd = new java.util.Random(7)
+    (0L until n.toLong).map(i => i -> Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  test("cosine expression matches scala computation") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect()
+      .head.getDouble(0)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("brute-force top-k returns exact nearest by cosine") {
+    val vecs = randomVecs(100, 8)
+    val df = vecs.toDF("id", "vec")
+    val query = vecs(3)._2.toArray
+    val got = Similarity.topKBrute(df, "vec", "id", query, 5)
+      .collect().map(_.getLong(0)).toSeq
+    // scala-side exact ranking
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = vecs.map { case (i, v) => i -> cos(v, query.toSeq) }
+      .sortBy { case (i, s) => (-s, i) }.take(5).map(_._1)
+    assert(got == expected)
+    assert(got.head == 3L) // self is nearest
+  }
+
+  test("ann search achieves high recall vs brute force with 2-bit probes") {
+    val vecs = randomVecs(500, 16)
+    val df = vecs.toDF("id", "vec")
+    val planes = Similarity.hyperplanes(16, bits = 6)
+    val index = Similarity.lshIndex(df, "vec", "id", planes).cache()
+    val queries = Seq(0, 17, 91).map(i => vecs(i)._2.toArray)
+    val recalls = queries.map { q =>
+      val brute = Similarity.topKBrute(df, "vec", "id", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val ann = Similarity.topKAnn(index, q, planes, 10, probeHamming = 2)
+        .collect().map(_.getLong(0)).toSet
+      brute.intersect(ann).size.toDouble / 10.0
+    }
+    index.unpersist()
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"mean ANN recall too low: $recalls")
+  }
+
+  test("lsh signature is deterministic and bucket-bounded") {
+    val vecs = randomVecs(50, 8)
+    val df = vecs.toDF("id", "vec")
+    val planes = Similarity.hyperplanes(8, bits = 4)
+    val s1 = Similarity.lshIndex(df, "vec", "id", planes)
+      .select("id", "sig").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = Similarity.lshIndex(df, "vec", "id", planes)
+      .select("id", "sig").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+    assert(s1.values.forall(s => s >= 0 && s < 16))
+  }
+
+  test("similarity join finds identical vectors in same bucket") {
+    val vecs = randomVecs(20, 8) :+ (100L -> randomVecs(20, 8).head._2)
+    val df = vecs.toDF("id", "vec")
+    val planes = Similarity.hyperplanes(8, bits = 4)
+    val index = Similarity.lshIndex(df, "vec", "id", planes)
+    val pairs = Similarity.similarityJoin(index, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)), s"identical pair missed: $pairs")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and char counts") {
+    val df = Seq(Tuple1("Hello, World! This is a test.")).toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("t")),
+      TextAnalysis.charCount(col("t"))).collect().head
+    assert(r.getInt(0) == 6)
+    assert(r.getInt(1) == 29)
+  }
+
+  test("punct ratio counts non-alphanumeric non-space chars") {
+    val df = Seq(Tuple1("ab, cd!")).toDF("t")
+    val r = df.select(TextAnalysis.punctRatio(col("t"))).collect().head
+    assert(math.abs(r.getDouble(0) - 2.0 / 7.0) < 1e-12)
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val df = Seq(("The  Quick   FOX!", "the quick fox")).toDF("a", "b")
+    val r = df.select(
+      TextAnalysis.fingerprintMd5(col("a")),
+      TextAnalysis.fingerprintMd5(col("b"))).collect().head
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("langId classifies real-language sentences") {
+    val samples = Seq(
+      ("the cat sat on the mat and it was happy to be at home", "en"),
+      ("der hund ist nicht mit der katze auf dem sofa und ich bin im haus", "de"),
+      ("le chat est dans la maison et je ne sais pas pour quoi il dort", "fr"),
+      ("el perro es un animal que vive en la casa con su familia", "es"),
+      ("我是一个人他是我的朋友这是我们的家", "zh"))
+    val df = samples.toDF("text", "expected")
+    val got = df.select(col("expected"),
+      TextAnalysis.langId(col("text")).as("pred")).collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(0),
+        s"expected ${r.getString(0)}, got ${r.getString(1)}")
+    }
+  }
+
+  test("langId returns und for non-language content") {
+    val df = Seq(Tuple1("xk9 qq7 zzz9 blorp wug 42 17")).toDF("t")
+    assert(df.select(TextAnalysis.langId(col("t"))).collect()
+      .head.getString(0) == "und")
+  }
+
+  test("quality score ranges sanely: real text beats garbage") {
+    val df = Seq(
+      ("good", "the report shows that revenue is growing and the team " +
+        "expects it to continue because demand for the product is strong " +
+        "across all the regions where we have been operating this year"),
+      ("garbage", "$$$ !!! @@@ ### %% ^^ && ** (( )) __ ++ == ~~ ``")
+    ).toDF("kind", "text")
+    val scores = df.select(col("kind"),
+      TextAnalysis.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("good") > 0.6, s"good text scored ${scores("good")}")
+    assert(scores("garbage") < 0.4, s"garbage scored ${scores("garbage")}")
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("subword estimate upper-bounds word count for long words") {
+    val df = Seq(Tuple1("internationalization is extraordinary")).toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("t")),
+      TextAnalysis.subwordCountEstimate(col("t"))).collect().head
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) > 3) // 20-char + 13-char words split
+  }
+}
