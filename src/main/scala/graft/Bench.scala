@@ -27,6 +27,12 @@ object Bench {
       case c => c.toString
     }
 
+    // JIT/codegen warmup so the alphabetically-first query doesn't absorb
+    // first-job overhead into its timing
+    try SparkEntry.queries.get("q1_pricing_summary")
+      .foreach(fn => fn(spark, sfDir).count())
+    catch { case _: Throwable => () }
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

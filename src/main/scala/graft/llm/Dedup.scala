@@ -36,20 +36,28 @@ object Dedup {
 
   // ------------------------------------------------------------ minhash
 
-  /** FNV-1a 64-bit string hash mixed with a salt via splitmix64 — the
-    * per-hash-function family for MinHash. Deterministic across JVMs.
+  /** FNV-1a 64-bit base hash of a shingle — computed ONCE per shingle;
+    * the MinHash family is derived from it by per-salt splitmix64
+    * mixing, so an n-shingle row costs n byte-hashes + n·H mixes, not
+    * n·H byte-hashes. Deterministic across JVMs.
     */
-  private[llm] def saltedHash(s: String, salt: Int): Long = {
+  private[llm] def baseHash(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     val bytes = s.getBytes("UTF-8")
     while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-    // splitmix64 finalize over (h ^ salt-stretch) — decorrelates the family
-    var z = h ^ (salt * 0x9e3779b97f4a7c15L)
+    h
+  }
+
+  /** splitmix64 of (base ^ salt-stretch) — the i-th hash function. */
+  private[llm] def mix(base: Long, salt: Int): Long = {
+    var z = base ^ (salt * 0x9e3779b97f4a7c15L)
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+
+  private[llm] def saltedHash(s: String, salt: Int): Long = mix(baseHash(s), salt)
 
   /** One-pass MinHash band hashes as a single UDF: word k-shingles of
     * the token array → `numHashes` minhashes → `bands` band hashes.
@@ -73,9 +81,10 @@ object Dedup {
       val seen = scala.collection.mutable.HashSet.empty[String]
       shingleIt.foreach { sh =>
         if (seen.add(sh)) {
+          val base = baseHash(sh)
           var i = 0
           while (i < numHashes) {
-            val h = saltedHash(sh, i)
+            val h = mix(base, i)
             if (h < sig(i)) sig(i) = h
             i += 1
           }
@@ -151,9 +160,11 @@ object Dedup {
       col(idCol).as("id"),
       explode(bandHashes(col(textCol), shingleK, numHashes, bands))
         .as("band"))
-    val bandMin = exploded.groupBy(col("band"))
-      .agg(min(col("id")).as("band_min"))
-    exploded.join(bandMin, Seq("band"))
+    // window-min instead of groupBy+self-join: ONE scan of the input
+    // (the join form re-reads and re-hashes everything a second time)
+    exploded
+      .withColumn("band_min", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
       .groupBy(col("id"))
       .agg(min(col("band_min")).as("cluster_id"))
   }
