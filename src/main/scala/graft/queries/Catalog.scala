@@ -194,6 +194,66 @@ object Catalog {
       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       ORDER BY c_custkey"""))
 
+  /** Left outer join with null-extension: nations that may lack
+    * suppliers. COALESCE pins the null-side aggregate.
+    */
+  val joinLeftOuter = RegisteredQuery(
+    "join_left_outer",
+    (s, d) =>
+      Tables.nation(s, d)
+        .join(Tables.supplier(s, d),
+          col("n_nationkey") === col("s_nationkey"), "left_outer")
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(col("s_suppkey")).as("n_suppliers"))
+        .orderBy(col("n_nationkey")),
+    Some("""SELECT n_nationkey, n_name, count(s_suppkey) AS n_suppliers
+      FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+      GROUP BY n_nationkey, n_name ORDER BY n_nationkey"""))
+
+  /** Full outer join over disjoint-ish key sets. */
+  val joinFullOuter = RegisteredQuery(
+    "join_full_outer",
+    (s, d) => {
+      val hi = Tables.customer(s, d).filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val lo = Tables.customer(s, d).filter(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+      hi.join(lo, Seq("k"), "full_outer")
+        .select(col("k"), col("bal"), col("nm"))
+        .orderBy(col("k"))
+    },
+    Some("""SELECT COALESCE(a.k, b.k) AS k, a.bal, b.nm
+      FROM (SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+            WHERE c_custkey % 3 = 0) a
+      FULL OUTER JOIN (SELECT c_custkey AS k, c_name AS nm FROM customer
+            WHERE c_custkey % 3 = 1) b USING (k)
+      ORDER BY k"""))
+
+  /** Non-equi (range) theta join: orders binned against a small literal
+    * band table — BroadcastNestedLoopJoin territory; the band side is
+    * tiny and broadcast, which is the only shape a theta join scales in.
+    */
+  val joinRange = RegisteredQuery(
+    "join_range",
+    (s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+        ("high", 150000.0, 1e18)).toDF("band", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_price"))
+        .orderBy(col("band"))
+    },
+    Some("""SELECT band, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+      FROM orders JOIN (VALUES ('low', 0.0, 50000.0),
+        ('mid', 50000.0, 150000.0), ('high', 150000.0, 1e18))
+        AS bands(band, lo, hi)
+        ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band ORDER BY band"""))
+
   // ------------------------------------------------------------ windows
 
   /** Top-N per group via row_number; tie-broken on the unique key so the
@@ -272,6 +332,81 @@ object Catalog {
       EXCEPT SELECT s_nationkey AS nationkey FROM supplier
       ORDER BY nationkey"""))
 
+  val setopIntersect = RegisteredQuery(
+    "setop_intersect",
+    (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+      ORDER BY nationkey"""))
+
+  /** CUBE grouping sets (rollup's sibling). */
+  val aggCube = RegisteredQuery(
+    "agg_cube",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first),
+    Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      ORDER BY o_orderpriority ASC NULLS FIRST,
+        o_orderstatus ASC NULLS FIRST"""))
+
+  /** HAVING: post-aggregation filter (Catalyst folds it into the agg). */
+  val aggHaving = RegisteredQuery(
+    "agg_having",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .filter(col("n_lines") >= 20)
+        .orderBy(col("l_suppkey")),
+    Some("""SELECT l_suppkey, count(*) AS n_lines,
+      round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 20
+      ORDER BY l_suppkey"""))
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into a join):
+    * customers spending above their nation's average.
+    */
+  val subqueryCorrelated = RegisteredQuery(
+    "subquery_correlated",
+    (s, d) => {
+      Tables.customer(s, d).as("c").createOrReplaceTempView("graft_cust")
+      s.sql("""SELECT c_custkey, c_acctbal FROM graft_cust outer_c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_cust inner_c
+                           WHERE inner_c.c_nationkey = outer_c.c_nationkey)
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_acctbal FROM customer outer_c
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer inner_c
+                         WHERE inner_c.c_nationkey = outer_c.c_nationkey)
+      ORDER BY c_custkey"""))
+
+  /** Array functions over the embeddings list column: size, element
+    * access, slice-sum — the array-scalar surface.
+    */
+  val arrayFunctions = RegisteredQuery(
+    "array_functions",
+    (s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_elem"),
+        aggregate(slice(col("embedding").cast("array<double>"), 1, 8),
+          lit(0.0), (acc, x) => acc + x).as("head_sum"))
+        .orderBy(col("vec_id")),
+    Some("""SELECT vec_id,
+      CAST(len(embedding) AS INTEGER) AS dim,
+      CAST(embedding[1] AS DOUBLE) AS first_elem,
+      list_sum(embedding[1:8]::DOUBLE[]) AS head_sum
+      FROM embeddings ORDER BY vec_id"""))
+
   // --------------------------------------------------- scalar functions
 
   /** Date/string/math/conditional scalar surface in one projection.
@@ -329,6 +464,35 @@ object Catalog {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("hour_start")),
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+      count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1 ORDER BY hour_start"""))
+
+  /** Structured-Streaming hourly aggregate run to completion
+    * (AvailableNow) over the same events data — shares the batch twin's
+    * DuckDB oracle, proving stream/batch equivalence through the
+    * harness. The fixture file is staged into a directory because the
+    * streaming file source requires one.
+    */
+  val streamingHourly = RegisteredQuery(
+    "streaming_hourly",
+    (s, d) => {
+      import graft.streaming.Streams
+      val dir = java.nio.file.Files.createTempDirectory("events_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("part-0.parquet"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Streams.EventSchema
+          .fields.map(f => if (f.name == "ts")
+            f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+        .parquet(dir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      Streams.runAvailableNow(s, Streams.hourlyAgg(raw),
+          s"graft_stream_${System.nanoTime()}")
+        .orderBy(col("hour_start"))
+    },
     Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
       count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1 ORDER BY hour_start"""))
@@ -587,12 +751,14 @@ object Catalog {
   // ---------------------------------------------------------- registry
 
   val all: Seq[RegisteredQuery] = Seq(
-    q1PricingSummary, aggDistinct, rollupCount,
+    q1PricingSummary, aggDistinct, rollupCount, aggCube, aggHaving,
     stagingProjection, filterPushdown,
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
+    joinLeftOuter, joinFullOuter, joinRange,
     windowTopnPerGroup, windowRunningSum,
-    topkOrders, setopUnion, setopExcept,
-    scalarFunctions, jsonExtract, eventsHourly,
+    topkOrders, setopUnion, setopExcept, setopIntersect,
+    subqueryCorrelated, arrayFunctions,
+    scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
     keyDiscovery, moments, encodeEval, trainLoop, dedupExact,
     textStats, docFingerprint, langId, qualityScore,
     dedupMinhash, dedupSimhash, simTopkBrute, simTopkAnn, multimodalMeta)

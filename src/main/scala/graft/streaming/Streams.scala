@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (additive — the reference has no
+  * streaming, SURVEY §1.3; the `events` fixture defines the shape).
+  * Each operator is the streaming twin of a registered batch query so
+  * correctness is checkable by equivalence: run the stream over the
+  * same files with `availableNow` and compare to the batch answer.
+  *
+  * Scale notes: windowed aggregations carry watermark-bounded state;
+  * sessionization state is per-key and evicted by timeout — both shapes
+  * survive unbounded input. File sources at 100 TB should be replaced
+  * by a replayable log source (same API surface).
+  */
+object Streams {
+
+  /** The events schema as the stream sees it (ts already µs). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based event stream over a parquet directory. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(EventSchema)
+      .parquet(dir)
+
+  /** Tumbling-window hourly aggregate with a watermark — the streaming
+    * twin of the batch `events_hourly` catalog query.
+    */
+  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window event rate per type. */
+  def slidingTypeCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, n: Long, sum: Double)
+  final case class SessionResult(user_id: Long, startMs: Long, endMs: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: per key, new
+    * events either extend the open session or — when the event-time gap
+    * exceeds `gapMs` — close it (emitting the closed session) and open a
+    * new one. Event-time gap logic rather than a wall-clock timeout
+    * keeps the operator deterministic and replayable; state is one open
+    * session per active key. (Processing-time timeouts would also evict
+    * idle keys, but the AvailableNow trigger used for batch-equivalence
+    * testing does not support them in Spark 4.1.)
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long)
+      : Dataset[SessionResult] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionResult](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val evs = rows.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionResult]
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case Some(s) if t - s.lastSeen > gapMs =>
+                closed += SessionResult(userId, s.start, s.lastSeen, s.n, s.sum)
+                open = Some(SessionState(t, t, 1L, e.value))
+              case Some(s) =>
+                open = Some(SessionState(s.start, math.max(s.lastSeen, t),
+                  s.n + 1, s.sum + e.value))
+              case None =>
+                open = Some(SessionState(t, t, 1L, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** Open (in-progress) sessions snapshot for tests/ops: the same
+    * handler but emitting current state each batch (Update mode).
+    */
+  def openSessions(events: Dataset[SessionEvent], gapMs: Long)
+      : Dataset[SessionResult] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionResult](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val evs = rows.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            open = open match {
+              case Some(s) if t - s.lastSeen > gapMs =>
+                Some(SessionState(t, t, 1L, e.value))
+              case Some(s) =>
+                Some(SessionState(s.start, math.max(s.lastSeen, t),
+                  s.n + 1, s.sum + e.value))
+              case None => Some(SessionState(t, t, 1L, e.value))
+            }
+          }
+          open.foreach(state.update)
+          val s = open.get
+          SessionResult(userId, s.start, s.lastSeen, s.n, s.sum)
+      }
+  }
+
+  /** Run a streaming frame over the full available input once
+    * (`availableNow`) into an in-memory table and return the result —
+    * the batch-equivalence harness used by specs and the catalog.
+    */
+  def runAvailableNow(spark: SparkSession, streamed: DataFrame,
+      queryName: String, outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

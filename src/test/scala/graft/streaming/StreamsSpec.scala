@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The fixture stores each table as a single parquet FILE; the
+    * streaming file source requires a directory — stage a copy.
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    dir.toString
+  }
+
+  test("streaming hourly agg over events files equals the batch answer") {
+    val dir = "/root/testdata/sf0.001"
+    // stream side: run the nanos-as-long conversion path like Tables.events
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamed = Streams.hourlyAgg(raw)
+    val got = Streams.runAvailableNow(spark, streamed, "hourly_test")
+      .orderBy("hour_start")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+
+    val batch = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour_start")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+
+    assert(got.toSeq == batch.toSeq,
+      s"stream/batch divergence: ${got.take(3).toSeq} vs ${batch.take(3).toSeq}")
+    assert(got.nonEmpty)
+  }
+
+  test("sliding windows emit overlapping window starts") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Streams.EventSchema
+        .fields.map(f => if (f.name == "ts")
+          f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val got = Streams.runAvailableNow(spark,
+      Streams.slidingTypeCounts(raw), "sliding_test")
+    val starts = got.select("window_start").distinct().count()
+    val hours = got.select(date_trunc("hour", col("window_start"))).distinct().count()
+    assert(starts > hours, "sliding windows should outnumber tumbling hours")
+  }
+
+  test("sessionization closes sessions on event-time gap, keeps open ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.SessionEvent]
+    val sessions = Streams.sessionize(input.toDS(), gapMs = 60000)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: two users, events inside the gap — nothing closes
+      input.addData(
+        Streams.SessionEvent(1L, new Timestamp(1000), 2.0),
+        Streams.SessionEvent(1L, new Timestamp(5000), 3.0),
+        Streams.SessionEvent(2L, new Timestamp(2000), 7.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_test").count() == 0)
+      // batch 2: user 1 event far beyond the gap — closes the session
+      input.addData(Streams.SessionEvent(1L, new Timestamp(500000), 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_test").as[Streams.SessionResult]
+        .collect()
+      assert(closed.length == 1)
+      assert(closed.head.user_id == 1L)
+      assert(closed.head.n_events == 2 && closed.head.sum_value == 5.0)
+      assert(closed.head.startMs == 1000 && closed.head.endMs == 5000)
+    } finally q.stop()
+  }
+
+  test("open-session snapshot tracks in-progress sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.SessionEvent]
+    val sessions = Streams.openSessions(input.toDS(), gapMs = 60000)
+    val q = sessions.writeStream
+      .format("memory").queryName("open_sessions_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(
+        Streams.SessionEvent(1L, new Timestamp(1000), 2.0),
+        Streams.SessionEvent(1L, new Timestamp(5000), 3.0),
+        Streams.SessionEvent(2L, new Timestamp(2000), 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("open_sessions_test").as[Streams.SessionResult]
+        .collect().map(r => r.user_id -> r).toMap
+      assert(rows(1L).n_events == 2 && rows(1L).sum_value == 5.0)
+      assert(rows(2L).n_events == 1 && rows(2L).sum_value == 7.0)
+    } finally q.stop()
+  }
+}
