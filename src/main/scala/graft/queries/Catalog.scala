@@ -254,6 +254,24 @@ object Catalog {
         ON o_totalprice >= lo AND o_totalprice < hi
       GROUP BY band ORDER BY band"""))
 
+  /** J-1/J-2 positional zip with a REAL oracle: both sides derive
+    * narrowly from the same sorted parent (same partitioning), so the
+    * narrow `RDD.zip` path pairs rows positionally — pair integrity is
+    * then order-insensitively checkable by sorting on the key column.
+    */
+  val zipFrames = RegisteredQuery(
+    "zip_frames",
+    (s, d) => {
+      val base = Tables.customer(s, d).orderBy(col("c_custkey")).cache()
+      val left = base.select(col("c_custkey"), col("c_name"))
+      val right = base.select(col("c_acctbal"))
+      val zipped = graft.relational.Zip.zipFrames(s, left, right)
+      base.unpersist()
+      zipped.orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+      ORDER BY c_custkey"""))
+
   // ------------------------------------------------------------ windows
 
   /** Top-N per group via row_number; tie-broken on the unique key so the
@@ -578,6 +596,28 @@ object Catalog {
     },
     None)
 
+  /** E-8 prediction report: label + features + softmax prediction in
+    * one frame (rows-only; classification quality pinned in
+    * TrainerSpec).
+    */
+  val trainPredict = RegisteredQuery(
+    "train_predict",
+    (s, d) => {
+      import graft.encode.Encoder.EncoderSpec
+      import graft.train.DistributedTrainer
+      val df = Tables.customer(s, d).select(
+        col("c_mktsegment"), col("c_acctbal"),
+        (col("c_nationkey") + lit(1)).cast("int").as("label"))
+      val result = DistributedTrainer.fit(s, df,
+        EncoderSpec(featureDim = 8),
+        DistributedTrainer.TrainConfig(
+          hidden = Nil, classes = 25, labelCol = "label",
+          iterations = 2, initialStep = 0.5))
+      DistributedTrainer.predictionReport(
+        s, df, result.state, result.net, "label", limit = 100)
+    },
+    None)
+
   // --------------------------------------------------------- LLM: dedup
 
   /** Exact dedup survivors: hash-groupBy keeps the first doc per distinct
@@ -754,12 +794,12 @@ object Catalog {
     q1PricingSummary, aggDistinct, rollupCount, aggCube, aggHaving,
     stagingProjection, filterPushdown,
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
-    joinLeftOuter, joinFullOuter, joinRange,
+    joinLeftOuter, joinFullOuter, joinRange, zipFrames,
     windowTopnPerGroup, windowRunningSum,
     topkOrders, setopUnion, setopExcept, setopIntersect,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
-    keyDiscovery, moments, encodeEval, trainLoop, dedupExact,
+    keyDiscovery, moments, encodeEval, trainLoop, trainPredict, dedupExact,
     textStats, docFingerprint, langId, qualityScore,
     dedupMinhash, dedupSimhash, simTopkBrute, simTopkAnn, multimodalMeta)
 

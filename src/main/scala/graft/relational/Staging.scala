@@ -55,4 +55,33 @@ object Staging {
     staged.createOrReplaceTempView(viewName)
     staged
   }
+
+  /** S-3, SQL-DDL path: generate the `CREATE OR REPLACE TEMPORARY VIEW
+    * … AS SELECT …` text the reference emits into its REPL (reference
+    * `Trainer.scala:100-116`) and execute it. Same select-list policy as
+    * [[stagingColumns]], rendered as SQL.
+    */
+  def stagingSql(schema: StructType, spec: StagingSpec,
+      sourceTable: String, viewName: String): String = {
+    val items = schema.fields.toSeq.flatMap { f =>
+      val q = s"`${f.name}`"
+      if (spec.dropPrefixes.exists(f.name.startsWith)) None
+      else if (spec.labelColumn.contains(f.name)) Some(q)
+      else f.dataType match {
+        case IntegerType | ShortType | ByteType if spec.widenIntegers =>
+          Some(s"CAST($q AS DOUBLE) AS $q")
+        case LongType if spec.widenLongs =>
+          Some(s"CAST($q AS DOUBLE) AS $q")
+        case _ => Some(q)
+      }
+    }
+    s"CREATE OR REPLACE TEMPORARY VIEW `$viewName` AS SELECT ${items.mkString(", ")} FROM `$sourceTable`"
+  }
+
+  def stageViaSqlDdl(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      spec: StagingSpec, sourceView: String, viewName: String): DataFrame = {
+    df.createOrReplaceTempView(sourceView)
+    spark.sql(stagingSql(df.schema, spec, sourceView, viewName))
+    spark.table(viewName)
+  }
 }

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Source/sink surface beyond the parquet fixtures — S-1/S-5/S-6 parity
+  * plus the formats Spark gives for free (csv/json), which the
+  * reference's delegated SQL surface implies but never authors.
+  *
+  * The reference's only sink is notebook display (`SparkRepl.out`,
+  * reference `Trainer.scala:196-200`); a real engine needs file sinks.
+  * Writers default to overwrite semantics and caller-controlled
+  * partition counts — at scale, the partition count of the write IS the
+  * file count, so it's never hidden.
+  */
+object IO {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String,
+      header: Boolean = true, inferSchema: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .csv(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def writeParquet(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite,
+      partitions: Option[Int] = None): Unit =
+    partitions.fold(df)(df.coalesce).write.mode(mode).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite, header: Boolean = true): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** S-5: row-count action (reference `Trainer.scala:96` logs it at
+    * load).
+    */
+  def rowCount(df: DataFrame): Long = df.count()
+
+  /** S-6: display sink — the reference's only sink
+    * (`SparkRepl.out(df.cache())`). Returns the shown string so
+    * callers/tests can capture it instead of stdout-only.
+    */
+  def display(df: DataFrame, rows: Int = 20, truncate: Int = 20): String =
+    df.showString(rows, truncate, vertical = false)
+
+  /** Implicit access to the package-private showString. */
+  implicit private class ShowOps(df: DataFrame) {
+    def showString(rows: Int, truncate: Int, vertical: Boolean): String = {
+      // public API route: limit + collect formatted driver-side
+      val cols = df.columns
+      val data = df.limit(rows).collect()
+      val header = cols.mkString(" | ")
+      val lines = data.map(_.toSeq.map { v =>
+        val s = String.valueOf(v)
+        if (truncate > 0 && s.length > truncate) s.take(truncate - 1) + "…" else s
+      }.mkString(" | "))
+      (header +: lines).mkString("\n")
+    }
+  }
+}

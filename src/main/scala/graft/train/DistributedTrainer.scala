@@ -179,7 +179,12 @@ object DistributedTrainer {
       lineSearchTries: Int = 6,
       embeddingsTrainable: Boolean = true,
       schedule: Seq[Double] = Seq(1.0),
-      seed: Long = 42L)
+      seed: Long = 42L,
+      /** E-10 training monitor: invoked (iteration, meanLoss) per
+        * accepted step — the engine-side hook the reference's live
+        * loss plot consumes (reference `DataUtil.scala:87-123`).
+        */
+      monitor: (Int, Double) => Unit = (_, _) => ())
 
   final case class TrainResult(state: ModelState, net: Network,
       lossHistory: Seq[Double])
@@ -211,6 +216,7 @@ object DistributedTrainer {
         while (iter < cfg.iterations) {
           val meanLoss = g.loss / math.max(g.n, 1L)
           history = history :+ meanLoss
+          cfg.monitor(history.length - 1, meanLoss)
           // descend: probe step, halve until improvement (bisection-style)
           var tried = 0
           var accepted = false

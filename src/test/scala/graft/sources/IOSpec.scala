@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.SparkSpec
+
+class IOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_io").toString
+
+  test("parquet write/read round trip") {
+    val dir = tmp() + "/t"
+    val df = Seq((1, "a"), (2, "b")).toDF("x", "s")
+    IO.writeParquet(df, dir)
+    val back = IO.readParquet(spark, dir).orderBy("x").collect()
+    assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+
+  test("csv round trip with header") {
+    val dir = tmp() + "/t"
+    val df = Seq((1, "a"), (2, "b")).toDF("x", "s")
+    IO.writeCsv(df, dir)
+    val back = IO.readCsv(spark, dir).orderBy("x").collect()
+    assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+
+  test("json round trip") {
+    val dir = tmp() + "/t"
+    val df = Seq((1, "a")).toDF("x", "s")
+    IO.writeJson(df, dir)
+    val back = IO.readJson(spark, dir).collect()
+    assert(back.head.getAs[Long]("x") == 1L)
+  }
+
+  test("rowCount and display sink") {
+    val df = Seq((1, "averylongstringvaluehere")).toDF("x", "s")
+    assert(IO.rowCount(df) == 1)
+    val shown = IO.display(df, truncate = 10)
+    assert(shown.contains("x | s"))
+    assert(shown.contains("…")) // truncation applied
+  }
+
+  test("writeParquet respects partition count") {
+    val dir = tmp() + "/t"
+    val df = (1 to 100).toDF("x").repartition(8)
+    IO.writeParquet(df, dir, partitions = Some(2))
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 2)
+  }
+}
