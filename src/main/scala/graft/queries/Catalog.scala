@@ -618,6 +618,33 @@ object Catalog {
     },
     None)
 
+  /** EP-1 end-to-end pipeline: stage → split → schedule-train →
+    * held-out prediction report, summarized to one row (rows-only;
+    * trajectory/accuracy pinned in PipelineSpec on separable data).
+    */
+  val pipelineE2e = RegisteredQuery(
+    "pipeline_e2e",
+    (s, d) => {
+      import graft.pipeline.Pipeline
+      import graft.encode.Encoder.EncoderSpec
+      import graft.relational.Staging.StagingSpec
+      import graft.train.DistributedTrainer.TrainConfig
+      val raw = Tables.customer(s, d).select(
+        col("c_mktsegment"), col("c_acctbal"), col("c_name"),
+        (col("c_nationkey") + lit(1)).cast("int").as("label"))
+      val r = Pipeline.run(s, raw, Pipeline.PipelineConfig(
+        staging = StagingSpec(dropPrefixes = Seq("c_name"),
+          labelColumn = Some("label")),
+        encoder = EncoderSpec(featureDim = 8),
+        train = TrainConfig(hidden = Seq(8), classes = 25,
+          labelCol = "label", iterations = 2, initialStep = 0.5)))
+      import s.implicits._
+      Seq((r.trainResult.lossHistory.head, r.trainResult.lossHistory.last,
+        r.testAccuracy, r.report.count()))
+        .toDF("loss_first", "loss_last", "test_accuracy", "report_rows")
+    },
+    None)
+
   // --------------------------------------------------------- LLM: dedup
 
   /** Exact dedup survivors: hash-groupBy keeps the first doc per distinct
@@ -799,7 +826,8 @@ object Catalog {
     topkOrders, setopUnion, setopExcept, setopIntersect,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
-    keyDiscovery, moments, encodeEval, trainLoop, trainPredict, dedupExact,
+    keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
+    pipelineE2e, dedupExact,
     textStats, docFingerprint, langId, qualityScore,
     dedupMinhash, dedupSimhash, simTopkBrute, simTopkAnn, multimodalMeta)
 
