@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions into the session's FunctionRegistry so they are callable
+  * from SQL text as well as the Column API.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftFunctions.cosineDescriptor)
+  }
+}
+
+object GraftFunctions {
+
+  private[functions] val cosineDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_cosine takes 2 arguments, got ${children.length}")
+      CosineSimilarityExpr(children.head, children.last)
+    })
+
+  /** Column-API form — usable without registering the extension. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    val arrDouble = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    Bridge.column(CosineSimilarityExpr(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        Bridge.expression(a), arrDouble),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        Bridge.expression(b), arrDouble)))
+  }
+}

@@ -28,15 +28,24 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
+  /** Composable-expression cosine (higher-order functions). Kept as the
+    * dependency-free reference form; the hot paths below use the native
+    * codegen'd [[graft.functions.GraftFunctions.cosine]], which fuses
+    * dot+norms into one allocation-free loop.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Native single-pass cosine (see CosineSimilarityExpr). */
+  def cosineNative(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine(a, b)
 
   /** Exact top-k by cosine against a literal query vector. */
   def topKBrute(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Double], k: Int): DataFrame = {
     val q = typedLit(query.toSeq)
     val v = col(vecCol).cast("array<double>")
-    df.select(col(idCol), cosine(v, q).as("score"))
+    df.select(col(idCol), cosineNative(v, q).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -80,7 +89,7 @@ object Similarity {
     val q = typedLit(query.toSeq)
     index
       .filter(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probeHamming)
-      .select(col("id"), cosine(col("vec"), q).as("score"))
+      .select(col("id"), cosineNative(col("vec"), q).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
@@ -95,7 +104,7 @@ object Similarity {
     a.join(b, Seq("sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a"), col("vec_b")).as("score"))
+        cosineNative(col("vec_a"), col("vec_b")).as("score"))
       .filter(col("score") >= threshold)
   }
 }

@@ -1,0 +1,15 @@
+/* Bridge into Spark's private[sql] Column/Expression converters.
+ * Lives in org.apache.spark.sql by necessity — the standard pattern for
+ * extension libraries that construct Columns from custom Catalyst
+ * expressions (Spark 4 moved these behind private[sql]).
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
