@@ -29,6 +29,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
+      // native graft SQL functions (graft_cosine, ...) available in any
+      // session built here
+      .withExtensions(new graft.functions.GraftExtensions)
 
   /** Get-or-create with graft defaults (used by tests and mains).
     * `getOrCreate` silently ignores configs when a session already exists

@@ -107,4 +107,58 @@ object Similarity {
         cosineNative(col("vec_a"), col("vec_b")).as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /** Multi-table LSH: L independent plane sets. A single b-bit table
+    * catches a pair of angle θ with probability (1−θ/π)^b — under 10%
+    * for moderately-similar pairs — so real recall needs the OR over L
+    * tables: 1−(1−p)^L. Candidates are the union of same-bucket pairs
+    * across tables (dedup'd before scoring, so each pair is scored
+    * once). Cost: L band rows per input row; still no all-pairs join.
+    */
+  def multiTableIndex(df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, bits: Int = 4, tables: Int = 8,
+      seedPrefix: String = "lsh"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val sigCols = (0 until tables).map { t =>
+      val planes = hyperplanes(dim, bits, s"$seedPrefix/t$t")
+      struct(lit(t).as("table"), signature(v, planes).as("sig")).as(s"s$t")
+    }
+    df.select(col(idCol).as("id"), v.as("vec"),
+        explode(array(sigCols: _*)).as("ts"))
+      .select(col("id"), col("vec"),
+        col("ts.table").as("table"), col("ts.sig").as("sig"))
+  }
+
+  /** Near-dup pairs over a multi-table index: same (table, sig) bucket
+    * in ANY table → candidate; exact cosine verifies.
+    *
+    * Order of operations matters at scale: candidates are scored and
+    * threshold-filtered IMMEDIATELY after the bucket join, and only
+    * then deduped. A pair colliding in several tables is scored up to
+    * L times (cheap: one fused codegen loop), but the dedup shuffle
+    * then carries only (id, id, score) triples for pairs that PASSED
+    * the threshold — deduping before scoring would shuffle both full
+    * vectors for every candidate pair (~kB vs ~24 B per pair).
+    */
+  def similarityJoinMultiTable(index: DataFrame, threshold: Double): DataFrame = {
+    val a = index.select(col("table"), col("sig"),
+      col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = index.select(col("table"), col("sig"),
+      col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("table", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineNative(col("vec_a"), col("vec_b")).as("score"))
+      .filter(col("score") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("score")).as("score"))
+  }
+
+  /** Bucket sizing rule: bits ≈ log2(n / targetBucketSize) — bucket
+    * count tracks the corpus so per-bucket pair work stays constant;
+    * recall is then bought with `tables`, not coarser buckets.
+    */
+  def bitsFor(n: Long, targetBucketSize: Int = 64): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(n.toDouble / targetBucketSize, 2.0)) / math.log(2.0)).toInt)
 }

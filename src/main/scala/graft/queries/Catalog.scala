@@ -797,6 +797,56 @@ object Catalog {
     },
     None)
 
+  /** Embedding near-dup pairs, exact baseline: broadcast cross join at
+    * fixture scale, oracle-checked against DuckDB's all-pairs cosine.
+    * The scale path is `sim_neardup_lsh` below — same logical result
+    * restricted to LSH buckets.
+    */
+  val simNeardupExact = RegisteredQuery(
+    "sim_neardup_exact",
+    (s, d) => {
+      import graft.functions.GraftFunctions
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          GraftFunctions.cosine(col("va"), col("vb")).as("score"))
+        .filter(col("score") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      round(list_cosine_similarity(a.embedding::DOUBLE[],
+        b.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(a.embedding::DOUBLE[],
+          b.embedding::DOUBLE[]) >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  /** Embedding near-dup pairs at scale: same threshold, candidates
+    * restricted to shared LSH buckets across 8 independent 4-bit tables
+    * (single-table recall for a cosine-0.5 pair is only ~(2/3)^bits;
+    * the OR over tables lifts it above 80%). No all-pairs join —
+    * rows-only; recall vs the exact baseline is probed in
+    * SimilaritySpec.
+    */
+  val simNeardupLsh = RegisteredQuery(
+    "sim_neardup_lsh",
+    (s, d) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, d)
+      val bits = Similarity.bitsFor(emb.count())
+      val index = Similarity.multiTableIndex(
+        emb, "embedding", "vec_id", dim = 64, bits = bits, tables = 8)
+      Similarity.similarityJoinMultiTable(index, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None)
+
   /** Multimodal plumbing: documents text → binary media struct → stub
     * decode → typed metadata (rows-only; the decode is a documented
     * deterministic stub, the schema/batch plumbing is the real part).
@@ -829,7 +879,8 @@ object Catalog {
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, docFingerprint, langId, qualityScore,
-    dedupMinhash, dedupSimhash, simTopkBrute, simTopkAnn, multimodalMeta)
+    dedupMinhash, dedupSimhash, simTopkBrute, simTopkAnn,
+    simNeardupExact, simNeardupLsh, multimodalMeta)
 
   def byName(name: String): RegisteredQuery =
     all.find(_.name == name).getOrElse(

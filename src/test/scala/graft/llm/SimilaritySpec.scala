@@ -67,6 +67,38 @@ class SimilaritySpec extends SparkSpec {
     assert(s1.values.forall(s => s >= 0 && s < 16))
   }
 
+  test("multi-table LSH recall beats single-table on mid-similarity pairs") {
+    // plant pairs at ~0.6 cosine: v and 0.6*v + 0.8*orthogonal
+    val rnd = new java.util.Random(11)
+    val base = (0 until 30).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val planted = base.zipWithIndex.flatMap { case (v0, i) =>
+      val u = unit(v0)
+      val r = Array.fill(16)(rnd.nextGaussian())
+      val proj = u.zip(r).map { case (a, b) => a * b }.sum
+      val ortho = unit(r.zip(u).map { case (b, a) => b - proj * a })
+      val partner = u.zip(ortho).map { case (a, o) => 0.6 * a + 0.8 * o }
+      Seq((i.toLong * 2) -> u.toSeq, (i.toLong * 2 + 1) -> partner.toSeq)
+    }
+    val df = planted.toDF("id", "vec")
+    val exactPairs = (0 until 30).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    val multi = Similarity.multiTableIndex(df, "vec", "id", dim = 16,
+      bits = 4, tables = 8)
+    val found = Similarity.similarityJoinMultiTable(multi, threshold = 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exactPairs.intersect(found).size.toDouble / exactPairs.size
+    assert(recall >= 0.7, s"multi-table recall $recall too low")
+    // single 4-bit table for comparison: should be clearly worse
+    val single = Similarity.lshIndex(df, "vec", "id",
+      Similarity.hyperplanes(16, bits = 4, "lsh/t0"))
+    val foundSingle = Similarity.similarityJoin(single, threshold = 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallSingle = exactPairs.intersect(foundSingle).size.toDouble / exactPairs.size
+    assert(recall > recallSingle, s"multi $recall !> single $recallSingle")
+  }
+
   test("similarity join finds identical vectors in same bucket") {
     val vecs = randomVecs(20, 8) :+ (100L -> randomVecs(20, 8).head._2)
     val df = vecs.toDF("id", "vec")
