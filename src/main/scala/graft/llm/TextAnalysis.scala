@@ -125,6 +125,58 @@ object TextAnalysis {
     }
   }
 
+  // ------------------------------------------------------- fingerprints
+
+  /** Winnowing document fingerprints (the MOSS scheme): rolling-hash
+    * every k-gram of the normalized character stream, slide a window of
+    * `w` hashes, keep each window's minimum (rightmost on ties), dedup
+    * consecutive picks. Guarantees any shared substring of length ≥
+    * k+w−1 contributes at least one shared fingerprint — the property
+    * exact-hash fingerprints lack for partial overlap detection.
+    * One UDF pass per row; upstream normalization stays in codegen.
+    */
+  def winnowingFingerprints(k: Int = 8, w: Int = 4)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      if (text == null) Seq.empty[Long]
+      else {
+        val s = text.toLowerCase.replaceAll("[^\\p{L}\\p{Nd}]+", " ").trim
+        if (s.length < k) Seq(s.hashCode.toLong)
+        else {
+          val B = 1000003L
+          var pow = 1L
+          var i = 0
+          while (i < k - 1) { pow *= B; i += 1 }
+          val hashes = new Array[Long](s.length - k + 1)
+          var h = 0L
+          i = 0
+          while (i < s.length) {
+            if (i >= k) h -= s.charAt(i - k) * pow
+            h = h * B + s.charAt(i)
+            if (i >= k - 1) hashes(i - k + 1) = h
+            i += 1
+          }
+          val picks = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var lastPickIdx = -1
+          var start = 0
+          while (start + w <= hashes.length) {
+            var minIdx = start
+            var j = start + 1
+            while (j < start + w) {
+              if (hashes(j) <= hashes(minIdx)) minIdx = j
+              j += 1
+            }
+            if (minIdx != lastPickIdx) { picks += hashes(minIdx); lastPickIdx = minIdx }
+            start += 1
+          }
+          picks.toSeq
+        }
+      }
+    })
+
+  def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
+    winnowingFingerprints(k, w)(text)
+
   /** Minimal English stopword list for quality scoring. */
   val EnglishStopwords: Seq[String] = LanguageProfiles("en") ++ Seq(
     "a", "an", "are", "but", "from", "or", "this", "which", "you", "we",

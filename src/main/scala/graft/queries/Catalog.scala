@@ -90,6 +90,23 @@ object Catalog {
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
 
+  /** Typed custom Aggregator (UDAF surface): geometric mean of
+    * l_quantity per return flag, oracle = exp(avg(ln x)). Rounded: the
+    * log-sum order differs between engines.
+    */
+  val aggCustomUdaf = RegisteredQuery(
+    "agg_custom_udaf",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(graft.functions.GeometricMean(col("l_quantity")), 6)
+          .as("geo_qty"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      round(exp(avg(ln(l_quantity))), 6) AS geo_qty
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // ------------------------------------------------------------ staging
 
   /** Reference P-1..P-4 staging projection (drop-by-prefix + selective
@@ -703,6 +720,19 @@ object Catalog {
         AS fp
       FROM documents ORDER BY doc_id"""))
 
+  /** Winnowing fingerprints per document (rows-only: rolling-hash
+    * values are implementation-defined; the shared-substring guarantee
+    * is pinned in TextAnalysisSpec).
+    */
+  val docWinnow = RegisteredQuery(
+    "doc_winnow",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(graft.llm.TextAnalysis.winnow(col("text"))).as("n_fingerprints"))
+        .orderBy(col("doc_id")),
+    None)
+
   /** Language-ID over documents (rows-only: the synthetic fixture text
     * shares one vocabulary across langs; accuracy on real-language text
     * is pinned in TextAnalysisSpec).
@@ -869,6 +899,7 @@ object Catalog {
 
   val all: Seq[RegisteredQuery] = Seq(
     q1PricingSummary, aggDistinct, rollupCount, aggCube, aggHaving,
+    aggCustomUdaf,
     stagingProjection, filterPushdown,
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
     joinLeftOuter, joinFullOuter, joinRange, zipFrames,
@@ -878,7 +909,7 @@ object Catalog {
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
-    textStats, docFingerprint, langId, qualityScore,
+    textStats, docFingerprint, docWinnow, langId, qualityScore,
     dedupMinhash, dedupSimhash, simTopkBrute, simTopkAnn,
     simNeardupExact, simNeardupLsh, multimodalMeta)
 

@@ -32,6 +32,14 @@ object IO {
       partitions: Option[Int] = None): Unit =
     partitions.fold(df)(df.coalesce).write.mode(mode).parquet(path)
 
+  /** Hive-style partitioned layout (`path/col=value/...`) — the layout
+    * that makes downstream scans partition-prunable on the partition
+    * columns; the right shape for date/tenant-keyed 100 TB datasets.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
   def writeCsv(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite, header: Boolean = true): Unit =
     df.write.mode(mode).option("header", header.toString).csv(path)

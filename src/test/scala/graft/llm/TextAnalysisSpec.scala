@@ -67,6 +67,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("winnowing: shared substring yields shared fingerprints") {
+    val common = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val a = s"PREFIX AAA $common SUFFIX BBB"
+    val b = s"totally different beginning here $common and another ending"
+    val c = "no overlap with anything else whatsoever in this sentence at all"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "t")
+    val fps = df.select(col("id"), TextAnalysis.winnow(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "docs sharing a long substring must share fingerprints")
+    assert(fps(1L).intersect(fps(3L)).isEmpty ||
+      fps(1L).intersect(fps(3L)).size < fps(1L).intersect(fps(2L)).size)
+    // deterministic
+    val again = df.select(TextAnalysis.winnow(col("t"))).collect()
+      .map(_.getSeq[Long](0)).toSeq
+    assert(again == df.select(TextAnalysis.winnow(col("t"))).collect()
+      .map(_.getSeq[Long](0)).toSeq)
+  }
+
+  test("geometric mean aggregator: correctness and null/invalid handling") {
+    val df = Seq(("a", 2.0), ("a", 8.0), ("b", 5.0), ("b", -1.0), ("c", 0.0))
+      .toDF("g", "x")
+    val out = df.groupBy("g")
+      .agg(graft.functions.GeometricMean(col("x")).as("gm"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(math.abs(out("a").get - 4.0) < 1e-12) // sqrt(2*8)
+    assert(math.abs(out("b").get - 5.0) < 1e-12) // -1 ignored
+    assert(out("c").isEmpty)                     // no valid values
+  }
+
   test("subword estimate upper-bounds word count for long words") {
     val df = Seq(Tuple1("internationalization is extraordinary")).toDF("t")
     val r = df.select(

@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class IOSpec extends SparkSpec {
@@ -40,6 +42,20 @@ class IOSpec extends SparkSpec {
     val shown = IO.display(df, truncate = 10)
     assert(shown.contains("x | s"))
     assert(shown.contains("…")) // truncation applied
+  }
+
+  test("partitioned write produces hive layout and prunes on read") {
+    val dir = tmp() + "/t"
+    val df = Seq((1, "2024-01-01", "x"), (2, "2024-01-02", "y"))
+      .toDF("id", "dt", "v")
+    IO.writePartitioned(df, dir, Seq("dt"))
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("dt="))
+    assert(dirs.toSet == Set("dt=2024-01-01", "dt=2024-01-02"))
+    val pruned = IO.readParquet(spark, dir).filter(col("dt") === "2024-01-01")
+    assert(pruned.collect().map(_.getAs[Int]("id")).toSeq == Seq(1))
+    // the pruned scan must only list the matching partition directory
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan.take(400))
   }
 
   test("writeParquet respects partition count") {
