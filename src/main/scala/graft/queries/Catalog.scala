@@ -107,6 +107,107 @@ object Catalog {
       FROM lineitem WHERE l_quantity > 0
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Pivot (orderpriority × orderstatus counts) — oracle via
+    * conditional aggregation, the engine-portable formulation.
+    */
+  val aggPivot = RegisteredQuery(
+    "agg_pivot",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Exact median + quartiles (Spark percentile == DuckDB
+    * quantile_cont, both linear interpolation).
+    */
+  val aggMedian = RegisteredQuery(
+    "agg_median",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("q1"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("q3"))
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+      round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+      round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+      round(quantile_cont(o_totalprice, 0.75), 4) AS q3
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Generator/lateral surface: posexplode of the embedding array,
+    * restricted to the first 3 elements of the first 5 vectors.
+    */
+  val explodeArrays = RegisteredQuery(
+    "explode_arrays",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id"),
+          posexplode(slice(col("embedding").cast("array<double>"), 1, 3)))
+        .withColumnRenamed("pos", "idx")
+        .withColumnRenamed("col", "val")
+        .orderBy(col("vec_id"), col("idx")),
+    Some("""SELECT vec_id, CAST(i - 1 AS INTEGER) AS idx,
+      CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, generate_series(1, 3) AS t(i)
+      WHERE vec_id < 5 ORDER BY vec_id, idx"""))
+
+  /** String-function surface: substr/upper/trim/lpad/regexp/split. */
+  val stringFunctions = RegisteredQuery(
+    "string_functions",
+    (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        upper(substring(col("c_name"), 1, 8)).as("name_head"),
+        length(col("c_name")).as("name_len"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_pad"),
+        regexp_extract(col("c_name"), "(\\d+)", 1).as("name_digits"),
+        size(split(col("c_name"), "#")).as("n_parts"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+      upper(substr(c_name, 1, 8)) AS name_head,
+      CAST(length(c_name) AS INTEGER) AS name_len,
+      lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+      regexp_extract(c_name, '(\d+)', 1) AS name_digits,
+      CAST(len(string_split(c_name, '#')) AS INTEGER) AS n_parts
+      FROM customer ORDER BY c_custkey"""))
+
+  /** Date-function surface: datediff/date_add/last_day/weekday/trunc.
+    * Date outputs are ISO strings on BOTH sides: raw DATE columns
+    * normalize differently in the compare (DuckDB dates fetch as
+    * midnight timestamps, parquet dates as date objects).
+    */
+  val dateFunctions = RegisteredQuery(
+    "date_functions",
+    (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+          .as("days_to_eoy"),
+        date_add(col("o_orderdate"), 90).cast("string").as("due_date"),
+        last_day(col("o_orderdate")).cast("string").as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        trunc(col("o_orderdate"), "mm").cast("string").as("month_start"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+      CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INTEGER)
+        AS days_to_eoy,
+      strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+      strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+      CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+      FROM orders ORDER BY o_orderkey"""))
+
   // ------------------------------------------------------------ staging
 
   /** Reference P-1..P-4 staging projection (drop-by-prefix + selective
@@ -532,6 +633,40 @@ object Catalog {
       count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1 ORDER BY hour_start"""))
 
+  /** Stateful streaming sessionization over the events fixture: user
+    * sessions closed on a 2-hour event-time gap, aggregated to a
+    * per-user closed-session count (rows-only; gap semantics pinned in
+    * StreamsSpec with planted batches).
+    */
+  val streamingSessions = RegisteredQuery(
+    "streaming_sessions",
+    (s, d) => {
+      import graft.streaming.Streams
+      val dir = java.nio.file.Files.createTempDirectory("events_sess")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("part-0.parquet"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import s.implicits._
+      val raw = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Streams.EventSchema
+          .fields.map(f => if (f.name == "ts")
+            f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+        .parquet(dir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[Streams.SessionEvent]
+      val sessions = Streams.sessionize(raw, gapMs = 2L * 3600 * 1000)
+      Streams.runAvailableNow(s, sessions.toDF(),
+          s"graft_sessions_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_closed_sessions"),
+          round(sum(col("sum_value")), 2).as("total_value"))
+        .orderBy(col("user_id"))
+    },
+    None)
+
   // ---------------------------------------------------- encode stratum
 
   /** A-1 distinct categorical key discovery ("path=value" keys) as ONE
@@ -899,7 +1034,8 @@ object Catalog {
 
   val all: Seq[RegisteredQuery] = Seq(
     q1PricingSummary, aggDistinct, rollupCount, aggCube, aggHaving,
-    aggCustomUdaf,
+    aggCustomUdaf, aggPivot, aggMedian, explodeArrays,
+    stringFunctions, dateFunctions,
     stagingProjection, filterPushdown,
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
     joinLeftOuter, joinFullOuter, joinRange, zipFrames,
@@ -907,6 +1043,7 @@ object Catalog {
     topkOrders, setopUnion, setopExcept, setopIntersect,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
+    streamingSessions,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, docFingerprint, docWinnow, langId, qualityScore,
