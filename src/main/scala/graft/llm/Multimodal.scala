@@ -80,6 +80,35 @@ object Multimodal {
         Array.fill(dim)(rnd.nextGaussian())
       })
 
+  /** STUB resize: deterministic fake downscale — emits new dimensions
+    * and a content hash standing in for re-encoded bytes (real impl:
+    * image codec). Signature/batch shape are the contract.
+    */
+  def resizeStub(maxDim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((content: Array[Byte], w: java.lang.Integer, h: java.lang.Integer) =>
+      if (content == null || w == null || h == null) null
+      else {
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val nw = math.max(1, (w * scale).toInt)
+        val nh = math.max(1, (h * scale).toInt)
+        val fakeBytes = java.util.Arrays.copyOf(content,
+          math.min(content.length, math.max(16, content.length * nw / math.max(w, 1))))
+        (nw, nh, fakeBytes)
+      })
+
+  /** STUB frame sampling: pick `n` deterministic offsets from a fake
+    * video payload → one row per sampled frame (the explode shape a
+    * real frame extractor produces; real impl: container demuxer).
+    */
+  def frameSampleStub(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((content: Array[Byte]) =>
+      if (content == null) Seq.empty[(Int, Array[Byte])]
+      else (0 until n).map { i =>
+        val off = if (content.length <= 1) 0 else (content.length.toLong * i / n).toInt
+        (i, java.util.Arrays.copyOfRange(content, off,
+          math.min(content.length, off + 64)))
+      })
+
   /** Size-aware repartition for media processing: target bytes per
     * partition (decode memory is proportional to bytes, not rows —
     * row-count partitioning under-sizes for video, over-sizes for

@@ -907,6 +907,20 @@ object Catalog {
         .orderBy(col("id")),
     None)
 
+  /** MinHash-LSH candidate pairs with exact n-gram-Jaccard
+    * verification ≥0.7 (rows-only; planted-pair recall in DedupSpec).
+    * The fixture's documents are all DISTINCT as exact strings but
+    * contain planted near-duplicates — this finds 25 pairs at sf0.01
+    * (e.g. docs 8/245, Jaccard 0.988) that exact dedup cannot see.
+    */
+  val dedupPairs = RegisteredQuery(
+    "dedup_pairs",
+    (s, d) =>
+      graft.llm.Dedup.nearDupPairs(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b")),
+    None)
+
   /** SimHash signatures per doc (rows-only). */
   val dedupSimhash = RegisteredQuery(
     "dedup_simhash",
@@ -1047,7 +1061,7 @@ object Catalog {
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, docFingerprint, docWinnow, langId, qualityScore,
-    dedupMinhash, dedupSimhash, simTopkBrute, simTopkAnn,
+    dedupMinhash, dedupPairs, dedupSimhash, simTopkBrute, simTopkAnn,
     simNeardupExact, simNeardupLsh, multimodalMeta)
 
   def byName(name: String): RegisteredQuery =

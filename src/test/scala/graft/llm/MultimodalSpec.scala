@@ -42,6 +42,35 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head.getLong(0) == 1L) // self-similarity wins
   }
 
+  test("resize stub scales dims down to maxDim, preserves aspect-ish") {
+    val df = Seq((1L, "image payload bytes here", 2000, 1000))
+      .toDF("id", "payload", "w", "h")
+      .select(col("id"),
+        Multimodal.resizeStub(512)(col("payload").cast("binary"),
+          col("w"), col("h")).as("r"))
+    val r = df.select(col("r._1"), col("r._2")).collect().head
+    assert(r.getInt(0) == 512 && r.getInt(1) == 256)
+    // upscale never happens
+    val small = Seq((1L, "x", 100, 50)).toDF("id", "payload", "w", "h")
+      .select(Multimodal.resizeStub(512)(col("payload").cast("binary"),
+        col("w"), col("h")).as("r"))
+      .select(col("r._1")).collect().head
+    assert(small.getInt(0) == 100)
+  }
+
+  test("frame sampling explodes one row per sampled frame") {
+    val df = Seq((1L, "0123456789" * 100)).toDF("id", "payload")
+      .select(col("id"),
+        org.apache.spark.sql.functions.explode(
+          Multimodal.frameSampleStub(4)(col("payload").cast("binary")))
+          .as("frame"))
+      .select(col("id"), col("frame._1").as("idx"), col("frame._2").as("bytes"))
+    val rows = df.collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.forall(r => r.getAs[Array[Byte]](2).nonEmpty))
+  }
+
   test("byte-based repartition sizes by data volume not rows") {
     val df = (1 to 10).map(i => (i.toLong, "x" * 100)).toDF("id", "payload")
       .select(col("id"), Multimodal.asMedia(col("payload"), "video/fake").as("m"))
