@@ -139,8 +139,12 @@ object Encoder {
       else state.spec.featureDim
     if (state.representations.size <= state.spec.maxLiteralKeys) {
       // pure-expression path: map literal + element_at, miss → on-the-fly
-      // deterministic init via a fallback UDF that only runs on misses
-      val mapLit = typedLit(state.representations.view.mapValues(_.toSeq).toMap)
+      // deterministic init via a fallback UDF that only runs on misses.
+      // Only THIS leaf's keys go into the literal — embedding the full
+      // map once per leaf would multiply plan size by the leaf count.
+      val prefix = p.path + "="
+      val mapLit = typedLit(state.representations.view
+        .filterKeys(_.startsWith(prefix)).mapValues(_.toSeq).toMap)
       val spec = state.spec
       val fallback = udf((k: String) => initialRepresentation(spec, k))
       coalesce(element_at(mapLit, key), fallback(key))
@@ -183,6 +187,17 @@ object Encoder {
   def encodeColumn(spark: SparkSession, state: ModelState,
       leaves: Seq[FeaturePath]): Column = {
     require(leaves.nonEmpty, "nothing encodable in schema")
+    // sum-reduce needs equal widths: a one-hot label leaf
+    // (labelCategories wide) mixed with featureDim leaves would be
+    // silently null-padded by zip_with — fail loudly instead
+    if (state.spec.structMode == SumReduce && state.spec.labelCategories > 0
+        && state.spec.labelCategories != state.spec.featureDim) {
+      val labelLeaves = leaves.filter(p => isLabelPath(state.spec, p.path))
+      require(labelLeaves.isEmpty || labelLeaves.size == leaves.size,
+        s"cannot sum-reduce label leaves (${state.spec.labelCategories}-wide " +
+          s"one-hot) with ${state.spec.featureDim}-wide feature leaves; " +
+          "encode the label column in its own frame (drop it here)")
+    }
     val exprs = leaves.map(leafExpr(spark, state, _))
     state.spec.structMode match {
       case SumReduce => exprs.reduce((a, b) => zip_with(a, b, (x, y) => x + y))

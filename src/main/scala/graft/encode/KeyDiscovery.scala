@@ -24,7 +24,7 @@ object KeyDiscovery {
   def keysFrame(df: DataFrame, categoricalCols: Seq[String],
       pathPrefix: String = ""): DataFrame =
     keysFrameOf(df,
-      categoricalCols.map(c => (pathPrefix + c) -> col(c)))
+      categoricalCols.map(c => (pathPrefix + c) -> col(s"`$c`")))
 
   /** Variant over explicit (path, column) pairs — used by the encoder for
     * nested struct leaves. Null cells key as "path=null" (the string the

@@ -37,7 +37,10 @@ object SchemaPaths {
         parentCol: Option[Column]): Seq[FeaturePath] =
       fields.flatMap { f =>
         val path = if (parentPath.isEmpty) f.name else s"$parentPath/${f.name}"
-        val c = parentCol.map(_.getField(f.name)).getOrElse(col(f.name))
+        // backtick-quote root names so a literal dot in a column name is
+        // not parsed as struct-field access
+        val c = parentCol.map(_.getField(f.name))
+          .getOrElse(col(s"`${f.name}`"))
         f.dataType match {
           case s: StructType => walk(s.fields.toSeq, path, Some(c))
           case IntegerType | StringType =>

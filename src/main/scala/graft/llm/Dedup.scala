@@ -73,7 +73,9 @@ object Dedup {
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    udf((tokens: Seq[String]) => {
+    udf((tokensIn: Seq[String]) => {
+      // null text → null tokens; a dirty row must not fail the scan
+      val tokens = if (tokensIn == null) Seq.empty[String] else tokensIn
       val shingleIt: Iterator[String] =
         if (tokens.length < shingleK) Iterator(tokens.mkString(" "))
         else tokens.sliding(shingleK).map(_.mkString(" "))
@@ -190,7 +192,8 @@ object Dedup {
     * surrounding tokenization stays in codegen.
     */
   val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((tokens: Seq[String]) => {
+    udf((tokensIn: Seq[String]) => {
+      val tokens = if (tokensIn == null) Seq.empty[String] else tokensIn
       val acc = new Array[Int](64)
       tokens.foreach { t =>
         // FNV-1a 64-bit over the token bytes — deterministic across JVMs

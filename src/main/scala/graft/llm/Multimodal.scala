@@ -112,10 +112,19 @@ object Multimodal {
   /** Size-aware repartition for media processing: target bytes per
     * partition (decode memory is proportional to bytes, not rows —
     * row-count partitioning under-sizes for video, over-sizes for
-    * thumbnails).
+    * thumbnails). Total size is measured from the media column itself
+    * (one aggregate job over the content lengths).
     */
-  def repartitionByBytes(df: DataFrame, mediaCol: String, totalBytes: Long,
-      targetBytesPerPartition: Long = 128L << 20): DataFrame =
+  def repartitionByBytes(df: DataFrame, mediaCol: String,
+      targetBytesPerPartition: Long = 128L << 20): DataFrame = {
+    val totalBytes = df
+      .agg(sum(coalesce(length(col(s"$mediaCol.content")), lit(0)))
+        .cast("long"))
+      .collect().head match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
     df.repartition(
       math.max((totalBytes / targetBytesPerPartition).toInt, 2))
+  }
 }

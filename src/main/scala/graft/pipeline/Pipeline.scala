@@ -35,13 +35,23 @@ object Pipeline {
       staged: DataFrame,
       trainResult: TrainResult,
       report: DataFrame,
-      testAccuracy: Double)
+      /** Accuracy over the (up to `reportRows`-row) prediction report —
+        * NOT the full test split; a quality smoke signal, not a model
+        * evaluation metric.
+        */
+      reportAccuracy: Double)
 
   def run(spark: SparkSession, raw: DataFrame, cfg: PipelineConfig): PipelineResult = {
     // load side: raw input persisted at the reference's tier (C-1)
     raw.persist(StorageLevel.DISK_ONLY)
     try {
-      val staged = Staging.stage(raw, cfg.staging)
+      // the label column must survive staging un-widened (training and
+      // the report read it as int): force it into the staging spec
+      val stagingSpec = cfg.staging.labelColumn match {
+        case Some(_) => cfg.staging
+        case None => cfg.staging.copy(labelColumn = Some(cfg.train.labelCol))
+      }
+      val staged = Staging.stage(raw, stagingSpec)
       val Array(trainDf, testDf) = staged.randomSplit(
         Array(cfg.trainFraction, 1.0 - cfg.trainFraction), cfg.seed)
       val result = DistributedTrainer.fit(spark, trainDf, cfg.encoder, cfg.train)
@@ -50,7 +60,8 @@ object Pipeline {
         cfg.reportRows)
       val rows = report.collect()
       val correct = rows.count { r =>
-        val label = r.getInt(0)
+        // type-agnostic: the label may arrive as any numeric type
+        val label = r.get(0).asInstanceOf[Number].intValue()
         val pred = r.getSeq[Double](2)
         pred.indexOf(pred.max) == label - 1
       }

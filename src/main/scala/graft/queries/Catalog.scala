@@ -380,12 +380,15 @@ object Catalog {
   val zipFrames = RegisteredQuery(
     "zip_frames",
     (s, d) => {
-      val base = Tables.customer(s, d).orderBy(col("c_custkey")).cache()
+      // both sides derive from the SAME sorted plan; range partitioning
+      // is deterministic for identical input, so the layouts match and
+      // the narrow zip path applies (no cache: unpersisting before the
+      // caller's action would silently drop it anyway)
+      val base = Tables.customer(s, d).orderBy(col("c_custkey"))
       val left = base.select(col("c_custkey"), col("c_name"))
       val right = base.select(col("c_acctbal"))
-      val zipped = graft.relational.Zip.zipFrames(s, left, right)
-      base.unpersist()
-      zipped.orderBy(col("c_custkey"))
+      graft.relational.Zip.zipFrames(s, left, right)
+        .orderBy(col("c_custkey"))
     },
     Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
       ORDER BY c_custkey"""))
@@ -614,17 +617,7 @@ object Catalog {
     "streaming_hourly",
     (s, d) => {
       import graft.streaming.Streams
-      val dir = java.nio.file.Files.createTempDirectory("events_stream")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("part-0.parquet"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.readStream
-        .schema(org.apache.spark.sql.types.StructType(Streams.EventSchema
-          .fields.map(f => if (f.name == "ts")
-            f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
-        .parquet(dir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = Streams.eventsStreamFromFile(s, s"$d/events.parquet")
       Streams.runAvailableNow(s, Streams.hourlyAgg(raw),
           s"graft_stream_${System.nanoTime()}")
         .orderBy(col("hour_start"))
@@ -642,18 +635,8 @@ object Catalog {
     "streaming_sessions",
     (s, d) => {
       import graft.streaming.Streams
-      val dir = java.nio.file.Files.createTempDirectory("events_sess")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
-        dir.resolve("part-0.parquet"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import s.implicits._
-      val raw = s.readStream
-        .schema(org.apache.spark.sql.types.StructType(Streams.EventSchema
-          .fields.map(f => if (f.name == "ts")
-            f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
-        .parquet(dir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = Streams.eventsStreamFromFile(s, s"$d/events.parquet")
         .select(col("user_id"), col("ts"), col("value"))
         .as[Streams.SessionEvent]
       val sessions = Streams.sessionize(raw, gapMs = 2L * 3600 * 1000)
@@ -792,8 +775,8 @@ object Catalog {
           labelCol = "label", iterations = 2, initialStep = 0.5)))
       import s.implicits._
       Seq((r.trainResult.lossHistory.head, r.trainResult.lossHistory.last,
-        r.testAccuracy, r.report.count()))
-        .toDF("loss_first", "loss_last", "test_accuracy", "report_rows")
+        r.reportAccuracy, r.report.count()))
+        .toDF("loss_first", "loss_last", "report_accuracy", "report_rows")
     },
     None)
 

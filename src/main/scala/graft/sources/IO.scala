@@ -30,7 +30,10 @@ object IO {
   def writeParquet(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite,
       partitions: Option[Int] = None): Unit =
-    partitions.fold(df)(df.coalesce).write.mode(mode).parquet(path)
+    // repartition, not coalesce: the requested count must hold in both
+    // directions (coalesce silently ignores increases and can collapse
+    // upstream parallelism into one task)
+    partitions.fold(df)(df.repartition).write.mode(mode).parquet(path)
 
   /** Hive-style partitioned layout (`path/col=value/...`) — the layout
     * that makes downstream scans partition-prunable on the partition

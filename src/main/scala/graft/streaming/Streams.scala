@@ -29,11 +29,33 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based event stream over a parquet directory. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+  /** File-based event stream over a parquet directory. The fixture's
+    * `ts` is parquet TIMESTAMP(NANOS), unreadable as Spark
+    * TimestampType — read nanos as long and convert (the single shared
+    * copy of the workaround `Tables.events` applies on the batch side).
+    * Sets the session-wide nanosAsLong flag: subsequent reads of
+    * nano-timestamp parquet in this session yield LongType.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType(EventSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
     spark.readStream
-      .schema(EventSchema)
+      .schema(nanosSchema)
       .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Stage a single fixture parquet FILE into a fresh directory (the
+    * streaming file source requires a directory) and open it as an
+    * event stream.
+    */
+  def eventsStreamFromFile(spark: SparkSession, parquetFile: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(parquetFile), dir.resolve("part-0.parquet"))
+    eventsStream(spark, dir.toString)
+  }
 
   /** Tumbling-window hourly aggregate with a watermark — the streaming
     * twin of the batch `events_hourly` catalog query.

@@ -72,10 +72,12 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("byte-based repartition sizes by data volume not rows") {
-    val df = (1 to 10).map(i => (i.toLong, "x" * 100)).toDF("id", "payload")
+    // 10 rows x 1 MiB payloads, 2 MiB target -> 5 partitions regardless
+    // of the row count; size measured from the media column itself
+    val df = (1 to 10).map(i => (i.toLong, "x" * (1 << 20))).toDF("id", "payload")
       .select(col("id"), Multimodal.asMedia(col("payload"), "video/fake").as("m"))
     val repart = Multimodal.repartitionByBytes(df, "m",
-      totalBytes = 10L * (512L << 20), targetBytesPerPartition = 512L << 20)
-    assert(repart.rdd.getNumPartitions == 10)
+      targetBytesPerPartition = 2L << 20)
+    assert(repart.rdd.getNumPartitions == 5)
   }
 }

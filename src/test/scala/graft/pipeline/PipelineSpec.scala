@@ -28,8 +28,8 @@ class PipelineSpec extends SparkSpec {
     val h = result.trainResult.lossHistory
     assert(h.last < h.head, s"no learning: $h")
     // separable data: held-out accuracy should be high
-    assert(result.testAccuracy >= 0.9,
-      s"test accuracy ${result.testAccuracy} too low")
+    assert(result.reportAccuracy >= 0.9,
+      s"report accuracy ${result.reportAccuracy} too low")
     assert(result.report.columns.toSeq == Seq("label", "features", "prediction"))
   }
 
