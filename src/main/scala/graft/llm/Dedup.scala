@@ -34,6 +34,13 @@ object Dedup {
             i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
+  /** 64-bit-hashed shingle set: the form carried through shuffles for
+    * Jaccard verification — ~8 bytes per shingle instead of the string
+    * (hash collisions shift Jaccard by ~2⁻⁶⁴·|set|, immaterial).
+    */
+  def hashedShingles(text: Column, k: Int = 3): Column =
+    transform(shingles(text, k), s => xxhash64(s))
+
   // ------------------------------------------------------------ minhash
 
   /** FNV-1a 64-bit base hash of a shingle — computed ONCE per shingle;
@@ -127,26 +134,35 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val withSig = df.select(
+    // Candidate generation runs over SLIM (id, band) rows only. Payloads
+    // (shingle arrays) must never enter the exploded/joined lineage:
+    // Catalyst places per-row expressions ABOVE a Generate, so a shingle
+    // column selected next to explode(bands) is recomputed once per band
+    // (16×), and the candidate join would shuffle/broadcast the arrays —
+    // measured 60-120 s vs ~8 s for this shape at 5k docs.
+    val bandRows = df.select(
       col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"),
       explode(bandHashes(col(textCol), shingleK, numHashes, bands))
         .as("band"))
-    // drop degenerate buckets before the self-join
-    val buckets = withSig
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+    val activeBands = bandRows
+      .groupBy(col("band")).agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket && col("bucket_n") > 1)
-      .drop("bucket_n")
-    val a = buckets.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = buckets.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band"))
+      .select(col("band"))
+    val buckets = bandRows.join(broadcast(activeBands), Seq("band"))
+    val candidates = buckets.select(col("band"), col("id").as("id_a"))
+      .join(buckets.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair may share several bands; verify once
+    // hashed shingles (8 B each) joined onto the small candidate list
+    val sh = df.select(col(idCol).as("id"),
+      hashedShingles(col(textCol), shingleK).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("jaccard")).as("jaccard"))
   }
 
   /** One-pass near-dup clustering: every doc labeled by the minimum doc
