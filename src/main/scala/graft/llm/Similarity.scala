@@ -141,17 +141,23 @@ object Similarity {
     * vectors for every candidate pair (~kB vs ~24 B per pair).
     */
   def similarityJoinMultiTable(index: DataFrame, threshold: Double): DataFrame = {
-    val a = index.select(col("table"), col("sig"),
-      col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = index.select(col("table"), col("sig"),
-      col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("table", "sig"))
+    // candidates over slim (table, sig, id) rows; vectors join back onto
+    // the DEDUPED pair list (same pattern as Dedup.nearDupPairs: payloads
+    // must not ride through the explode/bucket join)
+    val slim = index.select(col("table"), col("sig"), col("id"))
+    val candidates = slim.select(col("table"), col("sig"), col("id").as("id_a"))
+      .join(slim.select(col("table"), col("sig"), col("id").as("id_b")),
+        Seq("table", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val vecs = index.select(col("id"), col("vec")).dropDuplicates("id")
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineNative(col("vec_a"), col("vec_b")).as("score"))
       .filter(col("score") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("score")).as("score"))
   }
 
   /** Bucket sizing rule: bits ≈ log2(n / targetBucketSize) — bucket
