@@ -393,6 +393,28 @@ object Catalog {
     Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
       ORDER BY c_custkey"""))
 
+  /** Skew-salted join, oracle = the plain join: salting must be
+    * semantically invisible (same rows), it only changes the shuffle
+    * key distribution. 8 salts spread each customer key over 8
+    * reducers.
+    */
+  val joinSalted = RegisteredQuery(
+    "join_salted",
+    (s, d) =>
+      graft.relational.Skew.saltedJoin(
+          Tables.orders(s, d),
+          Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+            col("c_name"), col("c_mktsegment")),
+          "o_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+      round(sum(o_totalprice), 2) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   // ------------------------------------------------------------ windows
 
   /** Top-N per group via row_number; tie-broken on the unique key so the
@@ -1035,7 +1057,7 @@ object Catalog {
     stringFunctions, dateFunctions,
     stagingProjection, filterPushdown,
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
-    joinLeftOuter, joinFullOuter, joinRange, zipFrames,
+    joinLeftOuter, joinFullOuter, joinRange, joinSalted, zipFrames,
     windowTopnPerGroup, windowRunningSum,
     topkOrders, setopUnion, setopExcept, setopIntersect,
     subqueryCorrelated, arrayFunctions,
