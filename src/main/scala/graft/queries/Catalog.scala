@@ -672,6 +672,37 @@ object Catalog {
     },
     None)
 
+  /** Batch session windows (`session_window` builtin, 2-hour gap) —
+    * oracle via the classic gaps-and-islands SQL (lag + running sum of
+    * boundaries). Cross-engine agreement pins the boundary semantics:
+    * a new session starts when the gap is ≥ the duration.
+    */
+  val sessionWindowBatch = RegisteredQuery(
+    "session_window_batch",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, value,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
   // ---------------------------------------------------- encode stratum
 
   /** A-1 distinct categorical key discovery ("path=value" keys) as ONE
@@ -1062,7 +1093,7 @@ object Catalog {
     topkOrders, setopUnion, setopExcept, setopIntersect,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
-    streamingSessions,
+    streamingSessions, sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, docFingerprint, docWinnow, langId, qualityScore,
