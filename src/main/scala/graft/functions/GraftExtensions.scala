@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineDescriptor)
+    ext.injectFunction(GraftFunctions.jaccardSortedDescriptor)
   }
 }
 
@@ -29,6 +30,22 @@ object GraftFunctions {
         s"graft_cosine takes 2 arguments, got ${children.length}")
       CosineSimilarityExpr(children.head, children.last)
     })
+
+  private[functions] val jaccardSortedDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaccard_sorted"),
+    new ExpressionInfo(classOf[JaccardSortedExpr].getName, "graft_jaccard_sorted"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_jaccard_sorted takes 2 arguments, got ${children.length}")
+      JaccardSortedExpr(children.head, children.last)
+    })
+
+  /** Column form: Jaccard of two sorted distinct array<bigint> sets. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(JaccardSortedExpr(Bridge.expression(a), Bridge.expression(b)))
+  }
 
   /** Column-API form — usable without registering the extension. */
   def cosine(a: Column, b: Column): Column = {

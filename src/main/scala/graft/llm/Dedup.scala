@@ -34,12 +34,15 @@ object Dedup {
             i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
-  /** 64-bit-hashed shingle set: the form carried through shuffles for
-    * Jaccard verification — ~8 bytes per shingle instead of the string
-    * (hash collisions shift Jaccard by ~2⁻⁶⁴·|set|, immaterial).
+  /** 64-bit-hashed shingle set, SORTED ascending: the form carried
+    * through shuffles for Jaccard verification — ~8 bytes per shingle
+    * instead of the string (hash collisions shift Jaccard by
+    * ~2⁻⁶⁴·|set|, immaterial), and sortedness lets the native
+    * [[graft.functions.JaccardSortedExpr]] verify candidates in one
+    * merge pass with no intermediate arrays.
     */
   def hashedShingles(text: Column, k: Int = 3): Column =
-    transform(shingles(text, k), s => xxhash64(s))
+    sort_array(transform(shingles(text, k), s => xxhash64(s)))
 
   // ------------------------------------------------------------ minhash
 
@@ -161,7 +164,8 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        graft.functions.GraftFunctions
+          .jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
