@@ -147,15 +147,23 @@ object Dedup {
       col(idCol).as("id"),
       explode(bandHashes(col(textCol), shingleK, numHashes, bands))
         .as("band"))
-    val activeBands = bandRows
-      .groupBy(col("band")).agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucket && col("bucket_n") > 1)
-      .select(col("band"))
-    val buckets = bandRows.join(broadcast(activeBands), Seq("band"))
-    val candidates = buckets.select(col("band"), col("id").as("id_a"))
-      .join(buckets.select(col("band"), col("id").as("id_b")), Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // ONE banding pass + ONE shuffle: bucket members gather via
+    // collect_list (bounded by maxBucket) and in-bucket pairs are
+    // emitted directly — the self-join formulation recomputes the
+    // banding expression once per join side plus once for the bucket
+    // counts (3×)
+    val pairsOf = udf((ids: Seq[Long]) => {
+      val sorted = ids.sorted
+      for {
+        i <- sorted.indices
+        j <- (i + 1) until sorted.length
+      } yield (sorted(i), sorted(j))
+    })
+    val candidates = bandRows
+      .groupBy(col("band")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct() // a pair may share several bands; verify once
     // hashed shingles (8 B each) joined onto the small candidate list
     val sh = df.select(col(idCol).as("id"),
