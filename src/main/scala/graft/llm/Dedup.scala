@@ -159,8 +159,10 @@ object Dedup {
         j <- (i + 1) until sorted.length
       } yield (sorted(i), sorted(j))
     })
-    val candidates = bandRows
-      .groupBy(col("band")).agg(collect_list(col("id")).as("ids"))
+    val candidates = withBucketMetrics(
+      bandRows
+        .groupBy(col("band")).agg(collect_list(col("id")).as("ids")),
+      size(col("ids")), maxBucket)
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
@@ -252,9 +254,23 @@ object Dedup {
     * at least one exact chunk (pigeonhole), so grouping by chunk value
     * finds all of them without an all-pairs join. Verified with the true
     * hamming distance ≤ maxHamming.
+    *
+    * Same scale shape as [[nearDupPairs]]: ONE shuffle keyed by
+    * (chunk, piece), bucket members gathered via `collect_list` (8 B
+    * signature + id each), verified pairs emitted in-bucket, and
+    * `maxBucket` bounds the quadratic expansion — a degenerate piece
+    * value (e.g. the all-zero chunk every short/empty doc produces)
+    * forms one giant bucket that would otherwise go O(corpus²) through
+    * a self-join. Dropped oversized buckets are counted in the
+    * `graft_dedup_buckets_*` observed metric.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+      chunks: Int = 4, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(chunks > 0 && 64 % chunks == 0,
+      s"chunks must divide 64 evenly, got $chunks")
+    require(maxHamming <= chunks - 1,
+      s"pigeonhole recall is only guaranteed for hamming <= chunks-1 = " +
+        s"${chunks - 1}; got maxHamming=$maxHamming (raise chunks)")
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sigs = df.select(col(idCol).as("id"),
@@ -264,17 +280,52 @@ object Dedup {
         shiftright(col("sig"), c * bits).bitwiseAND(lit(mask)).as("piece")))
     val exploded = sigs.select(col("id"), col("sig"),
       explode(array(pieces: _*)).as("cp"))
-      .select(col("id"), col("sig"),
-        col("cp.chunk").as("chunk"), col("cp.piece").as("piece"))
-    val a = exploded.select(col("chunk"), col("piece"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = exploded.select(col("chunk"), col("piece"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk", "piece"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hamming(col("sig_a"), col("sig_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .select(col("cp.chunk").as("chunk"), col("cp.piece").as("piece"),
+        struct(col("id").as("_1"), col("sig").as("_2")).as("member"))
+    // in-bucket pair expansion WITH verification: only pairs within
+    // maxHamming leave the bucket, so output size tracks true near-dups
+    val verifiedPairs = udf((members: Seq[(Long, Long)]) => {
+      val sorted = members.sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      var i = 0
+      while (i < sorted.length) {
+        var j = i + 1
+        while (j < sorted.length) {
+          val h = java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2)
+          if (sorted(i)._1 < sorted(j)._1 && h <= maxHamming)
+            out += ((sorted(i)._1, sorted(j)._1, h))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    withBucketMetrics(
+      exploded.groupBy(col("chunk"), col("piece"))
+        .agg(collect_list(col("member")).as("members")),
+      size(col("members")), maxBucket)
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(verifiedPairs(col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("p._3").as("hamming"))
+      .distinct() // a pair may share several chunks; report once
   }
+
+  // ------------------------------------------------------------- metrics
+
+  private val obsId = new java.util.concurrent.atomic.AtomicInteger
+
+  /** No silent caps: attach an observed metric counting buckets the
+    * `maxBucket` guard will drop (plus the max bucket size seen), so
+    * recall loss is visible to ops via `QueryExecutionListener` /
+    * `StreamingQueryListener` without an extra job. The name is
+    * uniquified because observation names must be unique per query and
+    * one query may contain several dedup operators.
+    */
+  private def withBucketMetrics(grouped: DataFrame, bucketSize: Column,
+      maxBucket: Int): DataFrame =
+    grouped.observe(s"graft_dedup_buckets_${obsId.incrementAndGet()}",
+      sum(when(bucketSize > maxBucket, 1L).otherwise(0L))
+        .as("dropped_oversized_buckets"),
+      max(bucketSize).as("max_bucket_size"))
 }

@@ -132,15 +132,16 @@ object Similarity {
   /** Near-dup pairs over a multi-table index: same (table, sig) bucket
     * in ANY table → candidate; exact cosine verifies.
     *
-    * Order of operations matters at scale: candidates are scored and
-    * threshold-filtered IMMEDIATELY after the bucket join, and only
-    * then deduped. A pair colliding in several tables is scored up to
-    * L times (cheap: one fused codegen loop), but the dedup shuffle
-    * then carries only (id, id, score) triples for pairs that PASSED
-    * the threshold — deduping before scoring would shuffle both full
-    * vectors for every candidate pair (~kB vs ~24 B per pair).
+    * Order of operations matters at scale: candidate generation runs
+    * over SLIM (table, sig, id) rows and pairs are deduped while still
+    * 16 B each; only then do full vectors join on — from `source`, the
+    * pre-explode frame, which holds exactly ONE copy of each vector. A
+    * previous formulation reconstructed vectors from the exploded index
+    * (`dropDuplicates("id")` over L copies per row), which shuffled the
+    * whole corpus's vectors L× just to dedup them.
     */
-  def similarityJoinMultiTable(index: DataFrame, threshold: Double): DataFrame = {
+  def similarityJoinMultiTable(index: DataFrame, source: DataFrame,
+      vecCol: String, idCol: String, threshold: Double): DataFrame = {
     // candidates over slim (table, sig, id) rows; vectors join back onto
     // the DEDUPED pair list (same pattern as Dedup.nearDupPairs: payloads
     // must not ride through the explode/bucket join)
@@ -151,7 +152,8 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val vecs = index.select(col("id"), col("vec")).dropDuplicates("id")
+    val vecs = source.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
     candidates
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))

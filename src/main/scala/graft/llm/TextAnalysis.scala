@@ -102,11 +102,10 @@ object TextAnalysis {
     */
   def langScore(text: Column, profile: Seq[String]): Column =
     if (profile.forall(_.length == 1)) {
-      val chars = split(normalized(text), "")
-      val p = typedLit(profile)
-      aggregate(chars, lit(0),
-        (acc, c) => acc + when(array_contains(p, c), 1).otherwise(0))
-        .cast("double") / greatest(size(chars), lit(1)).cast("double")
+      val norm = normalized(text)
+      val cls = "[" + profile.mkString + "]"
+      (length(norm) - length(regexp_replace(norm, cls, "")))
+        .cast("double") / greatest(length(norm), lit(1)).cast("double")
     } else stopwordRatio(text, profile)
 
   /** Best-scoring language label, or "und" below `minScore`. One pass,

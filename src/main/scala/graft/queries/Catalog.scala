@@ -650,8 +650,13 @@ object Catalog {
 
   /** Stateful streaming sessionization over the events fixture: user
     * sessions closed on a 2-hour event-time gap, aggregated to a
-    * per-user closed-session count (rows-only; gap semantics pinned in
-    * StreamsSpec with planted batches).
+    * per-user closed-session count. Oracle: gaps-and-islands sessions
+    * (strict `>` gap, matching `sessionize`) minus each user's LAST
+    * session — exactly the sessions the stream has closed when input
+    * ends. A stateful-streaming operator proven equivalent to a batch
+    * oracle. (Fixture audited: no inter-event gap within 1 ms of the
+    * 2 h boundary at sf0.01/sf0.1, so the handler's millisecond gap
+    * math and the oracle's µs interval compare agree.)
     */
   val streamingSessions = RegisteredQuery(
     "streaming_sessions",
@@ -670,7 +675,25 @@ object Catalog {
           round(sum(col("sum_value")), 2).as("total_value"))
         .orderBy(col("user_id"))
     },
-    None)
+    Some("""WITH marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, value,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked),
+      by_sess AS (
+        SELECT user_id, sid, sum(value) AS sum_value
+        FROM sess GROUP BY user_id, sid),
+      closed AS (
+        SELECT * FROM by_sess
+        QUALIFY sid < max(sid) OVER (PARTITION BY user_id))
+      SELECT user_id, count(*) AS n_closed_sessions,
+        round(sum(sum_value), 2) AS total_value
+      FROM closed GROUP BY user_id ORDER BY user_id"""))
 
   /** Batch session windows (`session_window` builtin, 2-hour gap) —
     * oracle via the classic gaps-and-islands SQL (lag + running sum of
@@ -744,8 +767,10 @@ object Catalog {
         round(avg(l_tax), 6), round(stddev_pop(l_tax), 6) FROM lineitem)
       ORDER BY path"""))
 
-  /** E-1 `evalToDataframe`: fit + encode customer → one array<double>
-    * column. Not SQL-expressible (HMAC-seeded init) → rows-only check;
+  /** E-1 `evalToDataframe`: fit + encode customer, then digest the
+    * `array<double>` features column to scalar columns (dim + rounded
+    * sum) so the driver checker can canonicalize rows. Not
+    * SQL-expressible (HMAC-seeded init) → rows-only check; byte-exact
     * determinism is pinned by EncoderSpec goldens instead.
     */
   val encodeEval = RegisteredQuery(
@@ -757,6 +782,11 @@ object Catalog {
           col("c_acctbal"))
       val state = Encoder.fit(df, Encoder.EncoderSpec(featureDim = 8))
       Encoder.evalToDataframe(s, df, state, "features")
+        .select(
+          size(col("features")).as("feat_dim"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6)
+            .as("feat_sum"))
+        .orderBy(col("feat_sum"), col("feat_dim"))
     },
     None)
 
@@ -802,7 +832,16 @@ object Catalog {
           hidden = Nil, classes = 25, labelCol = "label",
           iterations = 2, initialStep = 0.5))
       DistributedTrainer.predictionReport(
-        s, df, result.state, result.net, "label", limit = 100)
+          s, df, result.state, result.net, "label", limit = 100)
+        .select(
+          col("label"),
+          size(col("features")).as("feat_dim"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6)
+            .as("feat_sum"),
+          array_position(col("prediction"), array_max(col("prediction")))
+            .cast("int").as("pred_class"),
+          round(array_max(col("prediction")), 6).as("pred_max"))
+        .orderBy(col("label"), col("feat_sum"))
     },
     None)
 
@@ -904,9 +943,12 @@ object Catalog {
         .orderBy(col("doc_id")),
     None)
 
-  /** Language-ID over documents (rows-only: the synthetic fixture text
-    * shares one vocabulary across langs; accuracy on real-language text
-    * is pinned in TextAnalysisSpec).
+  /** Language-ID over documents. Oracle mirrors the function-word /
+    * char-class scoring arithmetic exactly (same profiles, same int/int
+    * double divisions, alphabetical-first tie break as a CASE chain) —
+    * cross-engine agreement pins the whole scoring pipeline, not just
+    * the labels. Accuracy on real-language text is pinned in
+    * TextAnalysisSpec.
     */
   val langId = RegisteredQuery(
     "lang_id",
@@ -915,19 +957,84 @@ object Catalog {
         col("doc_id"),
         graft.llm.TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id")),
-    None)
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks,
+          trim(regexp_replace(lower(text), '[^\p{L}\p{Nd}]+', ' ', 'g'))
+            AS norm
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          CAST(len(list_filter(toks, x -> list_contains(['der','die','das',
+            'und','ist','ich','nicht','sie','es','ein','eine','mit','auf',
+            'für','den','von','zu','im'], x))) AS DOUBLE)
+            / greatest(len(toks), 1) AS s_de,
+          CAST(len(list_filter(toks, x -> list_contains(['the','and','of',
+            'to','in','is','that','it','was','for','with','as','his','on',
+            'be','at','by','had','not'], x))) AS DOUBLE)
+            / greatest(len(toks), 1) AS s_en,
+          CAST(len(list_filter(toks, x -> list_contains(['el','la','los',
+            'las','y','es','no','que','en','un','una','por','con','para',
+            'su','se','del','al','lo'], x))) AS DOUBLE)
+            / greatest(len(toks), 1) AS s_es,
+          CAST(len(list_filter(toks, x -> list_contains(['le','la','les',
+            'et','est','je','ne','pas','vous','un','une','du','des','dans',
+            'que','qui','pour','sur','au'], x))) AS DOUBLE)
+            / greatest(len(toks), 1) AS s_fr,
+          CAST(length(norm) - length(regexp_replace(norm,
+            '[的是了在我有他这不人们来到时大地为子中你]', '', 'g')) AS DOUBLE)
+            / greatest(length(norm), 1) AS s_zh
+        FROM t),
+      b AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s)
+      SELECT doc_id,
+        CASE WHEN s_de >= 0.05 AND s_de = best THEN 'de'
+             WHEN s_en >= 0.05 AND s_en = best THEN 'en'
+             WHEN s_es >= 0.05 AND s_es = best THEN 'es'
+             WHEN s_fr >= 0.05 AND s_fr = best THEN 'fr'
+             WHEN s_zh >= 0.05 AND s_zh = best THEN 'zh'
+             ELSE 'und' END AS lang_pred
+      FROM b ORDER BY doc_id"""))
 
-  /** Quality scoring over documents (rows-only; component signals are
-    * individually unit-tested).
+  /** Quality scoring over documents, rounded to 6 decimals. Oracle
+    * replicates every component in the same operation order (identical
+    * IEEE doubles on both engines; the round only absorbs potential
+    * 1-ulp engine differences).
     */
   val qualityScore = RegisteredQuery(
     "quality_score",
     (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        graft.llm.TextAnalysis.qualityScore(col("text")).as("quality"))
+        round(graft.llm.TextAnalysis.qualityScore(col("text")), 6)
+          .as("quality"))
         .orderBy(col("doc_id")),
-    None)
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks,
+          CAST(length(regexp_replace(text, '[\p{L}\p{Nd}\s]', '', 'g'))
+            AS DOUBLE) / greatest(length(text), 1) AS punct_ratio
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score,
+          1.0 - least(punct_ratio * 4.0, 1.0) AS punct_score,
+          CAST(len(list_filter(toks, x -> list_contains(['the','and','of',
+            'to','in','is','that','it','was','for','with','as','his','on',
+            'be','at','by','had','not','a','an','are','but','from','or',
+            'this','which','you','we','they','have','has','were','been',
+            'their','its','can','will'], x))) AS DOUBLE)
+            / greatest(len(toks), 1) AS swr,
+          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / greatest(len(toks), 1) AS mwl
+        FROM t)
+      SELECT doc_id,
+        round(len_score * 0.3 + punct_score * 0.2
+          + (1.0 - least(abs(swr - 0.4) * 2.5, 1.0)) * 0.3
+          + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+          6) AS quality
+      FROM c ORDER BY doc_id"""))
 
   // ------------------------------------------------ LLM: near-dup + ANN
 
@@ -965,6 +1072,21 @@ object Catalog {
         col("doc_id"),
         graft.llm.Dedup.simhashCol(col("text")).as("simhash"))
         .orderBy(col("doc_id")),
+    None)
+
+  /** SimHash near-dup pairs via chunk pigeonhole — the bucketed,
+    * maxBucket-guarded candidate path end-to-end (rows-only:
+    * hash-dependent; planted recall + degenerate-bucket behavior pinned
+    * in DedupSpec). chunks=16 guarantees recall to hamming 15; ≤8
+    * keeps only strong near-dups.
+    */
+  val dedupSimhashPairs = RegisteredQuery(
+    "dedup_simhash_pairs",
+    (s, d) =>
+      graft.llm.Dedup.simhashPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        chunks = 16, maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b")),
     None)
 
   /** Brute-force cosine top-10 against the vec_id=0 embedding — exact,
@@ -1056,7 +1178,8 @@ object Catalog {
       val bits = Similarity.bitsFor(emb.count())
       val index = Similarity.multiTableIndex(
         emb, "embedding", "vec_id", dim = 64, bits = bits, tables = 8)
-      Similarity.similarityJoinMultiTable(index, threshold = 0.5)
+      Similarity.similarityJoinMultiTable(index, emb, "embedding", "vec_id",
+          threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -1097,7 +1220,8 @@ object Catalog {
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, docFingerprint, docWinnow, langId, qualityScore,
-    dedupMinhash, dedupPairs, dedupSimhash, simTopkBrute, simTopkAnn,
+    dedupMinhash, dedupPairs, dedupSimhash, dedupSimhashPairs,
+    simTopkBrute, simTopkAnn,
     simNeardupExact, simNeardupLsh, multimodalMeta)
 
   def byName(name: String): RegisteredQuery =

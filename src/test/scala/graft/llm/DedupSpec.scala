@@ -63,12 +63,33 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 12)
   }
 
-  test("simhash pairs via band rotation find the exact dup") {
+  test("simhash pairs via chunk pigeonhole find exact dup and near-dup") {
+    // chunks=16 → guaranteed recall up to hamming 15 ≥ the 12 asked for
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
-      chunks = 4, maxHamming = 12).collect()
+      chunks = 16, maxHamming = 12).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L)), s"exact dup missed: $pairs")
+    assert(pairs.contains((1L, 2L)), s"near-dup missed: $pairs")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash pairs: degenerate bucket capped by maxBucket, no blowup") {
+    // 1000 identical docs → one piece value per chunk holds the whole
+    // corpus; the guard must drop those buckets instead of expanding
+    // ~500k pairs per chunk
+    val many = spark.range(1000)
+      .selectExpr("id AS doc_id", "'tiny doc' AS text")
+    val out = Dedup.simhashPairs(many, "doc_id", "text", maxBucket = 100)
+    assert(out.count() == 0L)
+  }
+
+  test("simhash pairs: parameter validation") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", chunks = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", chunks = 4, maxHamming = 4)
+    }
   }
 
   test("shingles of short text degrade to whole-text shingle") {

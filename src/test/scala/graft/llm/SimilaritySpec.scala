@@ -86,7 +86,8 @@ class SimilaritySpec extends SparkSpec {
     val exactPairs = (0 until 30).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
     val multi = Similarity.multiTableIndex(df, "vec", "id", dim = 16,
       bits = 4, tables = 8)
-    val found = Similarity.similarityJoinMultiTable(multi, threshold = 0.55)
+    val found = Similarity
+      .similarityJoinMultiTable(multi, df, "vec", "id", threshold = 0.55)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exactPairs.intersect(found).size.toDouble / exactPairs.size
     assert(recall >= 0.7, s"multi-table recall $recall too low")
