@@ -372,6 +372,30 @@ object Catalog {
         ON o_totalprice >= lo AND o_totalprice < hi
       GROUP BY band ORDER BY band"""))
 
+  /** Backward as-of join: each event joined to the user's latest click
+    * at or before it (a click event matches itself — inclusive tie,
+    * same as DuckDB `ON l.ts >= r.ts`). Union+window physical shape
+    * (one shuffle, no range expansion) vs DuckDB's native ASOF JOIN —
+    * cross-engine agreement on 10k rows pins the boundary semantics.
+    */
+  val joinAsof = RegisteredQuery(
+    "join_asof",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      graft.relational.AsOf.asofJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        clicks, Seq("user_id"), "ts", "click_ts", Seq("click_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id, e.ts, c.click_ts
+      FROM events e ASOF LEFT JOIN
+        (SELECT user_id, ts AS click_ts FROM events
+         WHERE event_type = 'click') c
+        ON e.user_id = c.user_id AND e.ts >= c.click_ts
+      ORDER BY e.event_id"""))
+
   /** J-1/J-2 positional zip with a REAL oracle: both sides derive
     * narrowly from the same sorted parent (same partitioning), so the
     * narrow `RDD.zip` path pairs rows positionally — pair integrity is
@@ -694,6 +718,70 @@ object Catalog {
       SELECT user_id, count(*) AS n_closed_sessions,
         round(sum(sum_value), 2) AS total_value
       FROM closed GROUP BY user_id ORDER BY user_id"""))
+
+  /** Streaming exactly-once dedup under simulated at-least-once
+    * delivery: the fixture staged TWICE into the stream directory,
+    * `dropDuplicatesWithinWatermark(event_id)` in Append mode, then the
+    * deduped memory table aggregated hourly — hash-equal to the batch
+    * hourly oracle over the ORIGINAL single-copy events iff every
+    * duplicate was dropped.
+    */
+  val streamingDedup = RegisteredQuery(
+    "streaming_dedup",
+    (s, d) => {
+      import graft.streaming.Streams
+      val raw = Streams.eventsStreamFromFile(s, s"$d/events.parquet",
+        copies = 2)
+      val deduped = Streams.dedupByKey(raw, "event_id", "2 hours")
+      Streams.runAvailableNow(s, deduped,
+          s"graft_stream_dedup_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour_start"))
+    },
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+      count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1 ORDER BY hour_start"""))
+
+  /** Watermarked stream-stream interval join: each click joined to the
+    * same user's purchases within the following 24 h. Inner join emits
+    * on match (not on watermark), so the AvailableNow replay emits all
+    * matches; the watermark bounds join state on an unbounded stream.
+    * Oracle: the identical interval join in batch SQL.
+    */
+  val streamingJoin = RegisteredQuery(
+    "streaming_join",
+    (s, d) => {
+      import graft.streaming.Streams
+      val clicks = Streams
+        .eventsStreamFromFile(s, s"$d/events.parquet")
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = Streams
+        .eventsStreamFromFile(s, s"$d/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = Streams.intervalJoin(clicks, purchases,
+        "user_id", "p_user_id", "click_ts", "purchase_ts", "24 hours")
+      Streams.runAvailableNow(s, joined
+          .select(col("user_id"), col("click_id"), col("purchase_id")),
+          s"graft_stream_join_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("click_id"), col("purchase_id"))
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+        pu.event_id AS purchase_id
+      FROM events c JOIN events pu
+        ON c.user_id = pu.user_id AND c.event_type = 'click'
+        AND pu.event_type = 'purchase'
+        AND pu.ts >= c.ts AND pu.ts <= c.ts + INTERVAL 24 HOUR
+      ORDER BY click_id, purchase_id"""))
 
   /** Batch session windows (`session_window` builtin, 2-hour gap) —
     * oracle via the classic gaps-and-islands SQL (lag + running sum of
@@ -1211,12 +1299,12 @@ object Catalog {
     stringFunctions, dateFunctions,
     stagingProjection, filterPushdown,
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
-    joinLeftOuter, joinFullOuter, joinRange, joinSalted, zipFrames,
+    joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinSalted, zipFrames,
     windowTopnPerGroup, windowRunningSum,
     topkOrders, setopUnion, setopExcept, setopIntersect,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
-    streamingSessions, sessionWindowBatch,
+    streamingSessions, streamingDedup, streamingJoin, sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, docFingerprint, docWinnow, langId, qualityScore,

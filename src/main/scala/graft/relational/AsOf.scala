@@ -1,0 +1,65 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of (nearest-preceding-key temporal) join — the operator
+  * behind "join each event to the latest quote/order/click at or before
+  * its timestamp". SURVEY §2.2 maps it as a non-equi/bucketed-SMJ
+  * category member; DuckDB's `ASOF JOIN` provides the oracle.
+  *
+  * Physical strategy: the union-and-window formulation, not a range
+  * join. Left and right rows are tagged and unioned, then ONE window
+  * pass per key (`last(payload, ignoreNulls)` over rows unbounded
+  * preceding) carries the most recent right payload forward onto every
+  * left row. Cost at 100 TB: a single hash shuffle on the key columns
+  * plus a per-key sort — exactly what any join on those keys would
+  * shuffle anyway — with NO candidate-pair expansion, unlike a range
+  * join whose bucket overlap factor multiplies rows. Ties (right.time
+  * == left.time) match inclusively, like DuckDB `ON l.t >= r.t`.
+  *
+  * Skew note: one pathological key sorts in one task; for that shape,
+  * pre-bucket the key with a coarse time bucket (salting the window the
+  * same way `Skew.saltedJoin` salts a join) and stitch bucket
+  * boundaries with a second pass over bucket heads.
+  */
+object AsOf {
+
+  /** Join each `left` row to the latest `right` row with equal `keys`
+    * and `right.rightTime <= left.leftTime`.
+    *
+    * @param rightPayload right columns carried onto matches (must not
+    *   collide with left column names); unmatched left rows get nulls
+    *   (LEFT-join semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name ≥1 column")
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightPayload collides with left columns: $collisions")
+    val leftCols = left.columns.toSeq
+    // tag: right rows sort BEFORE left rows at an equal timestamp so the
+    // running last() sees them (inclusive <= semantics)
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1))
+    val r = right.select(
+      keys.map(col) :+ col(rightTime).as("__t") :+
+        struct(rightPayload.map(col): _*).as("__pay"): _*)
+      .withColumn("__is_left", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+    matched.select(
+      leftCols.map(col) ++
+        rightPayload.map(f => col(s"__m.$f").as(f)): _*)
+  }
+}

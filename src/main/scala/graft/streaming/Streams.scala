@@ -48,14 +48,47 @@ object Streams {
 
   /** Stage a single fixture parquet FILE into a fresh directory (the
     * streaming file source requires a directory) and open it as an
-    * event stream.
+    * event stream. `copies > 1` stages the same file several times —
+    * simulated at-least-once redelivery for the dedup operator.
     */
-  def eventsStreamFromFile(spark: SparkSession, parquetFile: String): DataFrame = {
+  def eventsStreamFromFile(spark: SparkSession, parquetFile: String,
+      copies: Int = 1): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(parquetFile), dir.resolve("part-0.parquet"))
+    (0 until copies).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(parquetFile), dir.resolve(s"part-$i.parquet"))
+    }
     eventsStream(spark, dir.toString)
   }
+
+  /** Exactly-once dedup under at-least-once delivery:
+    * `dropDuplicatesWithinWatermark` keyed by `keyCol`, with state
+    * evicted once the event-time watermark passes a key — bounded state
+    * on an unbounded stream, the property a plain `dropDuplicates`
+    * lacks. Duplicates are only guaranteed caught while the key is in
+    * state (arriving within the watermark delay); an AvailableNow
+    * replay without `maxFilesPerTrigger` processes all staged files in
+    * one batch, so re-staged copies always fall inside it.
+    */
+  def dedupByKey(events: DataFrame, keyCol: String, watermark: String,
+      tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Watermarked stream-stream interval join: right rows within
+    * `[tLeft, tLeft + maxGap]` on an equi-key. Both inputs MUST carry
+    * watermarks (caller's `withWatermark`) — that is what lets Spark
+    * evict join state; without them state grows unboundedly. Inner
+    * join: matches emit as soon as both sides arrive, so an
+    * AvailableNow replay emits every match.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyLeft: String, keyRight: String,
+      tLeft: String, tRight: String, maxGap: String): DataFrame =
+    left.join(right,
+      col(keyLeft) === col(keyRight) &&
+        col(tRight) >= col(tLeft) &&
+        col(tRight) <= col(tLeft) + expr(s"interval $maxGap"))
 
   /** Tumbling-window hourly aggregate with a watermark — the streaming
     * twin of the batch `events_hourly` catalog query.

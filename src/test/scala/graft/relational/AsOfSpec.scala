@@ -1,0 +1,44 @@
+package graft.relational
+
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 10L, "at-tie"), (1L, 20L, "after-both"), (1L, 5L, "before-all"),
+    (2L, 10L, "no-right-key")
+  ).toDF("k", "t", "tag")
+
+  private def right = Seq(
+    (1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0)
+  ).toDF("k", "rt", "price")
+
+  test("matches latest preceding right row; ties inclusive; nulls when none") {
+    val out = AsOf.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rt", "price"))
+      .collect()
+      .map(r => r.getString(2) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out("at-tie") == ((Some(10L), Some(100.0))),
+      s"equal timestamps must match (inclusive): $out")
+    assert(out("after-both") == ((Some(15L), Some(150.0))))
+    assert(out("before-all") == ((None, None)))
+    assert(out("no-right-key") == ((None, None)))
+  }
+
+  test("rejects payload columns colliding with left") {
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left, right.withColumnRenamed("price", "tag"),
+        Seq("k"), "t", "rt", Seq("tag"))
+    }
+  }
+
+  test("multiple left rows between two right rows all match the earlier one") {
+    val l = Seq((1L, 11L, "x"), (1L, 12L, "y"), (1L, 14L, "z")).toDF("k", "t", "tag")
+    val out = AsOf.asofJoin(l, right, Seq("k"), "t", "rt", Seq("price"))
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(out == Map("x" -> 100.0, "y" -> 100.0, "z" -> 100.0))
+  }
+}

@@ -103,6 +103,60 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup drops redelivered keys across batches within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = Streams.dedupByKey(
+      input.toDS().toDF("event_id", "ts", "value"), "event_id", "1 hour")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val t0 = 100000000L
+      input.addData((1L, new Timestamp(t0), 1.0), (2L, new Timestamp(t0 + 1000), 2.0))
+      q.processAllAvailable()
+      // batch 2 redelivers key 1 (same event time — within watermark) and
+      // adds key 3
+      input.addData((1L, new Timestamp(t0), 1.0),
+        (3L, new Timestamp(t0 + 2000), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"expected exactly-once ids, got $ids")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches only in-window same-key pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchasesIn = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = clicksIn.toDS().toDF("user_id", "click_id", "click_ts")
+      .withWatermark("click_ts", "1 hour")
+    val purchases = purchasesIn.toDS()
+      .toDF("p_user_id", "purchase_id", "purchase_ts")
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = Streams.intervalJoin(clicks, purchases,
+      "user_id", "p_user_id", "click_ts", "purchase_ts", "1 hour")
+    val q = joined.select("click_id", "purchase_id").writeStream
+      .format("memory").queryName("interval_join_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val t0 = 200000000L
+      clicksIn.addData((7L, 100L, new Timestamp(t0)))
+      purchasesIn.addData(
+        (7L, 200L, new Timestamp(t0 + 30 * 60 * 1000)), // +30 min: match
+        (7L, 201L, new Timestamp(t0 + 2 * 3600 * 1000)), // +2 h: outside gap
+        (7L, 202L, new Timestamp(t0 - 1000)),            // before click
+        (8L, 203L, new Timestamp(t0 + 1000)))            // other user
+      q.processAllAvailable()
+      val got = spark.table("interval_join_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 200L)), s"unexpected matches: $got")
+    } finally q.stop()
+  }
+
   test("open-session snapshot tracks in-progress sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.SessionEvent]
