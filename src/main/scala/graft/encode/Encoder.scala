@@ -50,7 +50,11 @@ object Encoder {
       labelCategories: Int = 0,
       structMode: StructMode = SumReduce,
       maxLiteralKeys: Int = 4096,
-      fitMaxKeys: Int = 1 << 20)
+      fitMaxKeys: Int = 1 << 20,
+      /** Polynomial degree of the numeric transform: out = Σ_p W[p]·z^p
+        * for p < mappingPower (2 = the reference's affine W₀ + W₁·z).
+        */
+      mappingPower: Int = 2)
 
   /** Immutable model state — the reference's mutable `ModelingData`
     * (`ModelingData.scala:26-29`) snapshotted per iteration instead of
@@ -119,7 +123,8 @@ object Encoder {
       else Moments.computeOf(df, num.map(p => p.path -> p.column)).map {
         case (p, s) =>
           p -> NumericTransform(p, s.n, s.mean, s.stdPop,
-            Deterministic.transformWeights(p, spec.featureDim))
+            Deterministic.transformWeights(p, spec.featureDim,
+              spec.mappingPower))
       }
 
     ModelState(spec, representations, transforms)
@@ -149,14 +154,37 @@ object Encoder {
       val fallback = udf((k: String) => initialRepresentation(spec, k))
       coalesce(element_at(mapLit, key), fallback(key))
     } else {
-      // broadcast path: one small broadcast, misses computed in place
-      val bc = spark.sparkContext.broadcast(state.representations)
+      // broadcast path: ONE broadcast per ModelState (cached), misses
+      // computed in place
+      val bc = broadcastFor(spark, state)
       val spec = state.spec
       val lookup = udf((k: String) =>
         bc.value.getOrElse(k, initialRepresentation(spec, k)).toSeq)
       lookup(key)
     }
   }
+
+  /** Representation broadcasts, cached per ModelState so repeated
+    * encodes (line-search probes, long sessions) reuse one broadcast
+    * per state snapshot instead of leaking one per categorical leaf per
+    * call. Weak keys: when a state snapshot is dropped, its entry — and
+    * with it the only strong reference to the Broadcast handle — goes
+    * too, letting Spark's ContextCleaner unpersist the blocks.
+    */
+  private val bcCache = new java.util.WeakHashMap[ModelState,
+    org.apache.spark.broadcast.Broadcast[Map[String, Array[Double]]]]
+
+  private def broadcastFor(spark: SparkSession, state: ModelState)
+      : org.apache.spark.broadcast.Broadcast[Map[String, Array[Double]]] =
+    bcCache.synchronized {
+      val cached = bcCache.get(state)
+      if (cached != null) cached
+      else {
+        val bc = spark.sparkContext.broadcast(state.representations)
+        bcCache.put(state, bc)
+        bc
+      }
+    }
 
   /** T-2 as a pure expression: `out[k] = W[0][k] + W[1][k]·z + …`. */
   private def numericExpr(state: ModelState, p: FeaturePath): Column = {

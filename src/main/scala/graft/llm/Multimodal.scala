@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   *
   * Convention: media travels as an opaque `binary` column plus a typed
   * metadata struct (`mime`, `width`, `height`, `duration_ms`,
-  * `n_bytes`). All Spark-side plumbing — schema, batch shape,
-  * partition sizing — is real; the actual codec work is STUBBED behind
-  * [[decodeStub]] (this container ships no image/audio libraries) with
-  * a deterministic fake so pipelines and tests exercise the full path.
+  * `n_bytes`). IMAGE decode ([[decodeImage]]) and resize
+  * ([[resizeImage]]) are REAL — `javax.imageio` ships with the JDK, so
+  * PNG/JPEG/BMP/GIF dimensions come from the actual codec (header-only
+  * read, no pixel decode) and resize re-encodes actual pixels.
+  * Audio/video work is STUBBED behind [[decodeStub]] /
+  * [[frameSampleStub]] (no demuxer libraries in this container) with a
+  * deterministic fake so pipelines and tests exercise the full path.
   */
 object Multimodal {
 
@@ -37,11 +40,43 @@ object Multimodal {
         length(content.cast(BinaryType)).cast(IntegerType).as("n_bytes"))
         .as("meta"))
 
-  /** STUB decode — deterministic fake dimensions derived from the
-    * content hash, standing in for a real image decoder (library absent
-    * in this environment; swap the body for e.g. javax.imageio /
-    * a JNI codec in production). The signature, null-safety, and
-    * batch shape are the real contract.
+  /** REAL image decode via `javax.imageio`: (width, height, channels)
+    * from the actual codec. Reads only the header — `ImageReader
+    * .getWidth/getHeight` never decodes pixel data for PNG/JPEG/BMP/GIF
+    * — so cost per row is O(header), not O(pixels): the property that
+    * lets a metadata pass over 100 TB of images run at scan speed.
+    * Returns null for bytes no installed reader recognizes.
+    */
+  val decodeImage: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((content: Array[Byte]) =>
+      if (content == null) null
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val bands =
+                try r.getRawImageType(0) match {
+                  case null => 3
+                  case t => t.getNumBands
+                } catch { case _: Exception => 3 }
+              (r.getWidth(0), r.getHeight(0), bands)
+            } finally r.dispose()
+          }
+        } catch { case _: java.io.IOException => null }
+        finally iis.close()
+      })
+
+  /** STUB decode for audio/video — deterministic fake dimensions
+    * derived from the content hash, standing in for a demuxer (library
+    * absent in this environment; swap the body for a real one in
+    * production). The signature, null-safety, and batch shape are the
+    * real contract.
     */
   val decodeStub: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((content: Array[Byte]) =>
@@ -55,9 +90,14 @@ object Multimodal {
         (w, ht, 3)
       })
 
-  /** Decode metadata for a media struct column → filled meta struct. */
+  /** Decode metadata for a media struct column → filled meta struct.
+    * Mimes starting with "image/" go through the REAL `javax.imageio`
+    * decoder; other modalities fall back to the documented stub.
+    */
   def withDecodedMeta(df: DataFrame, mediaCol: String): DataFrame = {
-    val decoded = decodeStub(col(s"$mediaCol.content"))
+    val isImage = col(s"$mediaCol.meta.mime").startsWith("image/")
+    val decoded = when(isImage, decodeImage(col(s"$mediaCol.content")))
+      .otherwise(decodeStub(col(s"$mediaCol.content")))
     df.withColumn("decoded",
         struct(
           col(s"$mediaCol.meta.mime").as("mime"),
@@ -66,6 +106,39 @@ object Multimodal {
           col(s"$mediaCol.meta.duration_ms").as("duration_ms"),
           col(s"$mediaCol.meta.n_bytes").as("n_bytes")))
   }
+
+  /** REAL image resize: decode, scale the long edge down to `maxDim`
+    * (never upscale), re-encode as PNG. Returns (width, height, bytes);
+    * null when the bytes aren't a decodable image. Pixel work is real —
+    * use [[repartitionByBytes]] upstream so partition memory tracks
+    * image bytes.
+    */
+  def resizeImage(maxDim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((content: Array[Byte]) => {
+      val img =
+        if (content == null) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+          catch { case _: java.io.IOException => null }
+      if (img == null) null
+      else {
+        val scale = math.min(1.0,
+          maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+        val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+        val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        (nw, nh, bos.toByteArray)
+      }
+    })
 
   /** STUB feature extraction: a deterministic `dim`-wide embedding from
     * content bytes (stands in for a vision/audio encoder). Plumbing is

@@ -1283,13 +1283,47 @@ object Catalog {
       import graft.llm.Multimodal
       val media = Tables.documents(s, d).select(
         col("doc_id"),
-        Multimodal.asMedia(col("text"), "image/fake").as("media"))
+        Multimodal.asMedia(col("text"), "video/fake").as("media"))
       Multimodal.withDecodedMeta(media, "media")
         .select(col("doc_id"), col("decoded.width"), col("decoded.height"),
           col("decoded.n_bytes"))
         .orderBy(col("doc_id"))
     },
     None)
+
+  /** REAL image decode round-trip, oracle-checked: per-doc PNG bytes
+    * whose dimensions are a deterministic function of doc_id, pushed
+    * through `javax.imageio` header decode. The oracle predicts the
+    * dimensions the codec must recover — a wrong decoder (or a stub)
+    * cannot pass this.
+    */
+  val multimodalDecode = RegisteredQuery(
+    "multimodal_decode",
+    (s, d) => {
+      import graft.llm.Multimodal
+      val pngFor = udf((id: Long) => {
+        val w = 16 + (id % 32).toInt
+        val h = 12 + (id % 24).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, (id * 2654435761L).toInt)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })
+      val media = Tables.documents(s, d).select(
+        col("doc_id"),
+        Multimodal.asMedia(pngFor(col("doc_id")), "image/png").as("media"))
+      Multimodal.withDecodedMeta(media, "media")
+        .select(col("doc_id"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(16 + doc_id % 32 AS INTEGER) AS width,
+      CAST(12 + doc_id % 24 AS INTEGER) AS height
+      FROM documents ORDER BY doc_id"""))
 
   // ---------------------------------------------------------- registry
 
@@ -1310,7 +1344,7 @@ object Catalog {
     textStats, docFingerprint, docWinnow, langId, qualityScore,
     dedupMinhash, dedupPairs, dedupSimhash, dedupSimhashPairs,
     simTopkBrute, simTopkAnn,
-    simNeardupExact, simNeardupLsh, multimodalMeta)
+    simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode)
 
   def byName(name: String): RegisteredQuery =
     all.find(_.name == name).getOrElse(

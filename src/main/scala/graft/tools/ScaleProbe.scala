@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity}
+import graft.relational.Skew
+import graft.sources.Tables
+
+/** Scale probe for the dedup/ANN candidate paths: blow the documents /
+  * embeddings fixtures up N× in-memory (near-dup variants, so copies
+  * stress buckets the way real redundancy does), re-derive the
+  * `bitsFor`-scaled parameters, and report bucket-size distributions +
+  * wall time at 1× and N×. The question answered: does max bucket stay
+  * bounded and wall time sub-quadratic as the corpus grows? Results are
+  * recorded in BASELINE.md.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+      else Seq(1, 10)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def bucketStats(df: DataFrame, keyCols: Seq[String]): String = {
+      val sizes = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("max"),
+          expr("percentile_approx(n, 0.5)").as("p50"),
+          expr("percentile_approx(n, 0.99)").as("p99"),
+          count(lit(1)).as("buckets"))
+        .collect().head
+      s"buckets=${sizes.getLong(3)} p50=${sizes.getLong(1)} " +
+        s"p99=${sizes.getLong(2)} max=${sizes.getLong(0)}"
+    }
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    mults.foreach { mult =>
+      // ---- documents: MinHash banding path
+      val docs0 = Tables.documents(spark, sfDir)
+      val docs = (if (mult == 1) docs0
+        else docs0
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), lit(mult - 1))).as("copy"))
+          .select((col("doc_id") * mult + col("copy")).as("doc_id"),
+            // textual variant per copy → near-dup family, not exact dup
+            concat(col("text"), lit(" variant marker "),
+              col("copy").cast("string")).as("text")))
+        .persist()
+      val nDocs = docs.count()
+      val bandRows = docs.select(col("doc_id").as("id"),
+        explode(Dedup.bandHashes(col("text"))).as("band"))
+      val bandStats = bucketStats(bandRows, Seq("band"))
+      val (nPairs, tPairs) = timed(
+        Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7).count())
+      println(s"[probe] docs x$mult n=$nDocs minhash_buckets{$bandStats} " +
+        f"pairs=$nPairs time=$tPairs%.2fs")
+
+      // ---- embeddings: multi-table LSH path (bitsFor-scaled)
+      val emb0 = Tables.embeddings(spark, sfDir)
+      val emb = (if (mult == 1) emb0
+        else emb0
+          .select(col("vec_id"), col("embedding"),
+            explode(sequence(lit(0), lit(mult - 1))).as("copy"))
+          .select((col("vec_id") * mult + col("copy")).as("vec_id"),
+            // identical vectors per family: the worst-case bucket skew
+            col("embedding")))
+        .persist()
+      val nVecs = emb.count()
+      val bits = Similarity.bitsFor(nVecs)
+      val index = Similarity.multiTableIndex(emb, "embedding", "vec_id",
+        dim = 64, bits = bits, tables = 8)
+      val sigStats = bucketStats(
+        index.select(col("table"), col("sig")), Seq("table", "sig"))
+      val (nSim, tSim) = timed(
+        Similarity.similarityJoinMultiTable(index, emb, "embedding", "vec_id",
+          threshold = 0.5).count())
+      println(s"[probe] emb x$mult n=$nVecs bits=$bits " +
+        f"lsh_buckets{$sigStats} pairs=$nSim time=$tSim%.2fs")
+      docs.unpersist(); emb.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -83,10 +83,21 @@ object DistributedTrainer {
       val t = state.transforms(p.path)
       coalesce((p.column.cast("double") - lit(t.mean)) / lit(t.safeStd), lit(0.0))
     }
+    // dirty labels fail HERE with an actionable message, not as an NPE /
+    // ArrayIndexOutOfBounds deep inside a gradient task
+    val lbl = col(labelCol).cast("int") - lit(1)
+    val checkedLabel =
+      when(lbl.isNull || lbl < 0 || lbl >= labelCategories,
+        raise_error(concat(
+          lit(s"label column '$labelCol' must be in 1..$labelCategories " +
+            "and non-null; got "),
+          coalesce(col(labelCol).cast("string"), lit("null"))))
+          .cast("int"))
+        .otherwise(lbl)
     df.select(
       (if (catKeys.nonEmpty) array(catKeys: _*) else array().cast("array<string>")).as("keys"),
       (if (zs.nonEmpty) array(zs: _*) else array().cast("array<double>")).as("zs"),
-      (col(labelCol).cast("int") - lit(1)).as("label"))
+      checkedLabel.as("label"))
   }
 
   /** Numeric leaf paths in the column order `prepare` emitted them. */
@@ -133,8 +144,16 @@ object DistributedTrainer {
           var i = 0; while (i < dim) { x(i) += v(i); i += 1 }
         }
         zs.zipWithIndex.foreach { case (z, j) =>
+          // x += Σ_p W[p]·z^p — the power loop follows weights.length so
+          // trainer and encoder (numericExpr) cannot diverge on a
+          // non-default mappingPower
           val w = st.transforms(paths(j)).weights
-          var i = 0; while (i < dim) { x(i) += w(0)(i) + w(1)(i) * z; i += 1 }
+          var p = 0; var zp = 1.0
+          while (p < w.length) {
+            val wp = w(p)
+            var i = 0; while (i < dim) { x(i) += wp(i) * zp; i += 1 }
+            zp *= z; p += 1
+          }
         }
         val (loss, layerGrads, dx) = network.gradients(x, label)
         lossSum += loss
@@ -147,10 +166,16 @@ object DistributedTrainer {
           var i = 0; while (i < dim) { acc(i) += dx(i); i += 1 }
         }
         zs.zipWithIndex.foreach { case (z, j) =>
+          // ∂L/∂W[p] = dx · z^p, one accumulator row per power slot
+          val nPowers = st.transforms(paths(j)).weights.length
           val acc = trans.getOrElseUpdate(paths(j),
-            Array(new Array[Double](dim), new Array[Double](dim)))
-          var i = 0
-          while (i < dim) { acc(0)(i) += dx(i); acc(1)(i) += dx(i) * z; i += 1 }
+            Array.fill(nPowers)(new Array[Double](dim)))
+          var p = 0; var zp = 1.0
+          while (p < nPowers) {
+            val a = acc(p)
+            var i = 0; while (i < dim) { a(i) += dx(i) * zp; i += 1 }
+            zp *= z; p += 1
+          }
         }
       }
       Iterator.single(Grads(lossSum, count, netG, emb.toMap, trans.toMap))

@@ -17,10 +17,60 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getInt(1) == 21)
   }
 
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8800) // non-uniform content
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode reads PNG dimensions from the codec") {
+    val df = Seq(
+      (1L, pngBytes(123, 77), "image/png"),
+      (2L, "not an image".getBytes("UTF-8"), "image/png"),
+      (3L, "a video payload".getBytes("UTF-8"), "video/fake"))
+      .toDF("id", "payload", "mime")
+    val media = df.select(col("id"), col("mime"),
+      Multimodal.asMedia(col("payload"), "unused").as("m0"))
+      // patch the mime into the meta struct per-row
+      .select(col("id"),
+        org.apache.spark.sql.functions.struct(
+          col("m0.content").as("content"),
+          org.apache.spark.sql.functions.struct(
+            col("mime"), col("m0.meta.width"), col("m0.meta.height"),
+            col("m0.meta.duration_ms"), col("m0.meta.n_bytes")).as("meta"))
+          .as("m"))
+    val out = Multimodal.withDecodedMeta(media, "m")
+      .select(col("id"), col("decoded.width"), col("decoded.height"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2))))).toMap
+    assert(out(1L) == Some((123, 77)), s"real PNG dims wrong: $out")
+    assert(out(2L).isEmpty, "undecodable image bytes must yield null dims")
+    assert(out(3L).isDefined, "video mime must take the stub path")
+  }
+
+  test("real image resize scales long edge to maxDim and re-encodes") {
+    val df = Seq((1L, pngBytes(200, 100))).toDF("id", "payload")
+      .select(col("id"), Multimodal.resizeImage(50)(col("payload")).as("r"))
+    val r = df.select(col("r._1"), col("r._2"), col("r._3")).collect().head
+    assert(r.getInt(0) == 50 && r.getInt(1) == 25, "aspect-preserving scale")
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+    assert(resized.getWidth == 50 && resized.getHeight == 25,
+      "re-encoded bytes must decode to the new dimensions")
+    // never upscale
+    val small = Seq((1L, pngBytes(30, 20))).toDF("id", "payload")
+      .select(Multimodal.resizeImage(50)(col("payload")).as("r"))
+      .select(col("r._1"), col("r._2")).collect().head
+    assert(small.getInt(0) == 30 && small.getInt(1) == 20)
+  }
+
   test("stub decode is deterministic and null-safe") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, null))
       .toDF("id", "payload")
-      .select(col("id"), Multimodal.asMedia(col("payload"), "image/fake").as("m"))
+      .select(col("id"), Multimodal.asMedia(col("payload"), "video/fake").as("m"))
     val out = Multimodal.withDecodedMeta(df, "m")
       .select(col("id"), col("decoded.width"), col("decoded.height"))
       .collect()

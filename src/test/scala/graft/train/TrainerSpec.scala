@@ -77,6 +77,38 @@ class TrainerSpec extends SparkSpec {
     assert(correct >= 45, s"only $correct/50 correct on separable data")
   }
 
+  test("non-default mappingPower trains consistently (encoder == trainer)") {
+    // quadratic term in the numeric transform: trainer's power loop must
+    // follow weights.length, not assume the affine default
+    val rows = (1 to 200).map { i =>
+      if (i % 2 == 0) ("alpha", 2.0 + (i % 5) * 0.1, 1)
+      else ("beta", -2.0 - (i % 5) * 0.1, 2)
+    }
+    val df = rows.toDF("cat", "x", "label")
+    val result = DistributedTrainer.fit(spark, df,
+      EncoderSpec(featureDim = 6, mappingPower = 3),
+      DistributedTrainer.TrainConfig(
+        hidden = Seq(8), classes = 2, labelCol = "label",
+        iterations = 6, initialStep = 1.0))
+    val h = result.lossHistory
+    assert(h.last < h.head * 0.8,
+      s"mappingPower=3 loss did not decrease: ${h.head} -> ${h.last}")
+    assert(result.state.transforms.values.forall(_.weights.length == 3))
+  }
+
+  test("dirty labels fail in prepare with an actionable message") {
+    val df = Seq(("a", 1.0, 1), ("b", -1.0, 7)).toDF("cat", "x", "label")
+    val state = graft.encode.Encoder.fit(df.drop("label"), EncoderSpec(featureDim = 4))
+    val ex = intercept[Exception] {
+      DistributedTrainer.prepare(df, state, "label", labelCategories = 2)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("must be in 1..2")),
+      s"unhelpful error: ${messages(ex)}")
+  }
+
   test("schedule loop runs stages with sampling without error") {
     val rows = (1 to 500).map { i =>
       if (i % 2 == 0) ("a", 1.0, 1) else ("b", -1.0, 2)
