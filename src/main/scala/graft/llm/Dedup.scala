@@ -311,6 +311,24 @@ object Dedup {
       .distinct() // a pair may share several chunks; report once
   }
 
+  /** Corpus-scaled chunk count for [[simhashPairs]]. Pieces must stay
+    * selective — a piece of width w has only 2^w values, so bucket
+    * occupancy is ~n/2^w per chunk: at 5 000 docs 4-bit pieces put
+    * ~300 docs in every bucket and candidate generation degenerates
+    * toward all-pairs (measured 26 s vs <1 s at sf0.1). Piece width
+    * must grow like log2(n) — which shrinks the guaranteed recall
+    * radius (chunks−1): the fundamental SimHash pigeonhole tradeoff
+    * (the same n-scaling as [[Similarity.bitsFor]]).
+    *
+    *   n < 16k → 8 chunks of 8 bits (recall ≤ 7);
+    *   n < 4M  → 4 chunks of 16 bits (recall ≤ 3, the Manku et al.
+    *             web-scale standard);
+    *   else    → 2 chunks of 32 bits (recall ≤ 1; prefer MinHash-LSH
+    *             for wider radii at that scale).
+    */
+  def chunksFor(n: Long): Int =
+    if (n < (1L << 14)) 8 else if (n < (1L << 22)) 4 else 2
+
   // ------------------------------------------------------------- metrics
 
   private val obsId = new java.util.concurrent.atomic.AtomicInteger

@@ -1165,16 +1165,27 @@ object Catalog {
   /** SimHash near-dup pairs via chunk pigeonhole — the bucketed,
     * maxBucket-guarded candidate path end-to-end (rows-only:
     * hash-dependent; planted recall + degenerate-bucket behavior pinned
-    * in DedupSpec). chunks=16 guarantees recall to hamming 15; ≤8
-    * keeps only strong near-dups.
+    * in DedupSpec). Chunk count is corpus-scaled (`chunksFor`): piece
+    * width must track log2(n) or buckets lose selectivity and the
+    * in-bucket expansion degenerates toward all-pairs. maxBucket=200:
+    * the synthetic corpus shares one vocabulary, so signature bits are
+    * biased and pieces concentrate (measured max bucket 2 472, 9.4M
+    * in-bucket pairs at sf0.1) — the cap keeps candidate volume
+    * output-bound and the observe() metric counts what was dropped.
+    * Low-hamming pairs share MANY chunks, so they survive unless every
+    * shared chunk is a hot bucket; planted recall is pinned in
+    * DedupSpec.
     */
   val dedupSimhashPairs = RegisteredQuery(
     "dedup_simhash_pairs",
-    (s, d) =>
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val chunks = graft.llm.Dedup.chunksFor(docs.count())
       graft.llm.Dedup.simhashPairs(
-        Tables.documents(s, d), "doc_id", "text",
-        chunks = 16, maxHamming = 8)
-        .orderBy(col("id_a"), col("id_b")),
+        docs, "doc_id", "text",
+        chunks = chunks, maxHamming = chunks - 1, maxBucket = 200)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     None)
 
   /** Brute-force cosine top-10 against the vec_id=0 embedding — exact,
