@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineDescriptor)
     ext.injectFunction(GraftFunctions.jaccardSortedDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilterRule)
   }
 }
 

@@ -1139,10 +1139,18 @@ object Catalog {
     None)
 
   /** MinHash-LSH candidate pairs with exact n-gram-Jaccard
-    * verification ≥0.7 (rows-only; planted-pair recall in DedupSpec).
-    * The fixture's documents are all DISTINCT as exact strings but
-    * contain planted near-duplicates — this finds 25 pairs at sf0.01
-    * (e.g. docs 8/245, Jaccard 0.988) that exact dedup cannot see.
+    * verification ≥0.7. The fixture's documents are all DISTINCT as
+    * exact strings but contain planted near-duplicates — this finds 25
+    * pairs at sf0.01 (e.g. docs 8/245, Jaccard 0.988) that exact dedup
+    * cannot see.
+    *
+    * Oracle: the EXACT quadratic all-pairs Jaccard (feasible for DuckDB
+    * at the check scale) — hash-equality therefore proves (a) the
+    * hashed-shingle merge-pass verifier computes the true set Jaccard
+    * (zero 64-bit collisions) and (b) banding recall is 1.0 on this
+    * corpus: the planted near-dups sit at Jaccard ≥0.9, where the
+    * 16-band/64-hash S-curve is ≈1. A recall miss would surface as a
+    * missing row.
     */
   val dedupPairs = RegisteredQuery(
     "dedup_pairs",
@@ -1150,7 +1158,24 @@ object Catalog {
       graft.llm.Dedup.nearDupPairs(
         Tables.documents(s, d), "doc_id", "text", threshold = 0.7)
         .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        FROM t)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.7
+      ORDER BY id_a, id_b"""))
 
   /** SimHash signatures per doc (rows-only). */
   val dedupSimhash = RegisteredQuery(
