@@ -664,8 +664,10 @@ object Catalog {
     (s, d) => {
       import graft.streaming.Streams
       val raw = Streams.eventsStreamFromFile(s, s"$d/events.parquet")
-      Streams.runAvailableNow(s, Streams.hourlyAgg(raw),
-          s"graft_stream_${System.nanoTime()}")
+      Streams.runAvailableNowWithPartitions(s, Streams.hourlyAgg(raw),
+          s"graft_stream_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          statePartitions = 8)
         .orderBy(col("hour_start"))
     },
     Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
@@ -691,9 +693,10 @@ object Catalog {
         .select(col("user_id"), col("ts"), col("value"))
         .as[Streams.SessionEvent]
       val sessions = Streams.sessionize(raw, gapMs = 2L * 3600 * 1000)
-      Streams.runAvailableNow(s, sessions.toDF(),
+      Streams.runAvailableNowWithPartitions(s, sessions.toDF(),
           s"graft_sessions_${System.nanoTime()}",
-          org.apache.spark.sql.streaming.OutputMode.Append())
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          statePartitions = 8)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_closed_sessions"),
           round(sum(col("sum_value")), 2).as("total_value"))
@@ -733,9 +736,10 @@ object Catalog {
       val raw = Streams.eventsStreamFromFile(s, s"$d/events.parquet",
         copies = 2)
       val deduped = Streams.dedupByKey(raw, "event_id", "2 hours")
-      Streams.runAvailableNow(s, deduped,
+      Streams.runAvailableNowWithPartitions(s, deduped,
           s"graft_stream_dedup_${System.nanoTime()}",
-          org.apache.spark.sql.streaming.OutputMode.Append())
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          statePartitions = 8)
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"))
@@ -755,24 +759,26 @@ object Catalog {
     "streaming_join",
     (s, d) => {
       import graft.streaming.Streams
-      val clicks = Streams
-        .eventsStreamFromFile(s, s"$d/events.parquet")
+      // one staged source, filtered twice (stream self-join): half the
+      // source scan + offset tracking of two independent file streams
+      val raw = Streams.eventsStreamFromFile(s, s"$d/events.parquet")
+      val clicks = raw
         .filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
         .withWatermark("click_ts", "1 hour")
-      val purchases = Streams
-        .eventsStreamFromFile(s, s"$d/events.parquet")
+      val purchases = raw
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user_id"),
           col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
         .withWatermark("purchase_ts", "1 hour")
       val joined = Streams.intervalJoin(clicks, purchases,
         "user_id", "p_user_id", "click_ts", "purchase_ts", "24 hours")
-      Streams.runAvailableNow(s, joined
+      Streams.runAvailableNowWithPartitions(s, joined
           .select(col("user_id"), col("click_id"), col("purchase_id")),
           s"graft_stream_join_${System.nanoTime()}",
-          org.apache.spark.sql.streaming.OutputMode.Append())
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          statePartitions = 8)
         .orderBy(col("click_id"), col("purchase_id"))
     },
     Some("""SELECT c.user_id, c.event_id AS click_id,
@@ -1288,11 +1294,16 @@ object Catalog {
       ORDER BY id_a, id_b"""))
 
   /** Embedding near-dup pairs at scale: same threshold, candidates
-    * restricted to shared LSH buckets across 8 independent 4-bit tables
-    * (single-table recall for a cosine-0.5 pair is only ~(2/3)^bits;
-    * the OR over tables lifts it above 80%). No all-pairs join —
-    * rows-only; recall vs the exact baseline is probed in
-    * SimilaritySpec.
+    * restricted to shared LSH buckets across 8 independent bitsFor-
+    * scaled tables (single-table recall for a cosine-0.5 pair is only
+    * ~(2/3)^bits; the OR over tables lifts it above 80%). No all-pairs
+    * join.
+    *
+    * Oracle: the exact all-pairs answer (same SQL as
+    * `sim_neardup_exact`) — hash-green proves multi-table recall is
+    * 1.0 on this corpus in addition to score arithmetic parity; a
+    * recall miss would surface as a missing row. General-case recall
+    * bounds are probed in SimilaritySpec.
     */
   val simNeardupLsh = RegisteredQuery(
     "sim_neardup_lsh",
@@ -1307,7 +1318,14 @@ object Catalog {
         .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
         .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      round(list_cosine_similarity(a.embedding::DOUBLE[],
+        b.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(a.embedding::DOUBLE[],
+          b.embedding::DOUBLE[]) >= 0.5
+      ORDER BY id_a, id_b"""))
 
   /** Multimodal plumbing: documents text → binary media struct → stub
     * decode → typed metadata (rows-only; the decode is a documented

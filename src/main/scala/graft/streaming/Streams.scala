@@ -199,4 +199,23 @@ object Streams {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Run with stateful-shuffle parallelism right-sized for the stream:
+    * a streaming query pins `spark.sql.shuffle.partitions` at start and
+    * instantiates one state store per partition per stateful operator
+    * (a stream-stream join keeps FOUR per partition) — at batch-bench
+    * volumes, 32 partitions mean store setup dwarfs the data. State
+    * partitioning is an ops knob: size it to stream volume (raise it
+    * for real firehoses; each micro-batch pays per-store overhead).
+    * The session conf is restored after the query starts.
+    */
+  def runAvailableNowWithPartitions(spark: SparkSession, streamed: DataFrame,
+      queryName: String, outputMode: OutputMode,
+      statePartitions: Int): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try runAvailableNow(spark, streamed, queryName, outputMode)
+    finally spark.conf.set(key, prev)
+  }
 }
