@@ -396,6 +396,65 @@ object Catalog {
         ON e.user_id = c.user_id AND e.ts >= c.click_ts
       ORDER BY e.event_id"""))
 
+  /** Forward as-of: each event joined to the user's NEXT click at or
+    * after it (time-to-next-action, the other as-of direction). Same
+    * union+window shape with the frame mirrored.
+    */
+  val joinAsofForward = RegisteredQuery(
+    "join_asof_forward",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("next_click_ts"))
+      graft.relational.AsOf.asofJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        clicks, Seq("user_id"), "ts", "next_click_ts", Seq("next_click_ts"),
+        forward = true)
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id, e.ts, c.next_click_ts
+      FROM events e ASOF LEFT JOIN
+        (SELECT user_id, ts AS next_click_ts FROM events
+         WHERE event_type = 'click') c
+        ON e.user_id = c.user_id AND e.ts <= c.next_click_ts
+      ORDER BY e.event_id"""))
+
+  /** TPC-H Q3 (shipping priority): the classic two-broadcast multi-join
+    * + aggregate + top-k — revenue of undelivered orders for one
+    * segment. Plan: customer/orders dims broadcast onto the lineitem
+    * scan with both date filters PUSHED, partial+final HashAggregate,
+    * TakeOrderedAndProject for the top 10.
+    */
+  val q3ShippingPriority = RegisteredQuery(
+    "q3_shipping_priority",
+    (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("string").as("orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("orderdate"), col("l_orderkey"))
+        .limit(10),
+    Some("""SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+        AS revenue,
+        CAST(o_orderdate AS VARCHAR) AS orderdate, o_orderpriority
+      FROM customer c
+      JOIN orders o ON c_custkey = o_custkey
+      JOIN lineitem l ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15'
+        AND l_shipdate > DATE '1995-03-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10"""))
+
   /** J-1/J-2 positional zip with a REAL oracle: both sides derive
     * narrowly from the same sorted parent (same partitioning), so the
     * narrow `RDD.zip` path pairs rows positionally — pair integrity is
@@ -1387,7 +1446,8 @@ object Catalog {
     stringFunctions, dateFunctions,
     stagingProjection, filterPushdown,
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
-    joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinSalted, zipFrames,
+    joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinAsofForward,
+    q3ShippingPriority, joinSalted, zipFrames,
     windowTopnPerGroup, windowRunningSum,
     topkOrders, setopUnion, setopExcept, setopIntersect,
     subqueryCorrelated, arrayFunctions,

@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** Join each `left` row to the latest `right` row with equal `keys`
-    * and `right.rightTime <= left.leftTime`.
+    * and `right.rightTime <= left.leftTime` — or, with
+    * `forward = true`, the EARLIEST right row with
+    * `right.rightTime >= left.leftTime`. Ties match inclusively in
+    * both directions.
     *
     * @param rightPayload right columns carried onto matches (must not
     *   collide with left column names); unmatched left rows get nulls
@@ -35,14 +38,15 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String], forward: Boolean = false): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name ≥1 column")
     val collisions = rightPayload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"rightPayload collides with left columns: $collisions")
     val leftCols = left.columns.toSeq
-    // tag: right rows sort BEFORE left rows at an equal timestamp so the
-    // running last() sees them (inclusive <= semantics)
+    // tie-break tag: right rows sort on the WINDOW side of left rows at
+    // an equal timestamp (before, for the backward running last();
+    // after, for the forward running first()) so `<=`/`>=` ties match
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))
@@ -51,12 +55,18 @@ object AsOf {
         struct(rightPayload.map(col): _*).as("__pay"): _*)
       .withColumn("__is_left", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__is_left").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(keys.map(col): _*)
+    val (w, pick) =
+      if (forward) (
+        base.orderBy(col("__t").asc, col("__is_left").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing),
+        first(col("__pay"), ignoreNulls = true))
+      else (
+        base.orderBy(col("__t").asc, col("__is_left").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        last(col("__pay"), ignoreNulls = true))
     val matched = unioned
-      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .withColumn("__m", pick.over(w))
       .filter(col("__is_left") === 1)
     matched.select(
       leftCols.map(col) ++

@@ -35,6 +35,21 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("forward direction matches earliest following right row, ties inclusive") {
+    val out = AsOf.asofJoin(left, right, Seq("k"), "t", "rt",
+      Seq("rt", "price"), forward = true)
+      .collect()
+      .map(r => r.getString(2) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out("at-tie") == ((Some(10L), Some(100.0))),
+      s"equal timestamps must match forward too: $out")
+    assert(out("before-all") == ((Some(10L), Some(100.0))))
+    assert(out("after-both") == ((None, None))) // nothing follows t=20
+    assert(out("no-right-key") == ((None, None)))
+  }
+
   test("multiple left rows between two right rows all match the earlier one") {
     val l = Seq((1L, 11L, "x"), (1L, 12L, "y"), (1L, 14L, "z")).toDF("k", "t", "tag")
     val out = AsOf.asofJoin(l, right, Seq("k"), "t", "rt", Seq("price"))
