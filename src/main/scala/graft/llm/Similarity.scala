@@ -76,19 +76,52 @@ object Similarity {
       signature(v, planes).as("sig"))
   }
 
+  /** Driver-side signature of one vector for one plane set (the same
+    * bit rule as the [[signature]] expression).
+    */
+  def signatureOf(vec: Array[Double], planes: Array[Array[Double]]): Long =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val d = plane.zip(vec).map { case (a, b) => a * b }.sum
+      if (d >= 0) 1L << p else 0L
+    }.sum
+
   /** ANN top-k: score only rows whose signature is within hamming
     * distance `probeHamming` of the query's signature (0 = own bucket,
     * 1 = own + all one-bit flips, …).
     */
   def topKAnn(index: DataFrame, query: Array[Double],
       planes: Array[Array[Double]], k: Int, probeHamming: Int = 1): DataFrame = {
-    val qSig = planes.zipWithIndex.map { case (plane, p) =>
-      val d = plane.zip(query).map { case (a, b) => a * b }.sum
-      if (d >= 0) 1L << p else 0L
-    }.sum
+    val qSig = signatureOf(query, planes)
     val q = typedLit(query.toSeq)
     index
       .filter(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probeHamming)
+      .select(col("id"), cosineNative(col("vec"), q).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Multi-table ANN top-k over a [[multiTableIndex]]: candidates are
+    * the union over L tables of rows within `probeHamming` of the
+    * query's per-table signature; exact cosine scores the DEDUPED
+    * candidate set, then top-k. A single b-bit table misses a
+    * moderately-similar neighbor with probability 1−p; the OR over L
+    * tables cuts that to (1−p)^L — recall is bought with tables, at L×
+    * index rows and ~L× probe cost, never coarser buckets. The dedup
+    * shuffle carries only the candidate set (~O(k·L·bucket) rows), not
+    * the corpus.
+    */
+  def topKAnnMultiTable(index: DataFrame, query: Array[Double],
+      dim: Int, bits: Int, tables: Int, k: Int, probeHamming: Int = 1,
+      seedPrefix: String = "lsh"): DataFrame = {
+    val probe = (0 until tables).map { t =>
+      val qSig = signatureOf(query, hyperplanes(dim, bits, s"$seedPrefix/t$t"))
+      col("table") === lit(t) &&
+        bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probeHamming
+    }.reduce(_ || _)
+    val q = typedLit(query.toSeq)
+    index.filter(probe)
+      .select(col("id"), col("vec"))
+      .dropDuplicates("id")
       .select(col("id"), cosineNative(col("vec"), q).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)

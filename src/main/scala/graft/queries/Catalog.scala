@@ -1301,8 +1301,13 @@ object Catalog {
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
-  /** LSH-bucketed ANN top-10 (rows-only; recall vs brute force is
-    * pinned in SimilaritySpec).
+  /** Multi-table LSH ANN top-10: candidates from 8 bitsFor-scaled
+    * tables, exact cosine on the candidate union. Approximate by
+    * design, but the multi-table OR recovers the EXACT top-10 on this
+    * corpus (the old single-table probe sat at recall 0.7) — so the
+    * brute-force oracle applies: hash-green certifies recall 1.0 here;
+    * a recall drop surfaces as a row mismatch. General-case recall
+    * bounds are pinned in SimilaritySpec.
     */
   val simTopkAnn = RegisteredQuery(
     "sim_topk_ann",
@@ -1312,16 +1317,21 @@ object Catalog {
       val query = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .collect().head.getSeq[Double](0).toArray
-      // 6 bits ≈ 64 buckets: sized for the 500-row fixture (probe set
-      // covers ~1/3 of buckets). At corpus scale, bits grows with
-      // log2(n / target-bucket-size) — the bucket count, not the probe
-      // fraction, is what scales.
-      val planes = Similarity.hyperplanes(query.length, bits = 6)
-      val index = Similarity.lshIndex(emb, "embedding", "vec_id", planes)
-      Similarity.topKAnn(index, query, planes, k = 10, probeHamming = 2)
-        .select(col("id"), round(col("score"), 6).as("score"))
+      val bits = Similarity.bitsFor(emb.count())
+      val index = Similarity.multiTableIndex(
+        emb, "embedding", "vec_id", dim = query.length, bits = bits,
+        tables = 8)
+      Similarity.topKAnnMultiTable(index, query,
+          dim = query.length, bits = bits, tables = 8, k = 10)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
     },
-    None)
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
 
   /** Embedding near-dup pairs, exact baseline: broadcast cross join at
     * fixture scale, oracle-checked against DuckDB's all-pairs cosine.

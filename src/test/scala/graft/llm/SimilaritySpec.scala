@@ -55,6 +55,34 @@ class SimilaritySpec extends SparkSpec {
       s"mean ANN recall too low: $recalls")
   }
 
+  test("multi-table ANN recall beats single-table and reaches >= 0.8") {
+    val vecs = randomVecs(500, 16)
+    val df = vecs.toDF("id", "vec")
+    val queries = Seq(0, 17, 91, 200).map(i => vecs(i)._2.toArray)
+    val bits = 4
+    val multi = Similarity.multiTableIndex(df, "vec", "id", dim = 16,
+      bits = bits, tables = 8).cache()
+    val single = Similarity.lshIndex(df, "vec", "id",
+      Similarity.hyperplanes(16, bits, "lsh/t0")).cache()
+    val (multiRecalls, singleRecalls) = queries.map { q =>
+      val brute = Similarity.topKBrute(df, "vec", "id", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val m = Similarity.topKAnnMultiTable(multi, q, dim = 16, bits = bits,
+          tables = 8, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      val s = Similarity.topKAnn(single,
+          q, Similarity.hyperplanes(16, bits, "lsh/t0"), 10)
+        .collect().map(_.getLong(0)).toSet
+      (brute.intersect(m).size / 10.0, brute.intersect(s).size / 10.0)
+    }.unzip
+    multi.unpersist(); single.unpersist()
+    val mMean = multiRecalls.sum / multiRecalls.size
+    val sMean = singleRecalls.sum / singleRecalls.size
+    assert(mMean >= 0.8, s"multi-table recall $multiRecalls")
+    assert(mMean > sMean,
+      s"multi-table ($mMean) must beat one table ($sMean)")
+  }
+
   test("lsh signature is deterministic and bucket-bounded") {
     val vecs = randomVecs(50, 8)
     val df = vecs.toDF("id", "vec")
