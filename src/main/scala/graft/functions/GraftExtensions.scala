@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.cosineDescriptor)
     ext.injectFunction(GraftFunctions.jaccardSortedDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilterRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -396,6 +396,31 @@ object Catalog {
         ON e.user_id = c.user_id AND e.ts >= c.click_ts
       ORDER BY e.event_id"""))
 
+  /** The same backward as-of join through the CUSTOM operator chain
+    * (AsOfJoinPlan logical node → AsOfJoinStrategy → AsOfJoinExec
+    * streaming merge pass, registered via SparkSessionExtensions) —
+    * hash-checked against the identical DuckDB ASOF JOIN oracle, so
+    * the custom physical operator has driver-verified correctness, not
+    * just spec equivalence.
+    */
+  val joinAsofNative = RegisteredQuery(
+    "join_asof_native",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      graft.relational.AsOf.asofJoinNative(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        clicks, Seq("user_id"), "ts", "click_ts", Seq("click_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id, e.ts, c.click_ts
+      FROM events e ASOF LEFT JOIN
+        (SELECT user_id, ts AS click_ts FROM events
+         WHERE event_type = 'click') c
+        ON e.user_id = c.user_id AND e.ts >= c.click_ts
+      ORDER BY e.event_id"""))
+
   /** Forward as-of: each event joined to the user's NEXT click at or
     * after it (time-to-next-action, the other as-of direction). Same
     * union+window shape with the frame mirrored.
@@ -1456,8 +1481,8 @@ object Catalog {
     stringFunctions, dateFunctions,
     stagingProjection, filterPushdown,
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
-    joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinAsofForward,
-    q3ShippingPriority, joinSalted, zipFrames,
+    joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinAsofNative,
+    joinAsofForward, q3ShippingPriority, joinSalted, zipFrames,
     windowTopnPerGroup, windowRunningSum,
     topkOrders, setopUnion, setopExcept, setopIntersect,
     subqueryCorrelated, arrayFunctions,

@@ -72,4 +72,40 @@ object AsOf {
       leftCols.map(col) ++
         rightPayload.map(f => col(s"__m.$f").as(f)): _*)
   }
+
+  /** The custom-operator formulation of the backward as-of join:
+    * [[graft.plans.AsOfJoinPlan]] planned by
+    * [[graft.plans.AsOfJoinStrategy]] into a single streaming merge
+    * pass per co-partition ([[graft.plans.AsOfJoinExec]]) — no union
+    * padding, no window buffering. Same semantics as
+    * `asofJoin(..., forward = false)`; requires the strategy to be
+    * registered (GraftExtensions). Null times must be filtered
+    * upstream.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name ≥1 column")
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightPayload collides with left columns: $collisions")
+    import org.apache.spark.sql.graft.Bridge
+    val lPlan = Bridge.planOf(left)
+    // re-alias every right column: fresh exprIds so a self-join (left and
+    // right sharing a scan) can't collide — the analyzer's
+    // DeduplicateRelations re-IDs child outputs but cannot rewrite a
+    // custom node's key references
+    val rPlan = Bridge.planOf(
+      right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*))
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name)}"))
+    Bridge.ofRows(left.sparkSession, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      rightPayload.map(attr(rPlan, _))))
+  }
 }
