@@ -54,6 +54,12 @@ final case class AsOfJoinExec(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
     (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
 
+  // output rows are the left rows in place: downstream operators keyed
+  // on the same columns reuse the exchange and sort instead of
+  // re-shuffling
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
