@@ -18,8 +18,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * The declared `requiredChildDistribution`/`requiredChildOrdering`
   * let `EnsureRequirements` insert the exchanges and sorts, so the
   * plan composes with AQE and exchange reuse like any built-in join.
-  * Backward direction only (matches `right.time <= left.time`,
-  * inclusive); null times must be filtered upstream.
+  * Backward (latest `right.time <= left.time`) and forward (earliest
+  * `right.time >= left.time`) directions, ties inclusive; null times
+  * must be filtered upstream.
   *
   * Semantically identical to [[graft.relational.AsOf.asofJoin]] (the
   * union+window formulation) — equivalence is pinned by
@@ -30,7 +31,8 @@ final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    rightPayload: Seq[Attribute]) extends BinaryNode {
+    rightPayload: Seq[Attribute],
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
@@ -45,7 +47,8 @@ final case class AsOfJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     rightPayload: Seq[Attribute],
-    output: Seq[Attribute]) extends BinaryExecNode {
+    output: Seq[Attribute],
+    forward: Boolean) extends BinaryExecNode {
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -89,26 +92,50 @@ final case class AsOfJoinExec(
       val nullPayload = new GenericInternalRow(payload.size)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      // held = the last right row consumed so far: (key copy, payload copy)
-      var heldKey: InternalRow = null
-      var heldPayload: InternalRow = null
-      lIter.map { lRow =>
-        val lk = lKeyProj(lRow)
-        val lt = lTimeProj(lRow)
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val head = rBuf.head
-          val cmp = keyOrd.compare(rKeyProj(head), lk)
-          if (cmp < 0 ||
-              (cmp == 0 && timeOrd.compare(rTimeProj(head), lt) <= 0)) {
-            heldKey = rKeyProj(head).copy()
-            heldPayload = payloadProj(head).copy()
-            rBuf.next()
-          } else advance = false
+      if (forward) {
+        // forward: match = the FIRST remaining right row with equal key
+        // and time >= left time. Right rows strictly behind the current
+        // left row are dead for every future left row too (left times
+        // ascend within a key) — discard, never copy, peek the head.
+        lIter.map { lRow =>
+          val lk = lKeyProj(lRow)
+          val lt = lTimeProj(lRow)
+          var scan = true
+          while (scan && rBuf.hasNext) {
+            val head = rBuf.head
+            val cmp = keyOrd.compare(rKeyProj(head), lk)
+            if (cmp < 0 ||
+                (cmp == 0 && timeOrd.compare(rTimeProj(head), lt) < 0))
+              rBuf.next()
+            else scan = false
+          }
+          val matched =
+            rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0
+          resultProj(joined(lRow,
+            if (matched) payloadProj(rBuf.head) else nullPayload))
         }
-        val matched =
-          heldKey != null && keyOrd.compare(heldKey, lk) == 0
-        resultProj(joined(lRow, if (matched) heldPayload else nullPayload))
+      } else {
+        // backward: held = the last right row consumed so far
+        var heldKey: InternalRow = null
+        var heldPayload: InternalRow = null
+        lIter.map { lRow =>
+          val lk = lKeyProj(lRow)
+          val lt = lTimeProj(lRow)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val cmp = keyOrd.compare(rKeyProj(head), lk)
+            if (cmp < 0 ||
+                (cmp == 0 && timeOrd.compare(rTimeProj(head), lt) <= 0)) {
+              heldKey = rKeyProj(head).copy()
+              heldPayload = payloadProj(head).copy()
+              rBuf.next()
+            } else advance = false
+          }
+          val matched =
+            heldKey != null && keyOrd.compare(heldKey, lk) == 0
+          resultProj(joined(lRow, if (matched) heldPayload else nullPayload))
+        }
       }
     }
   }
@@ -126,7 +153,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
         p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
-        p.rightPayload, p.output) :: Nil
+        p.rightPayload, p.output, p.forward) :: Nil
     case _ => Nil
   }
 }

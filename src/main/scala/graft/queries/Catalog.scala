@@ -444,6 +444,28 @@ object Catalog {
         ON e.user_id = c.user_id AND e.ts <= c.next_click_ts
       ORDER BY e.event_id"""))
 
+  /** Forward direction through the custom operator (peek-ahead merge
+    * variant of AsOfJoinExec) — same DuckDB forward ASOF oracle.
+    */
+  val joinAsofNativeForward = RegisteredQuery(
+    "join_asof_native_fwd",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("next_click_ts"))
+      graft.relational.AsOf.asofJoinNative(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        clicks, Seq("user_id"), "ts", "next_click_ts", Seq("next_click_ts"),
+        forward = true)
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id, e.ts, c.next_click_ts
+      FROM events e ASOF LEFT JOIN
+        (SELECT user_id, ts AS next_click_ts FROM events
+         WHERE event_type = 'click') c
+        ON e.user_id = c.user_id AND e.ts <= c.next_click_ts
+      ORDER BY e.event_id"""))
+
   /** TPC-H Q3 (shipping priority): the classic two-broadcast multi-join
     * + aggregate + top-k — revenue of undelivered orders for one
     * segment. Plan: customer/orders dims broadcast onto the lineitem
@@ -1482,7 +1504,8 @@ object Catalog {
     stagingProjection, filterPushdown,
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
     joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinAsofNative,
-    joinAsofForward, q3ShippingPriority, joinSalted, zipFrames,
+    joinAsofForward, joinAsofNativeForward, q3ShippingPriority,
+    joinSalted, zipFrames,
     windowTopnPerGroup, windowRunningSum,
     topkOrders, setopUnion, setopExcept, setopIntersect,
     subqueryCorrelated, arrayFunctions,

@@ -84,7 +84,7 @@ object AsOf {
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String], forward: Boolean = false): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name ≥1 column")
     val collisions = rightPayload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
@@ -106,6 +106,6 @@ object AsOf {
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      rightPayload.map(attr(rPlan, _))))
+      rightPayload.map(attr(rPlan, _)), forward))
   }
 }

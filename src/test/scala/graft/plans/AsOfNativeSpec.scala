@@ -31,6 +31,23 @@ class AsOfNativeSpec extends SparkSpec {
     }
   }
 
+  test("native forward exec agrees with the window form on random timelines") {
+    val left = leftRows.toDF("k", "t", "row_id")
+    val right = rightRows.toDF("k", "rt", "price")
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(2) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    val window = collectMap(AsOf.asofJoin(left, right, Seq("k"), "t", "rt",
+      Seq("rt", "price"), forward = true))
+    val native = collectMap(AsOf.asofJoinNative(left, right, Seq("k"), "t",
+      "rt", Seq("rt", "price"), forward = true))
+    leftRows.foreach { case (_, _, id) =>
+      assert(native(id) == window(id),
+        s"row $id: native ${native(id)} != window ${window(id)}")
+    }
+  }
+
   test("plan: AsOfJoinExec with planner-inserted exchanges and sorts") {
     val left = leftRows.toDF("k", "t", "row_id")
     val right = rightRows.toDF("k", "rt", "price")
