@@ -587,6 +587,31 @@ object Catalog {
         AS running_spend
       FROM orders ORDER BY o_custkey, o_orderkey"""))
 
+  /** Offset window functions (lag/lead — pass-through values, no
+    * arithmetic) + ntile bucketing; the deterministic tiebreak
+    * (o_orderkey) makes offsets reproducible across engines.
+    */
+  val windowLagLead = RegisteredQuery(
+    "window_lag_lead",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      lag(o_totalprice) OVER w AS prev_price,
+      lead(o_totalprice) OVER w AS next_price,
+      ntile(4) OVER w AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_orderkey"""))
+
   // --------------------------------------------------------- sort/top-k
 
   /** Global top-k: Spark plans TakeOrderedAndProject (no full sort). */
@@ -1506,7 +1531,7 @@ object Catalog {
     joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinAsofNative,
     joinAsofForward, joinAsofNativeForward, q3ShippingPriority,
     joinSalted, zipFrames,
-    windowTopnPerGroup, windowRunningSum,
+    windowTopnPerGroup, windowRunningSum, windowLagLead,
     topkOrders, setopUnion, setopExcept, setopIntersect,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
