@@ -59,6 +59,18 @@ class AsOfNativeSpec extends SparkSpec {
     assert(physical.contains("Sort ["), s"per-partition sorts required:\n$physical")
   }
 
+  test("entirely empty right side yields all-null payload, both engines") {
+    val left = Seq((1L, 10L, 1L), (2L, 20L, 2L)).toDF("k", "t", "row_id")
+    val right = Seq.empty[(Long, Long, Double)].toDF("k", "rt", "price")
+    Seq(
+      AsOf.asofJoin(left, right, Seq("k"), "t", "rt", Seq("price")),
+      AsOf.asofJoinNative(left, right, Seq("k"), "t", "rt", Seq("price")))
+      .foreach { df =>
+        val rows = df.collect()
+        assert(rows.length == 2 && rows.forall(_.isNullAt(3)), df.collect().toSeq)
+      }
+  }
+
   test("ties and missing keys behave like the window form") {
     val left = Seq((1L, 10L, 1L), (1L, 5L, 2L), (2L, 10L, 3L))
       .toDF("k", "t", "row_id")
