@@ -587,6 +587,23 @@ object Catalog {
         AS running_spend
       FROM orders ORDER BY o_custkey, o_orderkey"""))
 
+  /** Explicit GROUPING SETS (the general form rollup/cube desugar to),
+    * via the SQL surface; NULLS FIRST pinned for cross-engine ordering.
+    */
+  val aggGroupingSets = RegisteredQuery(
+    "agg_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""")
+    },
+    Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      FROM orders GROUP BY GROUPING SETS ((o_orderpriority),
+        (o_orderstatus), ())
+      ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""))
+
   /** Offset window functions (lag/lead — pass-through values, no
     * arithmetic) + ntile bucketing; the deterministic tiebreak
     * (o_orderkey) makes offsets reproducible across engines.
@@ -804,6 +821,35 @@ object Catalog {
     Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
       count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1 ORDER BY hour_start"""))
+
+  /** Sliding-window (1 h length, 30 min slide) event-type counts run as
+    * a stream to completion. Oracle: each event belongs to exactly TWO
+    * sliding windows — the 30-min-aligned one at floor30(ts) and the
+    * one 30 min earlier — so the batch twin is a UNION ALL of two
+    * shifted tumbling groupings. Stream/batch hash equality pins the
+    * overlapping window-assignment semantics.
+    */
+  val streamingSliding = RegisteredQuery(
+    "streaming_sliding",
+    (s, d) => {
+      import graft.streaming.Streams
+      val raw = Streams.eventsStreamFromFile(s, s"$d/events.parquet")
+      Streams.runAvailableNowWithPartitions(s, Streams.slidingTypeCounts(raw),
+          s"graft_stream_sliding_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          statePartitions = 8)
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""WITH w AS (
+        SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 1800000000)
+            AS window_start,
+          event_type FROM events
+        UNION ALL
+        SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 1800000000
+            - 1800000000),
+          event_type FROM events)
+      SELECT window_start, event_type, count(*) AS n
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Stateful streaming sessionization over the events fixture: user
     * sessions closed on a 2-hour event-time gap, aggregated to a
@@ -1531,11 +1577,12 @@ object Catalog {
     joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinAsofNative,
     joinAsofForward, joinAsofNativeForward, q3ShippingPriority,
     joinSalted, zipFrames,
-    windowTopnPerGroup, windowRunningSum, windowLagLead,
+    aggGroupingSets, windowTopnPerGroup, windowRunningSum, windowLagLead,
     topkOrders, setopUnion, setopExcept, setopIntersect,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
-    streamingSessions, streamingDedup, streamingJoin, sessionWindowBatch,
+    streamingSliding, streamingSessions, streamingDedup, streamingJoin,
+    sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, docFingerprint, docWinnow, langId, qualityScore,
