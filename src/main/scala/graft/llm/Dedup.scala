@@ -266,6 +266,13 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       chunks: Int = 4, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    // the in-bucket verifier carries (id, sig) as (Long, Long); require
+    // an integral id up front (clear error instead of an analysis-time
+    // encoder mismatch) — hash or dense-rank non-integral ids first
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"simhashPairs requires an integral idCol (widened to long); " +
+        s"'$idCol' is ${idType.simpleString}. Hash or rank string ids first.")
     require(chunks > 0 && 64 % chunks == 0,
       s"chunks must divide 64 evenly, got $chunks")
     require(maxHamming <= chunks - 1,
@@ -281,7 +288,7 @@ object Dedup {
     val exploded = sigs.select(col("id"), col("sig"),
       explode(array(pieces: _*)).as("cp"))
       .select(col("cp.chunk").as("chunk"), col("cp.piece").as("piece"),
-        struct(col("id").as("_1"), col("sig").as("_2")).as("member"))
+        struct(col("id").cast("long").as("_1"), col("sig").as("_2")).as("member"))
     // in-bucket pair expansion WITH verification: only pairs within
     // maxHamming leave the bucket, so output size tracks true near-dups
     val verifiedPairs = udf((members: Seq[(Long, Long)]) => {

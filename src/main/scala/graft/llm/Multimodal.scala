@@ -53,23 +53,29 @@ object Multimodal {
       else {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(content))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) null
-          else {
-            val r = readers.next()
-            try {
-              r.setInput(iis)
-              val bands =
-                try r.getRawImageType(0) match {
-                  case null => 3
-                  case t => t.getNumBands
-                } catch { case _: Exception => 3 }
-              (r.getWidth(0), r.getHeight(0), bands)
-            } finally r.dispose()
-          }
-        } catch { case _: java.io.IOException => null }
-        finally iis.close()
+        if (iis == null) null // no ImageInputStream SPI available
+        else {
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) null
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(iis)
+                val bands =
+                  try r.getRawImageType(0) match {
+                    case null => 3
+                    case t => t.getNumBands
+                  } catch { case _: Exception => 3 }
+                (r.getWidth(0), r.getHeight(0), bands)
+              } finally r.dispose()
+            }
+            // NonFatal, not just IOException: codecs throw runtime
+            // exceptions on corrupt headers, and one bad blob must not
+            // fail the whole job — unreadable ⇒ null, as documented
+          } catch { case scala.util.control.NonFatal(_) => null }
+          finally iis.close()
+        }
       })
 
   /** STUB decode for audio/video — deterministic fake dimensions

@@ -103,7 +103,9 @@ object TextAnalysis {
   def langScore(text: Column, profile: Seq[String]): Column =
     if (profile.forall(_.length == 1)) {
       val norm = normalized(text)
-      val cls = "[" + profile.mkString + "]"
+      // \Q..\E-quote each char so regex metacharacters ('-', ']', '^',
+      // '\') in a profile can't corrupt the character class
+      val cls = "[" + profile.map(c => "\\Q" + c + "\\E").mkString + "]"
       (length(norm) - length(regexp_replace(norm, cls, "")))
         .cast("double") / greatest(length(norm), lit(1)).cast("double")
     } else stopwordRatio(text, profile)

@@ -208,6 +208,13 @@ object Streams {
     * partitioning is an ops knob: size it to stream volume (raise it
     * for real firehoses; each micro-batch pays per-store overhead).
     * The session conf is restored after the query starts.
+    *
+    * NOT thread-safe: the session-global shuffle-partitions conf is
+    * mutated for the duration of the run (restored in `finally`), so
+    * queries planned concurrently on the SAME session during that
+    * window would pick up the temporary value. Run on a dedicated
+    * session (`spark.newSession()`) when sharing a session between
+    * threads.
     */
   def runAvailableNowWithPartitions(spark: SparkSession, streamed: DataFrame,
       queryName: String, outputMode: OutputMode,

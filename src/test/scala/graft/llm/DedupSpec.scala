@@ -90,6 +90,13 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs, "doc_id", "text", chunks = 4, maxHamming = 4)
     }
+    // non-integral id must fail loudly up front, not at analysis time
+    val strIds = docs.withColumn("sid",
+      org.apache.spark.sql.functions.col("doc_id").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(strIds, "sid", "text")
+    }
+    assert(e.getMessage.contains("integral idCol"))
   }
 
   test("shingles of short text degrade to whole-text shingle") {

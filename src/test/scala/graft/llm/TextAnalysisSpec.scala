@@ -46,6 +46,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("langScore is safe for profiles containing regex metacharacters") {
+    // '-', ']', '^', '\' in a single-char profile must be literal, not
+    // corrupt the character class into silent wrong ranges
+    val df = Seq(Tuple1("a-b]c^d\\e")).toDF("t")
+    val score = df.select(TextAnalysis.langScore(col("t"),
+      Seq("-", "]", "^", "\\", "z"))).collect().head.getDouble(0)
+    // normalized() strips punctuation, so none of the metachars survive
+    // and nothing matches — the point is no pattern error / no mis-range
+    assert(score == 0.0)
+    val df2 = Seq(Tuple1("zzzz")).toDF("t")
+    val s2 = df2.select(TextAnalysis.langScore(col("t"),
+      Seq("-", "]", "z"))).collect().head.getDouble(0)
+    assert(s2 == 1.0)
+  }
+
   test("langId returns und for non-language content") {
     val df = Seq(Tuple1("xk9 qq7 zzz9 blorp wug 42 17")).toDF("t")
     assert(df.select(TextAnalysis.langId(col("t"))).collect()
