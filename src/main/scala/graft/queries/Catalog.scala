@@ -1360,6 +1360,41 @@ object Catalog {
           greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.7
       ORDER BY id_a, id_b"""))
 
+  /** EXACT Jaccard similarity join via prefix filtering (AllPairs/
+    * PPJoin family) — recall 1.0 BY CONSTRUCTION, not by fixture luck:
+    * the oracle is the same quadratic DuckDB all-pairs as
+    * [[dedupPairs]], but here hash-equality is an algorithmic
+    * guarantee (prefix filter never drops a qualifying pair), so this
+    * stays green on ANY corpus. The scale path trades the MinHash
+    * S-curve's approximation for an inverted index on rarest-first
+    * prefix tokens; candidates are output-bound, verification joins
+    * carry 8 B/shingle hashed arrays only.
+    */
+  val dedupJaccardExact = RegisteredQuery(
+    "dedup_jaccard_exact",
+    (s, d) =>
+      graft.llm.Dedup.jaccardJoinExact(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        FROM t)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.7
+      ORDER BY id_a, id_b"""))
+
   /** SimHash signatures per doc (rows-only). */
   val dedupSimhash = RegisteredQuery(
     "dedup_simhash",
@@ -1586,7 +1621,8 @@ object Catalog {
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, docFingerprint, docWinnow, langId, qualityScore,
-    dedupMinhash, dedupPairs, dedupSimhash, dedupSimhashPairs,
+    dedupMinhash, dedupPairs, dedupJaccardExact, dedupSimhash,
+    dedupSimhashPairs,
     simTopkBrute, simTopkAnn,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode)
 

@@ -37,6 +37,33 @@ class DedupSpec extends SparkSpec {
       s"unrelated doc matched: $pairs")
   }
 
+  test("prefix-filter exact join matches brute-force all-pairs") {
+    // brute-force truth over the same hashed shingles
+    val sh = docs.select(col("doc_id"),
+      Dedup.hashedShingles(col("text")).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toMap
+    val exact = Dedup.jaccardJoinExact(docs, "doc_id", "text",
+      threshold = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toMap
+    assert(exact == brute, s"exact=$exact brute=$brute")
+    assert(exact.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("prefix-filter exact join: empty result when nothing similar") {
+    val solo = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    assert(Dedup.jaccardJoinExact(solo, "doc_id", "text",
+      threshold = 0.5).count() == 0)
+  }
+
   test("jaccard verification bounds: identical=1, disjoint=0") {
     val df = Seq((base, base, unrelated)).toDF("a", "b", "c")
     val r = df.select(
