@@ -55,6 +55,99 @@ class SimilaritySpec extends SparkSpec {
       s"mean ANN recall too low: $recalls")
   }
 
+  test("ivf: kmeans centroids are deterministic and unit-norm") {
+    val df = randomVecs(200, 8).toDF("id", "vec")
+    val c1 = Similarity.kmeansCentroids(df, "vec", "id", k = 4, iters = 2)
+    val c2 = Similarity.kmeansCentroids(df, "vec", "id", k = 4, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    c1.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+  }
+
+  test("ivf: cells partition the corpus; probing all cells is exact") {
+    val vecs = randomVecs(300, 8)
+    val df = vecs.toDF("id", "vec")
+    val cents = Similarity.kmeansCentroids(df, "vec", "id", k = 4, iters = 2)
+    val index = Similarity.ivfIndex(df, "vec", "id", cents).cache()
+    assert(index.count() == 300) // every row lands in exactly one cell
+    assert(index.select(col("cell")).distinct().count() <= 4)
+    val q = vecs(42)._2.toArray
+    val brute = Similarity.topKBrute(df, "vec", "id", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val all = Similarity.topKIvf(index, q, cents, k = 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    index.unpersist()
+    assert(all == brute, "nprobe=cells must recover the exact answer")
+  }
+
+  test("ivf: top-k recall with partial probes on clustered data") {
+    // clustered corpus (IVF's home turf): 4 well-separated gaussians
+    val rnd = new java.util.Random(11)
+    val centers = Seq.fill(4)(Array.fill(8)(rnd.nextGaussian() * 10))
+    val vecs = (0L until 400L).map { i =>
+      val c = centers((i % 4).toInt)
+      i -> c.map(x => x + rnd.nextGaussian() * 0.3).toSeq
+    }
+    val df = vecs.toDF("id", "vec")
+    val cents = Similarity.kmeansCentroids(df, "vec", "id", k = 4, iters = 3)
+    val index = Similarity.ivfIndex(df, "vec", "id", cents).cache()
+    val recalls = Seq(0, 13, 102).map { qi =>
+      val q = vecs(qi)._2.toArray
+      val brute = Similarity.topKBrute(df, "vec", "id", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val ivf = Similarity.topKIvf(index, q, cents, k = 10, nprobe = 1)
+        .collect().map(_.getLong(0)).toSet
+      brute.intersect(ivf).size / 10.0
+    }
+    index.unpersist()
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"IVF recall too low on clustered data: $recalls")
+  }
+
+  test("ivf exact branch-and-bound equals brute force on isotropic data") {
+    // isotropic gaussians are IVF's WORST case (cells barely separate) —
+    // exactness must hold regardless
+    val vecs = randomVecs(400, 8)
+    val df = vecs.toDF("id", "vec")
+    val cents = Similarity.kmeansCentroids(df, "vec", "id", k = 6, iters = 2)
+    val index = Similarity.ivfIndex(df, "vec", "id", cents).cache()
+    val radii = Similarity.cellRadii(index, cents)
+    Seq(0, 57, 333).foreach { qi =>
+      val q = vecs(qi)._2.toArray
+      val brute = Similarity.topKBrute(df, "vec", "id", q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val exact = Similarity.topKIvfExact(index, q, cents, radii,
+          k = 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(exact == brute, s"query $qi: exact IVF diverged from brute")
+    }
+    index.unpersist()
+  }
+
+  test("ivf exact: phase 2 prunes to nothing on well-separated clusters") {
+    val rnd = new java.util.Random(23)
+    val centers = Seq.fill(4)(Array.fill(8)(rnd.nextGaussian() * 10))
+    val vecs = (0L until 400L).map { i =>
+      val c = centers((i % 4).toInt)
+      i -> c.map(x => x + rnd.nextGaussian() * 0.1).toSeq
+    }
+    val df = vecs.toDF("id", "vec")
+    val cents = Similarity.kmeansCentroids(df, "vec", "id", k = 4, iters = 3)
+    val index = Similarity.ivfIndex(df, "vec", "id", cents).cache()
+    val radii = Similarity.cellRadii(index, cents)
+    // tight clusters → small radii → strong bounds
+    assert(radii.count(_ < 0.2) >= 3, s"radii not tight: ${radii.toSeq}")
+    val q = vecs(8)._2.toArray
+    val brute = Similarity.topKBrute(df, "vec", "id", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.topKIvfExact(index, q, cents, radii,
+        k = 10, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    index.unpersist()
+    assert(exact == brute)
+  }
+
   test("multi-table ANN recall beats single-table and reaches >= 0.8") {
     val vecs = randomVecs(500, 16)
     val df = vecs.toDF("id", "vec")
