@@ -34,6 +34,21 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0),
       (acc, w) => acc + greatest(lit(1), ceil(length(w) / lit(4)).cast("int")))
 
+  /** GPT-2-family BPE pre-tokenizer split pattern (the public regex
+    * shape: contraction suffixes, letter runs, digit runs, punctuation
+    * runs, whitespace — each optionally space-prefixed). Token count
+    * under this split approximates a real BPE tokenizer's
+    * pre-tokenization far better than whitespace words and needs no
+    * vocabulary. Kept to constructs Java regex and RE2 share
+    * (no lookarounds) so the oracle can run the same pattern.
+    */
+  val BpeishPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{Nd}+| ?[^\\s\\p{L}\\p{Nd}]+|\\s+"
+
+  /** Number of BPE-ish pre-tokens (codegen'd regexp_extract_all). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[\\p{L}\\p{Nd}\\s]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")

@@ -502,6 +502,44 @@ object Catalog {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10"""))
 
+  /** TPC-H Q5 core (local supplier volume): the 6-way join with the
+    * classic scale shape — lineitem/orders/customer shuffle on their
+    * keys, supplier/nation/region broadcast (dimension tables stay
+    * broadcast-sized at any SF), date filter pushed to the orders
+    * scan, region filter pushed to the region scan.
+    */
+  val q5LocalSupplier = RegisteredQuery(
+    "q5_local_supplier",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name")),
+    Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+        AS revenue
+      FROM customer c
+      JOIN orders o ON c_custkey = o_custkey
+      JOIN lineitem l ON l_orderkey = o_orderkey
+      JOIN supplier s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation n ON s_nationkey = n_nationkey
+      JOIN region r ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""))
+
   /** J-1/J-2 positional zip with a REAL oracle: both sides derive
     * narrowly from the same sorted parent (same partitioning), so the
     * narrow `RDD.zip` path pairs rows positionally — pair integrity is
@@ -1186,6 +1224,39 @@ object Catalog {
         AS INTEGER) AS n_punct
       FROM documents ORDER BY doc_id"""))
 
+  /** Token counting, all three budget-accounting flavors: whitespace
+    * words, BPE-ish pre-tokens (the GPT-2-family split regex — the
+    * count an LLM data pipeline budgets by), and the subword estimate.
+    * One scan, pure codegen expressions; the oracle replicates each
+    * count op-for-op (the split regex is Java/RE2-portable by
+    * construction).
+    */
+  val tokenCounts = RegisteredQuery(
+    "token_count",
+    (s, d) => {
+      import graft.llm.TextAnalysis
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+        TextAnalysis.subwordCountEstimate(col("text")).as("n_subword"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, text,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_ws,
+        CAST(len(regexp_extract_all(text,
+          '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{Nd}+| ?[^\s\p{L}\p{Nd}]+|\s+'))
+          AS INTEGER) AS n_bpe,
+        CAST(list_aggregate(list_transform(toks,
+          w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT))), 'sum')
+          AS INTEGER) AS n_subword
+      FROM t ORDER BY doc_id"""))
+
   /** MD5 fingerprint of the normalized text — the exact-dedup key,
     * oracle-checkable.
     */
@@ -1648,7 +1719,7 @@ object Catalog {
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
     joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinAsofNative,
     joinAsofForward, joinAsofNativeForward, q3ShippingPriority,
-    joinSalted, zipFrames,
+    q5LocalSupplier, joinSalted, zipFrames,
     aggGroupingSets, windowTopnPerGroup, windowRunningSum, windowLagLead,
     topkOrders, setopUnion, setopExcept, setopIntersect,
     subqueryCorrelated, arrayFunctions,
@@ -1657,7 +1728,7 @@ object Catalog {
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
-    textStats, docFingerprint, docWinnow, langId, qualityScore,
+    textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
     dedupMinhash, dedupPairs, dedupJaccardExact, dedupSimhash,
     dedupSimhashPairs,
     simTopkBrute, simTopkAnn, simTopkIvf,

@@ -16,6 +16,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(1) == 29)
   }
 
+  test("bpe-ish token count splits contractions, digits, punctuation") {
+    val df = Seq(Tuple1("I'll pay $42.50, that's fine!")).toDF("t")
+    // I |'ll| pay| $|42|.|50|,| that|'s| fine|!  = 12 pre-tokens
+    val r = df.select(TextAnalysis.bpeTokenCount(col("t"))).collect().head
+    assert(r.getInt(0) == 12)
+  }
+
   test("punct ratio counts non-alphanumeric non-space chars") {
     val df = Seq(Tuple1("ab, cd!")).toDF("t")
     val r = df.select(TextAnalysis.punctRatio(col("t"))).collect().head
