@@ -34,9 +34,14 @@ object Bench {
       .foreach(fn => fn(spark, sfDir).count())
     catch { case _: Throwable => () }
 
+    // optional positional args restrict the run to the named queries
+    // (iteration aid; the driver passes none and times everything)
+    val only = args.toSet
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

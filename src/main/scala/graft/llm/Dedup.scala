@@ -40,9 +40,29 @@ object Dedup {
     * ~2⁻⁶⁴·|set|, immaterial), and sortedness lets the native
     * [[graft.functions.JaccardSortedExpr]] verify candidates in one
     * merge pass with no intermediate arrays.
+    *
+    * One UDF pass (FNV-1a per shingle), tokenization in codegen
+    * upstream — the same design forced on MinHash by interpreted
+    * higher-order functions: the expression form
+    * (`sort_array(transform(shingles(...), xxhash64))`) re-evaluates
+    * the `split` and `slice` subtrees per shingle element, O(len²)
+    * per document — measured ~10 s for 5 000 docs vs ~1 s for this
+    * pass.
     */
   def hashedShingles(text: Column, k: Int = 3): Column =
-    sort_array(transform(shingles(text, k), s => xxhash64(s)))
+    hashedShinglesUdf(k)(TextAnalysis.tokens(text))
+
+  private[llm] def hashedShinglesUdf(k: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((tokensIn: Seq[String]) => {
+      val tokens = if (tokensIn == null) Seq.empty[String] else tokensIn
+      val it: Iterator[String] =
+        if (tokens.length < k) Iterator(tokens.mkString(" "))
+        else tokens.sliding(k).map(_.mkString(" "))
+      val set = scala.collection.mutable.SortedSet.empty[Long]
+      it.foreach(s => set += baseHash(s))
+      set.toSeq
+    })
 
   // ------------------------------------------------------------ minhash
 
@@ -199,10 +219,19 @@ object Dedup {
     * lineage, this shape plans 3 — (2) per-doc rebuild keyed by id,
     * (3) prefix-token groupBy with in-bucket pair expansion (the
     * Jaccard length filter `t·max ≤ min` applied before a pair is
-    * emitted; bucket memory is O(df·12 B), candidate VOLUME is the
-    * quadratic term and it is the same in any formulation),
-    * (4) verification joins of the 8 B/shingle hashed arrays onto the
-    * deduped candidate list. Worst case is output-bound: an
+    * emitted; bucket memory is O(df·16 B)),
+    * (4) the PPJoin POSITION filter on the slim candidate rows: both
+    * arrays carry the same global order, so a pair's first shared
+    * token has the minimal (posA, posB) over its emissions, total
+    * overlap is ≤ `min(szA−posA, szB−posB)+1`, and J ≥ t needs
+    * overlap ≥ t·(szA+szB)/(1+t) — pairs sharing only a LATE prefix
+    * token are pruned while still 32 B rows, before any array joins,
+    * (5) verification joins of the 8 B/shingle hashed arrays onto the
+    * surviving candidates only. The plan derives the (id, shingles)
+    * frame once per verification branch — at scale, persist or
+    * checkpoint that frame (an index build, like any similarity join)
+    * so the corpus is scanned and shingled once, not three times.
+    * Worst case is output-bound: an
     * all-identical corpus yields O(n²) candidates because the ANSWER
     * is O(n²) — the exactness contract, not a defect (use
     * [[nearDupPairs]] + `exactClusters` when approximate recall is
@@ -238,12 +267,16 @@ object Dedup {
       - ceil(col("sz") * lit(threshold)).cast("int") + lit(1))
     val prefixes = ordered.select(
       col("id").cast("long").as("id"), col("sz"),
-      explode(slice(col("rare_first"), lit(1), prefixLen)).as("tok"))
+      posexplode(slice(col("rare_first"), lit(1), prefixLen))
+        .as(Seq("pos", "tok")))
     // in-bucket pair expansion with the length filter (J ≥ t ⇒
-    // min(|a|,|b|) ≥ t·max(|a|,|b|)) applied before a pair is emitted
-    val pairsOf = udf((members: Seq[(Long, Int)]) => {
+    // min(|a|,|b|) ≥ t·max(|a|,|b|)) applied before a pair is emitted;
+    // members carry (id, sz, pos) so the position filter can run on
+    // the emitted 32 B rows
+    val pairsOf = udf((members: Seq[(Long, Int, Int)]) => {
       val sorted = members.sortBy(_._1)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int, Int, Int, Int)]
       var i = 0
       while (i < sorted.length) {
         var j = i + 1
@@ -251,7 +284,8 @@ object Dedup {
           val minSz = math.min(sorted(i)._2, sorted(j)._2).toDouble
           val maxSz = math.max(sorted(i)._2, sorted(j)._2).toDouble
           if (sorted(i)._1 != sorted(j)._1 && minSz >= threshold * maxSz)
-            out += ((sorted(i)._1, sorted(j)._1))
+            out += ((sorted(i)._1, sorted(j)._1, sorted(i)._2, sorted(j)._2,
+              sorted(i)._3, sorted(j)._3))
           j += 1
         }
         i += 1
@@ -260,12 +294,23 @@ object Dedup {
     })
     val candidates = prefixes
       .groupBy(col("tok"))
-      .agg(collect_list(struct(col("id").as("_1"), col("sz").as("_2")))
-        .as("members"))
+      .agg(collect_list(struct(col("id").as("_1"), col("sz").as("_2"),
+        col("pos").as("_3"))).as("members"))
       .filter(size(col("members")) >= 2)
       .select(explode(pairsOf(col("members"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct() // a pair may share several prefix tokens; verify once
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("p._3").as("sz_a"), col("p._4").as("sz_b"),
+        col("p._5").as("pos_a"), col("p._6").as("pos_b"))
+      // position filter at the pair's FIRST shared token (= min pos in
+      // both arrays, since they share one global order): overlap can't
+      // exceed what remains after it
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("pos_a")).as("pa"), min(col("pos_b")).as("pb"),
+        first(col("sz_a")).as("sa"), first(col("sz_b")).as("sb"))
+      .filter((least(col("sa") - lit(1) - col("pa"),
+          col("sb") - lit(1) - col("pb")) + lit(1)).cast("double") + lit(1e-9)
+        >= lit(threshold / (1.0 + threshold)) * (col("sa") + col("sb")))
+      .select(col("id_a"), col("id_b"))
     candidates
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -212,9 +212,12 @@ object Similarity {
     * cell id deterministically.
     */
   def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    // native codegen'd cosine, not the HOF dot (interpreted lambdas cost
+    // k interpreted passes per row); centroids are unit-norm so argmax
+    // cosine(v, ĉ) ≡ argmax dot(v, ĉ) — same cell either way
     val entries = centroids.zipWithIndex.map { case (c, i) =>
-      struct((lit(0.0) - dot(vec, typedLit(c.toSeq))).as("negdot"),
-        lit(i).as("cell"))
+      struct((lit(0.0) - coalesce(cosineNative(vec, typedLit(c.toSeq)),
+        lit(2.0))).as("negcos"), lit(i).as("cell"))
     }
     array_min(array(entries: _*))("cell")
   }
