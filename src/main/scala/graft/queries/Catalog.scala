@@ -502,6 +502,34 @@ object Catalog {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10"""))
 
+  /** Bloom-runtime-filtered join: the build side (URGENT orders — a
+    * predicate selectivity stats can't see) sketches its keys into a
+    * Bloom filter (distributed treeAggregate, ~1.2 B/key), and the
+    * probe side (lineitem) is pruned BEFORE the shuffle — the rows
+    * that can never match are the dominant join cost at 100 TB. No
+    * false negatives ⇒ byte-identical to the plain join, so the
+    * oracle is the plain join itself: hash-green proves the pruning
+    * is sound, not just fast.
+    */
+  val joinBloomPruned = RegisteredQuery(
+    "join_bloom_pruned",
+    (s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.relational.RuntimeFilter.bloomPrunedJoin(
+          Tables.lineitem(s, d), "l_orderkey", urgent, "o_orderkey",
+          expectedItems = math.max(urgent.count(), 1L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+        round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** TPC-H Q5 core (local supplier volume): the 6-way join with the
     * classic scale shape — lineitem/orders/customer shuffle on their
     * keys, supplier/nation/region broadcast (dimension tables stay
@@ -827,6 +855,64 @@ object Catalog {
   /** Time-bucketed aggregation over the stream-shaped events table —
     * the batch twin of the tumbling-window streaming query.
     */
+  /** Sketch aggregates with error-bound verification: HLL distinct
+    * count and t-digest-style approximate median next to their exact
+    * twins, emitting BOOLEAN within-bound columns (the sketch values
+    * themselves are engine-specific and can never hash-match another
+    * engine — the bound contract is what's portable). Oracle asserts
+    * the exact values and `TRUE` for every bound: a sketch drifting
+    * out of tolerance turns a row red. At 100 TB the approx forms are
+    * the usable ones (single pass, constant memory, no distinct
+    * shuffle).
+    */
+  val aggApproxBounds = RegisteredQuery(
+    "agg_approx_bounds",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("nd_approx"),
+          expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("p50a"),
+          expr("percentile(l_extendedprice, 0.5D)").as("p50e"))
+        .select(col("l_returnflag"),
+          col("nd").as("exact_distinct"),
+          (abs(col("nd_approx") - col("nd")).cast("double") /
+            col("nd").cast("double") <= 0.1).as("hll_ok"),
+          (abs(col("p50a") - col("p50e")) / col("p50e") <= 0.01).as("p50_ok"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS exact_distinct,
+        TRUE AS hll_ok, TRUE AS p50_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Partition-pruned scan: write events partitioned by day (the
+    * layout decision), read back ONE day — the plan's PartitionFilters
+    * prove only that day's files are touched (a 100 TB table read
+    * becomes a 1-day read; data-layout pruning is the cheapest scan
+    * optimization there is). Oracle computes the same day from the
+    * unpartitioned original.
+    */
+  val partitionPruning = RegisteredQuery(
+    "partition_pruning",
+    (s, d) => {
+      val tmp = s"/tmp/graft_partdemo_${math.abs(d.hashCode)}"
+      val ev = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+      ev.write.mode("overwrite").partitionBy("day").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("day") === lit("2024-01-03").cast("date"))
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour_start"))
+    },
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events
+      WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+      GROUP BY 1 ORDER BY 1"""))
+
   val eventsHourly = RegisteredQuery(
     "events_hourly",
     (s, d) =>
@@ -1719,7 +1805,8 @@ object Catalog {
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
     joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinAsofNative,
     joinAsofForward, joinAsofNativeForward, q3ShippingPriority,
-    q5LocalSupplier, joinSalted, zipFrames,
+    q5LocalSupplier, joinBloomPruned, joinSalted, zipFrames,
+    aggApproxBounds, partitionPruning,
     aggGroupingSets, windowTopnPerGroup, windowRunningSum, windowLagLead,
     topkOrders, setopUnion, setopExcept, setopIntersect,
     subqueryCorrelated, arrayFunctions,
