@@ -502,6 +502,124 @@ object Catalog {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10"""))
 
+  /** TPC-H Q6 core (forecast revenue change): the pure scan-filter-agg
+    * — every predicate reaches the parquet scan as a pushed filter,
+    * no shuffle at all before the single-row aggregate.
+    */
+  val q6ForecastRevenue = RegisteredQuery(
+    "q6_forecast_revenue",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue")),
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"""))
+
+  /** Upsert/merge as a pure relational program (the SCD-1 pattern
+    * without a table format): base = customer, updates = each
+    * customer's latest order priority; merged = updates win, inserts
+    * survive, untouched rows pass through. Full-outer join +
+    * coalesce — exactly what MERGE INTO lowers to, expressible on any
+    * engine, shuffle keyed by the merge key only.
+    */
+  val mergeUpsert = RegisteredQuery(
+    "merge_upsert",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val updates = Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey").as("u_custkey"),
+          col("o_orderpriority").as("u_priority"))
+      Tables.customer(s, d)
+        .join(updates, col("c_custkey") === col("u_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("u_custkey")).as("custkey"),
+          col("c_mktsegment").as("mktsegment"),
+          coalesce(col("u_priority"), lit("NONE")).as("latest_priority"))
+        .orderBy(col("custkey"))
+    },
+    Some("""WITH updates AS (
+        SELECT o_custkey AS u_custkey, o_orderpriority AS u_priority
+        FROM (SELECT o_custkey, o_orderpriority, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        WHERE rn = 1)
+      SELECT coalesce(c_custkey, u_custkey) AS custkey,
+        c_mktsegment AS mktsegment,
+        coalesce(u_priority, 'NONE') AS latest_priority
+      FROM customer FULL OUTER JOIN updates ON c_custkey = u_custkey
+      ORDER BY custkey"""))
+
+  /** One-pass column profiler (ANALYZE-style data-quality stats):
+    * every column's row/null/distinct counts and numeric min/max from
+    * ONE aggregation job (multi-distinct lowers to one Expand, still a
+    * single scan), exploded to a row per column. The operator a
+    * pipeline runs before trusting a new 100 TB drop.
+    */
+  val profileColumns = RegisteredQuery(
+    "profile_columns",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val numeric = Seq("c_custkey", "c_nationkey", "c_acctbal")
+      val textual = Seq("c_name", "c_mktsegment")
+      val aggs =
+        Seq(count(lit(1)).as("n_rows")) ++
+        (numeric ++ textual).flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"))) ++
+        numeric.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c")))
+      val one = cust.agg(aggs.head, aggs.tail: _*)
+      val rows = (numeric ++ textual).map { c =>
+        struct(lit(c).as("col_name"),
+          col("n_rows").as("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"),
+          (if (numeric.contains(c)) col(s"min_$c")
+           else lit(null).cast("double")).as("min_d"),
+          (if (numeric.contains(c)) col(s"max_$c")
+           else lit(null).cast("double")).as("max_d"))
+      }
+      one.select(explode(array(rows: _*)).as("p"))
+        .select(col("p.*"))
+        .orderBy(col("col_name"))
+    },
+    Some("""SELECT col_name, n_rows, n_nulls, n_distinct, min_d, max_d
+      FROM (
+        SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
+          count(*) - count(c_custkey) AS n_nulls,
+          count(DISTINCT c_custkey) AS n_distinct,
+          CAST(min(c_custkey) AS DOUBLE) AS min_d,
+          CAST(max(c_custkey) AS DOUBLE) AS max_d FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+          count(DISTINCT c_nationkey),
+          CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE)
+          FROM customer
+        UNION ALL
+        SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+          count(DISTINCT c_acctbal),
+          CAST(min(c_acctbal) AS DOUBLE), CAST(max(c_acctbal) AS DOUBLE)
+          FROM customer
+        UNION ALL
+        SELECT 'c_name', count(*), count(*) - count(c_name),
+          count(DISTINCT c_name), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+          count(DISTINCT c_mktsegment), CAST(NULL AS DOUBLE),
+          CAST(NULL AS DOUBLE) FROM customer)
+      ORDER BY col_name"""))
+
   /** Bloom-runtime-filtered join: the build side (URGENT orders — a
     * predicate selectivity stats can't see) sketches its keys into a
     * Bloom filter (distributed treeAggregate, ~1.2 B/key), and the
@@ -674,6 +792,28 @@ object Catalog {
     * arithmetic) + ntile bucketing; the deterministic tiebreak
     * (o_orderkey) makes offsets reproducible across engines.
     */
+  /** Event-time RANGE frame (value-based, not row-based): events per
+    * user in the trailing hour — the frame Spark evaluates with one
+    * sort per partition and a sliding range pointer, no self-join.
+    * Bounds are epoch microseconds on both engines so tie/precision
+    * semantics match exactly.
+    */
+  val windowRangeFrame = RegisteredQuery(
+    "window_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_last_hour"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+        count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+      FROM events ORDER BY event_id"""))
+
   val windowLagLead = RegisteredQuery(
     "window_lag_lead",
     (s, d) => {
@@ -720,6 +860,22 @@ object Catalog {
     Some("""SELECT c_nationkey AS nationkey FROM customer
       UNION SELECT s_nationkey AS nationkey FROM supplier
       ORDER BY nationkey"""))
+
+  /** UNION ALL (bag semantics — no dedup shuffle, unlike `setop_union`):
+    * the counts prove duplicates survive.
+    */
+  val setopUnionAll = RegisteredQuery(
+    "setop_union_all",
+    (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .unionAll(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey")),
+    Some("""SELECT nationkey, count(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+      GROUP BY nationkey ORDER BY nationkey"""))
 
   val setopExcept = RegisteredQuery(
     "setop_except",
@@ -1808,7 +1964,8 @@ object Catalog {
     q5LocalSupplier, joinBloomPruned, joinSalted, zipFrames,
     aggApproxBounds, partitionPruning,
     aggGroupingSets, windowTopnPerGroup, windowRunningSum, windowLagLead,
-    topkOrders, setopUnion, setopExcept, setopIntersect,
+    topkOrders, setopUnion, setopUnionAll, setopExcept, setopIntersect,
+    q6ForecastRevenue, mergeUpsert, profileColumns, windowRangeFrame,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
