@@ -502,6 +502,61 @@ object Catalog {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10"""))
 
+  /** CSV source/sink round-trip under a query: write lineitem's slim
+    * projection as headered CSV, read it back with an EXPLICIT schema
+    * (schema inference is a full extra pass at 100 TB — never ship
+    * it), aggregate. The oracle computes the same aggregate from the
+    * parquet original, so hash-green proves the text round-trip loses
+    * nothing (decimal/date formatting included).
+    */
+  val sourceCsvRoundtrip = RegisteredQuery(
+    "source_csv_roundtrip",
+    (s, d) => {
+      val tmp = s"/tmp/graft_csvdemo_${math.abs(d.hashCode)}"
+      val slim = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+      graft.sources.IO.writeCsv(slim, tmp)
+      s.read
+        .schema("l_orderkey BIGINT, l_returnflag STRING, " +
+          "l_quantity DOUBLE, l_extendedprice DOUBLE")
+        .option("header", "true")
+        .csv(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** JSON source/sink round-trip (same contract as the CSV twin, over
+    * the nested-friendlier format): orders → JSON lines → explicit
+    * schema read → aggregate vs the parquet original.
+    */
+  val sourceJsonRoundtrip = RegisteredQuery(
+    "source_json_roundtrip",
+    (s, d) => {
+      val tmp = s"/tmp/graft_jsondemo_${math.abs(d.hashCode)}"
+      val slim = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.sources.IO.writeJson(slim, tmp)
+      s.read
+        .schema("o_orderkey BIGINT, o_orderpriority STRING, " +
+          "o_totalprice DOUBLE")
+        .json(tmp)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+        round(sum(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** TPC-H Q6 core (forecast revenue change): the pure scan-filter-agg
     * — every predicate reaches the parquet scan as a pushed filter,
     * no shuffle at all before the single-row aggregate.
@@ -1966,6 +2021,7 @@ object Catalog {
     aggGroupingSets, windowTopnPerGroup, windowRunningSum, windowLagLead,
     topkOrders, setopUnion, setopUnionAll, setopExcept, setopIntersect,
     q6ForecastRevenue, mergeUpsert, profileColumns, windowRangeFrame,
+    sourceCsvRoundtrip, sourceJsonRoundtrip,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
