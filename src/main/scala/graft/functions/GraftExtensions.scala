@@ -49,6 +49,18 @@ object GraftFunctions {
     Bridge.column(JaccardSortedExpr(Bridge.expression(a), Bridge.expression(b)))
   }
 
+  /** Column form: fused b-bit hyperplane LSH signature (one pass over
+    * the vector for all planes; matrix embedded as a codegen reference).
+    */
+  def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    val arrDouble = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    Bridge.column(HyperplaneSignatureExpr(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        Bridge.expression(vec), arrDouble), planes))
+  }
+
   /** Column-API form — usable without registering the extension. */
   def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.Bridge

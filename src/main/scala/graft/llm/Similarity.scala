@@ -60,11 +60,15 @@ object Similarity {
       Array.fill(dim)(rnd.nextGaussian())
     }
 
-  /** Signature expression: bit p set iff dot(v, plane_p) ≥ 0. */
+  /** Signature expression: bit p set iff dot(v, plane_p) ≥ 0. Fused
+    * native codegen ([[graft.functions.HyperplaneSignatureExpr]] — one
+    * pass over the vector for ALL planes; the per-plane HOF-dot form
+    * walked the array b times through interpreted lambdas). Dirty rows
+    * (null/length-mismatched vectors) signature to null and fall out
+    * of the index instead of failing the build.
+    */
   def signature(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (plane, p) =>
-      when(dot(vec, typedLit(plane.toSeq)) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.GraftFunctions.hyperplaneSignature(vec, planes)
 
   /** Bucketed index: (id, vec, sig). Persist + repartition by sig at
     * scale so probes prune partitions.
