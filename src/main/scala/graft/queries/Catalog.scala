@@ -869,6 +869,98 @@ object Catalog {
           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
       FROM events ORDER BY event_id"""))
 
+  /** Rank-family window functions over one sort: rank, dense_rank,
+    * percent_rank, cume_dist (row_number/ntile live in
+    * `window_lag_lead`).
+    */
+  val windowRankStats = RegisteredQuery(
+    "window_rank_stats",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+        rank() OVER w AS rnk,
+        dense_rank() OVER w AS drnk,
+        round(percent_rank() OVER w, 6) AS prnk,
+        round(cume_dist() OVER w, 6) AS cdist
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+        ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** Equi-width histogram without a histogram builtin: bucket index is
+    * pure arithmetic over the global min/max (two scans: one tiny agg,
+    * one binning pass — the portable formulation every engine can
+    * verify). */
+  val aggHistogram = RegisteredQuery(
+    "agg_histogram",
+    (s, d) => {
+      val stats = Tables.orders(s, d)
+        .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .collect().head
+      val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+      val span = if (hi > lo) hi - lo else 1.0
+      Tables.orders(s, d)
+        .select(least(floor((col("o_totalprice") - lit(lo)) / lit(span) * 10)
+          .cast("int"), lit(9)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH s AS (SELECT min(o_totalprice) AS lo,
+          max(o_totalprice) AS hi FROM orders)
+      SELECT least(CAST(floor((o_totalprice - lo) /
+          (CASE WHEN hi > lo THEN hi - lo ELSE 1 END) * 10) AS INTEGER), 9)
+          AS bucket,
+        count(*) AS n
+      FROM orders, s GROUP BY 1 ORDER BY 1"""))
+
+  /** Daily-spine gap-fill (the time-series resample every metrics
+    * pipeline needs): per-user daily event counts with missing days
+    * emitted as 0 — the spine is `sequence()` over the GLOBAL date
+    * range cross-joined to the user list (spine rows are
+    * days×users — tiny next to events), left-joined to the actuals.
+    */
+  val timeseriesGapfill = RegisteredQuery(
+    "timeseries_gapfill",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val range = ev.agg(min(to_date(col("ts"))).as("lo"),
+        max(to_date(col("ts"))).as("hi"))
+      val spine = range
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        .crossJoin(ev.select(col("user_id")).distinct())
+      val actual = ev
+        .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+        .agg(count(lit(1)).as("n_raw"))
+      spine.join(actual, Seq("day", "user_id"), "left")
+        .select(col("day").cast("string").as("day"), col("user_id"),
+          coalesce(col("n_raw"), lit(0L)).as("n_events"))
+        .orderBy(col("day"), col("user_id"))
+    },
+    Some("""WITH r AS (SELECT CAST(min(ts) AS DATE) AS lo,
+          CAST(max(ts) AS DATE) AS hi FROM events),
+      spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi,
+          INTERVAL 1 DAY)) AS DATE) AS day, u.user_id
+        FROM r, (SELECT DISTINCT user_id FROM events) u),
+      actual AS (
+        SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n_raw
+        FROM events GROUP BY 1, 2)
+      SELECT CAST(s.day AS VARCHAR) AS day, s.user_id,
+        coalesce(a.n_raw, 0) AS n_events
+      FROM spine s LEFT JOIN actual a
+        ON s.day = a.day AND s.user_id = a.user_id
+      ORDER BY day, s.user_id"""))
+
   val windowLagLead = RegisteredQuery(
     "window_lag_lead",
     (s, d) => {
@@ -2022,6 +2114,7 @@ object Catalog {
     topkOrders, setopUnion, setopUnionAll, setopExcept, setopIntersect,
     q6ForecastRevenue, mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip,
+    windowRankStats, aggHistogram, timeseriesGapfill,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
