@@ -342,6 +342,60 @@ object Dedup {
       .agg(min(col("band_min")).as("cluster_id"))
   }
 
+  /** TRUE connected components over a pair list (vs
+    * [[minhashClusters]]' deliberate one-hop approximation): iterative
+    * min-label propagation — each round, every vertex takes the
+    * minimum label among itself and its neighbors; converges in
+    * O(graph diameter) rounds, which for near-dup clusters is small
+    * (they are dense families, not long chains). Each round is one
+    * keyed join + aggregate; labels persist round-to-round so lineage
+    * does not double (the classic iterative-algorithm trap), and the
+    * previous round is unpersisted as soon as the next materializes.
+    * Non-convergence inside `maxIter` throws loudly rather than
+    * returning a silently-partial clustering.
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val adj = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(edges
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    var labels = vertices
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("label"))
+      .persist()
+    labels.count()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = adj
+        .join(labels.select(col("id").as("src"), col("label").as("nl")),
+          Seq("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("nl")).as("nbr_min"))
+        .select(col("dst").as("id"), col("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .persist()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    if (changed > 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the bound; raise maxIter")
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** Exact-duplicate clusters on the normalized-text fingerprint:
     * (id, cluster_id = min id with identical content, n_copies).
     */

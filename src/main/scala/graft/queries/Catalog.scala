@@ -1855,6 +1855,52 @@ object Catalog {
           greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.7
       ORDER BY id_a, id_b"""))
 
+  /** TRUE dedup clusters: connected components (iterative min-label
+    * propagation, O(diameter) rounds) over the EXACT Jaccard pair
+    * graph — transitive near-dup families get one survivor even
+    * through chains the one-hop `dedup_minhash` labeling cannot
+    * merge. Oracle: DuckDB `WITH RECURSIVE` reachability over the
+    * same exact all-pairs edges — two entirely different fixpoint
+    * machineries agreeing on every component label.
+    */
+  val dedupComponents = RegisteredQuery(
+    "dedup_components",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = graft.llm.Dedup.jaccardJoinExact(
+        docs, "doc_id", "text", threshold = 0.7)
+      graft.llm.Dedup.connectedComponents(
+          docs, "doc_id", edges, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+      t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        FROM t),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.7),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+      SELECT id AS doc_id, min(r) AS component
+      FROM reach GROUP BY id ORDER BY doc_id"""))
+
   /** SimHash signatures per doc (rows-only). */
   val dedupSimhash = RegisteredQuery(
     "dedup_simhash",
@@ -2122,8 +2168,8 @@ object Catalog {
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
-    dedupMinhash, dedupPairs, dedupJaccardExact, dedupSimhash,
-    dedupSimhashPairs,
+    dedupMinhash, dedupPairs, dedupJaccardExact, dedupComponents,
+    dedupSimhash, dedupSimhashPairs,
     simTopkBrute, simTopkAnn, simTopkIvf,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode)
 

@@ -126,6 +126,26 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("integral idCol"))
   }
 
+  test("connected components: chains collapse, singletons survive") {
+    val vertices = (1L to 7L).map(Tuple1(_)).toDF("id")
+    // chain 1-2-3-4 (diameter 3), pair 5-6, singleton 7
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(vertices, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(got(_) == 1L), s"chain not collapsed: $got")
+    assert(got(5L) == 5L && got(6L) == 5L)
+    assert(got(7L) == 7L)
+  }
+
+  test("connected components: non-convergence raises, not silent partial") {
+    val vertices = (1L to 4L).map(Tuple1(_)).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(vertices, "id", edges, "a", "b", maxIter = 1)
+        .collect()
+    }
+  }
+
   test("shingles of short text degrade to whole-text shingle") {
     val df = Seq(Tuple1("two words")).toDF("t")
     val sh = df.select(Dedup.shingles(col("t"), 3)).collect()
