@@ -357,10 +357,15 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // materialize the adjacency ONCE: every round joins against it, and
+    // an unpersisted edge list would re-run its whole upstream pipeline
+    // (e.g. the exact-Jaccard join) once per round
     val adj = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(edges
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .persist()
+    adj.count()
     var labels = vertices
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("label"))
       .persist()
@@ -387,6 +392,7 @@ object Dedup {
       labels = next
       it += 1
     }
+    adj.unpersist() // final labels are materialized; adj no longer needed
     if (changed > 0) {
       labels.unpersist()
       throw new IllegalStateException(
