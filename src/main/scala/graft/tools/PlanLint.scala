@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+/** Plan linting: machine-readable scale-shape facts about a physical
+  * plan (cartesian products, shuffle/broadcast/scan counts). Used by
+  * PlanLintSpec as a regression net over every registered query — a
+  * refactor that silently turns a keyed join into a cartesian product
+  * (the classic 100 TB job-killer) fails CI instead of the cluster.
+  */
+object PlanLint {
+
+  final case class Report(
+      cartesianProducts: Int,
+      shuffles: Int,
+      broadcasts: Int,
+      parquetScans: Int) {
+    def hasCartesian: Boolean = cartesianProducts > 0
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    // walk INTO adaptive plan wrappers and subqueries — a cartesian
+    // hidden under AQE still executes
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case other => other.children
+    }
+    p +: children.flatMap(collectAll)
+  }
+
+  def analyze(df: DataFrame): Report = {
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    Report(
+      cartesianProducts = nodes.count(_.isInstanceOf[CartesianProductExec]),
+      shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
+      broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
+      parquetScans = nodes.count(n =>
+        n.nodeName.toLowerCase.contains("scan") &&
+          n.toString.contains("parquet")))
+  }
+}
