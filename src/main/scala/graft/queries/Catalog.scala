@@ -1158,6 +1158,29 @@ object Catalog {
   /** Time-bucketed aggregation over the stream-shaped events table —
     * the batch twin of the tumbling-window streaming query.
     */
+  /** ANSI-safe scalar error handling: Spark 4 runs ANSI mode (x/0 and
+    * bad casts THROW), so dirty-data pipelines must use the `try_*`
+    * family — this query proves the null-not-crash semantics match the
+    * oracle's native behavior (DuckDB division and TRY_CAST return
+    * NULL) row for row across 60k rows.
+    */
+  val scalarTryFunctions = RegisteredQuery(
+    "scalar_try_functions",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          try_divide(col("l_extendedprice"), col("l_linenumber") - lit(3))
+            .as("safe_ratio"),
+          expr("try_cast(l_returnflag AS INT)").as("flag_num"),
+          coalesce(nullif(col("l_linenumber"), lit(3)), lit(-1))
+            .as("ln_or_default"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+        l_extendedprice / (l_linenumber - 3) AS safe_ratio,
+        TRY_CAST(l_returnflag AS INTEGER) AS flag_num,
+        coalesce(nullif(l_linenumber, 3), -1) AS ln_or_default
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
   /** Sketch aggregates with error-bound verification: HLL distinct
     * count and t-digest-style approximate median next to their exact
     * twins, emitting BOOLEAN within-bound columns (the sketch values
@@ -2160,7 +2183,7 @@ object Catalog {
     topkOrders, setopUnion, setopUnionAll, setopExcept, setopIntersect,
     q6ForecastRevenue, mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip,
-    windowRankStats, aggHistogram, timeseriesGapfill,
+    windowRankStats, aggHistogram, timeseriesGapfill, scalarTryFunctions,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
