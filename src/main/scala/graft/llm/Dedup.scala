@@ -342,6 +342,67 @@ object Dedup {
       .agg(min(col("band_min")).as("cluster_id"))
   }
 
+  /** EXACT edit-distance-≤1 similarity join via the deletion
+    * neighborhood (the FastSS scheme): every string signatures to
+    * itself plus each single-character deletion; any two strings
+    * within one edit (substitution, insertion, or deletion) provably
+    * share a signature, so grouping by signature hash finds ALL
+    * qualifying pairs with no all-pairs join — the fuzzy-matching
+    * member of the dedup family (entity keys, near-identical titles).
+    *
+    * Scale shape mirrors [[simhashPairs]]: signatures are 8 B hashes
+    * (never the substrings), ONE shuffle keyed by signature, bucket
+    * members gathered via collect_list under `maxBucket` (bucket size
+    * tracks the true neighbor count, not corpus size; drops are
+    * observable via the bucket metric), candidates deduped as 16 B
+    * pairs, then the builtin codegen'd `levenshtein` verifies — hash
+    * collisions only ever ADD candidates, which verification removes.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxBucket: Int = 1000): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"editDistancePairs requires an integral idCol; '$idCol' is " +
+        s"${idType.simpleString}. Hash or rank string ids first.")
+    val sigsOf = udf((s: String) =>
+      if (s == null) Seq.empty[Long]
+      else {
+        val out = new Array[Long](s.length + 1)
+        out(0) = baseHash(s)
+        var i = 0
+        while (i < s.length) {
+          out(i + 1) = baseHash(s.substring(0, i) + s.substring(i + 1))
+          i += 1
+        }
+        out.toSeq.distinct
+      })
+    val exploded = df.select(col(idCol).cast("long").as("id"),
+        explode(sigsOf(col(strCol))).as("sig"))
+    val pairsOf = udf((ids: Seq[Long]) => {
+      val sorted = ids.distinct.sorted
+      for {
+        i <- sorted.indices
+        j <- (i + 1) until sorted.length
+      } yield (sorted(i), sorted(j))
+    })
+    val candidates = withBucketMetrics(
+      exploded.groupBy(col("sig"))
+        .agg(collect_list(col("id")).as("ids")),
+      size(col("ids")), maxBucket)
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    val names = df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("s"))
+    candidates
+      .join(names.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(names.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).as("edit_dist"))
+      .filter(col("edit_dist") <= 1)
+  }
+
   /** TRUE connected components over a pair list (vs
     * [[minhashClusters]]' deliberate one-hop approximation): iterative
     * min-label propagation — each round, every vertex takes the

@@ -1924,6 +1924,24 @@ object Catalog {
       SELECT id AS doc_id, min(r) AS component
       FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  /** Fuzzy entity matching: EXACT edit-distance-≤1 join over customer
+    * names via the deletion-neighborhood scheme (FastSS) — recall 1.0
+    * by construction (any one-edit pair shares a deletion signature),
+    * verified by the builtin codegen'd levenshtein. Oracle: quadratic
+    * DuckDB all-pairs levenshtein, feasible at the gate fixture.
+    */
+  val fuzzyJoinNames = RegisteredQuery(
+    "fuzzy_join_names",
+    (s, d) =>
+      graft.llm.Dedup.editDistancePairs(
+        Tables.customer(s, d), "c_custkey", "c_name")
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id_a, id_b"""))
+
   /** SimHash signatures per doc (rows-only). */
   val dedupSimhash = RegisteredQuery(
     "dedup_simhash",
@@ -2192,7 +2210,7 @@ object Catalog {
     pipelineE2e, dedupExact,
     textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
     dedupMinhash, dedupPairs, dedupJaccardExact, dedupComponents,
-    dedupSimhash, dedupSimhashPairs,
+    dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
     simTopkBrute, simTopkAnn, simTopkIvf,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode)
 

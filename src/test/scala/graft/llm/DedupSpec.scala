@@ -126,6 +126,24 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("integral idCol"))
   }
 
+  test("edit-distance pairs: substitution, insertion, deletion all found") {
+    val names = Seq(
+      (1L, "spark"), (2L, "spork"),   // substitution
+      (3L, "sparkx"),                 // insertion vs 1
+      (4L, "spak"),                   // deletion vs 1
+      (5L, "flink"),                  // far from everything
+      (6L, "spark")                   // exact dup of 1
+    ).toDF("id", "name")
+    val pairs = Dedup.editDistancePairs(names, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == 1)
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1)
+    assert(pairs.contains((1L, 6L)) && pairs((1L, 6L)) == 0)
+    assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L),
+      s"unrelated matched: $pairs")
+  }
+
   test("connected components: chains collapse, singletons survive") {
     val vertices = (1L to 7L).map(Tuple1(_)).toDF("id")
     // chain 1-2-3-4 (diameter 3), pair 5-6, singleton 7
