@@ -1257,6 +1257,40 @@ object Catalog {
     * harness. The fixture file is staged into a directory because the
     * streaming file source requires one.
     */
+  /** Streaming HLL per window vs the batch exact twin: streams cannot
+    * run exact count-distinct (unbounded per-window key state), so the
+    * sketch IS the production form — the query joins the stream's
+    * per-hour approx against the batch exact and emits a bound
+    * boolean; the oracle asserts every bound TRUE plus the exact
+    * per-hour row counts.
+    */
+  val streamingHll = RegisteredQuery(
+    "streaming_hll",
+    (s, d) => {
+      import graft.streaming.Streams
+      val raw = Streams.eventsStreamFromFile(s, s"$d/events.parquet")
+      val streamed = Streams.runAvailableNowWithPartitions(s,
+        Streams.hourlyApproxUsers(raw),
+        s"graft_stream_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete(),
+        statePartitions = 8)
+      val exact = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(countDistinct(col("user_id")).as("nd_exact"))
+      // 10% relative with an absolute floor of 5: HLL's RELATIVE error
+      // degrades at tiny cardinalities (an hour with ~10 users can be
+      // off by 2-3), while the absolute error stays small
+      streamed.join(exact, Seq("hour_start"))
+        .select(col("hour_start"), col("n_events"),
+          (abs(col("nd_approx") - col("nd_exact")).cast("double") <=
+            greatest(col("nd_exact").cast("double") * 0.1, lit(5.0)))
+            .as("hll_ok"))
+        .orderBy(col("hour_start"))
+    },
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        count(*) AS n_events, TRUE AS hll_ok
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   val streamingHourly = RegisteredQuery(
     "streaming_hourly",
     (s, d) => {
@@ -1978,6 +2012,30 @@ object Catalog {
     },
     None)
 
+  /** Per-dimension vector mean by group (the centroid/pooled-embedding
+    * aggregation every embedding pipeline runs): posexplode to
+    * (group, pos, value) — ONE shuffle keyed by (group, pos), partial
+    * aggregation map-side — rather than any array-zip reduce that
+    * would serialize whole vectors through the aggregate. Output
+    * stays exploded (group, pos, mean): directly comparable and
+    * directly usable.
+    */
+  val aggVectorMean = RegisteredQuery(
+    "agg_vector_mean",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select((col("vec_id") % 10).as("grp"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy(col("grp"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("mean_val"))
+        .orderBy(col("grp"), col("pos")),
+    Some("""SELECT vec_id % 10 AS grp, i - 1 AS pos,
+        round(avg(embedding[i]::DOUBLE), 6) AS mean_val
+      FROM embeddings,
+        unnest(generate_series(1, len(embedding))) AS t(i)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Brute-force cosine top-10 against the vec_id=0 embedding — exact,
     * oracle-checked against DuckDB's list_cosine_similarity. Spark plans
     * TakeOrderedAndProject (per-partition heaps, no global sort).
@@ -2205,13 +2263,14 @@ object Catalog {
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
+    streamingHll,
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
     dedupMinhash, dedupPairs, dedupJaccardExact, dedupComponents,
     dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
-    simTopkBrute, simTopkAnn, simTopkIvf,
+    aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode)
 
   def byName(name: String): RegisteredQuery =

@@ -101,6 +101,23 @@ object Streams {
         round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("hour_start"), col("n_events"), col("sum_value"))
 
+  /** Hourly approximate distinct users: the sketch aggregation is the
+    * ONLY distinct form streaming supports (exact count-distinct would
+    * need unbounded per-window key state; HLL state is constant-size
+    * per window) — the shape a 100 TB/day stream actually runs.
+    * Accuracy is asserted against the batch exact twin by the
+    * registered query's bound column.
+    */
+  def hourlyApproxUsers(events: DataFrame, watermark: String = "2 hours",
+      rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("nd_approx"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour_start"), col("n_events"),
+        col("nd_approx"))
+
   /** Sliding-window event rate per type. */
   def slidingTypeCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

@@ -21,7 +21,7 @@ class PlanLintSpec extends SparkSpec {
     */
   private val skipped = Set(
     "streaming_hourly", "streaming_sliding", "streaming_sessions",
-    "streaming_dedup", "streaming_join",
+    "streaming_dedup", "streaming_join", "streaming_hll",
     "train_loop", "train_predict", "pipeline_e2e",
     "partition_pruning", "source_csv_roundtrip", "source_json_roundtrip",
     "dedup_components")
