@@ -431,6 +431,9 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("label"))
       .persist()
     labels.count()
+    // labels may be a VIEW over the persisted frame; track the frame
+    // itself so unpersist() hits the cache entry, not a derived plan
+    var persisted = labels
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -440,22 +443,22 @@ object Dedup {
         .groupBy(col("dst"))
         .agg(min(col("nl")).as("nbr_min"))
         .select(col("dst").as("id"), col("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      // one join per round: carry old and new labels side by side so
+      // convergence detection needs no second join
+      val joined = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
         .persist()
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .count()
-      labels.unpersist()
-      labels = next
+      changed = joined.filter(col("label") =!= col("old_label")).count()
+      persisted.unpersist()
+      persisted = joined
+      labels = joined.select(col("id"), col("label"))
       it += 1
     }
     adj.unpersist() // final labels are materialized; adj no longer needed
     if (changed > 0) {
-      labels.unpersist()
+      persisted.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "graph diameter exceeds the bound; raise maxIter")
