@@ -21,6 +21,12 @@ final case class RegisteredQuery(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Row type for the typed-Dataset query (top-level by necessity:
+  * Spark's Product encoders cannot derive for method-local classes).
+  */
+final case class Ord(o_orderkey: Long, o_custkey: Long,
+    o_orderstatus: String, o_totalprice: Double, o_orderpriority: String)
+
 /** The engine's registered query inventory (SURVEY §2.2 delegated surface
   * plus the encode-stratum SQL-expressible slices). The reference exposes
   * this whole surface through its SQL REPL (reference
@@ -740,6 +746,71 @@ object Catalog {
         AND o_orderdate < DATE '1997-01-01'
       GROUP BY n_name
       ORDER BY revenue DESC, n_name"""))
+
+  /** TPC-H Q18 core (large-volume customer): the IN-subquery over an
+    * aggregate — Catalyst plans it as an aggregate + left-semi join,
+    * no subquery re-execution per row; the big lineitem table is
+    * aggregated ONCE and reused for both the filter and the output
+    * sum.
+    */
+  val q18LargeVolume = RegisteredQuery(
+    "q18_large_volume",
+    (s, d) => {
+      val bigOrders = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("string").as("orderdate"),
+          col("o_totalprice"),
+          round(col("total_qty"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey,
+        CAST(o_orderdate AS VARCHAR) AS orderdate, o_totalprice,
+        round(total_qty, 2) AS total_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 150) big
+        ON o_orderkey = big.l_orderkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  /** Typed Dataset API surface (case-class Encoders end to end):
+    * `Dataset[Order]` filter with Scala lambdas, `groupByKey` +
+    * typed aggregators — the compile-time-checked face of the same
+    * engine; the oracle proves the typed path computes exactly what
+    * the SQL path would. Lambda filters are opaque to pushdown (the
+    * documented cost of the typed API); keep them AFTER columnar
+    * predicates in real pipelines.
+    */
+  val typedDataset = RegisteredQuery(
+    "typed_dataset",
+    (s, d) => {
+      import s.implicits._
+      val ds = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .as[Ord]
+      ds.filter((o: Ord) => o.o_totalprice > 100000.0 && o.o_orderstatus != "F")
+        .groupByKey((o: Ord) => o.o_orderpriority)
+        .agg(
+          count(lit(1)).as("n").as[Long],
+          round(sum(col("o_totalprice")), 2).as("sum_price").as[Double])
+        .select(col("key").as("o_orderpriority"), col("n"),
+          col("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+        round(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      WHERE o_totalprice > 100000 AND o_orderstatus <> 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   /** J-1/J-2 positional zip with a REAL oracle: both sides derive
     * narrowly from the same sorted parent (same partitioning), so the
@@ -2253,7 +2324,8 @@ object Catalog {
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
     joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinAsofNative,
     joinAsofForward, joinAsofNativeForward, q3ShippingPriority,
-    q5LocalSupplier, joinBloomPruned, joinSalted, zipFrames,
+    q5LocalSupplier, q18LargeVolume, typedDataset,
+    joinBloomPruned, joinSalted, zipFrames,
     aggApproxBounds, partitionPruning,
     aggGroupingSets, windowTopnPerGroup, windowRunningSum, windowLagLead,
     topkOrders, setopUnion, setopUnionAll, setopExcept, setopIntersect,
