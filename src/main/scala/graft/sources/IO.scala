@@ -56,6 +56,23 @@ object IO {
     */
   def rowCount(df: DataFrame): Long = df.count()
 
+  /** Small-files compaction: rewrite a parquet directory at a chosen
+    * file count. The small-files problem IS a 100 TB problem — a table
+    * accreted by thousands of micro-batches pays per-file open/footer
+    * costs on every scan and floods the driver's file index; periodic
+    * compaction to ~128 MB-1 GB files restores scan throughput.
+    * Returns the row count of the compacted copy (cheap integrity
+    * check: must equal the source's).
+    */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+      targetFiles: Int): Long = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    spark.read.parquet(srcDir)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(dstDir)
+    spark.read.parquet(dstDir).count()
+  }
+
   /** S-6: display sink — the reference's only sink
     * (`SparkRepl.out(df.cache())`). Returns the shown string so
     * callers/tests can capture it instead of stdout-only.

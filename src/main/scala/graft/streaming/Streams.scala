@@ -233,6 +233,30 @@ object Streams {
     * session (`spark.newSession()`) when sharing a session between
     * threads.
     */
+  /** Exactly-once parquet sink via `foreachBatch`: each micro-batch
+    * overwrites its own `batch=<id>` directory, so a retried batch
+    * (at-least-once delivery from the engine) rewrites the same path
+    * instead of duplicating rows — idempotence is what upgrades
+    * at-least-once execution to exactly-once OUTPUT. This is the
+    * production file-sink idiom when the built-in file sink's
+    * single-directory commit log doesn't fit (e.g. downstream
+    * partition-registration or compaction needs).
+    */
+  def runAvailableNowToParquet(spark: SparkSession, streamed: DataFrame,
+      outDir: String, queryName: String): Unit = {
+    val q = streamed.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def runAvailableNowWithPartitions(spark: SparkSession, streamed: DataFrame,
       queryName: String, outputMode: OutputMode,
       statePartitions: Int): DataFrame = {

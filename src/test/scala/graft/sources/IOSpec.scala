@@ -58,6 +58,25 @@ class IOSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan.take(400))
   }
 
+  test("compact collapses a many-file directory to the target file count") {
+    val src = tmp() + "/src"
+    val dst = tmp() + "/dst"
+    val df = (0 until 1000).map(i => (i, s"row$i")).toDF("x", "s")
+    IO.writeParquet(df, src, partitions = Some(32)) // 32 tiny files
+    val srcFiles = new java.io.File(src).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(srcFiles == 32)
+    val rows = IO.compact(spark, src, dst, targetFiles = 4)
+    assert(rows == 1000)
+    val dstFiles = new java.io.File(dst).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(dstFiles == 4, s"expected 4 compacted files, got $dstFiles")
+    // content preserved, not just count
+    val back = IO.readParquet(spark, dst).orderBy("x")
+      .collect().map(_.getInt(0)).toSeq
+    assert(back == (0 until 1000))
+  }
+
   test("writeParquet respects partition count") {
     val dir = tmp() + "/t"
     val df = (1 to 100).toDF("x").repartition(8)

@@ -59,6 +59,26 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("foreachBatch parquet sink writes per-batch dirs, rows preserved") {
+    val out = java.nio.file.Files.createTempDirectory("stream_out").toString
+    val raw = Streams.eventsStream(spark, eventsDir)
+    Streams.runAvailableNowToParquet(spark, raw,
+      out, s"sink_test_${System.nanoTime()}")
+    val written = spark.read.parquet(out)
+    val expected = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(written.count() == expected.count())
+    // batch=<id> layout exists (the idempotence unit)
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batchDirs.nonEmpty)
+    // re-writing the same batch dir is an overwrite, not a duplication
+    val sample = spark.read.parquet(batchDirs.head.getPath)
+    sample.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(batchDirs.head.getPath + "_retry")
+    assert(spark.read.parquet(batchDirs.head.getPath + "_retry").count() ==
+      sample.count())
+  }
+
   test("sliding windows emit overlapping window starts") {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
