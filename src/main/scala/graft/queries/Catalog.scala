@@ -709,6 +709,59 @@ object Catalog {
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Co-located (bucketed) join as a checked query: both sides are
+    * written `bucketBy(orderkey)` once — the layout investment — and
+    * the join then plans a sort-merge join with NO Exchange on either
+    * side (verified in BucketingSpec; `hint("merge")` keeps the
+    * planner on the shuffle-join path so bucketing, not broadcast,
+    * is what's exercised). THE strategy for 100 TB fact-to-fact joins
+    * that repeat daily: the shuffle is paid once at write time, every
+    * subsequent join is shuffle-free. Oracle = the same join from the
+    * unbucketed originals.
+    */
+  val joinBucketed = RegisteredQuery(
+    "join_bucketed",
+    (s, d) => {
+      val tag = math.abs(d.hashCode).toString
+      // a fresh session's catalog is empty but the managed-table
+      // LOCATION from a previous run survives on disk — clear both or
+      // saveAsTable raises LOCATION_ALREADY_EXISTS
+      def resetTable(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val loc = new java.io.File(wh, name.toLowerCase)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(loc)
+        }
+      }
+      resetTable(s"graft_orders_b_$tag")
+      resetTable(s"graft_lineitem_b_$tag")
+      Tables.orders(s, d)
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"graft_orders_b_$tag")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"graft_lineitem_b_$tag")
+      s.table(s"graft_lineitem_b_$tag").hint("merge")
+        .join(s.table(s"graft_orders_b_$tag"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_orderpriority"), col("l_returnflag"))
+    },
+    Some("""SELECT o_orderpriority, l_returnflag, count(*) AS n,
+        round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority, l_returnflag
+      ORDER BY o_orderpriority, l_returnflag"""))
+
   /** TPC-H Q5 core (local supplier volume): the 6-way join with the
     * classic scale shape — lineitem/orders/customer shuffle on their
     * keys, supplier/nation/region broadcast (dimension tables stay
@@ -2325,7 +2378,7 @@ object Catalog {
     joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinAsofNative,
     joinAsofForward, joinAsofNativeForward, q3ShippingPriority,
     q5LocalSupplier, q18LargeVolume, typedDataset,
-    joinBloomPruned, joinSalted, zipFrames,
+    joinBloomPruned, joinBucketed, joinSalted, zipFrames,
     aggApproxBounds, partitionPruning,
     aggGroupingSets, windowTopnPerGroup, windowRunningSum, windowLagLead,
     topkOrders, setopUnion, setopUnionAll, setopExcept, setopIntersect,
