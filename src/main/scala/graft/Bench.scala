@@ -29,10 +29,17 @@ object Bench {
     }
 
     // JIT/codegen warmup so the alphabetically-first query doesn't absorb
-    // first-job overhead into its timing
-    try SparkEntry.queries.get("q1_pricing_summary")
-      .foreach(fn => fn(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    // first-job overhead into its timing: one scan-agg query, plus the
+    // shingle-UDF path over a 100-row slice (JIT only — a LIMIT cannot
+    // cache or precompute anything the timed queries reuse)
+    try {
+      SparkEntry.queries.get("q1_pricing_summary")
+        .foreach(fn => fn(spark, sfDir).count())
+      graft.sources.Tables.documents(spark, sfDir).limit(100)
+        .select(graft.llm.Dedup.hashedShingles(
+          org.apache.spark.sql.functions.col("text")))
+        .count(): Unit
+    } catch { case _: Throwable => () }
 
     // optional positional args restrict the run to the named queries
     // (iteration aid; the driver passes none and times everything)

@@ -2238,7 +2238,11 @@ object Catalog {
       val cells = Similarity.cellsFor(emb.count())
       val cents = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
         k = cells, iters = 2)
+      // the index is an INDEX: persist it — radii, the bound probe, and
+      // the final probe all read it (unpersisted, each re-derives the
+      // assignment scan)
       val index = Similarity.ivfIndex(emb, "embedding", "vec_id", cents)
+        .persist()
       val radii = Similarity.cellRadii(index, cents)
       Similarity.topKIvfExact(index, query, cents, radii, k = 10,
           nprobe = math.max(2, cells / 4))
