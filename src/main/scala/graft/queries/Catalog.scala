@@ -865,6 +865,69 @@ object Catalog {
       WHERE o_totalprice > 100000 AND o_orderstatus <> 'F'
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Pure SQL-text entry (the reference's REPL surface, reference
+    * `Trainer.scala:110-121`): CTE + window + join over registered
+    * temp views, executed through `spark.sql` — same engine, same
+    * plans, proving the SQL face computes exactly what the DataFrame
+    * face does.
+    */
+  val sqlCteWindow = RegisteredQuery(
+    "sql_cte_window",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        WITH spend AS (
+          SELECT o_custkey, sum(o_totalprice) AS total_spend,
+                 count(*) AS n_orders
+          FROM orders GROUP BY o_custkey)
+        SELECT c_mktsegment,
+               round(sum(total_spend), 2) AS segment_spend,
+               sum(n_orders) AS segment_orders,
+               count(*) AS n_customers,
+               round(max(total_spend), 2) AS top_customer_spend
+        FROM customer JOIN spend ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    },
+    Some("""WITH spend AS (
+        SELECT o_custkey, sum(o_totalprice) AS total_spend,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey)
+      SELECT c_mktsegment,
+             round(sum(total_spend), 2) AS segment_spend,
+             sum(n_orders) AS segment_orders,
+             count(*) AS n_customers,
+             round(max(total_spend), 2) AS top_customer_spend
+      FROM customer JOIN spend ON c_custkey = o_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): planted
+    * nulls on both sides MATCH each other under null-safe equality —
+    * the semantic corner plain equi-joins silently drop.
+    */
+  val joinNullSafe = RegisteredQuery(
+    "join_null_safe",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          nullif(col("c_nationkey") % 5, lit(0)).as("grp"))
+      val supp = Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          nullif(col("s_nationkey") % 5, lit(0)).as("grp"))
+      cust.join(supp, cust("grp") <=> supp("grp"))
+        .groupBy(coalesce(cust("grp"), lit(-1)).as("grp_key"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("grp_key"))
+    },
+    Some("""SELECT coalesce(c.grp, -1) AS grp_key, count(*) AS n_pairs
+      FROM (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS grp
+            FROM customer) c
+      JOIN (SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS grp
+            FROM supplier) s
+        ON c.grp IS NOT DISTINCT FROM s.grp
+      GROUP BY 1 ORDER BY 1"""))
+
   /** J-1/J-2 positional zip with a REAL oracle: both sides derive
     * narrowly from the same sorted parent (same partitioning), so the
     * narrow `RDD.zip` path pairs rows positionally — pair integrity is
@@ -2382,7 +2445,8 @@ object Catalog {
     joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinAsofNative,
     joinAsofForward, joinAsofNativeForward, q3ShippingPriority,
     q5LocalSupplier, q18LargeVolume, typedDataset,
-    joinBloomPruned, joinBucketed, joinSalted, zipFrames,
+    joinBloomPruned, joinBucketed, joinNullSafe, sqlCteWindow,
+    joinSalted, zipFrames,
     aggApproxBounds, partitionPruning,
     aggGroupingSets, windowTopnPerGroup, windowRunningSum, windowLagLead,
     topkOrders, setopUnion, setopUnionAll, setopExcept, setopIntersect,
