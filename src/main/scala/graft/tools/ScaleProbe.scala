@@ -87,7 +87,36 @@ object ScaleProbe {
           threshold = 0.5).count())
       println(s"[probe] emb x$mult n=$nVecs bits=$bits " +
         f"lsh_buckets{$sigStats} pairs=$nSim time=$tSim%.2fs")
-      docs.unpersist(); emb.unpersist()
+
+      // ---- documents: EXACT prefix-filter Jaccard join (PPJoin)
+      val (nExact, tExact) = timed(
+        Dedup.jaccardJoinExact(docs, "doc_id", "text", threshold = 0.7).count())
+      println(f"[probe] docs x$mult ppjoin pairs=$nExact time=$tExact%.2fs")
+
+      // ---- customer names: FastSS deletion-signature buckets
+      val cust0 = Tables.customer(spark, sfDir)
+      val cust = (if (mult == 1) cust0
+        else cust0.select(col("c_custkey"), col("c_name"),
+            explode(sequence(lit(0), lit(mult - 1))).as("copy"))
+          .select((col("c_custkey") * mult + col("copy")).as("c_custkey"),
+            concat(col("c_name"), lit("_"), col("copy").cast("string"))
+              .as("c_name")))
+        .persist()
+      val nNames = cust.count()
+      val (nEd, tEd) = timed(
+        Dedup.editDistancePairs(cust, "c_custkey", "c_name").count())
+      println(s"[probe] names x$mult n=$nNames " +
+        f"fastss pairs=$nEd time=$tEd%.2fs")
+
+      // ---- embeddings: IVF cell occupancy under cellsFor scaling
+      val cells = Similarity.cellsFor(nVecs)
+      val cents = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+        k = cells, iters = 1)
+      val ivf = Similarity.ivfIndex(emb, "embedding", "vec_id", cents)
+      val cellStats = bucketStats(ivf.select(col("cell")), Seq("cell"))
+      println(s"[probe] emb x$mult ivf cells=$cells occupancy{$cellStats}")
+
+      docs.unpersist(); emb.unpersist(); cust.unpersist()
     }
     spark.stop()
   }
