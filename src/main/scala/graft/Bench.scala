@@ -35,9 +35,11 @@ object Bench {
     try {
       SparkEntry.queries.get("q1_pricing_summary")
         .foreach(fn => fn(spark, sfDir).count())
-      graft.sources.Tables.documents(spark, sfDir).limit(100)
-        .select(graft.llm.Dedup.hashedShingles(
-          org.apache.spark.sql.functions.col("text")))
+      // the heaviest codegen/JIT paths, each over a tiny LIMIT slice:
+      // nothing here caches data or precomputes results a timed query
+      // could reuse — it only compiles the generated code once
+      val docSlice = graft.sources.Tables.documents(spark, sfDir).limit(50)
+      graft.llm.Dedup.jaccardJoinExact(docSlice, "doc_id", "text")
         .count(): Unit
     } catch { case _: Throwable => () }
 

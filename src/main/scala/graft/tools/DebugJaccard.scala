@@ -47,6 +47,16 @@ object DebugJaccard {
           max(col("count"))).collect().toSeq)
     time("full query")(
       Dedup.jaccardJoinExact(docs, "doc_id", "text", threshold = t).count())
+    val edges = Dedup.jaccardJoinExact(docs, "doc_id", "text", threshold = t)
+      .persist()
+    time("edges materialize")(edges.count())
+    time("cc given edges")(
+      Dedup.connectedComponents(docs, "doc_id", edges, "id_a", "id_b").count())
+    edges.unpersist()
+    time("cc full (unpersisted edges)")(
+      Dedup.connectedComponents(docs, "doc_id",
+        Dedup.jaccardJoinExact(docs, "doc_id", "text", threshold = t),
+        "id_a", "id_b").count())
     spark.stop()
   }
 }
