@@ -1345,6 +1345,32 @@ object Catalog {
   /** Time-bucketed aggregation over the stream-shaped events table —
     * the batch twin of the tumbling-window streaming query.
     */
+  /** Statistical aggregates (the moments family beyond mean/σ that
+    * `graft.encode.Moments` serves): Pearson correlation, sample
+    * covariance, sample stddev per group — one pass, map-side partial
+    * merge of the co-moment sums (Spark's imperative aggregates carry
+    * (n, Σx, Σy, Σxy…) through combiners; no per-group materialization).
+    */
+  val aggStats = RegisteredQuery(
+    "agg_stats",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("covar_qty_price"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_discount"),
+          round(avg(col("l_tax")), 6).as("avg_tax"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        round(stddev_samp(l_discount), 6) AS sd_discount,
+        round(avg(l_tax), 6) AS avg_tax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** ANSI-safe scalar error handling: Spark 4 runs ANSI mode (x/0 and
     * bad casts THROW), so dirty-data pipelines must use the `try_*`
     * family — this query proves the null-not-crash semantics match the
@@ -2453,6 +2479,7 @@ object Catalog {
     q6ForecastRevenue, mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip,
     windowRankStats, aggHistogram, timeseriesGapfill, scalarTryFunctions,
+    aggStats,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
