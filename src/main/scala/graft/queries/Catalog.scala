@@ -709,6 +709,86 @@ object Catalog {
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** TPC-H Q7 core (volume shipping between two nations): the
+    * self-join of a dimension under two roles (nation as supplier's
+    * vs customer's) — both roles broadcast; the year extraction and
+    * nation-pair filter run before the aggregate.
+    */
+  val q7VolumeShipping = RegisteredQuery(
+    "q7_volume_shipping",
+    (s, d) => {
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""SELECT supp_nation, cust_nation, l_year,
+        round(sum(volume), 2) AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS INTEGER) AS l_year,
+              l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1998-01-01')
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** TPC-H Q10 core (returned-item reporting): the revenue-at-risk
+    * report — scan-filtered orders window, returned lineitems only,
+    * top 20 customers by lost revenue.
+    */
+  val q10ReturnedItems = RegisteredQuery(
+    "q10_returned_items",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+    Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= DATE '1996-10-01'
+        AND o_orderdate < DATE '1997-01-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
   /** Co-located (bucketed) join as a checked query: both sides are
     * written `bucketBy(orderkey)` once — the layout investment — and
     * the join then plans a sort-merge join with NO Exchange on either
@@ -2470,7 +2550,8 @@ object Catalog {
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
     joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinAsofNative,
     joinAsofForward, joinAsofNativeForward, q3ShippingPriority,
-    q5LocalSupplier, q18LargeVolume, typedDataset,
+    q5LocalSupplier, q7VolumeShipping, q10ReturnedItems, q18LargeVolume,
+    typedDataset,
     joinBloomPruned, joinBucketed, joinNullSafe, sqlCteWindow,
     joinSalted, zipFrames,
     aggApproxBounds, partitionPruning,
