@@ -409,9 +409,14 @@ object Dedup {
     * minimum label among itself and its neighbors; converges in
     * O(graph diameter) rounds, which for near-dup clusters is small
     * (they are dense families, not long chains). Each round is one
-    * keyed join + aggregate; labels persist round-to-round so lineage
-    * does not double (the classic iterative-algorithm trap), and the
-    * previous round is unpersisted as soon as the next materializes.
+    * keyed join + aggregate; each round's labels are eagerly
+    * `localCheckpoint`ed, which both caches the rows AND truncates the
+    * logical lineage — persist alone truncates only execution, so the
+    * plan tree (and any explain/AQE log of it) would still grow by one
+    * full round per iteration and OOM the driver after ~10 rounds (the
+    * classic iterative-algorithm trap). On a real cluster with executor
+    * loss, swap `localCheckpoint` for reliable `checkpoint` against a
+    * cluster-visible dir; the loop shape is unchanged.
     * Non-convergence inside `maxIter` throws loudly rather than
     * returning a silently-partial clustering.
     */
@@ -429,11 +434,7 @@ object Dedup {
     adj.count()
     var labels = vertices
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("label"))
-      .persist()
-    labels.count()
-    // labels may be a VIEW over the persisted frame; track the frame
-    // itself so unpersist() hits the cache entry, not a derived plan
-    var persisted = labels
+      .localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -444,21 +445,19 @@ object Dedup {
         .agg(min(col("nl")).as("nbr_min"))
         .select(col("dst").as("id"), col("nbr_min"))
       // one join per round: carry old and new labels side by side so
-      // convergence detection needs no second join
+      // convergence detection needs no second join; eager checkpoint
+      // materializes the round and resets the plan to a leaf scan
       val joined = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
-        .persist()
+        .localCheckpoint(true)
       changed = joined.filter(col("label") =!= col("old_label")).count()
-      persisted.unpersist()
-      persisted = joined
       labels = joined.select(col("id"), col("label"))
       it += 1
     }
     adj.unpersist() // final labels are materialized; adj no longer needed
     if (changed > 0) {
-      persisted.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "graph diameter exceeds the bound; raise maxIter")

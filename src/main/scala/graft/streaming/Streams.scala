@@ -217,22 +217,6 @@ object Streams {
     spark.table(queryName)
   }
 
-  /** Run with stateful-shuffle parallelism right-sized for the stream:
-    * a streaming query pins `spark.sql.shuffle.partitions` at start and
-    * instantiates one state store per partition per stateful operator
-    * (a stream-stream join keeps FOUR per partition) — at batch-bench
-    * volumes, 32 partitions mean store setup dwarfs the data. State
-    * partitioning is an ops knob: size it to stream volume (raise it
-    * for real firehoses; each micro-batch pays per-store overhead).
-    * The session conf is restored after the query starts.
-    *
-    * NOT thread-safe: the session-global shuffle-partitions conf is
-    * mutated for the duration of the run (restored in `finally`), so
-    * queries planned concurrently on the SAME session during that
-    * window would pick up the temporary value. Run on a dedicated
-    * session (`spark.newSession()`) when sharing a session between
-    * threads.
-    */
   /** Exactly-once parquet sink via `foreachBatch`: each micro-batch
     * overwrites its own `batch=<id>` directory, so a retried batch
     * (at-least-once delivery from the engine) rewrites the same path
@@ -257,6 +241,22 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Run with stateful-shuffle parallelism right-sized for the stream:
+    * a streaming query pins `spark.sql.shuffle.partitions` at start and
+    * instantiates one state store per partition per stateful operator
+    * (a stream-stream join keeps FOUR per partition) — at batch-bench
+    * volumes, 32 partitions mean store setup dwarfs the data. State
+    * partitioning is an ops knob: size it to stream volume (raise it
+    * for real firehoses; each micro-batch pays per-store overhead).
+    * The session conf is restored after the query starts.
+    *
+    * NOT thread-safe: the session-global shuffle-partitions conf is
+    * mutated for the duration of the run (restored in `finally`), so
+    * queries planned concurrently on the SAME session during that
+    * window would pick up the temporary value. Run on a dedicated
+    * session (`spark.newSession()`) when sharing a session between
+    * threads.
+    */
   def runAvailableNowWithPartitions(spark: SparkSession, streamed: DataFrame,
       queryName: String, outputMode: OutputMode,
       statePartitions: Int): DataFrame = {

@@ -63,6 +63,36 @@ class ExactJoinPropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components == union-find on random graphs") {
+    for (seed <- Seq(21, 22, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = (0 until 70).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map { v =>
+        // min vertex id in the component = canonical label
+        val r = find(v)
+        v.toLong -> (0 until n).filter(find(_) == r).min.toLong
+      }.toMap
+      val got = Dedup.connectedComponents(
+          (0L until n.toLong).map(Tuple1(_)).toDF("id"), "id",
+          edges.toDF("a", "b"), "a", "b", maxIter = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed: CC != union-find")
+    }
+  }
+
   private def levenshteinScala(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
