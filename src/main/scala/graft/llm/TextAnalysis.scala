@@ -49,6 +49,25 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
+  // ---------------------------------------------------------- redaction
+
+  /** Email shape, kept to constructs Java regex and RE2 share (plain
+    * character classes, no lookarounds) so an oracle can run the
+    * identical pattern.
+    */
+  val EmailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** PII scrub for the training-data path: replace every email with a
+    * placeholder. Pure codegen'd `regexp_replace` — one scan, no
+    * shuffle, runs at read speed over 100 TB.
+    */
+  def redactEmails(text: Column, placeholder: String = "[EMAIL]"): Column =
+    regexp_replace(text, EmailPattern, placeholder)
+
+  /** Number of email occurrences (audit counterpart of the scrub). */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[\\p{L}\\p{Nd}\\s]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")

@@ -582,6 +582,115 @@ object Catalog {
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"""))
 
+  /** TPC-H Q14 (promo revenue share), adapted to the fixture's p_type
+    * domain (single words, so equality instead of `LIKE 'PROMO%'`).
+    * part is a dimension — broadcast explicitly so the month of
+    * lineitem never shuffles; the two conditional sums fold into ONE
+    * hash aggregate pass. Ratio-of-sums is rounded as an aggregate
+    * (summation order differs across engines; per-row values don't).
+    */
+  val q14PromoRevenue = RegisteredQuery(
+    "q14_promo_revenue",
+    (s, d) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(0)) * 100.0 /
+            sum(rev), 4).as("promo_revenue"))
+    },
+    Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1996-09-01'
+        AND l_shipdate < DATE '1996-10-01'"""))
+
+  /** TPC-H Q17 (small-quantity-order revenue), adapted to the fixture
+    * (no p_container column — brand filter only). The correlated
+    * scalar subquery is authored as an explicit per-part aggregate +
+    * join — exactly what a decorrelator lowers to, but with the
+    * broadcast of the filtered part dimension pinned. The threshold
+    * compare is exact cross-engine: l_quantity is integer-valued, so
+    * per-part sums are order-independent in IEEE doubles.
+    */
+  val q17SmallQuantity = RegisteredQuery(
+    "q17_small_quantity",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val thresh = l.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
+      l.join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") === "Brand#23")),
+          col("l_partkey") === col("p_partkey"))
+        .join(thresh, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_thresh"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    },
+    Some("""SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#23'
+        AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""))
+
+  /** Unpivot/melt (wide metrics → long (metric, value) rows) — the
+    * reshape every feature-store export needs. Spark's native
+    * `unpivot` keeps this a zero-shuffle Expand node: each input row
+    * fans out to 4 output rows in the same task, no exchange.
+    */
+  val unpivotMelt = RegisteredQuery(
+    "unpivot_melt",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 200)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+    Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+          l_quantity AS value FROM lineitem WHERE l_orderkey <= 200
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+          l_extendedprice FROM lineitem WHERE l_orderkey <= 200
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+          l_discount FROM lineitem WHERE l_orderkey <= 200
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax',
+          l_tax FROM lineitem WHERE l_orderkey <= 200)
+      ORDER BY l_orderkey, l_linenumber, metric"""))
+
+  /** Deterministic stratified sample: first `n` rows per stratum in
+    * md5-of-key order. Unlike `sampleBy` (seeded but engine-specific),
+    * hash-order sampling is reproducible across engines AND across
+    * cluster sizes — the sample is a pure function of the data, so a
+    * 100 TB re-run or a different partitioning yields the same rows.
+    * One window shuffle keyed by the stratum.
+    */
+  val sampleStratified = RegisteredQuery(
+    "sample_stratified",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("hk"))
+      Tables.orders(s, d)
+        .withColumn("hk", md5(col("o_orderkey").cast("string")))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 20)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_orderstatus"), col("rn"))
+    },
+    Some("""SELECT o_orderstatus, o_orderkey, rn FROM (
+        SELECT o_orderstatus, o_orderkey,
+          CAST(row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS INTEGER) AS rn
+        FROM orders) WHERE rn <= 20
+      ORDER BY o_orderstatus, rn"""))
+
   /** Upsert/merge as a pure relational program (the SCD-1 pattern
     * without a table format): base = customer, updates = each
     * customer's latest order priority; merged = updates win, inserts
@@ -2117,6 +2226,91 @@ object Catalog {
           6) AS quality
       FROM c ORDER BY doc_id"""))
 
+  /** Corpus vocabulary: top-100 terms by document frequency. The
+    * ranking key (df desc, term) is integer+string — fully portable —
+    * and total, so the LIMIT cut is deterministic. See
+    * [[graft.llm.Vocabulary]] for the scale shape.
+    */
+  val vocabTopk = RegisteredQuery(
+    "vocab_topk",
+    (s, d) =>
+      graft.llm.Vocabulary.vocabulary(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("df").desc, col("term"))
+        .limit(100),
+    Some("""WITH t AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(
+          lower(text), '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ')) AS term
+        FROM documents)
+      SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total
+      FROM t WHERE length(term) > 0
+      GROUP BY term ORDER BY df DESC, term LIMIT 100"""))
+
+  /** Top-3 distinctive terms per document (keyword extraction): tf-df
+    * ranking with an integer-portable key (see
+    * [[graft.llm.Vocabulary.topTermsPerDoc]] — float tf-idf ties are
+    * not bit-comparable across engines; this order is).
+    */
+  val docTopTerms = RegisteredQuery(
+    "doc_top_terms",
+    (s, d) =>
+      graft.llm.Vocabulary
+        .topTermsPerDoc(Tables.documents(s, d), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rn")),
+    Some("""WITH t AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(
+          lower(text), '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ')) AS term
+        FROM documents),
+      tt AS (
+        SELECT doc_id, term, count(*) AS tf FROM t
+        WHERE length(term) > 0 GROUP BY doc_id, term),
+      dd AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM t
+        WHERE length(term) > 0 GROUP BY term),
+      r AS (
+        SELECT tt.doc_id, tt.term, tf, df,
+          CAST(row_number() OVER (PARTITION BY tt.doc_id
+            ORDER BY tf DESC, df ASC, tt.term) AS INTEGER) AS rn
+        FROM tt JOIN dd USING (term))
+      SELECT doc_id, rn, term, tf, df FROM r WHERE rn <= 3
+      ORDER BY doc_id, rn"""))
+
+  /** PII scrub over the corpus: plant a per-doc email, redact, verify
+    * byte-exact output via md5. The oracle runs the IDENTICAL regex —
+    * the pattern is kept to the Java/RE2-shared subset by construction
+    * ([[graft.llm.TextAnalysis.EmailPattern]]). One codegen'd scan, no
+    * shuffle — the shape of a 100 TB scrub pass.
+    */
+  val piiRedact = RegisteredQuery(
+    "pii_redact",
+    (s, d) => {
+      import graft.llm.TextAnalysis
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com or admin@example.org")).as("t"))
+        .select(col("doc_id"),
+          TextAnalysis.emailCount(col("t")).as("n_emails"),
+          md5(TextAnalysis.redactEmails(col("t"))).as("redacted_md5"),
+          length(TextAnalysis.redactEmails(col("t"))).as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+          || '@example.com or admin@example.org' AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        md5(regexp_replace(t,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'))
+          AS redacted_md5,
+        CAST(length(regexp_replace(t,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'))
+          AS INTEGER) AS n_chars
+      FROM t ORDER BY doc_id"""))
+
   // ------------------------------------------------ LLM: near-dup + ANN
 
   /** MinHash-LSH near-dup clustering: every doc labeled with the min
@@ -2557,7 +2751,9 @@ object Catalog {
     aggApproxBounds, partitionPruning,
     aggGroupingSets, windowTopnPerGroup, windowRunningSum, windowLagLead,
     topkOrders, setopUnion, setopUnionAll, setopExcept, setopIntersect,
-    q6ForecastRevenue, mergeUpsert, profileColumns, windowRangeFrame,
+    q6ForecastRevenue, q14PromoRevenue, q17SmallQuantity,
+    unpivotMelt, sampleStratified,
+    mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip,
     windowRankStats, aggHistogram, timeseriesGapfill, scalarTryFunctions,
     aggStats,
@@ -2569,6 +2765,7 @@ object Catalog {
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
+    vocabTopk, docTopTerms, piiRedact,
     dedupMinhash, dedupPairs, dedupJaccardExact, dedupComponents,
     dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf,
