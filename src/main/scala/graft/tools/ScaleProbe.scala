@@ -116,6 +116,18 @@ object ScaleProbe {
       val cellStats = bucketStats(ivf.select(col("cell")), Seq("cell"))
       println(s"[probe] emb x$mult ivf cells=$cells occupancy{$cellStats}")
 
+      // ---- connected components over the exact-join pair graph:
+      // rounds should track graph diameter (constant for dup families),
+      // NOT corpus size, and per-round plans stay constant-depth
+      // (lineage truncated by localCheckpoint)
+      val pairGraph = Dedup.jaccardJoinExact(docs, "doc_id", "text",
+        threshold = 0.7).select(col("id_a"), col("id_b"))
+      val (nComp, tComp) = timed(
+        Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+            pairGraph, "id_a", "id_b", maxIter = 30)
+          .filter(col("id") =!= col("component")).count())
+      println(f"[probe] docs x$mult cc nonRoot=$nComp time=$tComp%.2fs")
+
       docs.unpersist(); emb.unpersist(); cust.unpersist()
     }
     spark.stop()

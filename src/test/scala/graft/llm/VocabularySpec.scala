@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class VocabularySpec extends SparkSpec {
+  import spark.implicits._
+
+  // hand-checkable corpus: "apple" in all 3 docs, "banana" in 2, the
+  // rest in 1 each
+  private def docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple banana cherry"),
+    (3L, "apple date date date")
+  ).toDF("doc_id", "text")
+
+  test("vocabulary: df and tf_total match hand counts") {
+    val v = Vocabulary.vocabulary(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v == Map(
+      "apple" -> ((3L, 4L)),
+      "banana" -> ((2L, 2L)),
+      "cherry" -> ((1L, 1L)),
+      "date" -> ((1L, 3L))))
+  }
+
+  test("tfIdf: weight equals tf * ln((N+1)/(df+1)) by hand") {
+    val rows = Vocabulary.tfIdf(docs, "doc_id", "text", nDocs = 3L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def w(tf: Long, df: Long): Double = tf * math.log(4.0 / (df + 1.0))
+    assert(rows((1L, "apple")) == ((2L, 3L, w(2, 3))))
+    assert(rows((3L, "date")) == ((3L, 1L, w(3, 1))))
+    // "apple" appears in every doc: ln(4/4) = 0 — no distinctiveness
+    assert(rows((2L, "apple"))._3 == 0.0)
+  }
+
+  test("topTermsPerDoc ranks by tf desc, then rarity, then term") {
+    val top = Vocabulary.topTermsPerDoc(docs, "doc_id", "text", k = 2)
+      .orderBy(col("id"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // doc 1: apple tf=2 first, banana (df=2) over nothing else
+    // doc 2: tf all 1 → rarest first: cherry (df=1), banana (df=2)
+    // doc 3: date tf=3 first, then apple
+    assert(top.toSeq == Seq(
+      (1L, 1, "apple"), (1L, 2, "banana"),
+      (2L, 1, "cherry"), (2L, 2, "banana"),
+      (3L, 1, "date"), (3L, 2, "apple")))
+  }
+
+  test("redactEmails scrubs planted emails and emailCount finds them") {
+    val out = Seq((1L, "write to alice.smith@example.com or bob@test.org now"))
+      .toDF("id", "t")
+      .select(TextAnalysis.emailCount(col("t")),
+        TextAnalysis.redactEmails(col("t")))
+      .collect().head
+    assert(out.getInt(0) == 2)
+    assert(out.getString(1) == "write to [EMAIL] or [EMAIL] now")
+  }
+}
