@@ -1641,6 +1641,58 @@ object Catalog {
       WHERE CAST(ts AS DATE) = DATE '2024-01-03'
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Ordered funnel (view → click → purchase): per user, the FIRST
+    * view, the first click strictly after it, the first purchase
+    * strictly after that — order matters, not mere event presence.
+    * Shape: one conditional min-aggregate per stage, each joined back
+    * on user_id — three shuffles all keyed by the same column (one
+    * exchange reused under AQE), per-stage frames at most one row per
+    * user, no windows over the raw event stream. Stage-gap median is
+    * exact: µs diffs are integers, and linear interpolation of two
+    * integers is the same half in both engines.
+    */
+  val funnelConversion = RegisteredQuery(
+    "funnel_conversion",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"),
+          min(col("t_view")).as("t_view"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view")).crossJoin(
+          c.agg(count(lit(1)).as("n_click"),
+            round(expr("percentile((unix_micros(t_click) - " +
+              "unix_micros(t_view)) / 60000000.0, 0.5)"), 4)
+              .as("median_mins_to_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    },
+    Some("""WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t_click, min(v.t_view) AS t_view
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM v) AS n_view,
+        (SELECT count(*) FROM c) AS n_click,
+        (SELECT round(quantile_cont(
+          (epoch_us(t_click) - epoch_us(t_view)) / 60000000.0, 0.5), 4)
+          FROM c) AS median_mins_to_click,
+        (SELECT count(*) FROM p) AS n_purchase"""))
+
   val eventsHourly = RegisteredQuery(
     "events_hourly",
     (s, d) =>
@@ -2758,7 +2810,8 @@ object Catalog {
     windowRankStats, aggHistogram, timeseriesGapfill, scalarTryFunctions,
     aggStats,
     subqueryCorrelated, arrayFunctions,
-    scalarFunctions, jsonExtract, eventsHourly, streamingHourly,
+    scalarFunctions, jsonExtract, eventsHourly, funnelConversion,
+    streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll,
     sessionWindowBatch,
