@@ -1693,6 +1693,57 @@ object Catalog {
           FROM c) AS median_mins_to_click,
         (SELECT count(*) FROM p) AS n_purchase"""))
 
+  /** Incremental aggregation (the 100 TB ingest pattern): aggregate
+    * two disjoint batches of events independently, then MERGE the
+    * partials (counts add, sums add) — proving the nightly-delta
+    * pipeline equals the full recompute. Count/sum/min/max are the
+    * mergeable aggregates; the final round happens after the merge so
+    * summation-order differences stay absorbed.
+    */
+  val incrementalAgg = RegisteredQuery(
+    "incremental_agg",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val split = lit("2024-01-04").cast("timestamp")
+      def daily(df: DataFrame): DataFrame =
+        df.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+            min(col("value")).as("mn"), max(col("value")).as("mx"))
+      daily(e.filter(col("ts") < split))
+        .unionByName(daily(e.filter(col("ts") >= split)))
+        .groupBy(col("day"))
+        .agg(sum(col("n")).as("n_events"),
+          round(sum(col("sv")), 2).as("sum_value"),
+          min(col("mn")).as("min_value"),
+          max(col("mx")).as("max_value"))
+        .orderBy(col("day"))
+    },
+    Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        count(*) AS n_events, round(sum(value), 2) AS sum_value,
+        min(value) AS min_value, max(value) AS max_value
+      FROM events GROUP BY 1 ORDER BY day"""))
+
+  /** Z-order (Morton) index: the bit-interleave that drives
+    * two-dimensional file clustering ([[graft.relational.ZOrder]]).
+    * The oracle runs the IDENTICAL shift/mask arithmetic, generated
+    * from the same code. The layout step itself (repartitionByRange on
+    * z + sorted write ⇒ disjoint per-file envelopes on both columns)
+    * is asserted in ZOrderSpec.
+    */
+  val zorderIndex = RegisteredQuery(
+    "zorder_index",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.relational.ZOrder.zValue(
+            col("l_partkey") % 256, col("l_suppkey") % 256, bits = 8)
+            .as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some(s"""SELECT l_orderkey, l_linenumber,
+      ${graft.relational.ZOrder.zValueSql(
+        "(l_partkey % 256)", "(l_suppkey % 256)", bits = 8)} AS z
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
   val eventsHourly = RegisteredQuery(
     "events_hourly",
     (s, d) =>
@@ -2811,6 +2862,7 @@ object Catalog {
     aggStats,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, funnelConversion,
+    incrementalAgg, zorderIndex,
     streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll,
