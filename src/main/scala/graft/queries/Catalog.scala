@@ -2837,6 +2837,48 @@ object Catalog {
       CAST(12 + doc_id % 24 AS INTEGER) AS height
       FROM documents ORDER BY doc_id"""))
 
+  /** REAL image resize round-trip, oracle-checked: per-doc PNGs pushed
+    * through decode → bilinear rescale → PNG re-encode
+    * ([[graft.llm.Multimodal.resizeImage]]). The oracle replicates the
+    * scaling arithmetic exactly (same IEEE op order; Java's
+    * floor(x+0.5) and DuckDB's half-away-from-zero agree for positive
+    * values) — a stubbed resize cannot pass.
+    */
+  val multimodalResize = RegisteredQuery(
+    "multimodal_resize",
+    (s, d) => {
+      import graft.llm.Multimodal
+      val pngFor = udf((id: Long) => {
+        val w = 16 + (id % 32).toInt
+        val h = 12 + (id % 24).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, (id * 2654435761L).toInt)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.resizeImage(10)(pngFor(col("doc_id"))).as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("width"), col("r._2").as("height"),
+          (length(col("r._3")) > 0).as("has_bytes"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CAST(16 + doc_id % 32 AS DOUBLE) AS w0,
+          CAST(12 + doc_id % 24 AS DOUBLE) AS h0
+        FROM documents)
+      SELECT doc_id,
+        CAST(greatest(1, round(w0 * least(1.0, 10.0 / greatest(w0, h0))))
+          AS INTEGER) AS width,
+        CAST(greatest(1, round(h0 * least(1.0, 10.0 / greatest(w0, h0))))
+          AS INTEGER) AS height,
+        TRUE AS has_bytes
+      FROM t ORDER BY doc_id"""))
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[RegisteredQuery] = Seq(
@@ -2874,7 +2916,8 @@ object Catalog {
     dedupMinhash, dedupPairs, dedupJaccardExact, dedupComponents,
     dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf,
-    simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode)
+    simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
+    multimodalResize)
 
   def byName(name: String): RegisteredQuery =
     all.find(_.name == name).getOrElse(
