@@ -353,10 +353,17 @@ object Dedup {
     * Scale shape mirrors [[simhashPairs]]: signatures are 8 B hashes
     * (never the substrings), ONE shuffle keyed by signature, bucket
     * members gathered via collect_list under `maxBucket` (bucket size
-    * tracks the true neighbor count, not corpus size; drops are
-    * observable via the bucket metric), candidates deduped as 16 B
-    * pairs, then the builtin codegen'd `levenshtein` verifies — hash
-    * collisions only ever ADD candidates, which verification removes.
+    * tracks the true neighbor count, not corpus size), candidates
+    * deduped as 16 B pairs, then the builtin codegen'd `levenshtein`
+    * verifies — hash collisions only ever ADD candidates, which
+    * verification removes.
+    *
+    * A signature bucket larger than `maxBucket` means >maxBucket
+    * near-identical strings share one deletion signature; silently
+    * dropping it would break the recall-1.0 contract, so the job FAILS
+    * LOUDLY instead (mirroring `connectedComponents`' non-convergence
+    * throw) with instructions to raise `maxBucket` or pre-dedup exact
+    * duplicates.
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       maxBucket: Int = 1000): DataFrame = {
@@ -380,6 +387,12 @@ object Dedup {
         explode(sigsOf(col(strCol))).as("sig"))
     val pairsOf = udf((ids: Seq[Long]) => {
       val sorted = ids.distinct.sorted
+      if (sorted.length > maxBucket)
+        throw new IllegalStateException(
+          s"editDistancePairs: a deletion-signature bucket holds " +
+            s"${sorted.length} ids (> maxBucket=$maxBucket). Dropping it " +
+            "would silently break the exact-recall contract; raise " +
+            "maxBucket or exact-dedup the strings first.")
       for {
         i <- sorted.indices
         j <- (i + 1) until sorted.length
@@ -389,7 +402,7 @@ object Dedup {
       exploded.groupBy(col("sig"))
         .agg(collect_list(col("id")).as("ids")),
       size(col("ids")), maxBucket)
-      .filter(size(col("ids")).between(2, maxBucket))
+      .filter(size(col("ids")) >= 2)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()

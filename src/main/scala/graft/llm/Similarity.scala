@@ -219,9 +219,14 @@ object Similarity {
     // native codegen'd cosine, not the HOF dot (interpreted lambdas cost
     // k interpreted passes per row); centroids are unit-norm so argmax
     // cosine(v, ĉ) ≡ argmax dot(v, ĉ) — same cell either way
+    // null cosine (zero-norm row OR zero-norm centroid) must LOSE the
+    // array_min, not win it: coalesce AFTER negation so null → +2.0.
+    // (Coalescing before negation gave a dead zero-norm centroid
+    // negcos=-2.0 — the minimum — letting it capture the entire corpus
+    // and collapse the IVF index.)
     val entries = centroids.zipWithIndex.map { case (c, i) =>
-      struct((lit(0.0) - coalesce(cosineNative(vec, typedLit(c.toSeq)),
-        lit(2.0))).as("negcos"), lit(i).as("cell"))
+      struct(coalesce(lit(0.0) - cosineNative(vec, typedLit(c.toSeq)),
+        lit(2.0)).as("negcos"), lit(i).as("cell"))
     }
     array_min(array(entries: _*))("cell")
   }
@@ -254,7 +259,13 @@ object Similarity {
       .collect().map(r => normalize(r.getSeq[Double](0).toArray))
     var it = 0
     while (it < iters) {
+      // dirty rows whose vector length differs from the seed dimension
+      // fall out of the centroid update (positions >= dim would throw
+      // on the driver-side mean fill) — same null-out-don't-crash
+      // policy as the rest of the module
+      val dim = centroids.headOption.map(_.length).getOrElse(0)
       val sums = df.select(v.as("vec"))
+        .filter(size(col("vec")) === lit(dim))
         .withColumn("cell", nearestCell(col("vec"), centroids))
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))

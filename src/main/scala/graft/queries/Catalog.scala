@@ -1064,29 +1064,35 @@ object Catalog {
     "sql_cte_window",
     (s, d) => {
       Tables.registerAll(s, d)
+      // prices are summed as DECIMAL(18,2): double summation order
+      // differs between engines, and round(fp_sum, 2) flips on .005
+      // ties — decimal sums are exact and order-independent, then one
+      // deterministic cast back to double for the driver's comparator
       s.sql("""
         WITH spend AS (
-          SELECT o_custkey, sum(o_totalprice) AS total_spend,
+          SELECT o_custkey,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend,
                  count(*) AS n_orders
           FROM orders GROUP BY o_custkey)
         SELECT c_mktsegment,
-               round(sum(total_spend), 2) AS segment_spend,
+               CAST(sum(total_spend) AS DOUBLE) AS segment_spend,
                sum(n_orders) AS segment_orders,
                count(*) AS n_customers,
-               round(max(total_spend), 2) AS top_customer_spend
+               CAST(max(total_spend) AS DOUBLE) AS top_customer_spend
         FROM customer JOIN spend ON c_custkey = o_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")
     },
     Some("""WITH spend AS (
-        SELECT o_custkey, sum(o_totalprice) AS total_spend,
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend,
                count(*) AS n_orders
         FROM orders GROUP BY o_custkey)
       SELECT c_mktsegment,
-             round(sum(total_spend), 2) AS segment_spend,
+             CAST(sum(total_spend) AS DOUBLE) AS segment_spend,
              sum(n_orders) AS segment_orders,
              count(*) AS n_customers,
-             round(max(total_spend), 2) AS top_customer_spend
+             CAST(max(total_spend) AS DOUBLE) AS top_customer_spend
       FROM customer JOIN spend ON c_custkey = o_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))

@@ -29,6 +29,21 @@ object RuntimeFilter {
   def bloomSemiFilter(probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // The filter is BUILT on the build column's native type but PROBED
+    // via mightContainLong on the probe key cast to long. If the build
+    // key were a string, the sketch would hash binary while the probe
+    // hashes longs — silent FALSE NEGATIVES, i.e. dropped matches.
+    // Require integral keys on both sides so build and probe hash the
+    // same representation (same guard as Dedup.editDistancePairs).
+    val integral = Set("byte", "short", "integer", "long")
+    Seq(build.schema(buildKey) -> buildKey, probe.schema(probeKey) -> probeKey)
+      .foreach { case (f, name) =>
+        require(integral.contains(f.dataType.typeName),
+          s"bloomSemiFilter requires integral join keys (the sketch is " +
+            s"probed via mightContainLong); '$name' is " +
+            s"${f.dataType.simpleString}. Hash or rank non-integral keys " +
+            "first.")
+      }
     val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
     val bc = probe.sparkSession.sparkContext.broadcast(bf)
     // long-typed keys use the sketch's long hash directly; the UDF stays

@@ -67,6 +67,13 @@ object IO {
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
       targetFiles: Int): Long = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    // Overwrite-into-source would delete srcDir while the rewrite job
+    // is still reading it — losing the table. Path normalizes trailing
+    // slashes / schemes so "dir" vs "dir/" is caught too.
+    require(new org.apache.hadoop.fs.Path(srcDir) !=
+        new org.apache.hadoop.fs.Path(dstDir),
+      s"compact dstDir must differ from srcDir (got both = $srcDir): " +
+        "overwriting the directory being read loses the table")
     spark.read.parquet(srcDir)
       .repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(dstDir)

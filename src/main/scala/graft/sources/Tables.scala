@@ -48,5 +48,13 @@ object Tables {
     * reference's delegated SQL surface (`Trainer.scala:110-121`).
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      // events MUST go through the nanos→µs accessor: registering the
+      // raw file both exposes the wrong ts type to SQL and — worse —
+      // makes registerAll itself ordering-dependent (footer-schema
+      // inference throws PARQUET_TYPE_ILLEGAL unless some earlier
+      // events() call already set nanosAsLong on this session)
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
