@@ -170,4 +170,13 @@ class DedupSpec extends SparkSpec {
       .head.getSeq[String](0)
     assert(sh == Seq("two words"))
   }
+  test("editDistancePairs fails loudly when a bucket exceeds maxBucket") {
+    val dupes = (1L to 12L).map(i => (i, "identical")).toDF("id", "name")
+    val e = intercept[org.apache.spark.SparkException] {
+      Dedup.editDistancePairs(dupes, "id", "name", maxBucket = 10).count()
+    }
+    assert(e.getMessage.contains("maxBucket") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxBucket")))
+  }
+
 }

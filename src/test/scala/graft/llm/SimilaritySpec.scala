@@ -230,4 +230,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 100L)), s"identical pair missed: $pairs")
   }
+  test("zero-norm centroid never captures rows (null cosine loses argmin)") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 0.0), Array(0.0, 1.0))
+    val df = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9)))
+      .toDF("id", "vec")
+    val cells = df.select(col("id"),
+        Similarity.nearestCell(col("vec").cast("array<double>"), cents)
+          .as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(1L) == 0, s"row 1 assigned to ${cells(1L)}")
+    assert(cells(2L) == 2, s"row 2 assigned to ${cells(2L)}")
+  }
+
+  test("kmeansCentroids survives dirty vectors of the wrong dimension") {
+    val good = (0 until 40).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.3), math.sin(i * 0.3))))
+    val dirty = Seq((1000L, Seq(1.0, 2.0, 3.0, 4.0)), (1001L, Seq(0.5)))
+    val df = (good ++ dirty).toDF("id", "vec")
+    // must not throw ArrayIndexOutOfBounds on the driver-side mean fill
+    val cents = Similarity.kmeansCentroids(df, "vec", "id", k = 3, iters = 2)
+    assert(cents.length == 3 && cents.forall(_.length == 2))
+  }
+
 }

@@ -38,4 +38,17 @@ class RuntimeFilterSpec extends SparkSpec {
       .collect()
     assert(kept.length == 1 && kept.head.getLong(0) == 1L)
   }
+  test("non-integral keys are rejected (build/probe would hash differently)") {
+    val probe = Seq((1L, "a")).toDF("k", "v")
+    val build = Seq(Tuple1("1")).toDF("bk")
+    val e = intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomSemiFilter(probe, "k", build, "bk", 10)
+    }
+    assert(e.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomSemiFilter(probe, "v", probe, "k", 10)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
 }

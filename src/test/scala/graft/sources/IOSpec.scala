@@ -85,4 +85,19 @@ class IOSpec extends SparkSpec {
       .count(_.getName.endsWith(".parquet"))
     assert(files == 2)
   }
+  test("compact refuses dstDir == srcDir (would delete the source mid-read)") {
+    val dir = tmp() + "/same"
+    (1 to 10).toDF("x").write.parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      IO.compact(spark, dir, dir, targetFiles = 1)
+    }
+    assert(e.getMessage.contains("differ"))
+    // trailing slash is the same directory too
+    intercept[IllegalArgumentException] {
+      IO.compact(spark, dir, dir + "/", targetFiles = 1)
+    }
+    // source intact afterwards
+    assert(spark.read.parquet(dir).count() == 10)
+  }
+
 }
