@@ -3176,6 +3176,78 @@ object Catalog {
                         AND o_orderdate >= DATE '1999-01-01')
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Weekly cohort retention over the events stream: users are
+    * cohorted by the week of their first event; each (cohort, week
+    * offset) cell counts the distinct users still active. Two shuffles
+    * by construction — first-event discovery and the distinct count —
+    * both keyed by user/cohort, both map-side partial; the week
+    * truncation keeps the output a small dense matrix no matter how
+    * many events feed it. Monday-start `date_trunc('week', …)` agrees
+    * between engines, and offsets are exact multiples of 7 days so the
+    * division is exact.
+    */
+  val cohortRetention = RegisteredQuery(
+    "cohort_retention",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val first = e.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      first.join(e, "user_id")
+        .groupBy(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("int")
+            .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    },
+    Some("""WITH e AS (
+        SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id)
+      SELECT cohort_wk,
+        CAST(date_diff('day', cohort_wk, wk) // 7 AS INTEGER) AS week_offset,
+        count(DISTINCT e.user_id) AS active_users
+      FROM f JOIN e ON f.user_id = e.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Benchmark decontamination over the documents table: docs whose
+    * id is a multiple of 20 play the "benchmark suite", the rest the
+    * training corpus; any corpus doc sharing a word 4-gram with the
+    * benchmark is reported with its distinct-overlap count. The oracle
+    * rebuilds the same shingles as strings (the engine joins 64-bit
+    * hashes — a collision would need ~2⁶⁴ shingles to matter).
+    */
+  val decontaminate = RegisteredQuery(
+    "decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.Decontaminate.contaminationReport(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", k = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),
+          '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 2),
+              i -> array_to_string(toks[i:i+3], ' '))) END AS sh
+        FROM t),
+      cg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 20 <> 0),
+      bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 20 = 0),
+      tot AS (SELECT doc_id, len(sh) AS n_ngrams FROM sh
+              WHERE doc_id % 20 <> 0),
+      ov AS (SELECT cg.doc_id, count(*) AS n_overlap
+             FROM cg JOIN bg USING (g) GROUP BY cg.doc_id)
+      SELECT tot.doc_id, ov.n_overlap, tot.n_ngrams,
+        round(ov.n_overlap * 1.0 / tot.n_ngrams, 6) AS overlap_frac
+      FROM tot JOIN ov ON tot.doc_id = ov.doc_id
+      ORDER BY tot.doc_id"""))
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[RegisteredQuery] = Seq(
@@ -3203,7 +3275,7 @@ object Catalog {
     aggStats,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, funnelConversion,
-    incrementalAgg, zorderIndex,
+    incrementalAgg, zorderIndex, cohortRetention,
     streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll,
@@ -3212,6 +3284,7 @@ object Catalog {
     pipelineE2e, dedupExact,
     textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
     vocabTopk, docTopTerms, piiRedact,
+    decontaminate,
     dedupMinhash, dedupPairs, dedupJaccardExact, dedupComponents,
     dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf,
