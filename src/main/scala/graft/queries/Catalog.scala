@@ -3176,6 +3176,49 @@ object Catalog {
                         AND o_orderdate >= DATE '1999-01-01')
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Data-quality expectation suite over orders: four single-pass
+    * rules (one aggregation job for all of them — the suite must not
+    * cost a scan per rule at 100 TB) plus a referential-integrity
+    * anti-join against the customer dimension, unioned into one
+    * (rule, metric, passed) report. Oracle recomputes every metric
+    * independently in SQL.
+    */
+  val dqChecks = RegisteredQuery(
+    "dq_checks",
+    (s, d) => {
+      import graft.relational.DataQuality._
+      val orders = Tables.orders(s, d)
+      check(orders, Seq(
+        unique("o_orderkey"),
+        nullFraction("o_custkey", atMost = 0.0),
+        minAtLeast("o_totalprice", 0.0),
+        maxAtMost("o_totalprice", 1.0e8)))
+        .union(refIntegrity(orders, "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy(col("rule"))
+    },
+    Some("""SELECT * FROM (
+        SELECT 'o_orderkey_unique' AS rule,
+          CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS metric,
+          count(DISTINCT o_orderkey) = count(*) AS passed FROM orders
+        UNION ALL
+        SELECT 'o_custkey_null_frac',
+          avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END),
+          avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END) <= 0.0
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_min', CAST(min(o_totalprice) AS DOUBLE),
+          min(o_totalprice) >= 0.0 FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_max', CAST(max(o_totalprice) AS DOUBLE),
+          max(o_totalprice) <= 1.0e8 FROM orders
+        UNION ALL
+        SELECT 'o_custkey_in_c_custkey',
+          CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS DOUBLE),
+          count(*) FILTER (WHERE c.c_custkey IS NULL) = 0
+        FROM orders LEFT JOIN customer c ON o_custkey = c.c_custkey)
+      ORDER BY rule"""))
+
   /** Weekly cohort retention over the events stream: users are
     * cohorted by the week of their first event; each (cohort, week
     * offset) cell counts the distinct users still active. Two shuffles
@@ -3275,7 +3318,7 @@ object Catalog {
     aggStats,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, funnelConversion,
-    incrementalAgg, zorderIndex, cohortRetention,
+    incrementalAgg, zorderIndex, cohortRetention, dqChecks,
     streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll,
