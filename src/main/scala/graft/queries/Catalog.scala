@@ -3176,6 +3176,75 @@ object Catalog {
                         AND o_orderdate >= DATE '1999-01-01')
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Exact rolling median over a moving 5-row event frame — an
+    * operator Spark has no native window function for (percentile
+    * functions don't run over frames), composed as
+    * sort_array(collect_list) + middle-element selection. Bounded
+    * frame ⇒ bounded per-row state, so the compose stays safe at
+    * scale; interpolation (mean of the two middles on even frames)
+    * matches DuckDB's `median` exactly since both average the SAME two
+    * selected values. Ordering is (ts, event_id) — unique — so frames
+    * are deterministic.
+    */
+  val windowRollingMedian = RegisteredQuery(
+    "window_rolling_median",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      val arr = sort_array(collect_list(col("value")).over(w))
+      val n = size(arr)
+      // Column `/` is double division — floor+cast for the 1-based
+      // middle indices (equal on odd frames, adjacent on even ones)
+      val mid = element_at(arr, (floor(n / lit(2)) + 1).cast("int"))
+      val midLow = element_at(arr, floor((n + lit(1)) / lit(2)).cast("int"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          ((mid + midLow) / 2.0).as("rolling_median"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+        median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_median
+      FROM events ORDER BY event_id"""))
+
+  /** SCD2 history build (the warehouse slowly-changing-dimension
+    * pattern): per customer, collapse the order stream into validity
+    * intervals of the tracked attribute — keep only change points
+    * (value ≠ previous value), then close each interval with the next
+    * change's start (null = current). Two window passes over ONE
+    * (custkey)-keyed shuffle; no self-join.
+    */
+  val scd2History = RegisteredQuery(
+    "scd2_history",
+    (s, d) => {
+      val byTime = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val changes = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .withColumn("prev", lag(col("o_orderpriority"), 1).over(byTime))
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      changes
+        .withColumn("valid_to",
+          lead(col("o_orderdate"), 1).over(byTime))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate").as("valid_from"), col("valid_to"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"))
+    },
+    Some("""WITH marked AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+          lag(o_orderpriority) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders),
+      changes AS (
+        SELECT * FROM marked
+        WHERE prev IS NULL OR prev <> o_orderpriority)
+      SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+        lead(o_orderdate) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS valid_to
+      FROM changes
+      ORDER BY o_custkey, valid_from, o_orderpriority"""))
+
   /** Data-quality expectation suite over orders: four single-pass
     * rules (one aggregation job for all of them — the suite must not
     * cost a scan per rule at 100 TB) plus a referential-integrity
@@ -3315,6 +3384,7 @@ object Catalog {
     mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip,
     windowRankStats, aggHistogram, timeseriesGapfill, scalarTryFunctions,
+    windowRollingMedian, scd2History,
     aggStats,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, funnelConversion,
