@@ -128,6 +128,18 @@ object ScaleProbe {
           .filter(col("id") =!= col("component")).count())
       println(f"[probe] docs x$mult cc nonRoot=$nComp time=$tComp%.2fs")
 
+      // ---- decontamination: the corpus side grows N× while the
+      // benchmark set stays FIXED (its distinct-hash set broadcasts),
+      // so wall time must track the corpus linearly — any superlinear
+      // growth means the corpus side started shuffling
+      val benchDocs = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 20 === 0)
+      val (nCont, tCont) = timed(
+        graft.llm.Decontaminate.contaminationReport(
+          docs, benchDocs, "doc_id", "text", k = 4).count())
+      println(f"[probe] docs x$mult decontaminate contaminated=$nCont " +
+        f"time=$tCont%.2fs")
+
       docs.unpersist(); emb.unpersist(); cust.unpersist()
     }
     spark.stop()
