@@ -2728,6 +2728,64 @@ object Catalog {
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
+  /** The disk-serving path of the IVF index: the index is WRITTEN
+    * partitioned by cell and the probe runs against the read-back
+    * frame, so cell filters prune whole directories — a probe reads
+    * O(occupancy·nprobe) bytes no matter the corpus size (verified as
+    * PartitionFilters in IvfDiskSpec). Build once, serve many: the
+    * same write-time-investment contract as `join_bucketed`. Exact by
+    * construction, so it shares the brute-force oracle.
+    */
+  val simTopkIvfDisk = RegisteredQuery(
+    "sim_topk_ivf_disk",
+    (s, d) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val cells = Similarity.cellsFor(emb.count())
+      val cents = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+        k = cells, iters = 2)
+      val path = s"/tmp/graft_ivf_${math.abs(d.hashCode)}"
+      Similarity.writeIvfIndex(
+        Similarity.ivfIndex(emb, "embedding", "vec_id", cents), path)
+      val disk = Similarity.readIvfIndex(s, path)
+      val radii = Similarity.cellRadii(disk, cents)
+      Similarity.topKIvfExact(disk, query, cents, radii, k = 10,
+          nprobe = math.max(2, cells / 4))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
+  /** Mixture sampling over documents: per-source target counts (the
+    * "40% web, 30% code" domain-mixing primitive), drawn by md5-of-key
+    * rank so the pick is a pure function of the data — identical
+    * across engines, runs, and cluster sizes. Targets here derive from
+    * the source name so the oracle can recompute them.
+    */
+  val mixtureSample = RegisteredQuery(
+    "mixture_sample",
+    (s, d) => {
+      val targets = (0 until 20).map(i => s"src$i" -> (3 + i % 5)).toMap
+      graft.relational.Sampling.mixtureSample(
+          Tables.documents(s, d), "source", "doc_id", targets)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""SELECT source, doc_id FROM (
+        SELECT source, doc_id, row_number() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 3 + (CAST(substr(source, 4) AS INTEGER) % 5)
+      ORDER BY source, doc_id"""))
+
   /** Embedding near-dup pairs, exact baseline: broadcast cross join at
     * fixture scale, oracle-checked against DuckDB's all-pairs cosine.
     * The scale path is `sim_neardup_lsh` below — same logical result
@@ -3400,7 +3458,8 @@ object Catalog {
     decontaminate,
     dedupMinhash, dedupPairs, dedupJaccardExact, dedupComponents,
     dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
-    aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf,
+    aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
+    mixtureSample,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
     multimodalResize)
 

@@ -36,6 +36,31 @@ object Sampling {
       targetRowsPerPartition: Long = 10000L): DataFrame =
     df.repartition(partitionsForRows(rowCount, targetRowsPerPartition))
 
+  /** Mixture sampling: draw a PER-GROUP deterministic sample sized by a
+    * target map — the domain-mixing primitive of training-data
+    * pipelines ("40% web, 30% code, …" becomes per-source row counts).
+    * Ranking is md5-of-key, so the selection is a pure function of the
+    * data: reproducible across engines, runs, and cluster sizes, and
+    * stable under corpus appends (existing picks only change if new
+    * rows out-rank them). One window shuffle keyed by the group; the
+    * target map joins as a broadcast.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
+      targets: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(targets.nonEmpty, "empty target mixture")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = targets.toSeq.toDF("__group", "__target")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.join(broadcast(t), col(groupCol) === col("__group"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__target"))
+      .drop("__group", "__target", "__rn")
+  }
+
   /** L-5: driver micro-batching (reference `collect().grouped(1000)`,
     * `ModelingStrategy.scala:100, 124`) — but via `toLocalIterator`, so
     * only one partition is resident on the driver at a time.

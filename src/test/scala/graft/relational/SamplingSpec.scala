@@ -39,4 +39,20 @@ class SamplingSpec extends SparkSpec {
     }
     assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
+  test("mixtureSample draws exact per-group target counts, deterministically") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 100).map(i => (i.toLong, s"g${i % 4}")).toDF("k", "g")
+    val targets = Map("g0" -> 5, "g1" -> 10, "g2" -> 0, "g3" -> 25)
+    val out = Sampling.mixtureSample(df, "g", "k", targets)
+    val counts = out.groupBy(col("g")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 5L, "g1" -> 10L, "g3" -> 25L), s"$counts")
+    // pure function of the data: same picks on a re-run
+    val again = Sampling.mixtureSample(df, "g", "k", targets)
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(again == out.select(col("k")).collect().map(_.getLong(0)).toSet)
+    // a group absent from the targets contributes nothing
+    assert(!counts.contains("g2"))
+  }
+
 }
