@@ -1097,6 +1097,65 @@ object Catalog {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
+  /** `GROUP BY ALL` / `ORDER BY ALL` (the modern SQL-text shorthand,
+    * same semantics in both engines): every non-aggregate select item
+    * groups, the whole row orders. Decimal-sum the price for the
+    * cross-engine tie-safety established by `sql_cte_window`.
+    */
+  val sqlGroupByAll = RegisteredQuery(
+    "sql_group_by_all",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY ALL ORDER BY ALL""")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ALL ORDER BY ALL"""))
+
+  /** Named-parameter SQL (`:param` binding via `spark.sql(text, args)`)
+    * — the injection-safe text-query surface; the oracle is the same
+    * query with the parameters inlined as literals, proving binding ≡
+    * literal substitution.
+    */
+  val sqlParameterized = RegisteredQuery(
+    "sql_parameterized",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          FROM orders
+          WHERE o_totalprice > :minp
+            AND o_orderdate < CAST(:cutoff AS TIMESTAMP)
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        Map("minp" -> Int.box(150000), "cutoff" -> "1998-01-01"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n
+      FROM orders
+      WHERE o_totalprice > 150000
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** VARIANT ingestion (Spark 4's semi-structured type): parse the
+    * JSON props column once into a variant, extract a typed field with
+    * `variant_get` — the schema-on-read path for ragged event
+    * payloads (vs `json_extract`'s per-path string parsing, already
+    * covered by `json_extract`).
+    */
+  val variantExtract = RegisteredQuery(
+    "variant_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .filter(col("k") > 50)
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+      FROM events WHERE CAST(props->>'$.k' AS INTEGER) > 50
+      ORDER BY event_id"""))
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): planted
     * nulls on both sides MATCH each other under null-safe equality —
     * the semantic corner plain equi-joins silently drop.
@@ -3431,6 +3490,7 @@ object Catalog {
     q5LocalSupplier, q7VolumeShipping, q10ReturnedItems, q18LargeVolume,
     typedDataset,
     joinBloomPruned, joinBucketed, joinNullSafe, sqlCteWindow,
+    sqlGroupByAll, sqlParameterized, variantExtract,
     joinSalted, zipFrames,
     aggApproxBounds, partitionPruning,
     aggGroupingSets, windowTopnPerGroup, windowRunningSum, windowLagLead,
