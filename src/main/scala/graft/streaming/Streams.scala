@@ -227,10 +227,18 @@ object Streams {
     * partition-registration or compaction needs).
     */
   def runAvailableNowToParquet(spark: SparkSession, streamed: DataFrame,
-      outDir: String, queryName: String): Unit = {
-    val q = streamed.writeStream
+      outDir: String, queryName: String,
+      checkpointDir: Option[String] = None): Unit = {
+    val builder = streamed.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append())
+    // with a checkpoint, a LATER run over the same source resumes at
+    // the recorded offsets: already-processed input is never re-read
+    // (restart recovery), and a batch retried after a crash rewrites
+    // its own batch=<id> dir (idempotent output) — together, exactly
+    // once across restarts
+    checkpointDir.foreach(d => builder.option("checkpointLocation", d))
+    val q = builder
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.write
