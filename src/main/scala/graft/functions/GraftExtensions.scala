@@ -61,6 +61,19 @@ object GraftFunctions {
         Bridge.expression(vec), arrDouble), planes))
   }
 
+  /** Column form: cosine-nearest centroid cell id in one fused k×dim
+    * pass (normalized matrix embedded as a codegen reference — the
+    * composable argmin form plans k separate cosine expressions).
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    val arrDouble = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    Bridge.column(NearestCentroidExpr(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        Bridge.expression(vec), arrDouble), centroids))
+  }
+
   /** Column-API form — usable without registering the extension. */
   def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.Bridge

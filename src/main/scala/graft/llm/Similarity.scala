@@ -215,21 +215,14 @@ object Similarity {
     * cells). Pure expressions, one pass; ties resolve to the lowest
     * cell id deterministically.
     */
-  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column = {
-    // native codegen'd cosine, not the HOF dot (interpreted lambdas cost
-    // k interpreted passes per row); centroids are unit-norm so argmax
-    // cosine(v, ĉ) ≡ argmax dot(v, ĉ) — same cell either way
-    // null cosine (zero-norm row OR zero-norm centroid) must LOSE the
-    // array_min, not win it: coalesce AFTER negation so null → +2.0.
-    // (Coalescing before negation gave a dead zero-norm centroid
-    // negcos=-2.0 — the minimum — letting it capture the entire corpus
-    // and collapse the IVF index.)
-    val entries = centroids.zipWithIndex.map { case (c, i) =>
-      struct(coalesce(lit(0.0) - cosineNative(vec, typedLit(c.toSeq)),
-        lit(2.0)).as("negcos"), lit(i).as("cell"))
-    }
-    array_min(array(entries: _*))("cell")
-  }
+  def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    // ONE fused k×dim codegen pass (NearestCentroidExpr) — the
+    // composable array_min(array(struct(cosine…))) form planned k
+    // separate cosine expressions plus a k-struct array per row, the
+    // dominant cost of every assign scan. Semantics preserved: dirty
+    // rows → cell 0, zero-norm centroids never win (their cosine is
+    // undefined), ties resolve to the lowest cell id.
+    graft.functions.GraftFunctions.nearestCentroid(vec, centroids)
 
   /** Deterministic spherical k-means centroids for IVF coarse
     * quantization. Init picks `k` seed vectors by hashed-id order (a

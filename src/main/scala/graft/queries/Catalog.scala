@@ -930,7 +930,11 @@ object Catalog {
       }
       resetTable(s"graft_orders_b_$tag")
       resetTable(s"graft_lineitem_b_$tag")
+      // bucket only the columns the join consumes — the layout
+      // investment is priced by bytes written, and a bucketed copy is
+      // a materialized view, not a backup
       Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
         .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(s"graft_orders_b_$tag")
       Tables.lineitem(s, d)
