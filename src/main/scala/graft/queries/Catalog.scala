@@ -3409,6 +3409,71 @@ object Catalog {
         FROM orders LEFT JOIN customer c ON o_custkey = c.c_custkey)
       ORDER BY rule"""))
 
+  /** Schema evolution on read: a table directory accretes files
+    * written under an OLDER schema (no n_regionkey) and a NEWER one;
+    * `mergeSchema` unions the footers and fills the missing column
+    * with nulls — the ingestion reality of any long-lived 100 TB
+    * table (schema-per-file, evolved in place, never rewritten).
+    */
+  val schemaEvolution = RegisteredQuery(
+    "schema_evolution",
+    (s, d) => {
+      val base = s"/tmp/graft_schevo_${math.abs(d.hashCode)}"
+      val n = Tables.nation(s, d)
+      n.filter(col("n_nationkey") < 12)
+        .select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(base)
+      n.filter(col("n_nationkey") >= 12)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("append").parquet(base)
+      s.read.option("mergeSchema", "true").parquet(base)
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+      FROM nation WHERE n_nationkey < 12
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation WHERE n_nationkey >= 12
+      ORDER BY n_nationkey"""))
+
+  /** `transformWithState` running totals (Spark 4's arbitrary-state
+    * streaming processor): per-user ValueState folds each micro-batch;
+    * the final emission per user must equal the batch aggregate. Runs
+    * on the RocksDB state store (the only provider the API supports);
+    * the previous provider is restored after the run so the rest of
+    * the catalog is untouched.
+    */
+  val streamingRunningTotals = RegisteredQuery(
+    "streaming_running_totals",
+    (s, d) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val raw = Streams.eventsStreamFromFile(s, s"$d/events.parquet")
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[Streams.SessionEvent]
+        val totals = Streams.runningTotals(raw)
+        Streams.runAvailableNowWithPartitions(s, totals.toDF(),
+            s"graft_twstotals_${System.nanoTime()}",
+            org.apache.spark.sql.streaming.OutputMode.Update(),
+            statePartitions = 8)
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_events"),
+            round(max(col("total")), 2).as("total_value"))
+          .orderBy(col("user_id"))
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+        round(sum(value), 2) AS total_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   /** Weekly cohort retention over the events stream: users are
     * cohorted by the week of their first event; each (cohort, week
     * offset) cell counts the distinct users still active. Two shuffles
@@ -3504,7 +3569,7 @@ object Catalog {
     q15TopSupplier, q19DiscountedRevenue, q21WaitingSupplier, q22GlobalSales,
     unpivotMelt, sampleStratified,
     mergeUpsert, profileColumns, windowRangeFrame,
-    sourceCsvRoundtrip, sourceJsonRoundtrip,
+    sourceCsvRoundtrip, sourceJsonRoundtrip, schemaEvolution,
     windowRankStats, aggHistogram, timeseriesGapfill, scalarTryFunctions,
     windowRollingMedian, scd2History,
     aggStats,
@@ -3513,7 +3578,7 @@ object Catalog {
     incrementalAgg, zorderIndex, cohortRetention, dqChecks,
     streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
-    streamingHll,
+    streamingHll, streamingRunningTotals,
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,

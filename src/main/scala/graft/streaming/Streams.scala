@@ -201,6 +201,55 @@ object Streams {
       }
   }
 
+  /** Output row of [[runningTotals]] (top-level for the encoder). */
+  final case class RunningTotal(user_id: Long, n: Long, total: Double)
+
+  /** Internal state of [[RunningTotalsProcessor]] (top-level for the
+    * encoder).
+    */
+  final case class TotState(n: Long, total: Double)
+
+  /** Per-user running totals via `transformWithState` — Spark 4's
+    * arbitrary-state processor API (successor of
+    * `mapGroupsWithState`, with named state slots, composable
+    * value/list/map state and TTL). One `ValueState` per user; each
+    * micro-batch folds its rows into the state and emits the running
+    * figure, so the LAST emission per key equals the batch aggregate —
+    * the equivalence the oracle checks. Requires the RocksDB state
+    * store provider (the only one the API supports).
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionEvent, RunningTotal] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[TotState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TotState]("totals",
+        org.apache.spark.sql.Encoders.product[TotState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RunningTotal] = {
+      val prev = if (st.exists()) st.get() else TotState(0L, 0.0)
+      var n = prev.n
+      var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      st.update(TotState(n, total))
+      Iterator(RunningTotal(key, n, total))
+    }
+  }
+
+  def runningTotals(events: Dataset[SessionEvent]): Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Run a streaming frame over the full available input once
     * (`availableNow`) into an in-memory table and return the result —
     * the batch-equivalence harness used by specs and the catalog.

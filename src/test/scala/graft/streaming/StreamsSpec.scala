@@ -227,4 +227,45 @@ class StreamsSpec extends SparkSpec {
     assert(ids.toSet == (1 to 1000).toSet)
   }
 
+  test("transformWithState carries state across micro-batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("tws_src")
+      // two files + maxFilesPerTrigger=1 => two micro-batches; the
+      // second batch MUST see the first's state or totals reset
+      Seq((1L, new Timestamp(1000L), 10.0), (2L, new Timestamp(2000L), 5.0))
+        .toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+      Seq((1L, new Timestamp(3000L), 7.0))
+        .toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+      val raw = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString)
+        .as[Streams.SessionEvent]
+      val got = Streams.runAvailableNow(spark,
+          Streams.runningTotals(raw).toDF(),
+          s"tws_test_${System.nanoTime()}", OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"), max(col("total")).as("total"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(got(1L) == ((2L, 17.0)), s"user 1: ${got(1L)}")
+      assert(got(2L) == ((1L, 5.0)), s"user 2: ${got(2L)}")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
 }
