@@ -48,4 +48,28 @@ class PlanLintSpec extends SparkSpec {
       assert(r.hasCartesian || true, s"$name planned") // presence check only
     }
   }
+  test("round-6 query plans keep their intended shapes") {
+    def planOf(name: String): String =
+      Catalog.byName(name).run(spark, sfDir)
+        .queryExecution.executedPlan.toString
+
+    // q8: both nation sides (and the filtered part side) broadcast —
+    // the 6-table tree must not shuffle its dimensions
+    val q8 = planOf("q8_market_share")
+    assert(q8.split("BroadcastHashJoin").length - 1 >= 2, q8)
+    // q4: EXISTS compiles to a LeftSemi join, not an aggregate+join
+    assert(planOf("q4_order_priority").contains("LeftSemi"))
+    // q22: NOT-EXISTS-recently compiles to a LeftAnti join
+    assert(planOf("q22_global_sales").contains("LeftAnti"))
+    // decontaminate: the benchmark hash set joins as a broadcast; the
+    // corpus side must not sort-merge
+    val dec = planOf("decontaminate")
+    assert(dec.contains("BroadcastHashJoin") &&
+      !dec.contains("SortMergeJoin"), dec)
+    // q21: both window passes share ONE (l_orderkey) partitioning —
+    // exactly one hashpartitioning exchange on the window key
+    val q21 = planOf("q21_waiting_supplier")
+    assert(q21.split("hashpartitioning\\(l_orderkey").length - 1 == 1, q21)
+  }
+
 }
