@@ -3409,6 +3409,26 @@ object Catalog {
         FROM orders LEFT JOIN customer c ON o_custkey = c.c_custkey)
       ORDER BY rule"""))
 
+  /** Join-strategy hint coverage: `shuffle_hash` forces a
+    * ShuffledHashJoin where the planner would pick sort-merge — the
+    * right call when one side is much smaller per partition (hash
+    * build beats sorting both sides) but too big to broadcast.
+    * Result ≡ the unhinted join; PlanLintSpec pins the strategy.
+    */
+  val joinShuffleHash = RegisteredQuery(
+    "join_shuffle_hash",
+    (s, d) =>
+      Tables.orders(s, d).hint("shuffle_hash")
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus, count(*) AS n,
+        round(sum(l_quantity), 2) AS qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** Schema evolution on read: a table directory accretes files
     * written under an OLDER schema (no n_regionkey) and a NEWER one;
     * `mergeSchema` unions the footers and fills the missing column
@@ -3570,6 +3590,7 @@ object Catalog {
     unpivotMelt, sampleStratified,
     mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip, schemaEvolution,
+    joinShuffleHash,
     windowRankStats, aggHistogram, timeseriesGapfill, scalarTryFunctions,
     windowRollingMedian, scd2History,
     aggStats,

@@ -80,6 +80,30 @@ object IO {
     spark.read.parquet(dstDir).count()
   }
 
+  /** Retention expiry over a partitioned table: delete the partition
+    * directories whose (string-comparable) partition value sorts below
+    * `cutoff` — e.g. `day=2024-01-01` dirs under a date-partitioned
+    * table. Deleting WHOLE partitions is the only delete that is free
+    * at 100 TB (no rewrite, no tombstones, atomic per directory);
+    * row-level retention belongs in a rewrite job instead. Returns the
+    * deleted partition values.
+    */
+  def expirePartitions(spark: SparkSession, dir: String,
+      partitionCol: String, cutoff: String): Seq[String] = {
+    val root = new java.io.File(dir)
+    require(root.isDirectory, s"$dir is not a directory")
+    val prefix = s"$partitionCol="
+    val expired = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .filter(_.getName.stripPrefix(prefix) < cutoff)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    expired.foreach(rm)
+    expired.map(_.getName.stripPrefix(prefix)).toSeq.sorted
+  }
+
   /** S-6: display sink — the reference's only sink
     * (`SparkRepl.out(df.cache())`). Returns the shown string so
     * callers/tests can capture it instead of stdout-only.

@@ -100,4 +100,17 @@ class IOSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 10)
   }
 
+  test("expirePartitions deletes exactly the partitions below the cutoff") {
+    val dir = tmp() + "/t"
+    Seq((1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03"))
+      .toDF("x", "day").write.partitionBy("day").parquet(dir)
+    val deleted = IO.expirePartitions(spark, dir, "day", "2024-01-03")
+    assert(deleted == Seq("2024-01-01", "2024-01-02"))
+    val left = spark.read.parquet(dir).select("x")
+      .collect().map(_.getInt(0)).toSeq
+    assert(left == Seq(3))
+    // idempotent: nothing left below the cutoff
+    assert(IO.expirePartitions(spark, dir, "day", "2024-01-03").isEmpty)
+  }
+
 }

@@ -70,6 +70,8 @@ class PlanLintSpec extends SparkSpec {
     // exactly one hashpartitioning exchange on the window key
     val q21 = planOf("q21_waiting_supplier")
     assert(q21.split("hashpartitioning\\(l_orderkey").length - 1 == 1, q21)
+    // the shuffle_hash hint must actually produce a ShuffledHashJoin
+    assert(planOf("join_shuffle_hash").contains("ShuffledHashJoin"))
   }
 
 }
