@@ -3090,6 +3090,56 @@ object Catalog {
               AND o_orderdate < DATE '1997-01-01')
       GROUP BY 1 ORDER BY 1"""))
 
+  /** TPC-H Q9 core (product-type profit): profit by supplier nation
+    * and year over name-filtered parts. No partsupp in the fixture, so
+    * supply cost is proxied at 10% of retail price — the plan shape
+    * (LIKE filter pushed to the part scan, two broadcast dims, fact
+    * joins on their keys, two-level grouping) is the faithful part.
+    */
+  val q9ProductProfit = RegisteredQuery(
+    "q9_product_profit",
+    (s, d) => {
+      val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("l_quantity") * col("p_retailprice") * lit(0.1)
+      Tables.part(s, d).filter(col("p_name").contains("red"))
+        .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"))
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(amount), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some("""SELECT n_name AS nation,
+        CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        round(sum(l_extendedprice * (1 - l_discount)
+          - l_quantity * p_retailprice * 0.1), 2) AS sum_profit
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY 1, 2 ORDER BY nation, o_year DESC"""))
+
+  /** Distributed total order (global sort): `orderBy` materializes via
+    * range partitioning — Spark samples the sort key to compute
+    * balanced range bounds, each partition sorts locally, and
+    * partition i's rows all precede partition i+1's. The one
+    * total-order shape that scales (a single-reducer sort does not);
+    * tie-broken on the key so output is deterministic.
+    */
+  val globalSort = RegisteredQuery(
+    "global_sort",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey"""))
+
   /** TPC-H Q12 core (late-shipment priority split): lineitems shipped
     * >90 days after their order, split per linestatus into critical
     * (URGENT/HIGH) vs other order priorities. No shipmode/receiptdate
@@ -3585,8 +3635,9 @@ object Catalog {
     aggGroupingSets, windowTopnPerGroup, windowRunningSum, windowLagLead,
     topkOrders, setopUnion, setopUnionAll, setopExcept, setopIntersect,
     q6ForecastRevenue, q14PromoRevenue, q17SmallQuantity,
-    q4OrderPriority, q8MarketShare, q12LateLines, q13CustomerDistribution,
-    q15TopSupplier, q19DiscountedRevenue, q21WaitingSupplier, q22GlobalSales,
+    q4OrderPriority, q8MarketShare, q9ProductProfit, q12LateLines,
+    q13CustomerDistribution, q15TopSupplier, q19DiscountedRevenue,
+    q21WaitingSupplier, q22GlobalSales, globalSort,
     unpivotMelt, sampleStratified,
     mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip, schemaEvolution,

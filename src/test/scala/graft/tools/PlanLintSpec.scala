@@ -72,6 +72,8 @@ class PlanLintSpec extends SparkSpec {
     assert(q21.split("hashpartitioning\\(l_orderkey").length - 1 == 1, q21)
     // the shuffle_hash hint must actually produce a ShuffledHashJoin
     assert(planOf("join_shuffle_hash").contains("ShuffledHashJoin"))
+    // global sort = range partitioning + local sorts, never 1 reducer
+    assert(planOf("global_sort").contains("rangepartitioning"))
   }
 
 }
