@@ -1683,6 +1683,39 @@ object Catalog {
         TRUE AS hll_ok, TRUE AS p50_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** MERGEABLE sketches — the incremental-distinct pattern: one HLL
+    * sketch per daily batch (`hll_sketch_agg`), merged with
+    * `hll_union_agg`, estimated once — so "distinct users ever" is
+    * maintainable by merging each new day's sketch into yesterday's
+    * instead of recounting history (the only way incremental distinct
+    * works at 100 TB; plain counts can't subtract-merge). Estimates
+    * are engine-specific, so the checked output is the exact count
+    * plus a boolean asserting the merged estimate lands within 5%/±5
+    * of it (same contract as `agg_approx_bounds`/`streaming_hll`).
+    */
+  val incrementalHll = RegisteredQuery(
+    "incremental_hll",
+    (s, d) => {
+      val perDay = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct(col("user_id")).as("nd_day"))
+      perDay.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+          sum(col("nd_day")).as("sum_daily"))
+        .join(Tables.events(s, d)
+          .agg(countDistinct(col("user_id")).as("exact_users")))
+        .select(col("exact_users"),
+          (abs(col("est") - col("exact_users")).cast("double") <=
+            greatest(col("exact_users") * 0.05, lit(5.0)))
+            .as("merged_within_bound"),
+          // merging must dedup across days: daily sum >> true distinct
+          (col("sum_daily") >= col("exact_users")).as("daily_sum_ge_exact"))
+    },
+    Some("""SELECT count(DISTINCT user_id) AS exact_users,
+        TRUE AS merged_within_bound, TRUE AS daily_sum_ge_exact
+      FROM events"""))
+
   /** Partition-pruned scan: write events partitioned by day (the
     * layout decision), read back ONE day — the plan's PartitionFilters
     * prove only that day's files are touched (a 100 TB table read
@@ -3647,7 +3680,7 @@ object Catalog {
     aggStats,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, funnelConversion,
-    incrementalAgg, zorderIndex, cohortRetention, dqChecks,
+    incrementalAgg, incrementalHll, zorderIndex, cohortRetention, dqChecks,
     streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll, streamingRunningTotals,

@@ -13,7 +13,9 @@ class PlanLintSpec extends SparkSpec {
     // for the LSH path, never the scale path
     "sim_neardup_exact" -> "exact brute-force baseline (broadcast nested loop)",
     // single-row stats frame cross-joined onto the spine by design
-    "timeseries_gapfill" -> "1-row min/max frame × users spine"
+    "timeseries_gapfill" -> "1-row min/max frame × users spine",
+    // 1-row merged-sketch frame × 1-row exact-count frame
+    "incremental_hll" -> "scalar × scalar bound check"
   )
 
   /** Driver-looping / streaming / side-effecting queries the lint
