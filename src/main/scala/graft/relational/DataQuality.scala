@@ -52,9 +52,11 @@ object DataQuality {
     require(dupes.isEmpty,
       s"duplicate rule names would collide in the agg row: " +
         dupes.mkString(", "))
+    // a rule whose verdict is NULL (e.g. avg/min over an empty or
+    // all-null frame) did NOT pass — a DQ gate must fail closed
     val aggs = rules.flatMap(r => Seq(
       r.metric.cast("double").as(s"${r.name}__metric"),
-      r.passed.as(s"${r.name}__passed")))
+      coalesce(r.passed, lit(false)).as(s"${r.name}__passed")))
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(rules.map(r => struct(
         lit(r.name).as("rule"),

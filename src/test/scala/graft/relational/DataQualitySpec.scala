@@ -52,4 +52,16 @@ class DataQualitySpec extends SparkSpec {
       .collect().head
     assert(clean.getDouble(1) == 0.0 && clean.getBoolean(2))
   }
+  test("suite over an empty frame: aggregates degrade, not crash") {
+    val empty = Seq.empty[(Long, Option[Double])].toDF("k", "v")
+    val res = check(empty, Seq(unique("k"), nullFraction("v", 0.5)))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2)))
+      .toMap
+    // 0 distinct == 0 rows → unique holds vacuously; avg over nothing
+    // is null → the verdict fails CLOSED (null coalesced to false)
+    assert(res("k_unique") == ((Some(0.0), true)))
+    assert(res("v_null_frac") == ((None, false)))
+  }
+
 }

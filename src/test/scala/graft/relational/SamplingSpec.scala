@@ -55,4 +55,11 @@ class SamplingSpec extends SparkSpec {
     assert(!counts.contains("g2"))
   }
 
+  test("mixtureSample caps at group size when the target exceeds it") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 10).map(i => (i.toLong, "only")).toDF("k", "g")
+    val out = Sampling.mixtureSample(df, "g", "k", Map("only" -> 1000))
+    assert(out.count() == 10)
+  }
+
 }
