@@ -2057,6 +2057,65 @@ object Catalog {
         AND pu.ts >= c.ts AND pu.ts <= c.ts + INTERVAL 24 HOUR
       ORDER BY click_id, purchase_id"""))
 
+  /** LEFT-OUTER stream-stream interval join — the semantics only a
+    * watermark can define: matches emit eagerly; an unmatched view
+    * emits (with a null click) once the watermark passes its 30-minute
+    * match window; views the final watermark never clears stay in
+    * state and never emit. The AvailableNow trigger advances the
+    * watermark through to the end of input before terminating, and
+    * the GLOBAL watermark is the MINIMUM over the per-stream
+    * watermarks (each `max(ts seen) − delay` — calibrated empirically
+    * against the stream's own output), so the flush boundary is
+    * closed-form: unmatched views emit iff
+    * `v_ts + 30 min < least(max view ts, max click ts) − 1 h`. The
+    * batch oracle computes exactly which rows the stream must have
+    * emitted. Two time-ordered micro-batches keep the watermark
+    * progression realistic (matches also emit mid-stream, not only at
+    * the end).
+    */
+  val streamingJoinOuter = RegisteredQuery(
+    "streaming_join_outer",
+    (s, d) => {
+      import graft.streaming.Streams
+      val split = "2024-01-16"
+      val raw = Streams.eventsStreamTwoBatches(s, s"$d/events.parquet", split)
+      val views = raw.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val clicks = raw.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"),
+          col("event_id").as("click_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = Streams.leftOuterIntervalJoin(views, clicks,
+        "user_id", "c_user_id", "v_ts", "c_ts", "30 minutes")
+      Streams.runAvailableNowWithPartitions(s,
+          joined.select(col("user_id"), col("view_id"), col("click_id")),
+          s"graft_stream_louter_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          statePartitions = 8)
+        .orderBy(col("view_id"), col("click_id"))
+    },
+    Some("""WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+              FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS c_ts
+              FROM events WHERE event_type = 'click'),
+        m AS (SELECT v.user_id, view_id, click_id
+              FROM v JOIN c ON v.user_id = c_user_id
+                AND c_ts >= v_ts
+                AND c_ts <= v_ts + INTERVAL 30 MINUTE),
+        wm AS (SELECT least(
+                 (SELECT max(ts) FROM events WHERE event_type = 'view'),
+                 (SELECT max(ts) FROM events WHERE event_type = 'click'))
+                 - INTERVAL 1 HOUR AS w),
+        unm AS (SELECT v.user_id, view_id, CAST(NULL AS BIGINT) AS click_id
+                FROM v, wm
+                WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+                  AND v_ts + INTERVAL 30 MINUTE < wm.w)
+      SELECT user_id, view_id, click_id FROM m
+      UNION ALL SELECT user_id, view_id, click_id FROM unm
+      ORDER BY view_id, click_id NULLS FIRST"""))
+
   /** Batch session windows (`session_window` builtin, 2-hour gap) —
     * oracle via the classic gaps-and-islands SQL (lag + running sum of
     * boundaries). Cross-engine agreement pins the boundary semantics:
@@ -3683,7 +3742,7 @@ object Catalog {
     incrementalAgg, incrementalHll, zorderIndex, cohortRetention, dqChecks,
     streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
-    streamingHll, streamingRunningTotals,
+    streamingHll, streamingRunningTotals, streamingJoinOuter,
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,

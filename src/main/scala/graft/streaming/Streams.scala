@@ -90,6 +90,52 @@ object Streams {
         col(tRight) >= col(tLeft) &&
         col(tRight) <= col(tLeft) + expr(s"interval $maxGap"))
 
+  /** Left-outer stream-stream interval join: matches emit eagerly; an
+    * unmatched left row emits with nulls once the watermark passes
+    * `tLeft + maxGap` (its state can no longer match). Rows whose
+    * bound the final watermark never passes stay in state and never
+    * emit — OUTER results are only as complete as the watermark is
+    * advanced, which is the semantics any unbounded stream can offer.
+    */
+  def leftOuterIntervalJoin(left: DataFrame, right: DataFrame,
+      keyLeft: String, keyRight: String,
+      tLeft: String, tRight: String, maxGap: String): DataFrame =
+    left.join(right,
+      col(keyLeft) === col(keyRight) &&
+        col(tRight) >= col(tLeft) &&
+        col(tRight) <= col(tLeft) + expr(s"interval $maxGap"),
+      "left_outer")
+
+  /** Stage the events fixture as TWO time-ordered files (split at
+    * `splitTs`) read with `maxFilesPerTrigger=1` — two micro-batches,
+    * so the second batch runs with the watermark advanced to
+    * `max(ts in file 1) − delay`. That makes outer-join flush points
+    * DERIVABLE: a batch oracle can compute exactly which unmatched
+    * rows the stream must have emitted. The nanos→µs conversion is
+    * applied at staging time, so the restaged files carry real
+    * timestamps.
+    */
+  def eventsStreamTwoBatches(spark: SparkSession, parquetFile: String,
+      splitTs: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("events_2b")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val full = spark.read.parquet(parquetFile)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = dir.resolve(name + "_tmp")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, dir.resolve(name)): Unit
+    }
+    val cut = col("ts") < lit(splitTs).cast("timestamp")
+    stage(full.filter(cut), "part-0.parquet")
+    stage(full.filter(!cut), "part-1.parquet")
+    spark.readStream.schema(full.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+  }
+
   /** Tumbling-window hourly aggregate with a watermark — the streaming
     * twin of the batch `events_hourly` catalog query.
     */
