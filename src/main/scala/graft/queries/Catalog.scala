@@ -2116,6 +2116,66 @@ object Catalog {
       UNION ALL SELECT user_id, view_id, click_id FROM unm
       ORDER BY view_id, click_id NULLS FIRST"""))
 
+  /** FULL-OUTER stream-stream interval join — both null sides, each
+    * with its own closed-form flush law under the same global
+    * watermark `wm = least(max view ts, max click ts) − 1 h`: an
+    * unmatched view emits when its whole match window is below wm
+    * (`v_ts + 30 min < wm`); an unmatched click emits when no future
+    * view can reach it (views arrive with `v_ts > wm`; a match needs
+    * `v_ts ≤ c_ts`, so the click is dead once `c_ts < wm`).
+    */
+  val streamingJoinFull = RegisteredQuery(
+    "streaming_join_full",
+    (s, d) => {
+      import graft.streaming.Streams
+      val split = "2024-01-16"
+      val raw = Streams.eventsStreamTwoBatches(s, s"$d/events.parquet", split)
+      val views = raw.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user_id"),
+          col("event_id").as("view_id"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val clicks = raw.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"),
+          col("event_id").as("click_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = views.join(clicks,
+        col("v_user_id") === col("c_user_id") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 30 minutes"),
+        "full_outer")
+      Streams.runAvailableNowWithPartitions(s,
+          joined.select(col("view_id"), col("click_id")),
+          s"graft_stream_fouter_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          statePartitions = 8)
+        .orderBy(col("view_id"), col("click_id"))
+    },
+    Some("""WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+              FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS c_ts
+              FROM events WHERE event_type = 'click'),
+        m AS (SELECT view_id, click_id, v_ts, c_ts
+              FROM v JOIN c ON v.user_id = c_user_id
+                AND c_ts >= v_ts
+                AND c_ts <= v_ts + INTERVAL 30 MINUTE),
+        wm AS (SELECT least(
+                 (SELECT max(ts) FROM events WHERE event_type = 'view'),
+                 (SELECT max(ts) FROM events WHERE event_type = 'click'))
+                 - INTERVAL 1 HOUR AS w),
+        unmv AS (SELECT view_id, CAST(NULL AS BIGINT) AS click_id
+                 FROM v, wm
+                 WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+                   AND v_ts + INTERVAL 30 MINUTE < wm.w),
+        unmc AS (SELECT CAST(NULL AS BIGINT) AS view_id, click_id
+                 FROM c, wm
+                 WHERE NOT EXISTS
+                   (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+                   AND c_ts < wm.w)
+      SELECT view_id, click_id FROM m
+      UNION ALL SELECT view_id, click_id FROM unmv
+      UNION ALL SELECT view_id, click_id FROM unmc
+      ORDER BY view_id NULLS FIRST, click_id NULLS FIRST"""))
+
   /** Batch session windows (`session_window` builtin, 2-hour gap) —
     * oracle via the classic gaps-and-islands SQL (lag + running sum of
     * boundaries). Cross-engine agreement pins the boundary semantics:
@@ -3743,6 +3803,7 @@ object Catalog {
     streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll, streamingRunningTotals, streamingJoinOuter,
+    streamingJoinFull,
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
