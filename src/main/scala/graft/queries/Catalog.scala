@@ -2176,6 +2176,46 @@ object Catalog {
       UNION ALL SELECT view_id, click_id FROM unmc
       ORDER BY view_id NULLS FIRST, click_id NULLS FIRST"""))
 
+  /** LEFT-SEMI stream-stream join: a view emits (once, no click
+    * payload) as soon as ANY click lands in its 30-minute window.
+    * Unlike the outer variants the answer is watermark-INDEPENDENT —
+    * matches emit eagerly and non-matches never emit — so the oracle
+    * is a plain EXISTS with no flush-boundary modeling.
+    */
+  val streamingJoinSemi = RegisteredQuery(
+    "streaming_join_semi",
+    (s, d) => {
+      import graft.streaming.Streams
+      val raw = Streams.eventsStreamTwoBatches(s, s"$d/events.parquet",
+        "2024-01-16")
+      val views = raw.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user_id"),
+          col("event_id").as("view_id"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val clicks = raw.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"),
+          col("event_id").as("click_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = views.join(clicks,
+        col("v_user_id") === col("c_user_id") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 30 minutes"),
+        "left_semi")
+      Streams.runAvailableNowWithPartitions(s,
+          joined.select(col("v_user_id").as("user_id"), col("view_id")),
+          s"graft_stream_semi_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          statePartitions = 8)
+        .orderBy(col("view_id"))
+    },
+    Some("""SELECT v.user_id, v.event_id AS view_id
+      FROM events v
+      WHERE v.event_type = 'view'
+        AND EXISTS (SELECT 1 FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = v.user_id
+            AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE)
+      ORDER BY view_id"""))
+
   /** Batch session windows (`session_window` builtin, 2-hour gap) —
     * oracle via the classic gaps-and-islands SQL (lag + running sum of
     * boundaries). Cross-engine agreement pins the boundary semantics:
@@ -3611,6 +3651,32 @@ object Catalog {
         FROM orders LEFT JOIN customer c ON o_custkey = c.c_custkey)
       ORDER BY rule"""))
 
+  /** Nested-schema pruning: events rewritten as a two-level struct
+    * table, then a query touching ONE leaf per struct — the scan's
+    * `ReadSchema` must carry only those leaves (Catalyst's
+    * nestedSchemaPruning), not whole structs. At 100 TB of deeply
+    * nested logs, pruned leaf reads are the difference between
+    * scanning terabytes and scanning the whole lake; the oracle is the
+    * same projection from the FLAT original.
+    */
+  val nestedPruning = RegisteredQuery(
+    "nested_pruning",
+    (s, d) => {
+      val base = s"/tmp/graft_nested_${math.abs(d.hashCode)}"
+      Tables.events(s, d)
+        .select(col("event_id"),
+          struct(col("user_id"), col("event_type").as("etype")).as("meta"),
+          struct(col("value"), col("props")).as("payload"))
+        .write.mode("overwrite").parquet(base)
+      s.read.parquet(base)
+        .select(col("event_id"), col("meta.user_id").as("user_id"),
+          col("payload.value").as("value"))
+        .filter(col("value") > 15.0)
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, value FROM events
+      WHERE value > 15.0 ORDER BY event_id"""))
+
   /** Join-strategy hint coverage: `shuffle_hash` forces a
     * ShuffledHashJoin where the planner would pick sort-merge — the
     * right call when one side is much smaller per partition (hash
@@ -3793,7 +3859,7 @@ object Catalog {
     unpivotMelt, sampleStratified,
     mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip, schemaEvolution,
-    joinShuffleHash,
+    joinShuffleHash, nestedPruning,
     windowRankStats, aggHistogram, timeseriesGapfill, scalarTryFunctions,
     windowRollingMedian, scd2History,
     aggStats,
@@ -3803,7 +3869,7 @@ object Catalog {
     streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll, streamingRunningTotals, streamingJoinOuter,
-    streamingJoinFull,
+    streamingJoinFull, streamingJoinSemi,
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,

@@ -76,6 +76,10 @@ class PlanLintSpec extends SparkSpec {
     assert(planOf("join_shuffle_hash").contains("ShuffledHashJoin"))
     // global sort = range partitioning + local sorts, never 1 reducer
     assert(planOf("global_sort").contains("rangepartitioning"))
+    // nested-schema pruning: untouched leaves (etype, props) must not
+    // appear in the scan's ReadSchema
+    val np = planOf("nested_pruning")
+    assert(!np.contains("etype") && !np.contains("props"), np)
   }
 
 }
