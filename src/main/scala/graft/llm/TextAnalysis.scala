@@ -26,6 +26,32 @@ object TextAnalysis {
 
   def charCount(text: Column): Column = length(text)
 
+  /** Shannon entropy (bits) of the text's character distribution — a
+    * cheap perplexity proxy for quality filtering: random/encoded
+    * content scores near log2(alphabet), repetitive boilerplate low.
+    * One UDF pass per document (a per-char explode would shuffle
+    * |text| rows per doc); accumulation runs in sorted-char order so
+    * the float sum is deterministic. Unit is UTF-16 code units, which
+    * coincides with characters for BMP text.
+    */
+  def charEntropy(text: Column): Column = charEntropyUdf(text)
+
+  private val charEntropyUdf =
+    org.apache.spark.sql.functions.udf((s: String) => {
+      if (s == null || s.isEmpty) 0.0
+      else {
+        val counts = scala.collection.mutable.SortedMap.empty[Char, Long]
+        s.foreach(c => counts(c) = counts.getOrElse(c, 0L) + 1L)
+        val n = s.length.toDouble
+        var h = 0.0
+        counts.values.foreach { cnt =>
+          val p = cnt / n
+          h -= p * math.log(p)
+        }
+        h / math.log(2.0)
+      }
+    })
+
   /** BPE-ish subword count estimate: words plus an extra unit per 4
     * chars of long words (a cheap, deterministic stand-in for a real
     * tokenizer's subword splitting; good enough for budget accounting).

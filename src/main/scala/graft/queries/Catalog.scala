@@ -3608,6 +3608,56 @@ object Catalog {
       FROM changes
       ORDER BY o_custkey, valid_from, o_orderpriority"""))
 
+  /** Character-entropy quality proxy per document (sorted-char UDF
+    * pass; the per-char explode alternative would shuffle |text| rows
+    * per doc). Oracle rebuilds the distribution in SQL via
+    * generate_series + substr.
+    */
+  val charEntropy = RegisteredQuery(
+    "char_entropy",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          round(graft.llm.TextAnalysis.charEntropy(col("text")), 6)
+            .as("entropy"))
+        .orderBy(col("doc_id")),
+    Some("""WITH ch AS (
+        SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c,
+               length(text) AS n
+        FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+        WHERE length(text) > 0),
+      p AS (SELECT doc_id, count(*)::DOUBLE / any_value(n) AS p
+            FROM ch GROUP BY doc_id, c)
+      SELECT doc_id, round(-sum(p * log2(p)), 6) AS entropy
+      FROM p GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Forward fill (`last(..., ignoreNulls)` over an unbounded
+    * preceding frame): error events get a null reading, each user's
+    * gap fills with their latest prior reading — the canonical
+    * time-series repair. One keyed window shuffle; DuckDB's
+    * `last_value(... IGNORE NULLS)` is the exact same semantics.
+    */
+  val windowFillForward = RegisteredQuery(
+    "window_fill_forward",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("reading",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("reading"), col("filled"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS reading,
+        last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+          IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM events ORDER BY event_id"""))
+
   /** Data-quality expectation suite over orders: four single-pass
     * rules (one aggregation job for all of them — the suite must not
     * cost a scan per rule at 100 TB) plus a referential-integrity
@@ -3861,7 +3911,7 @@ object Catalog {
     sourceCsvRoundtrip, sourceJsonRoundtrip, schemaEvolution,
     joinShuffleHash, nestedPruning,
     windowRankStats, aggHistogram, timeseriesGapfill, scalarTryFunctions,
-    windowRollingMedian, scd2History,
+    windowRollingMedian, scd2History, windowFillForward,
     aggStats,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, funnelConversion,
@@ -3874,6 +3924,7 @@ object Catalog {
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
+    charEntropy,
     vocabTopk, docTopTerms, piiRedact,
     decontaminate,
     dedupMinhash, dedupPairs, dedupJaccardExact, dedupComponents,

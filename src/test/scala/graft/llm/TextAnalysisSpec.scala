@@ -128,4 +128,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(0) == 3)
     assert(r.getInt(1) > 3) // 20-char + 13-char words split
   }
+  test("charEntropy matches hand-computed distributions") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "aaaa"),     // one symbol -> 0 bits
+      (2L, "abab"),     // uniform 2 symbols -> 1 bit
+      (3L, "abcdabcd"), // uniform 4 symbols -> 2 bits
+      (4L, ""),         // empty -> 0
+      (5L, "aab")       // 2/3,1/3 -> ~0.9183
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+        TextAnalysis.charEntropy(col("t")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(math.abs(got(2L) - 1.0) < 1e-12)
+    assert(math.abs(got(3L) - 2.0) < 1e-12)
+    assert(got(4L) == 0.0)
+    assert(math.abs(got(5L) - 0.9182958340544896) < 1e-12)
+  }
+
 }
