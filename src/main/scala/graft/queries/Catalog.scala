@@ -3608,6 +3608,93 @@ object Catalog {
       FROM changes
       ORDER BY o_custkey, valid_from, o_orderpriority"""))
 
+  /** Map-typed column surface: per-order line→quantity maps built with
+    * `map_from_entries` (sorted entries ⇒ deterministic map order),
+    * interrogated with `map_keys`/`map_filter`/`map_values` and a HOF
+    * `aggregate` fold. The oracle computes the same figures from the
+    * flat rows — proving the map round-trip loses nothing.
+    */
+  val mapFunctions = RegisteredQuery(
+    "map_functions",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 1000)
+        // line numbers repeat within an order in this fixture — map
+        // keys must be unique, so pre-aggregate to (order, line)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .groupBy(col("l_orderkey"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("l_linenumber"), col("qty"))))).as("m"))
+        .select(col("l_orderkey"),
+          size(col("m")).as("n_lines"),
+          sort_array(map_keys(col("m"))).as("line_nums"),
+          round(aggregate(
+            map_values(map_filter(col("m"), (_, v) => v >= 25.0)),
+            lit(0.0), (acc, x) => acc + x), 2).as("big_qty_sum"))
+        .orderBy(col("l_orderkey")),
+    Some("""WITH lines AS (
+        SELECT l_orderkey, l_linenumber, sum(l_quantity) AS qty
+        FROM lineitem WHERE l_orderkey <= 1000
+        GROUP BY l_orderkey, l_linenumber)
+      SELECT l_orderkey, count(*) AS n_lines,
+        list_sort(list(l_linenumber)) AS line_nums,
+        round(coalesce(sum(qty) FILTER (WHERE qty >= 25.0), 0.0), 2)
+          AS big_qty_sum
+      FROM lines GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  /** `grouping_id()` disambiguation on a cube: a NULL in a cube row
+    * means "all values" only when the grouping bit says so — with real
+    * NULLs in the data the bitmask is the ONLY correct way to tell
+    * subtotal rows from NULL-key groups. Standard SQL, same bitmask
+    * semantics in DuckDB's GROUPING().
+    */
+  val aggGroupingId = RegisteredQuery(
+    "agg_grouping_id",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        GROUPING(o_orderstatus, o_orderpriority) AS gid
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus NULLS FIRST,
+        o_orderpriority NULLS FIRST"""))
+
+  /** PERMISSIVE JSON parsing with `_corrupt_record`: malformed lines
+    * land in the corrupt column instead of failing the read — the
+    * only survivable posture for a 100 TB semi-structured ingest
+    * (FAILFAST turns one bad byte into a dead pipeline). Input is
+    * authored in-query, so the expected output is a closed-form
+    * VALUES oracle.
+    */
+  val jsonCorruptRecords = RegisteredQuery(
+    "json_corrupt_records",
+    (s, d) => {
+      val dir = s"/tmp/graft_corrupt_${math.abs(d.hashCode)}"
+      val f = new java.io.File(dir)
+      f.mkdirs()
+      val pw = new java.io.PrintWriter(s"$dir/data.json")
+      pw.println("""{"id": 1, "v": "ok"}""")
+      pw.println("""{"id": 2, "v": """) // malformed
+      pw.println("""{"id": 3, "v": "fine"}""")
+      pw.close()
+      s.read
+        .schema("id LONG, v STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$dir/data.json")
+        .select(col("id"), col("v"),
+          col("_corrupt_record").isNotNull.as("corrupt"))
+        .orderBy(col("id").asc_nulls_first, col("v"))
+    },
+    Some("""SELECT * FROM (VALUES
+        (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), TRUE),
+        (1, 'ok', FALSE),
+        (3, 'fine', FALSE)) AS t(id, v, corrupt)
+      ORDER BY id NULLS FIRST, v"""))
+
   /** Character-entropy quality proxy per document (sorted-char UDF
     * pass; the per-char explode alternative would shuffle |text| rows
     * per doc). Oracle rebuilds the distribution in SQL via
@@ -3900,7 +3987,8 @@ object Catalog {
     sqlGroupByAll, sqlParameterized, variantExtract,
     joinSalted, zipFrames,
     aggApproxBounds, partitionPruning,
-    aggGroupingSets, windowTopnPerGroup, windowRunningSum, windowLagLead,
+    aggGroupingSets, aggGroupingId, jsonCorruptRecords, mapFunctions,
+    windowTopnPerGroup, windowRunningSum, windowLagLead,
     topkOrders, setopUnion, setopUnionAll, setopExcept, setopIntersect,
     q6ForecastRevenue, q14PromoRevenue, q17SmallQuantity,
     q4OrderPriority, q8MarketShare, q9ProductProfit, q12LateLines,
