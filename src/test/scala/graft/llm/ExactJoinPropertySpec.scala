@@ -121,4 +121,28 @@ class ExactJoinPropertySpec extends SparkSpec {
     }
     index.unpersist()
   }
+  test("decontamination == brute-force string n-gram overlap on random corpora") {
+    for (seed <- Seq(7, 8)) {
+      val rnd = new scala.util.Random(seed)
+      def doc(): String = Seq.fill(6 + rnd.nextInt(20))(
+        s"w${rnd.nextInt(10)}").mkString(" ")
+      val corpus = (0 until 60).map(i => (i.toLong, doc()))
+      val bench = (100 until 112).map(i => (i.toLong, doc()))
+      def grams(s: String, k: Int): Set[String] = {
+        val toks = s.split(" ").toSeq
+        if (toks.length < k) Set(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSet
+      }
+      val benchSet = bench.flatMap(d => grams(d._2, 4)).toSet
+      val expected = corpus.map { case (id, t) =>
+        id -> grams(t, 4).count(benchSet.contains)
+      }.filter(_._2 > 0).toMap
+      val got = Decontaminate.contaminationReport(
+          corpus.toDF("id", "text"), bench.toDF("id", "text"),
+          "id", "text", k = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got == expected, s"seed $seed: $got vs $expected")
+    }
+  }
+
 }

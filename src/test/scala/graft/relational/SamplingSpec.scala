@@ -62,4 +62,15 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == 10)
   }
 
+  test("md5-ranked sampling is invariant to physical partitioning") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 500).map(i => (i.toLong, s"g${i % 3}")).toDF("k", "g")
+    val targets = Map("g0" -> 7, "g1" -> 11, "g2" -> 13)
+    def pick(parts: Int): Set[Long] =
+      Sampling.mixtureSample(df.repartition(parts), "g", "k", targets)
+        .select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(pick(1) == pick(13) && pick(13) == pick(32),
+      "selection changed with partition count — not a pure function of the data")
+  }
+
 }
