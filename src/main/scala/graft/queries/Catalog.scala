@@ -3643,6 +3643,32 @@ object Catalog {
           AS big_qty_sum
       FROM lines GROUP BY l_orderkey ORDER BY l_orderkey"""))
 
+  /** The scale-path mixture sample (hash-threshold, no per-group
+    * sort): even-numbered sources keep 25%, odd 10%. The oracle
+    * replays the SAME selection in SQL — a fixed-width lowercase hex
+    * prefix compares lexicographically exactly as the 60-bit value
+    * compares numerically, so both engines pick identical rows.
+    */
+  val mixtureSampleApproxQ = {
+    def hexCutoff(f: Double): String =
+      f"${(f * math.pow(2, 60)).toLong}%015x"
+    RegisteredQuery(
+      "mixture_sample_approx",
+      (s, d) => {
+        val fractions = (0 until 20)
+          .map(i => s"src$i" -> (if (i % 2 == 0) 0.25 else 0.10)).toMap
+        graft.relational.Sampling.mixtureSampleApprox(
+            Tables.documents(s, d), "source", "doc_id", fractions)
+          .select(col("source"), col("doc_id"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some(s"""SELECT source, doc_id FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+          CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+               THEN '${hexCutoff(0.25)}' ELSE '${hexCutoff(0.10)}' END
+        ORDER BY source, doc_id"""))
+  }
+
   /** `grouping_id()` disambiguation on a cube: a NULL in a cube row
     * means "all values" only when the grouping bit says so — with real
     * NULLs in the data the bitmask is the ONLY correct way to tell
@@ -4018,7 +4044,7 @@ object Catalog {
     dedupMinhash, dedupPairs, dedupJaccardExact, dedupComponents,
     dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
-    mixtureSample,
+    mixtureSample, mixtureSampleApproxQ,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
     multimodalResize)
 

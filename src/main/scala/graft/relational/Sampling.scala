@@ -45,6 +45,12 @@ object Sampling {
     * rows out-rank them). One window shuffle keyed by the group; the
     * target map joins as a broadcast.
     */
+  /** SCALE NOTE: the exact-count form below ranks via a per-group
+    * window, which serializes each group into one task — right for
+    * groups up to tens of millions of rows, wrong for a 10-billion-row
+    * domain. Past that, use [[mixtureSampleApprox]]: no per-group
+    * sort, counts accurate to sampling noise (±√n).
+    */
   def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
       targets: Map[String, Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -59,6 +65,34 @@ object Sampling {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__target"))
       .drop("__group", "__target", "__rn")
+  }
+
+  /** Fraction-based mixture sampling with NO per-group sort: a row
+    * survives iff the top 60 bits of md5(key) fall below its group's
+    * fraction — embarrassingly parallel (a map-side filter after a
+    * broadcast join), so it holds at any group size where the exact
+    * form's per-group window cannot. Selection remains a pure
+    * function of the data (stable across runs, engines, partition
+    * counts, and corpus appends); realized counts are binomial around
+    * `fraction·|group|`.
+    */
+  def mixtureSampleApprox(df: DataFrame, groupCol: String, keyCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fractions.nonEmpty, "empty fraction mixture")
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1]: $fractions")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = fractions.toSeq.toDF("__group", "__frac")
+    // 15 hex chars = 60 bits: exact in a double's 53-bit... no — keep
+    // the comparison in Long space: parse 15 hex chars (60 bits < 63)
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    val cutoff = (col("__frac") * lit(math.pow(2.0, 60.0))).cast("long")
+    df.join(broadcast(t), col(groupCol) === col("__group"))
+      .filter(bucket < cutoff)
+      .drop("__group", "__frac")
   }
 
   /** L-5: driver micro-batching (reference `collect().grouped(1000)`,

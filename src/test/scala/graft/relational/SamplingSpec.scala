@@ -73,4 +73,29 @@ class SamplingSpec extends SparkSpec {
       "selection changed with partition count — not a pure function of the data")
   }
 
+  test("mixtureSampleApprox: fraction accuracy, determinism, no sort") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 20000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "g")
+    val out = Sampling.mixtureSampleApprox(df, "g", "k",
+      Map("a" -> 0.3, "b" -> 0.05))
+    val counts = out.groupBy(col("g")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binomial(10000, p): allow 5 sigma
+    assert(math.abs(counts("a") - 3000.0) < 5 * math.sqrt(10000 * 0.3 * 0.7),
+      s"a: ${counts("a")}")
+    assert(math.abs(counts("b") - 500.0) < 5 * math.sqrt(10000 * 0.05 * 0.95),
+      s"b: ${counts("b")}")
+    // deterministic + partition-invariant
+    def pick(parts: Int): Set[Long] =
+      Sampling.mixtureSampleApprox(df.repartition(parts), "g", "k",
+          Map("a" -> 0.3, "b" -> 0.05))
+        .select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(pick(3) == pick(17))
+    // no Window/Sort in the plan — the scale contract
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.toLowerCase.contains("sortexec"),
+      plan)
+  }
+
 }
