@@ -80,6 +80,25 @@ object IO {
     spark.read.parquet(dstDir).count()
   }
 
+  /** Size-targeted write: pick the partition count from Catalyst's
+    * size estimate so output files land near `targetBytes` (the
+    * 128 MB–1 GB band where parquet scan throughput lives). The
+    * estimate is the optimizer's — cheap and available before any
+    * action — so this is a planning-time knob, not a second pass over
+    * the data; compression typically lands files below the in-memory
+    * estimate, which errs toward smaller-not-huge files.
+    */
+  def writeSized(df: DataFrame, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      mode: SaveMode = SaveMode.Overwrite): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1,
+      math.min((estimated / BigInt(targetBytes)).toLong + 1, 100000L)).toInt
+    df.repartition(parts).write.mode(mode).parquet(path)
+    parts
+  }
+
   /** Retention expiry over a partitioned table: delete the partition
     * directories whose (string-comparable) partition value sorts below
     * `cutoff` — e.g. `day=2024-01-01` dirs under a date-partitioned

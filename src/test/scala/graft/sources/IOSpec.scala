@@ -113,4 +113,18 @@ class IOSpec extends SparkSpec {
     assert(IO.expirePartitions(spark, dir, "day", "2024-01-03").isEmpty)
   }
 
+  test("writeSized picks partitions from the size estimate") {
+    val dir = tmp() + "/sized"
+    val df = (1 to 50000).toDF("x")
+    // tiny target forces multiple files; content preserved
+    val parts = IO.writeSized(df, dir, targetBytes = 64 * 1024)
+    assert(parts > 1, s"expected multiple partitions, got $parts")
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == parts)
+    assert(spark.read.parquet(dir).count() == 50000)
+    // huge target collapses to one file
+    assert(IO.writeSized(df, tmp() + "/sized2", targetBytes = 1L << 40) == 1)
+  }
+
 }
