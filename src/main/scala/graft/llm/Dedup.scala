@@ -497,17 +497,26 @@ object Dedup {
   /** 64-bit SimHash of the token multiset. One UDF per row (per-bit
     * weighted sums don't reduce to array expressions cleanly); the
     * surrounding tokenization stays in codegen.
+    *
+    * The per-token hash is the LOW 64 BITS OF md5 (big-endian bytes
+    * 8..15 — hex chars 17..32 of the digest), not a bespoke mix: any
+    * SQL engine can derive the identical value from its own `md5()`,
+    * which is what lets the driver's DuckDB oracle recompute whole
+    * signatures and makes the SimHash stratum hash-checkable rather
+    * than rows-only. (Cost: md5 is a few× FNV per token; the 64-bit
+    * accumulation loop dominates either way.)
     */
   val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((tokensIn: Seq[String]) => {
       val tokens = if (tokensIn == null) Seq.empty[String] else tokensIn
+      val md = java.security.MessageDigest.getInstance("MD5")
       val acc = new Array[Int](64)
       tokens.foreach { t =>
-        // FNV-1a 64-bit over the token bytes — deterministic across JVMs
-        var h = 0xcbf29ce484222325L
-        t.getBytes("UTF-8").foreach { b =>
-          h ^= (b & 0xffL); h *= 0x100000001b3L
-        }
+        md.reset()
+        val dig = md.digest(t.getBytes("UTF-8"))
+        var h = 0L
+        var k = 8
+        while (k < 16) { h = (h << 8) | (dig(k) & 0xffL); k += 1 }
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1

@@ -235,6 +235,51 @@ object TextAnalysis {
       }
     })
 
+  /** PORTABLE winnowing: same algorithm as [[winnowingFingerprints]]
+    * (k-gram hashes, rightmost-min over a w-window, consecutive-pick
+    * dedup) but with md5-hex k-gram hashes compared lexicographically —
+    * a hash any SQL engine reproduces, so the DRIVER ORACLE can replay
+    * the entire winnow (positions → md5 → windowed rightmost-min →
+    * distinct picks) and hash-check the fingerprints themselves.
+    * Rightmost-min makes the winning index non-decreasing as the
+    * window slides, so consecutive-pick dedup ≡ DISTINCT pick
+    * positions — which is what makes the SQL replay exact. Cost is
+    * O(len·k) md5 versus the rolling form's O(len); use the rolling
+    * form when fingerprint values need no cross-engine contract.
+    */
+  def winnowPortable(k: Int = 8, w: Int = 4)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      def md5hex(s: String): String = {
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        dig.map(b => f"${b & 0xff}%02x").mkString
+      }
+      if (text == null) Seq.empty[String]
+      else {
+        val s = text.toLowerCase.replaceAll("[^\\p{L}\\p{Nd}]+", " ").trim
+        if (s.length < k) Seq(md5hex(s))
+        else {
+          val n = s.length - k + 1
+          val hx = Array.tabulate(n)(p => md5hex(s.substring(p, p + k)))
+          val picks = scala.collection.mutable.ArrayBuffer.empty[String]
+          var last = -1
+          var st = 0
+          while (st + w <= n) {
+            var m = st
+            var j = st + 1
+            while (j < st + w) {
+              if (hx(j).compareTo(hx(m)) <= 0) m = j // rightmost min
+              j += 1
+            }
+            if (m != last) { picks += hx(m); last = m }
+            st += 1
+          }
+          picks.toSeq
+        }
+      }
+    })
+
   def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
     winnowingFingerprints(k, w)(text)
 

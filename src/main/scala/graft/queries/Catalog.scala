@@ -2484,18 +2484,56 @@ object Catalog {
         AS fp
       FROM documents ORDER BY doc_id"""))
 
-  /** Winnowing fingerprints per document (rows-only: rolling-hash
-    * values are implementation-defined; the shared-substring guarantee
-    * is pinned in TextAnalysisSpec).
+  /** Winnowing fingerprints per document via the PORTABLE md5-k-gram
+    * variant: the oracle replays the whole winnow in SQL — positions →
+    * md5 k-grams → rightmost-min per sliding window → distinct picks
+    * in position order — so the fingerprint LISTS hash-match, not just
+    * counts. (The rolling-hash `winnow` stays as the O(len) scale form
+    * with implementation-defined values.)
     */
   val docWinnow = RegisteredQuery(
     "doc_winnow",
-    (s, d) =>
+    (s, d) => {
+      val fp = graft.llm.TextAnalysis.winnowPortable()(col("text"))
       Tables.documents(s, d).select(
         col("doc_id"),
-        size(graft.llm.TextAnalysis.winnow(col("text"))).as("n_fingerprints"))
-        .orderBy(col("doc_id")),
-    None)
+        size(fp).as("n_fingerprints"),
+        fp.as("fingerprints"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text),
+          '[^\p{L}\p{Nd}]+', ' ', 'g')) AS s
+        FROM documents),
+      longd AS (SELECT doc_id, s FROM d WHERE length(s) >= 8),
+      pos AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS p,
+          md5(substr(s, CAST(i AS INTEGER), 8)) AS hx,
+          length(s) - 7 AS n
+        FROM longd, unnest(generate_series(1, length(s) - 7)) AS u(i)),
+      wins AS (
+        SELECT doc_id, CAST(st AS INTEGER) AS st
+        FROM (SELECT DISTINCT doc_id, n FROM pos),
+          unnest(generate_series(1, n - 3)) AS u(st)),
+      ranked AS (
+        SELECT w.doc_id, w.st, p.p, p.hx,
+          row_number() OVER (PARTITION BY w.doc_id, w.st
+            ORDER BY p.hx, p.p DESC) AS rn
+        FROM wins w JOIN pos p ON p.doc_id = w.doc_id
+          AND p.p BETWEEN w.st AND w.st + 3),
+      picks AS (SELECT DISTINCT doc_id, p, hx FROM ranked WHERE rn = 1),
+      agg AS (
+        SELECT doc_id, count(*) AS n_fingerprints,
+          list(hx ORDER BY p) AS fingerprints
+        FROM picks GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(a.n_fingerprints,
+          CASE WHEN length(d.s) < 8 THEN 1 ELSE 0 END) AS n_fingerprints,
+        coalesce(a.fingerprints,
+          CASE WHEN length(d.s) < 8 THEN [md5(d.s)] ELSE [] END)
+          AS fingerprints
+      FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""))
 
   /** Language-ID over documents. Oracle mirrors the function-word /
     * char-class scoring arithmetic exactly (same profiles, same int/int
@@ -2827,15 +2865,43 @@ object Catalog {
       WHERE levenshtein(a.c_name, b.c_name) <= 1
       ORDER BY id_a, id_b"""))
 
-  /** SimHash signatures per doc (rows-only). */
+  /** SimHash signatures per doc, emitted as 16-hex strings. The
+    * per-token hash is the low 64 bits of md5, so the oracle
+    * RECOMPUTES ENTIRE SIGNATURES in SQL: per-(doc, bit) weighted
+    * sums from the md5 hex nibbles, re-assembled to hex — the whole
+    * 64-bit fingerprint is hash-checked, not just row counts.
+    */
   val dedupSimhash = RegisteredQuery(
     "dedup_simhash",
     (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        graft.llm.Dedup.simhashCol(col("text")).as("simhash"))
+        lpad(lower(hex(graft.llm.Dedup.simhashCol(col("text")))), 16, "0")
+          .as("simhash"))
         .orderBy(col("doc_id")),
-    None)
+    Some("""WITH t AS (
+        SELECT doc_id,
+          unnest(string_split(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ')) AS tok
+        FROM documents),
+      h AS (SELECT doc_id, substr(md5(tok), 17, 16) AS lo FROM t),
+      b AS (
+        SELECT doc_id, i,
+          CASE WHEN sum(CASE WHEN
+              ((instr('0123456789abcdef',
+                  substr(lo, 16 - CAST(i AS INTEGER) // 4, 1)) - 1)
+                >> (CAST(i AS INTEGER) % 4)) & 1 = 1
+            THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+        FROM h, unnest(generate_series(0, 63)) AS u(i)
+        GROUP BY doc_id, i),
+      nib AS (
+        SELECT doc_id, 16 - CAST(i AS INTEGER) // 4 AS j,
+          sum(bit << (CAST(i AS INTEGER) % 4)) AS nv
+        FROM b GROUP BY doc_id, j)
+      SELECT doc_id,
+        string_agg(substr('0123456789abcdef', CAST(nv AS INTEGER) + 1, 1),
+          '' ORDER BY j) AS simhash
+      FROM nib GROUP BY doc_id ORDER BY doc_id"""))
 
   /** SimHash near-dup pairs via chunk pigeonhole — the bucketed,
     * maxBucket-guarded candidate path end-to-end (rows-only:
@@ -2861,7 +2927,49 @@ object Catalog {
         chunks = chunks, maxHamming = chunks - 1, maxBucket = 200)
         .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    // The oracle replays the WHOLE candidate pipeline in SQL at the
+    // gate fixture's parameters (500 docs ⇒ chunksFor = 8 ⇒ 8-bit
+    // pieces, maxHamming 7, maxBucket 200): signatures from md5
+    // nibbles, pieces as per-chunk bit sums, hot buckets (>200)
+    // excluded exactly as the engine drops them, candidates from
+    // shared non-hot pieces, hamming verified per bit.
+    Some("""WITH t AS (
+        SELECT doc_id,
+          unnest(string_split(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ')) AS tok
+        FROM documents),
+      h AS (SELECT doc_id, substr(md5(tok), 17, 16) AS lo FROM t),
+      b AS (
+        SELECT doc_id, i,
+          CASE WHEN sum(CASE WHEN
+              ((instr('0123456789abcdef',
+                  substr(lo, 16 - CAST(i AS INTEGER) // 4, 1)) - 1)
+                >> (CAST(i AS INTEGER) % 4)) & 1 = 1
+            THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+        FROM h, unnest(generate_series(0, 63)) AS u(i)
+        GROUP BY doc_id, i),
+      pieces AS (
+        SELECT doc_id, CAST(i AS INTEGER) // 8 AS chunk,
+          sum(bit << (CAST(i AS INTEGER) % 8)) AS piece
+        FROM b GROUP BY doc_id, chunk),
+      hot AS (SELECT chunk, piece FROM pieces
+              GROUP BY chunk, piece HAVING count(*) > 200),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        FROM pieces a JOIN pieces b2
+          ON a.chunk = b2.chunk AND a.piece = b2.piece
+          AND a.doc_id < b2.doc_id
+        WHERE NOT EXISTS (SELECT 1 FROM hot
+          WHERE hot.chunk = a.chunk AND hot.piece = a.piece)),
+      ham AS (
+        SELECT c.id_a, c.id_b,
+          count(*) FILTER (WHERE ba.bit <> bb.bit) AS hamming
+        FROM cand c
+        JOIN b ba ON ba.doc_id = c.id_a
+        JOIN b bb ON bb.doc_id = c.id_b AND bb.i = ba.i
+        GROUP BY c.id_a, c.id_b)
+      SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 7
+      ORDER BY id_a, id_b"""))
 
   /** Per-dimension vector mean by group (the centroid/pooled-embedding
     * aggregation every embedding pipeline runs): posexplode to

@@ -147,4 +147,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got(5L) - 0.9182958340544896) < 1e-12)
   }
 
+  test("portable winnow keeps the shared-substring guarantee and edge cases") {
+    import org.apache.spark.sql.functions._
+    val common = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val df = Seq(
+      (1L, s"PREFIX AAA $common SUFFIX BBB"),
+      (2L, s"totally different beginning here $common and another ending"),
+      (3L, "no overlap with anything else whatsoever in this sentence"),
+      (4L, "tiny"),                    // shorter than k -> whole-string md5
+      (5L, "exactly9ch")               // 10 chars: positions < w -> empty
+    ).toDF("id", "t")
+    val fps = df.select(col("id"),
+        TextAnalysis.winnowPortable()(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    assert(fps(4L).length == 1 && fps(4L).head.length == 32)
+    assert(fps(5L).isEmpty)
+    // picks are md5 hex of the winning 8-gram, deterministic
+    assert(fps(1L).forall(_.matches("[0-9a-f]{32}")))
+  }
+
 }
