@@ -3213,8 +3213,11 @@ object Catalog {
       ORDER BY id_a, id_b"""))
 
   /** Multimodal plumbing: documents text → binary media struct → stub
-    * decode → typed metadata (rows-only; the decode is a documented
-    * deterministic stub, the schema/batch plumbing is the real part).
+    * decode → typed metadata. The stub's fake dimensions carry no
+    * contract, so the CHECKED output is the part that does: the byte
+    * count must survive the binary cast and struct round-trip exactly
+    * (oracle = DuckDB `strlen`, BYTES not chars), and the stub must
+    * fill dims inside its documented 64..1087 range for every row.
     */
   val multimodalMeta = RegisteredQuery(
     "multimodal_meta",
@@ -3224,11 +3227,13 @@ object Catalog {
         col("doc_id"),
         Multimodal.asMedia(col("text"), "video/fake").as("media"))
       Multimodal.withDecodedMeta(media, "media")
-        .select(col("doc_id"), col("decoded.width"), col("decoded.height"),
-          col("decoded.n_bytes"))
+        .select(col("doc_id"), col("decoded.n_bytes").as("n_bytes"),
+          (col("decoded.width").between(64, 1087) &&
+            col("decoded.height").between(64, 1087)).as("dims_in_range"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""SELECT doc_id, strlen(text) AS n_bytes, TRUE AS dims_in_range
+      FROM documents ORDER BY doc_id"""))
 
   /** REAL image decode round-trip, oracle-checked: per-doc PNG bytes
     * whose dimensions are a deterministic function of doc_id, pushed
