@@ -250,10 +250,12 @@ object TextAnalysis {
   def winnowPortable(k: Int = 8, w: Int = 4)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => {
+      // one digest instance per row, reset per k-gram (getInstance per
+      // k-gram would allocate O(len) digests per document)
+      val md = java.security.MessageDigest.getInstance("MD5")
       def md5hex(s: String): String = {
-        val dig = java.security.MessageDigest.getInstance("MD5")
-          .digest(s.getBytes("UTF-8"))
-        dig.map(b => f"${b & 0xff}%02x").mkString
+        md.reset()
+        md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
       }
       if (text == null) Seq.empty[String]
       else {
