@@ -128,6 +128,14 @@ object ScaleProbe {
           .filter(col("id") =!= col("component")).count())
       println(f"[probe] docs x$mult cc nonRoot=$nComp time=$tComp%.2fs")
 
+      // ---- documents: SimHash chunk-pigeonhole path (chunksFor-scaled)
+      val chunks = Dedup.chunksFor(nDocs)
+      val (nSim2, tSim2) = timed(
+        Dedup.simhashPairs(docs, "doc_id", "text",
+          chunks = chunks, maxHamming = chunks - 1, maxBucket = 200).count())
+      println(f"[probe] docs x$mult simhash chunks=$chunks " +
+        f"pairs=$nSim2 time=$tSim2%.2fs")
+
       // ---- decontamination: the corpus side grows N× while the
       // benchmark set stays FIXED (its distinct-hash set broadcasts),
       // so wall time must track the corpus linearly — any superlinear
