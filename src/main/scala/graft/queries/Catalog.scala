@@ -1160,6 +1160,55 @@ object Catalog {
       FROM events WHERE CAST(props->>'$.k' AS INTEGER) > 50
       ORDER BY event_id"""))
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE`): node depth in the
+    * implicit binary tree `parent(n) = n div 2` over document ids — a
+    * genuine SQL fixpoint both engines iterate to convergence (the
+    * DataFrame-side analogue is `Dedup.connectedComponents`' manual
+    * loop; this is the declarative face of the same capability).
+    */
+  val sqlRecursiveCte = RegisteredQuery(
+    "sql_recursive_cte",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""WITH RECURSIVE depth(doc_id, d) AS (
+          SELECT doc_id, 0 FROM documents WHERE doc_id = 0
+          UNION ALL
+          SELECT c.doc_id, p.d + 1
+          FROM documents c JOIN depth p ON c.doc_id div 2 = p.doc_id
+          WHERE c.doc_id > 0)
+        SELECT doc_id, d FROM depth ORDER BY doc_id""")
+    },
+    Some("""WITH RECURSIVE depth(doc_id, d) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id = 0
+        UNION ALL
+        SELECT c.doc_id, p.d + 1
+        FROM documents c JOIN depth p ON c.doc_id // 2 = p.doc_id
+        WHERE c.doc_id > 0)
+      SELECT doc_id, d FROM depth ORDER BY doc_id"""))
+
+  /** Correlated LATERAL subquery with per-row ORDER/LIMIT: each
+    * customer's top-2 orders by price — the "top-N per key as a join"
+    * formulation (the window formulation is `window_topn_per_group`;
+    * this is the same semantics through the decorrelator).
+    */
+  val joinLateral = RegisteredQuery(
+    "join_lateral",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+    Some("""SELECT c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""))
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): planted
     * nulls on both sides MATCH each other under null-safe equality —
     * the semantic corner plain equi-joins silently drop.
@@ -4124,6 +4173,7 @@ object Catalog {
     typedDataset,
     joinBloomPruned, joinBucketed, joinNullSafe, sqlCteWindow,
     sqlGroupByAll, sqlParameterized, variantExtract,
+    sqlRecursiveCte, joinLateral,
     joinSalted, zipFrames,
     aggApproxBounds, partitionPruning,
     aggGroupingSets, aggGroupingId, jsonCorruptRecords, mapFunctions,
