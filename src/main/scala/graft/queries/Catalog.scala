@@ -1160,6 +1160,82 @@ object Catalog {
       FROM events WHERE CAST(props->>'$.k' AS INTEGER) > 50
       ORDER BY event_id"""))
 
+  /** Multiset set-ops (`EXCEPT ALL` / `INTERSECT ALL`): duplicates
+    * count, unlike the DISTINCT forms already covered — the bag
+    * semantics reconciliation jobs actually need (a row present twice
+    * on one side and once on the other differs by exactly one copy).
+    */
+  val setopMultiset = RegisteredQuery(
+    "setop_multiset",
+    (s, d) => {
+      val a = Tables.orders(s, d).select(col("o_orderpriority"))
+      val b = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority"))
+      a.exceptAll(b).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_except_all"))
+        .join(
+          a.intersectAll(b).groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_intersect_all")),
+          Seq("o_orderpriority"), "full_outer")
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH a AS (SELECT o_orderpriority FROM orders),
+        b AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+        ea AS (SELECT o_orderpriority, count(*) AS n_except_all
+               FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+               GROUP BY 1),
+        ia AS (SELECT o_orderpriority, count(*) AS n_intersect_all
+               FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+               GROUP BY 1)
+      SELECT coalesce(ea.o_orderpriority, ia.o_orderpriority)
+          AS o_orderpriority,
+        n_except_all, n_intersect_all
+      FROM ea FULL OUTER JOIN ia ON ea.o_orderpriority = ia.o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** `unionByName(allowMissingColumns)`: the DataFrame-API face of
+    * schema evolution — frames with different column sets align by
+    * NAME (positional union would silently mismatch) and absent
+    * columns null-fill.
+    */
+  val unionByNameQ = RegisteredQuery(
+    "union_by_name",
+    (s, d) => {
+      val v1 = Tables.nation(s, d).filter(col("n_nationkey") < 12)
+        .select(col("n_nationkey"), col("n_name"))
+      val v2 = Tables.nation(s, d).filter(col("n_nationkey") >= 12)
+        .select(col("n_regionkey"), col("n_name"), col("n_nationkey"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+      FROM nation WHERE n_nationkey < 12
+      UNION ALL
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation WHERE n_nationkey >= 12
+      ORDER BY n_nationkey"""))
+
+  /** `regexp_extract_all` + explode: every number in every document
+    * pulled out with its ordinal — the scrape-then-normalize pattern
+    * (the generator keeps the per-doc ordinal so downstream joins are
+    * possible).
+    */
+  val regexExtractAll = RegisteredQuery(
+    "regex_extract_all",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .as(Seq("ordinal", "number")))
+        .orderBy(col("doc_id"), col("ordinal")),
+    Some("""SELECT doc_id,
+        CAST(u.i - 1 AS INTEGER) AS ordinal, nums[i] AS number
+      FROM (SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS nums
+            FROM documents),
+        unnest(generate_series(1, len(nums))) AS u(i)
+      ORDER BY doc_id, ordinal"""))
+
   /** Recursive CTE (Spark 4's `WITH RECURSIVE`): node depth in the
     * implicit binary tree `parent(n) = n div 2` over document ids — a
     * genuine SQL fixpoint both engines iterate to convergence (the
@@ -4173,7 +4249,8 @@ object Catalog {
     typedDataset,
     joinBloomPruned, joinBucketed, joinNullSafe, sqlCteWindow,
     sqlGroupByAll, sqlParameterized, variantExtract,
-    sqlRecursiveCte, joinLateral,
+    sqlRecursiveCte, joinLateral, setopMultiset, unionByNameQ,
+    regexExtractAll,
     joinSalted, zipFrames,
     aggApproxBounds, partitionPruning,
     aggGroupingSets, aggGroupingId, jsonCorruptRecords, mapFunctions,
