@@ -367,7 +367,7 @@ object Similarity {
     * `cos(max(0, θ_qc − r_c))` upper-bounds every score in the cell.
     */
   def cellRadii(index: DataFrame, centroids: Array[Array[Double]]): Array[Double] = {
-    val cosines = array(centroids.map(c =>
+    val cosines = array(centroids.toIndexedSeq.map(c =>
       cosineNative(col("vec"), typedLit(c.toSeq))): _*)
     val angle = when(element_at(cosines, col("cell") + 1).isNull, lit(math.Pi))
       .otherwise(acos(least(greatest(
@@ -404,7 +404,7 @@ object Similarity {
     }.sortBy { case (i, ub) => (-ub, i) }
     val phase1 = bounds.take(math.max(1, nprobe)).map(_._1)
     val q = typedLit(query.toSeq)
-    val topScores = index.filter(col("cell").isin(phase1: _*))
+    val topScores = index.filter(col("cell").isin(phase1.toIndexedSeq: _*))
       .select(cosineNative(col("vec"), q).as("score"))
       .orderBy(col("score").desc).limit(k)
       .collect().flatMap(r => Option(r.get(0)).map(_ => r.getDouble(0)))
@@ -413,7 +413,7 @@ object Similarity {
       .filter { case (_, ub) => ub >= kth - 1e-9 }.map(_._1)
     val cells = phase1 ++ phase2
     index
-      .filter(col("cell").isin(cells: _*))
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col("id"), cosineNative(col("vec"), q).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)

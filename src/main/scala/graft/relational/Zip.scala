@@ -64,7 +64,8 @@ object Zip {
     require(dfs.nonEmpty, "zip of zero frames")
     val schema = StructType(dfs.map(_.schema.fields).reduce(_ ++ _))
     val rows: RDD[Row] =
-      zipRdds(dfs.map(_.rdd)).map(seq => Row.merge(seq: _*))
+      zipRdds(dfs.map(_.rdd))
+        .map(seq => Row.fromSeq(seq.flatMap(_.toSeq)))
     spark.createDataFrame(rows, schema)
   }
 
