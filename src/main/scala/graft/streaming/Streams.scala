@@ -115,25 +115,35 @@ object Streams {
     * applied at staging time, so the restaged files carry real
     * timestamps.
     */
+  // staged (file, split) dirs are immutable once written — memoize per
+  // process so the several stream-join queries over the same source
+  // pay the restage once, not once each
+  private val twoBatchCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
   def eventsStreamTwoBatches(spark: SparkSession, parquetFile: String,
       splitTs: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("events_2b")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val full = spark.read.parquet(parquetFile)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    def stage(df: DataFrame, name: String): Unit = {
-      val tmp = dir.resolve(name + "_tmp")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath, dir.resolve(name)): Unit
-    }
-    val cut = col("ts") < lit(splitTs).cast("timestamp")
-    stage(full.filter(cut), "part-0.parquet")
-    stage(full.filter(!cut), "part-1.parquet")
-    spark.readStream.schema(full.schema)
+    val dir = twoBatchCache.computeIfAbsent((parquetFile, splitTs), _ => {
+      val d = java.nio.file.Files.createTempDirectory("events_2b")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val full = spark.read.parquet(parquetFile)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = d.resolve(name + "_tmp")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, d.resolve(name)): Unit
+      }
+      val cut = col("ts") < lit(splitTs).cast("timestamp")
+      stage(full.filter(cut), "part-0.parquet")
+      stage(full.filter(!cut), "part-1.parquet")
+      d.toString
+    })
+    spark.readStream
+      .schema(spark.read.parquet(s"$dir/part-0.parquet").schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(dir.toString)
+      .parquet(dir)
   }
 
   /** Tumbling-window hourly aggregate with a watermark — the streaming
