@@ -2414,10 +2414,12 @@ object Catalog {
       ORDER BY path"""))
 
   /** E-1 `evalToDataframe`: fit + encode customer, then digest the
-    * `array<double>` features column to scalar columns (dim + rounded
-    * sum) so the driver checker can canonicalize rows. Not
-    * SQL-expressible (HMAC-seeded init) → rows-only check; byte-exact
-    * determinism is pinned by EncoderSpec goldens instead.
+    * `array<double>` features column to its CONTRACT: every row must
+    * encode to a finite vector of exactly the configured featureDim
+    * (the struct-reduce output dimension is config-static, not
+    * data-dependent). Feature VALUES are HMAC-seeded and engine-
+    * internal (byte-exact determinism pinned by EncoderSpec goldens);
+    * the invariants are what SQL can check — and now does.
     */
   val encodeEval = RegisteredQuery(
     "encode_eval",
@@ -2427,19 +2429,27 @@ object Catalog {
         .select(col("c_mktsegment"), col("c_nationkey"),
           col("c_acctbal"))
       val state = Encoder.fit(df, Encoder.EncoderSpec(featureDim = 8))
+      val finite = (x: org.apache.spark.sql.Column) =>
+        !x.isNaN && x =!= Double.PositiveInfinity &&
+          x =!= Double.NegativeInfinity
       Encoder.evalToDataframe(s, df, state, "features")
-        .select(
-          size(col("features")).as("feat_dim"),
-          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6)
-            .as("feat_sum"))
-        .orderBy(col("feat_sum"), col("feat_dim"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(size(col("features"))).as("distinct_dims"),
+          first(size(col("features"))).as("feat_dim"),
+          min(aggregate(col("features"), lit(true),
+            (acc, x) => acc && finite(x))).as("all_finite"))
     },
-    None)
+    Some("""SELECT count(*) AS n_rows, 1 AS distinct_dims, 8 AS feat_dim,
+        TRUE AS all_finite
+      FROM customer"""))
 
   /** E-5 training loop smoke: 3 GD iterations of a small classifier
-    * predicting c_nationkey from segment+balance. Output = (iteration,
-    * loss) rows; rows-only check (loss trajectory is pinned by
-    * TrainerSpec instead). Kept small so bench time stays bounded.
+    * predicting c_nationkey from segment+balance. Checked on the
+    * training CONTRACT — the schedule ran all iterations, losses are
+    * finite, and the final loss improved on the initial one (loss
+    * VALUES are engine-internal numerics; the trajectory itself is
+    * pinned by TrainerSpec). Kept small so bench time stays bounded.
     */
   val trainLoop = RegisteredQuery(
     "train_loop",
@@ -2455,14 +2465,19 @@ object Catalog {
           hidden = Seq(8), classes = 25, labelCol = "label",
           iterations = 3, initialStep = 0.5))
       import s.implicits._
-      result.lossHistory.zipWithIndex
-        .map { case (l, i) => (i, l) }.toDF("iteration", "loss")
+      val ls = result.lossHistory
+      Seq((ls.length, ls.forall(l => !l.isNaN && !l.isInfinite),
+        ls.last < ls.head))
+        .toDF("n_loss_points", "all_finite", "loss_improved")
     },
-    None)
+    Some("""SELECT 4 AS n_loss_points, TRUE AS all_finite,
+      TRUE AS loss_improved"""))
 
   /** E-8 prediction report: label + features + softmax prediction in
-    * one frame (rows-only; classification quality pinned in
-    * TrainerSpec).
+    * one frame, checked on the report CONTRACT — the requested number
+    * of rows, every prediction a valid distribution (sums to 1 within
+    * 1e-6), every argmax inside the class range (classification
+    * quality itself is pinned in TrainerSpec).
     */
   val trainPredict = RegisteredQuery(
     "train_predict",
@@ -2479,21 +2494,21 @@ object Catalog {
           iterations = 2, initialStep = 0.5))
       DistributedTrainer.predictionReport(
           s, df, result.state, result.net, "label", limit = 100)
-        .select(
-          col("label"),
-          size(col("features")).as("feat_dim"),
-          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6)
-            .as("feat_sum"),
-          array_position(col("prediction"), array_max(col("prediction")))
-            .cast("int").as("pred_class"),
-          round(array_max(col("prediction")), 6).as("pred_max"))
-        .orderBy(col("label"), col("feat_sum"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(abs(aggregate(col("prediction"), lit(0.0), (a, x) => a + x)
+            - lit(1.0)) < 1e-6).as("all_probs_valid"),
+          min(array_position(col("prediction"), array_max(col("prediction")))
+            .between(1, 25)).as("all_preds_in_range"))
     },
-    None)
+    Some("""SELECT 100 AS n_rows, TRUE AS all_probs_valid,
+      TRUE AS all_preds_in_range"""))
 
   /** EP-1 end-to-end pipeline: stage → split → schedule-train →
-    * held-out prediction report, summarized to one row (rows-only;
-    * trajectory/accuracy pinned in PipelineSpec on separable data).
+    * held-out prediction report, checked on the pipeline CONTRACT —
+    * training improved the loss and the held-out report materialized
+    * (accuracy level is only meaningful on separable data, where
+    * PipelineSpec pins ≥0.9; the fixture labels are not separable).
     */
   val pipelineE2e = RegisteredQuery(
     "pipeline_e2e",
@@ -2512,11 +2527,13 @@ object Catalog {
         train = TrainConfig(hidden = Seq(8), classes = 25,
           labelCol = "label", iterations = 2, initialStep = 0.5)))
       import s.implicits._
-      Seq((r.trainResult.lossHistory.head, r.trainResult.lossHistory.last,
-        r.reportAccuracy, r.report.count()))
-        .toDF("loss_first", "loss_last", "report_accuracy", "report_rows")
+      val ls = r.trainResult.lossHistory
+      Seq((ls.last < ls.head, r.report.count() > 0,
+        r.reportAccuracy >= 0.0 && r.reportAccuracy <= 1.0))
+        .toDF("loss_improved", "has_report_rows", "accuracy_in_range")
     },
-    None)
+    Some("""SELECT TRUE AS loss_improved, TRUE AS has_report_rows,
+      TRUE AS accuracy_in_range"""))
 
   // --------------------------------------------------------- LLM: dedup
 
