@@ -150,6 +150,83 @@ object Catalog {
       round(quantile_cont(o_totalprice, 0.75), 4) AS q3
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Linear-regression aggregates (regr_slope/intercept/r2/count —
+    * identical Welford-style definitions in both engines): price as a
+    * linear function of quantity per return flag. Slope/intercept are
+    * O(1e3) so round(…, 3) leaves 1e-9 relative headroom over the
+    * cross-engine summation-order noise; r2 ∈ [0,1] rounds at 6.
+    */
+  val aggRegression = RegisteredQuery(
+    "agg_regression",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 3)
+            .as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 3)
+            .as("intercept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+      round(regr_intercept(l_extendedprice, l_quantity), 3) AS intercept,
+      round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      regr_count(l_extendedprice, l_quantity) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Bitwise aggregates + conditional count (exact integer semantics —
+    * no rounding needed): AND/OR/XOR over the line number domain and a
+    * filtered count, per return flag. Integer aggregation is
+    * order-independent, so this also pins cross-engine exactness for
+    * the non-float aggregate path.
+    */
+  val aggBitwise = RegisteredQuery(
+    "agg_bitwise",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("bit_and(l_linenumber)").cast("long").as("and_ln"),
+          expr("bit_or(l_linenumber)").cast("long").as("or_ln"),
+          expr("bit_xor(l_linenumber)").cast("long").as("xor_ln"),
+          expr("count_if(l_quantity > 25)").as("n_heavy"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      bit_and(CAST(l_linenumber AS BIGINT)) AS and_ln,
+      bit_or(CAST(l_linenumber AS BIGINT)) AS or_ln,
+      bit_xor(CAST(l_linenumber AS BIGINT)) AS xor_ln,
+      count_if(l_quantity > 25) AS n_heavy
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Ordered-set aggregates (`WITHIN GROUP` SQL-text surface):
+    * percentile_disc picks an actual data value (exactly comparable —
+    * both engines define it as the smallest value with cume_dist ≥ p),
+    * percentile_cont interpolates (rounded).
+    */
+  val aggPercentileDisc = RegisteredQuery(
+    "agg_percentile_disc",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT o_orderstatus,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+            AS median_disc,
+          round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice),
+            4) AS q1_cont,
+          percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+            AS p90_disc
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus,
+      percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+        AS median_disc,
+      round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice),
+        4) AS q1_cont,
+      percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_disc
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** Generator/lateral surface: posexplode of the embedding array,
     * restricted to the first 3 elements of the first 5 vectors.
     */
@@ -4256,7 +4333,8 @@ object Catalog {
 
   val all: Seq[RegisteredQuery] = Seq(
     q1PricingSummary, aggDistinct, rollupCount, aggCube, aggHaving,
-    aggCustomUdaf, aggPivot, aggMedian, explodeArrays,
+    aggCustomUdaf, aggPivot, aggMedian, aggRegression, aggBitwise,
+    aggPercentileDisc, explodeArrays,
     stringFunctions, dateFunctions,
     stagingProjection, filterPushdown,
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
