@@ -74,6 +74,33 @@ object GraftFunctions {
         Bridge.expression(vec), arrDouble), centroids))
   }
 
+  /** Column form: PQ-encode a vector against an m×k×sub codebook
+    * tensor in one fused pass (Euclidean-nearest codeword per
+    * subspace).
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    val arrDouble = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    Bridge.column(PqEncodeExpr(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        Bridge.expression(vec), arrDouble), codebooks))
+  }
+
+  /** Column form: pack array<int> PQ codes into one byte per code. */
+  def pqPack(codes: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(PqPackExpr(Bridge.expression(codes)))
+  }
+
+  /** Column form: ADC score of byte-packed codes against a flat m×k
+    * query lookup table.
+    */
+  def pqAdc(codes: Column, lut: Array[Double], k: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(PqAdcExpr(Bridge.expression(codes), lut, k))
+  }
+
   /** Column-API form — usable without registering the extension. */
   def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.Bridge

@@ -1,0 +1,210 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Product quantization over an embedding column — the memory-scale
+  * path for similarity at 100 TB.
+  *
+  * IVF ([[Similarity]]) prunes which rows a query READS; PQ shrinks
+  * what each row COSTS: a 64-dim float32 vector (256 B) compresses to
+  * one byte per subspace (m = 8 → 8 B, 32×), so the scored
+  * representation of a corpus whose raw vectors span terabytes fits in
+  * executor memory, and query-time scoring touches no vector data at
+  * all — m table lookups per row against an m×k lookup table built
+  * driver-side from the query ([[graft.functions.PqAdcExpr]]).
+  *
+  * Everything is deterministic: codebooks train by hashed-id-seeded
+  * Lloyd (same spread rule as [[Similarity.kmeansCentroids]]), codes
+  * are a pure function of (vector, codebooks) — identical on every
+  * run and cluster size.
+  *
+  * The pipeline composes the module's standard shapes:
+  *   - train: one distributed job per Lloyd iteration covering ALL m
+  *     subspaces at once (encode → explode slim (subspace, code,
+  *     pos, x) rows → groupBy sums; collects only m·k·sub doubles)
+  *   - encode: one fused codegen pass per row
+  *     ([[graft.functions.PqEncodeExpr]]), byte-packed for storage
+  *   - query: ADC shortlist (TakeOrderedAndProject over codes only)
+  *     → exact cosine re-rank of the shortlist against the raw
+  *     vectors (a broadcast-able id join — shortlist is O(k'))
+  *
+  * Vectors are L2-normalized before codebook training and encoding,
+  * so the ADC inner-product sum approximates true cosine and the
+  * re-rank stage consumes the same scale the shortlist was built on.
+  */
+object Pq {
+
+  /** Trained model: m subspaces × k codewords × (dim/m) doubles. */
+  final case class PqModel(dim: Int, m: Int, k: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    require(codebooks.length == m && codebooks.forall(_.length == k) &&
+      codebooks.forall(_.forall(_.length == dim / m)),
+      s"codebooks must be m=$m × k=$k × ${dim / m}")
+  }
+
+  /** L2-normalized copy of `vecCol` (null/zero-norm/dirty rows drop):
+    * the frame every training/encode step consumes.
+    */
+  private def normalized(df: DataFrame, vecCol: String, idCol: String,
+      dim: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as("id"), v.as("vec"))
+      .filter(size(col("vec")) === lit(dim) &&
+        !exists(col("vec"), _.isNull))
+      .withColumn("nrm", sqrt(aggregate(col("vec"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .filter(col("nrm") > 0)
+      .select(col("id"),
+        transform(col("vec"), x => x / col("nrm")).as("nv"))
+  }
+
+  /** Train PQ codebooks: deterministic seeds (hashed-id order, the
+    * [[Similarity.kmeansCentroids]] spread rule) sliced into m
+    * subvectors, then `iters` Lloyd rounds. Each round is ONE
+    * distributed job for all m subspaces: rows explode into slim
+    * (subspace, code, pos, x) tuples — total n·dim elements, the same
+    * shuffle volume as one full-dimension k-means round — and only
+    * m·k·sub sums return to the driver. Empty codewords keep their
+    * previous value.
+    */
+  def trainCodebooks(df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, m: Int = 8, k: Int = 256, iters: Int = 3): PqModel = {
+    require(m > 0 && dim % m == 0,
+      s"dim=$dim must divide into m=$m subspaces")
+    require(k > 0 && k <= 256, s"k=$k must be in [1, 256] (byte codes)")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val sub = dim / m
+
+    val base = normalized(df, vecCol, idCol, dim)
+
+    // deterministic seed rows → initial codebooks (subvector slices)
+    val seeds = base
+      .select(col("nv"), pmod(xxhash64(col("id")), lit(1000000007L)).as("h"),
+        col("id").as("seed_id"))
+      .orderBy(col("h"), col("seed_id"))
+      .limit(k)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty, "no clean vectors to train on")
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (j, c) =>
+      val seed = seeds(c % seeds.length)
+      java.util.Arrays.copyOfRange(seed, j * sub, (j + 1) * sub)
+    }
+
+    var it = 0
+    while (it < iters) {
+      // one job: encode (fused pass) → explode each row into its m
+      // subvectors (slim — total dim doubles per row, never amplified)
+      // → per-(subspace, codeword, position) sums
+      val enc = GraftFunctions.pqEncode(col("nv"), books)
+      val sums = base
+        .select(enc.as("codes"),
+          posexplode(transform(sequence(lit(0), lit(m - 1)),
+            j => slice(col("nv"), j * lit(sub) + 1, lit(sub))))
+            .as(Seq("j", "sv")))
+        .filter(col("codes").isNotNull)
+        .select(col("j"),
+          element_at(col("codes"), col("j") + 1).as("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = Array.tabulate(m, k) { (j, c) =>
+        byCell.get((j, c)) match {
+          case Some(rows) =>
+            val mean = new Array[Double](sub)
+            rows.foreach(r => mean(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
+            mean
+          case None => books(j)(c) // empty codeword: keep previous
+        }
+      }
+      it += 1
+    }
+    PqModel(dim, m, k, books)
+  }
+
+  /** Byte-packed PQ index: (id, codes binary) — m bytes per row, the
+    * 32× form that serves a 100 TB corpus from memory. Build once,
+    * persist/write like any index.
+    */
+  def pqIndex(df: DataFrame, vecCol: String, idCol: String,
+      model: PqModel): DataFrame =
+    normalized(df, vecCol, idCol, model.dim)
+      .select(col("id"),
+        GraftFunctions.pqPack(
+          GraftFunctions.pqEncode(col("nv"), model.codebooks)).as("codes"))
+      .filter(col("codes").isNotNull)
+
+  /** Flat m×k ADC lookup table for one query vector (driver-side —
+    * the same per-query scalar work as [[Similarity.probeCells]]):
+    * lut[j·k + c] = q_j · codeword_{j,c}, so Σ_j lut[j·k + code_j]
+    * approximates q·v̂ = cosine on normalized inputs.
+    */
+  def adcLut(query: Array[Double], model: PqModel): Array[Double] = {
+    require(query.length == model.dim,
+      s"query dim ${query.length} != model dim ${model.dim}")
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0, "query vector has zero norm")
+    val sub = model.dim / model.m
+    val lut = new Array[Double](model.m * model.k)
+    var j = 0
+    while (j < model.m) {
+      var c = 0
+      while (c < model.k) {
+        var dot = 0.0
+        var i = 0
+        while (i < sub) {
+          dot += (query(j * sub + i) / qn) * model.codebooks(j)(c)(i)
+          i += 1
+        }
+        lut(j * model.k + c) = dot
+        c += 1
+      }
+      j += 1
+    }
+    lut
+  }
+
+  /** ADC top-k over the packed index: score = m table reads per row,
+    * TakeOrderedAndProject keeps it one pass, no vector access.
+    * Approximate (quantization error) — compose with
+    * [[topKRerank]] for exact final scores.
+    */
+  def topKAdc(index: DataFrame, query: Array[Double], model: PqModel,
+      k: Int): DataFrame = {
+    val lut = adcLut(query, model)
+    index
+      .select(col("id"),
+        GraftFunctions.pqAdc(col("codes"), lut, model.k).as("adc"))
+      .filter(col("adc").isNotNull)
+      .orderBy(col("adc").desc, col("id"))
+      .limit(k)
+  }
+
+  /** PQ shortlist → exact re-rank: ADC picks `shortlist` candidate ids
+    * from codes alone, then the candidates join back to the RAW
+    * vectors (broadcast — a shortlist is O(k'), never corpus-sized)
+    * and exact cosine orders the final top-k. At scale the expensive
+    * side reads m bytes per row; full vectors are touched for only
+    * `shortlist` rows.
+    */
+  def topKRerank(index: DataFrame, source: DataFrame, vecCol: String,
+      idCol: String, query: Array[Double], model: PqModel,
+      k: Int, shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cand = topKAdc(index, query, model, shortlist)
+      .select(col("id").as("graft_pq_cand_id"))
+    val q = array(query.map(lit).toIndexedSeq: _*)
+    val v = col(vecCol).cast("array<double>")
+    source
+      .join(broadcast(cand), col(idCol) === col("graft_pq_cand_id"))
+      .select(col(idCol),
+        GraftFunctions.cosine(v, q).as("score"))
+      .filter(col("score").isNotNull)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -3346,6 +3346,40 @@ object Catalog {
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
+  /** Product-quantization ANN: byte-packed PQ codes (16 B/row vs
+    * 256 B raw — the representation that serves a 100 TB embedding
+    * corpus from memory) score an ADC shortlist with NO vector access,
+    * then exact cosine re-ranks the shortlist. Approximate by design,
+    * but at these parameters the 100-row shortlist recovers the exact
+    * top-10 on this corpus (isotropic data is PQ's WORST case; the
+    * 20-row shortlist already recovers it in PqSpec) — so the
+    * brute-force oracle applies: hash-green certifies shortlist
+    * recall 1.0, and a quantization regression surfaces as a row
+    * mismatch. General-case recall is pinned in PqSpec.
+    */
+  val simTopkPq = RegisteredQuery(
+    "sim_topk_pq",
+    (s, d) => {
+      import graft.llm.Pq
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val model = Pq.trainCodebooks(emb, "embedding", "vec_id",
+        dim = query.length, m = 16, k = 64, iters = 2)
+      val index = Pq.pqIndex(emb, "embedding", "vec_id", model)
+      Pq.topKRerank(index, emb, "embedding", "vec_id", query, model,
+          k = 10, shortlist = 100)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
   /** Mixture sampling over documents: per-source target counts (the
     * "40% web, 30% code" domain-mixing primitive), drawn by md5-of-key
     * rank so the pick is a pure function of the data — identical
@@ -4379,6 +4413,7 @@ object Catalog {
     dedupMinhash, dedupPairs, dedupJaccardExact, dedupComponents,
     dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
+    simTopkPq,
     mixtureSample, mixtureSampleApproxQ,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
     multimodalResize)
