@@ -78,7 +78,12 @@ object Pq {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val sub = dim / m
 
+    // seeds + every Lloyd round re-read this frame: persist for the
+    // duration of training (at corpus scale, re-scanning + re-
+    // normalizing the vectors once per iteration is the dominant
+    // avoidable cost)
     val base = normalized(df, vecCol, idCol, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // deterministic seed rows → initial codebooks (subvector slices)
     val seeds = base
@@ -123,6 +128,7 @@ object Pq {
       }
       it += 1
     }
+    base.unpersist(blocking = false)
     PqModel(dim, m, k, books)
   }
 
@@ -183,6 +189,65 @@ object Pq {
       .orderBy(col("adc").desc, col("id"))
       .limit(k)
   }
+
+  /** IVF×PQ index: (id, cell, codes) — the two scale levers composed.
+    * Cells prune what a probe READS (partition the write by `cell`,
+    * as [[Similarity.writeIvfIndex]] does, and a probe opens only the
+    * probed directories); byte-packed codes shrink what each read row
+    * COSTS (m bytes, ADC-scored with no vector access). Per-query
+    * cost at 100 TB: O(occupancy·nprobe) rows × m bytes each.
+    */
+  def ivfPqIndex(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], model: PqModel): DataFrame =
+    normalized(df, vecCol, idCol, model.dim)
+      .select(col("id"),
+        GraftFunctions.nearestCentroid(col("nv"), centroids).as("cell"),
+        GraftFunctions.pqPack(
+          GraftFunctions.pqEncode(col("nv"), model.codebooks)).as("codes"))
+      .filter(col("codes").isNotNull)
+
+  /** IVF×PQ top-k with EXACT cell pruning and ADC shortlisting:
+    *
+    *  1. probe the `nprobe` cells with the highest angular upper
+    *     bound ([[Similarity.cellUpperBounds]]), ADC-shortlist them,
+    *     exact-rerank the shortlist → a kth score that k REAL rows
+    *     achieve;
+    *  2. expand to every remaining cell whose bound still exceeds
+    *     that kth score — after which no unprobed cell can hold a
+    *     top-k member (the [[Similarity.topKIvfExact]] argument:
+    *     cell pruning is exact, courtesy of the radii);
+    *  3. ADC-shortlist the full probe set and exact-rerank for the
+    *     final answer.
+    *
+    * The only approximation left is the ADC shortlist itself (a true
+    * top-k row ranked below the shortlist boundary by quantized
+    * score), the same residual as [[topKRerank]] — recall is pinned
+    * in PqSpec and bought with `shortlist`, never by probing fewer
+    * cells.
+    */
+  def topKIvfPq(index: DataFrame, source: DataFrame, vecCol: String,
+      idCol: String, query: Array[Double], model: PqModel,
+      centroids: Array[Array[Double]], radii: Array[Double],
+      k: Int, nprobe: Int, shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val bounds = Similarity.cellUpperBounds(query, centroids, radii)
+    val phase1 = bounds.take(math.max(1, nprobe)).map(_._1)
+    val scores1 = rerankCells(index, source, vecCol, idCol, query, model,
+      phase1, k, shortlist)
+      .collect().flatMap(r => Option(r.get(1)).map(_ => r.getDouble(1)))
+    val kth = if (scores1.length < k) -2.0 else scores1.min
+    val phase2 = bounds.drop(math.max(1, nprobe))
+      .filter { case (_, ub) => ub >= kth - 1e-9 }.map(_._1)
+    rerankCells(index, source, vecCol, idCol, query, model,
+      phase1 ++ phase2, k, shortlist)
+  }
+
+  /** ADC shortlist restricted to `cells`, exact-reranked. */
+  private def rerankCells(index: DataFrame, source: DataFrame,
+      vecCol: String, idCol: String, query: Array[Double], model: PqModel,
+      cells: Array[Int], k: Int, shortlist: Int): DataFrame =
+    topKRerank(index.filter(col("cell").isin(cells.toIndexedSeq: _*)),
+      source, vecCol, idCol, query, model, k, shortlist)
 
   /** PQ shortlist → exact re-rank: ADC picks `shortlist` candidate ids
     * from codes alone, then the candidates join back to the RAW

@@ -392,16 +392,27 @@ object Similarity {
     * Driver work is two jobs and k rows; the cell metadata (centroids +
     * radii) is O(cells·dim), kept driver-side like any index metadata.
     */
-  def topKIvfExact(index: DataFrame, query: Array[Double],
-      centroids: Array[Array[Double]], radii: Array[Double],
-      k: Int, nprobe: Int): DataFrame = {
+  /** Per-cell score upper bounds for a query, highest first: for any
+    * member x of cell c, cos(q,x) ≤ cos(max(0, θ_qc − r_c)). The
+    * driver-side math both [[topKIvfExact]] and
+    * [[graft.llm.Pq.topKIvfPq]] prune cells with.
+    */
+  def cellUpperBounds(query: Array[Double],
+      centroids: Array[Array[Double]],
+      radii: Array[Double]): Array[(Int, Double)] = {
     val qn = math.sqrt(query.map(x => x * x).sum)
-    val bounds = centroids.zipWithIndex.map { case (c, i) =>
+    centroids.zipWithIndex.map { case (c, i) =>
       val cos0 = if (qn == 0) 0.0
         else clampCos(c.zip(query).map { case (a, b) => a * b }.sum / qn)
       val theta = math.acos(cos0)
       i -> math.cos(math.max(0.0, theta - radii(i)))
     }.sortBy { case (i, ub) => (-ub, i) }
+  }
+
+  def topKIvfExact(index: DataFrame, query: Array[Double],
+      centroids: Array[Array[Double]], radii: Array[Double],
+      k: Int, nprobe: Int): DataFrame = {
+    val bounds = cellUpperBounds(query, centroids, radii)
     val phase1 = bounds.take(math.max(1, nprobe)).map(_._1)
     val q = typedLit(query.toSeq)
     val topScores = index.filter(col("cell").isin(phase1.toIndexedSeq: _*))

@@ -3380,6 +3380,46 @@ object Catalog {
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
+  /** IVF×PQ composed (the two scale levers at once): angular cell
+    * bounds prune which rows the query READS — exactly, via the
+    * topKIvfExact radii argument, so no pruned cell can hold a top-k
+    * member — and byte-packed PQ codes shrink what each read row
+    * COSTS (ADC, no vector access) before an exact cosine re-rank.
+    * The only approximation is the ADC shortlist, the same residual
+    * as `sim_topk_pq`, so the brute oracle applies on the same
+    * recall-1.0-with-margin grounds (PqSpec pins the general case).
+    */
+  val simTopkIvfPq = RegisteredQuery(
+    "sim_topk_ivfpq",
+    (s, d) => {
+      import graft.llm.{Pq, Similarity}
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val model = Pq.trainCodebooks(emb, "embedding", "vec_id",
+        dim = query.length, m = 16, k = 64, iters = 2)
+      val cells = Similarity.cellsFor(emb.count())
+      val cents = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+        k = cells, iters = 2)
+      val index = Pq.ivfPqIndex(emb, "embedding", "vec_id", cents, model)
+        .persist()
+      val radii = Similarity.cellRadii(
+        index.join(emb.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec")), "id"), cents)
+      Pq.topKIvfPq(index, emb, "embedding", "vec_id", query, model,
+          cents, radii, k = 10, nprobe = math.max(2, cells / 4),
+          shortlist = 100)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
   /** Mixture sampling over documents: per-source target counts (the
     * "40% web, 30% code" domain-mixing primitive), drawn by md5-of-key
     * rank so the pick is a pure function of the data — identical
@@ -4413,7 +4453,7 @@ object Catalog {
     dedupMinhash, dedupPairs, dedupJaccardExact, dedupComponents,
     dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
-    simTopkPq,
+    simTopkPq, simTopkIvfPq,
     mixtureSample, mixtureSampleApproxQ,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
     multimodalResize)

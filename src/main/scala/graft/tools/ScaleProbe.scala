@@ -116,6 +116,33 @@ object ScaleProbe {
       val cellStats = bucketStats(ivf.select(col("cell")), Seq("cell"))
       println(s"[probe] emb x$mult ivf cells=$cells occupancy{$cellStats}")
 
+      // ---- embeddings: PQ encode throughput + ADC scan wall. The
+      // claims probed: codebook training cost is per-ITERATION linear
+      // (one job covering all m subspaces), the packed index is m
+      // bytes/row regardless of corpus size, and an ADC scan — the
+      // query-time path — stays a single linear pass over codes with
+      // no vector access, so its wall tracks n, never n·dim.
+      {
+        import graft.llm.Pq
+        val (model, tTrain) = timed(Pq.trainCodebooks(
+          emb, "embedding", "vec_id", dim = 64, m = 16, k = 64, iters = 1))
+        val (idx, tEnc) = timed {
+          val i = Pq.pqIndex(emb, "embedding", "vec_id", model).persist()
+          i.count(); i
+        }
+        val query = emb0.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .collect().head.getSeq[Double](0).toArray
+        val (_, tAdc) = timed(
+          Pq.topKAdc(idx, query, model, k = 10).collect())
+        val bytes = idx.select(sum(length(col("codes")))).collect()
+          .head.getLong(0)
+        println(f"[probe] emb x$mult pq train=$tTrain%.2fs " +
+          f"encode=$tEnc%.2fs adc_scan=$tAdc%.2fs " +
+          f"code_bytes=$bytes (raw=${nVecs * 64 * 4})")
+        idx.unpersist()
+      }
+
       // ---- connected components over the exact-join pair graph:
       // rounds should track graph diameter (constant for dup families),
       // NOT corpus size, and per-round plans stay constant-depth

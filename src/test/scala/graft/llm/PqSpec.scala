@@ -82,6 +82,39 @@ class PqSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("ivf-pq composes exact cell pruning with adc shortlisting") {
+    // clustered corpus: 5 well-separated direction clusters — the
+    // shape IVF pruning exists for
+    val rnd = new java.util.Random(23)
+    val centers = Seq.fill(5)(Seq.fill(16)(rnd.nextGaussian() * 3))
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 400L).map { i =>
+      val c = centers((i % 5).toInt)
+      i -> c.map(_ + rnd.nextGaussian() * 0.3)
+    }
+    val df = vecs.toDF("id", "vec")
+    val model = Pq.trainCodebooks(df, "vec", "id", dim = 16, m = 4, k = 32,
+      iters = 2)
+    val cents = Similarity.kmeansCentroids(df, "vec", "id", k = 5, iters = 2)
+    val index = Pq.ivfPqIndex(df, "vec", "id", cents, model).persist()
+    assert(index.columns.toSet == Set("id", "cell", "codes"))
+    val radii = Similarity.cellRadii(
+      index.join(df.select(col("id"),
+          col("vec").cast("array<double>").as("vec")), "id"),
+      cents)
+    val queries = Seq(7, 101, 203).map(i => vecs(i)._2.toArray)
+    val recalls = queries.map { q =>
+      val brute = Similarity.topKBrute(df, "vec", "id", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = Pq.topKIvfPq(index, df, "vec", "id", q, model, cents,
+        radii, k = 10, nprobe = 2, shortlist = 100)
+        .collect().map(_.getLong(0)).toSet
+      brute.intersect(got).size / 10.0
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.9, s"ivfpq recall dropped to $avg (per-query $recalls)")
+    index.unpersist()
+  }
+
   test("rerank recovers the exact brute-force top-k on a shortlist") {
     val vecs = randomVecs(500, 32)
     val df = vecs.toDF("id", "vec")
