@@ -216,8 +216,9 @@ object Pq {
     *     that kth score — after which no unprobed cell can hold a
     *     top-k member (the [[Similarity.topKIvfExact]] argument:
     *     cell pruning is exact, courtesy of the radii);
-    *  3. ADC-shortlist the full probe set and exact-rerank for the
-    *     final answer.
+    *  3. ADC-shortlist and exact-rerank the phase-2 cells, then merge
+    *     with the (persisted) phase-1 top-k — each probed cell
+    *     partition is read exactly once.
     *
     * The only approximation left is the ADC shortlist itself (a true
     * top-k row ranked below the shortlist boundary by quantized
@@ -232,14 +233,22 @@ object Pq {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val bounds = Similarity.cellUpperBounds(query, centroids, radii)
     val phase1 = bounds.take(math.max(1, nprobe)).map(_._1)
-    val scores1 = rerankCells(index, source, vecCol, idCol, query, model,
-      phase1, k, shortlist)
-      .collect().flatMap(r => Option(r.get(1)).map(_ => r.getDouble(1)))
+    // phase-1 result is k rows — persist so the bound check and the
+    // final merge consume ONE execution, and phase-1 cell partitions
+    // are never re-read for the final answer
+    val p1 = rerankCells(index, source, vecCol, idCol, query, model,
+      phase1, k, shortlist).persist()
+    val scores1 = p1.collect()
+      .flatMap(r => Option(r.get(1)).map(_ => r.getDouble(1)))
     val kth = if (scores1.length < k) -2.0 else scores1.min
     val phase2 = bounds.drop(math.max(1, nprobe))
       .filter { case (_, ub) => ub >= kth - 1e-9 }.map(_._1)
-    rerankCells(index, source, vecCol, idCol, query, model,
-      phase1 ++ phase2, k, shortlist)
+    if (phase2.isEmpty) p1
+    else p1.unionByName(
+        rerankCells(index, source, vecCol, idCol, query, model,
+          phase2, k, shortlist))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
   }
 
   /** ADC shortlist restricted to `cells`, exact-reranked. */
