@@ -130,6 +130,27 @@ object TextAnalysis {
     * — Spark builtin, codegen'd). Identical normalized content ⇒
     * identical fingerprint; the exact-dedup key.
     */
+  /** Gopher-style repetition signals: the fraction of token
+    * occurrences that are repeats (`1 − distinct/total`) and the same
+    * over adjacent bigrams — boilerplate and looping-generator output
+    * score high, natural prose low. Pure expressions over a STAGED
+    * token array (tokenizing once into an attribute keeps the
+    * `transform` lambda from re-evaluating the split per element,
+    * which would be O(len²) per document); no shuffle, the shape of a
+    * 100 TB quality-filter scan. Both fractions are small-integer
+    * ratios — one IEEE divide, bit-identical on any engine.
+    */
+  def repetitionBigrams(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+
+  def dupFraction(arr: Column): Column =
+    when(size(arr) < 1, lit(0.0))
+      .otherwise(round(lit(1.0) -
+        size(array_distinct(arr)).cast("double") /
+          size(arr).cast("double"), 4))
+
   def fingerprint(text: Column): Column = xxhash64(normalized(text))
 
   /** MD5 fingerprint variant (hex string) — portable to any engine with

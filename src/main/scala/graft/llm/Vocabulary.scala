@@ -48,6 +48,48 @@ object Vocabulary {
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** BM25 document ranking for a fixed query-term set — the standard
+    * retrieval scorer (Robertson/Sparck-Jones; the Lucene-default
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf, which is always positive).
+    *
+    * Scale shape: the higher-order `filter` drops non-query tokens
+    * BEFORE the explode, so only |q| terms per document ever shuffle;
+    * per-term document frequency is a window-count over the SAME slim
+    * tf frame (a groupBy+join form would recompute the whole explode
+    * lineage — a third corpus scan; the window shuffles only the
+    * query-matching rows), and the corpus stats (1 row) broadcast on.
+    * Two corpus scans total: the tf explode and the avg-doc-length
+    * aggregate, which must see every document. Defaults k1=1.5,
+    * b=0.75 are exactly binary-representable, keeping the score
+    * reproducible across engines up to `ln`'s last ulp.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.5, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val docs = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("id"), col("dl"),
+        explode(filter(col("toks"), t => t.isin(queryTerms: _*))).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Top-k distinctive terms per document, ranked by `(tf desc, df asc,
     * term asc)` — the integer-portable tf-idf-flavored order (idf is
     * strictly decreasing in df, so within a tf tie this IS the tf-idf

@@ -640,6 +640,35 @@ object Catalog {
         round(sum(o_totalprice), 2) AS sum_price
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** ORC source/sink round-trip (same contract as the CSV/JSON twins,
+    * over Spark's other native columnar format): lineitem slice → ORC
+    * → explicit-schema read → aggregate vs the parquet original. ORC
+    * carries stripe-level min/max + bloom stats, so the scan-side
+    * pushdown/pruning behavior matches parquet — an ORC-lake consumer
+    * keeps the identical plan shape.
+    */
+  val sourceOrcRoundtrip = RegisteredQuery(
+    "source_orc_roundtrip",
+    (s, d) => {
+      val tmp = s"/tmp/graft_orcdemo_${math.abs(d.hashCode)}"
+      val slim = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+      graft.sources.IO.writeOrc(slim, tmp)
+      graft.sources.IO.readOrc(s, tmp)
+        .filter(col("l_quantity") >= 25.0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_quantity >= 25
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** TPC-H Q6 core (forecast revenue change): the pure scan-filter-agg
     * — every predicate reaches the parquet scan as a pushed filter,
     * no shuffle at all before the single-row aggregate.
@@ -2896,6 +2925,46 @@ object Catalog {
       SELECT doc_id, rn, term, tf, df FROM r WHERE rn <= 3
       ORDER BY doc_id, rn"""))
 
+  /** BM25 retrieval over the corpus for a 3-term query mixing one rare
+    * term (`dup`, df≈25 — high idf) with two common ones — the scorer
+    * a training-data pipeline uses for targeted corpus search and
+    * relevance-weighted sampling. k1=1.5 / b=0.75 are exactly
+    * binary-representable, so the only cross-engine float risk is
+    * `ln`'s last ulp, absorbed by round(…, 4); both engines cut the
+    * top 20 on the ROUNDED (score desc, doc_id) order, so the limit
+    * boundary is deterministic. See [[graft.llm.Vocabulary.bm25]] for
+    * the scale shape (filter-before-explode, broadcast df + stats).
+    */
+  val docBm25 = RegisteredQuery(
+    "doc_bm25",
+    (s, d) =>
+      graft.llm.Vocabulary.bm25(
+        Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("dup", "spark", "join"), topK = 20)
+        .withColumnRenamed("id", "doc_id"),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      hit AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf FROM hit
+        WHERE term IN ('dup', 'spark', 'join') GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id,
+          round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+            (tf.tf * 2.5) /
+            (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4)
+            AS score
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id LIMIT 20"""))
+
   /** PII scrub over the corpus: plant a per-doc email, redact, verify
     * byte-exact output via md5. The oracle runs the IDENTICAL regex —
     * the pattern is kept to the Java/RE2-shared subset by construction
@@ -2945,6 +3014,43 @@ object Catalog {
         Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("id")),
     None)
+
+  /** The MinHash signature itself, hash-checked: slot `i` is the
+    * minimum `md5(i + "|" + shingle)` (low 64 hex bits) over the
+    * document's distinct 3-gram shingles — a PORTABLE hash family both
+    * engines can compute byte-for-byte, so the oracle proves the
+    * minhash ESTIMATOR (shingling, salting, per-slot min) end to end,
+    * not just its downstream use. `dedup_minhash` keeps the faster
+    * engine-private splitmix family for the production path; this
+    * pins the algorithm. One explode + one hash aggregate with
+    * map-side partial mins — the index-build shape at any scale.
+    */
+  val dedupMinhashSig = RegisteredQuery(
+    "dedup_minhash_sig",
+    (s, d) =>
+      graft.llm.Dedup.minhashSignaturePortable(
+        Tables.documents(s, d), "doc_id", "text", numHashes = 8)
+        .select(col("id").as("doc_id"), col("sig"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        FROM t),
+      e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      h AS (
+        SELECT doc_id, i,
+          min(substr(md5(CAST(i AS VARCHAR) || '|' || s), 17, 16)) AS m
+        FROM e, unnest(generate_series(0, 7)) AS u(i)
+        GROUP BY doc_id, i)
+      SELECT doc_id, string_agg(m, ',' ORDER BY i) AS sig
+      FROM h GROUP BY doc_id ORDER BY doc_id"""))
 
   /** MinHash-LSH candidate pairs with exact n-gram-Jaccard
     * verification ≥0.7. The fixture's documents are all DISTINCT as
@@ -4168,6 +4274,48 @@ object Catalog {
       SELECT doc_id, round(-sum(p * log2(p)), 6) AS entropy
       FROM p GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Gopher-style repetition quality signals: per-document duplicate
+    * fraction of token occurrences and of adjacent bigrams
+    * (`1 − distinct/total`) — looping-generator output and boilerplate
+    * score high; the standard cheap pre-training filter alongside
+    * [[charEntropy]]. Pure per-row expressions over a staged token
+    * array (no shuffle — a 100 TB scan shape); both fractions are
+    * small-integer IEEE divides, bit-identical across engines.
+    */
+  val docRepetition = RegisteredQuery(
+    "doc_repetition",
+    (s, d) => {
+      import graft.llm.TextAnalysis
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          TextAnalysis.dupFraction(col("toks")).as("dup_token_frac"),
+          TextAnalysis.dupFraction(
+            TextAnalysis.repetitionBigrams(col("toks")))
+            .as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      b AS (
+        SELECT doc_id, toks,
+          CASE WHEN len(toks) < 2 THEN []
+            ELSE list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i + 1]) END AS bi
+        FROM t)
+      SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        CASE WHEN len(toks) < 1 THEN 0.0 ELSE
+          round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) /
+            CAST(len(toks) AS DOUBLE), 4) END AS dup_token_frac,
+        CASE WHEN len(bi) < 1 THEN 0.0 ELSE
+          round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) /
+            CAST(len(bi) AS DOUBLE), 4) END AS dup_bigram_frac
+      FROM b ORDER BY doc_id"""))
+
   /** Forward fill (`last(..., ignoreNulls)` over an unbounded
     * preceding frame): error events get a null reading, each user's
     * gap fills with their latest prior reading — the canonical
@@ -4448,7 +4596,8 @@ object Catalog {
     q21WaitingSupplier, q22GlobalSales, globalSort,
     unpivotMelt, sampleStratified,
     mergeUpsert, profileColumns, windowRangeFrame,
-    sourceCsvRoundtrip, sourceJsonRoundtrip, schemaEvolution,
+    sourceCsvRoundtrip, sourceJsonRoundtrip, sourceOrcRoundtrip,
+    schemaEvolution,
     joinShuffleHash, nestedPruning,
     windowRankStats, aggHistogram, timeseriesGapfill, scalarTryFunctions,
     windowRollingMedian, scd2History, windowFillForward,
@@ -4464,10 +4613,11 @@ object Catalog {
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
-    charEntropy,
-    vocabTopk, docTopTerms, piiRedact,
+    charEntropy, docRepetition,
+    vocabTopk, docTopTerms, docBm25, piiRedact,
     decontaminate,
-    dedupMinhash, dedupPairs, dedupJaccardExact, dedupComponents,
+    dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
+    dedupComponents,
     dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
     simTopkPq, simTopkIvfPq,

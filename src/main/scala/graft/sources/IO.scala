@@ -51,6 +51,19 @@ object IO {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** ORC twin of the parquet path — the other columnar format Spark
+    * ships natively. Same predicate-pushdown / column-pruning contract
+    * as parquet (ORC carries min/max + bloom stripe stats), so a
+    * consumer locked into an ORC lake gets the identical scan-side
+    * behavior.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** S-5: row-count action (reference `Trainer.scala:96` logs it at
     * load).
     */

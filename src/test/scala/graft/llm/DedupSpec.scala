@@ -170,6 +170,28 @@ class DedupSpec extends SparkSpec {
       .head.getSeq[String](0)
     assert(sh == Seq("two words"))
   }
+  test("portable minhash signature: slot = min md5(i|shingle), dup-invariant") {
+    val df = Seq(
+      (1L, "a b c d"),              // shingles {a b c, b c d}
+      (2L, "a b c d"),              // byte-identical twin
+      (3L, "completely different words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashSignaturePortable(df, "doc_id", "text",
+        numHashes = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5lo(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.substring(16)
+    }
+    val expected = (0 until 4).map(i =>
+      Seq("a b c", "b c d").map(sh => md5lo(s"$i|$sh")).min).mkString(",")
+    assert(got(1L) == expected)
+    // identical text -> identical signature; different text -> different
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+  }
+
   test("editDistancePairs fails loudly when a bucket exceeds maxBucket") {
     val dupes = (1L to 12L).map(i => (i, "identical")).toDF("id", "name")
     val e = intercept[org.apache.spark.SparkException] {

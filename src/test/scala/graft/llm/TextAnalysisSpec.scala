@@ -147,6 +147,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got(5L) - 0.9182958340544896) < 1e-12)
   }
 
+  test("repetition signals: duplicate token/bigram fractions by hand") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "a a b"),     // 3 toks 2 distinct -> 1/3; bigrams {a a, a b} -> 0
+      (2L, "x x x"),     // 1 - 1/3 = 2/3; bigrams {x x, x x} -> 1/2
+      (3L, "one"),       // single token: no bigrams -> 0.0
+      (4L, "p q r s")    // all distinct -> 0, 0
+    ).toDF("id", "t")
+    val staged = df.select(col("id"), TextAnalysis.tokens(col("t")).as("toks"))
+    val got = staged.select(col("id"),
+        TextAnalysis.dupFraction(col("toks")).as("dt"),
+        TextAnalysis.dupFraction(
+          TextAnalysis.repetitionBigrams(col("toks"))).as("db"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) == ((0.3333, 0.0)))
+    assert(got(2L) == ((0.6667, 0.5)))
+    assert(got(3L) == ((0.0, 0.0)))
+    assert(got(4L) == ((0.0, 0.0)))
+  }
+
   test("portable winnow keeps the shared-substring guarantee and edge cases") {
     import org.apache.spark.sql.functions._
     val common = "the quick brown fox jumps over the lazy sleeping dog tonight"

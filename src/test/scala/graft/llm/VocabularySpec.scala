@@ -50,6 +50,28 @@ class VocabularySpec extends SparkSpec {
       (3L, 1, "date"), (3L, 2, "apple")))
   }
 
+  test("bm25 matches the hand formula and ranks the rare term up") {
+    val corpus = Seq(
+      (1L, "apple banana apple"), // dl=3, tf(apple)=2
+      (2L, "apple cherry"),       // dl=2, tf(apple)=1
+      (3L, "date date")           // dl=2, tf(date)=2
+    ).toDF("doc_id", "text")
+    val out = Vocabulary.bm25(corpus, "doc_id", "text",
+        queryTerms = Seq("apple", "date"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val avgdl = 7.0 / 3.0
+    def idf(df: Long): Double = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def w(tf: Long, df: Long, dl: Long): Double =
+      idf(df) * (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == r4(w(2, 2, 3)))
+    assert(out(2L) == r4(w(1, 2, 2)))
+    assert(out(3L) == r4(w(2, 1, 2)))
+    // the rare term (df=1) outscores the common one at equal tf
+    assert(out(3L) > out(1L))
+  }
+
   test("redactEmails scrubs planted emails and emailCount finds them") {
     val out = Seq((1L, "write to alice.smith@example.com or bob@test.org now"))
       .toDF("id", "t")

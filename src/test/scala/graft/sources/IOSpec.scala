@@ -36,6 +36,15 @@ class IOSpec extends SparkSpec {
     assert(back.head.getAs[Long]("x") == 1L)
   }
 
+  test("orc round trip") {
+    val dir = tmp() + "/t"
+    val df = Seq((1, "a"), (2, "b")).toDF("x", "s")
+    IO.writeOrc(df, dir)
+    val back = IO.readOrc(spark, dir).orderBy("x").collect()
+    assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+
   test("rowCount and display sink") {
     val df = Seq((1, "averylongstringvaluehere")).toDF("x", "s")
     assert(IO.rowCount(df) == 1)
