@@ -480,6 +480,14 @@ object Dedup {
     * cluster-visible dir; the loop shape is unchanged.
     * Non-convergence inside `maxIter` throws loudly rather than
     * returning a silently-partial clustering.
+    *
+    * The loop runs over the NON-ISOLATED subgraph only: a vertex with
+    * no edges keeps `label = id` forever, so iterating it is pure
+    * waste — and in a dedup graph isolated vertices are the vast
+    * majority (most documents are unique). At 100 TB this is the
+    * difference between shuffling the corpus' id set every round and
+    * shuffling only the near-dup families; isolated vertices union
+    * back in at the end with zero jobs.
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
@@ -493,8 +501,10 @@ object Dedup {
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .persist()
     adj.count()
-    var labels = vertices
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("label"))
+    val allIds = vertices.select(col(idCol).cast("long").as("id"))
+    var labels = allIds
+      .join(adj.select(col("src").as("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
@@ -523,7 +533,16 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "graph diameter exceeds the bound; raise maxIter")
     }
-    labels.select(col("id"), col("label").as("component"))
+    // Isolated vertices re-enter as their own singleton components.
+    // Anti-join against the CHECKPOINTED labels (a leaf scan), not
+    // against adj: adj is unpersisted by now, and a lineage reference
+    // to it would re-run the whole upstream edge pipeline (e.g. the
+    // exact-Jaccard join) when the caller executes the result.
+    val components = labels.select(col("id"), col("label").as("component"))
+    val isolated = allIds
+      .join(components.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    components.union(isolated)
   }
 
   /** Exact-duplicate clusters on the normalized-text fingerprint:
