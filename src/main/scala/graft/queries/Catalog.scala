@@ -1734,6 +1734,36 @@ object Catalog {
       ORDER BY o_orderpriority ASC NULLS FIRST,
         o_orderstatus ASC NULLS FIRST"""))
 
+  /** Conditional-aggregate surface: the SQL-standard `FILTER (WHERE …)`
+    * clause plus `count_if` / `bool_and` / `bool_or` — one hash
+    * aggregate, each conditional folding into a codegen'd branch (no
+    * per-condition scans). The filtered price sum goes through
+    * DECIMAL(18,2) for the cross-engine order-independence established
+    * by `sql_cte_window`.
+    */
+  val aggFilterClause = RegisteredQuery(
+    "agg_filter_clause",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT o_orderpriority,
+          count_if(o_totalprice > 150000) AS n_big,
+          count(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+          bool_and(o_totalprice > 0) AS all_pos,
+          bool_or(o_orderstatus = 'P') AS any_pending,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority,
+        count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+        bool_and(o_totalprice > 0) AS all_pos,
+        bool_or(o_orderstatus = 'P') AS any_pending,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** HAVING: post-aggregation filter (Catalyst folds it into the agg). */
   val aggHaving = RegisteredQuery(
     "agg_having",
@@ -4572,6 +4602,7 @@ object Catalog {
 
   val all: Seq[RegisteredQuery] = Seq(
     q1PricingSummary, aggDistinct, rollupCount, aggCube, aggHaving,
+    aggFilterClause,
     aggCustomUdaf, aggPivot, aggMedian, aggRegression, aggBitwise,
     aggPercentileDisc, explodeArrays,
     stringFunctions, dateFunctions,

@@ -148,12 +148,18 @@ object ScaleProbe {
       // NOT corpus size, and per-round plans stay constant-depth
       // (lineage truncated by localCheckpoint)
       val pairGraph = Dedup.jaccardJoinExact(docs, "doc_id", "text",
-        threshold = 0.7).select(col("id_a"), col("id_b"))
+        threshold = 0.7).select(col("id_a"), col("id_b")).persist()
+      // the loop iterates ONLY these vertices; everything else is an
+      // isolated singleton that unions back in with zero jobs
+      val activeV = pairGraph.select(col("id_a").as("id"))
+        .union(pairGraph.select(col("id_b").as("id"))).distinct().count()
       val (nComp, tComp) = timed(
         Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
             pairGraph, "id_a", "id_b", maxIter = 30)
           .filter(col("id") =!= col("component")).count())
-      println(f"[probe] docs x$mult cc nonRoot=$nComp time=$tComp%.2fs")
+      pairGraph.unpersist()
+      println(f"[probe] docs x$mult cc nonRoot=$nComp " +
+        f"activeV=$activeV/$nDocs time=$tComp%.2fs")
 
       // ---- documents: SimHash chunk-pigeonhole path (chunksFor-scaled)
       val chunks = Dedup.chunksFor(nDocs)
