@@ -669,6 +669,54 @@ object Catalog {
       FROM lineitem WHERE l_quantity >= 25
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Plain-text source/sink round-trip (`spark.read.text` — the format
+    * raw corpora arrive in): one line per document, read back as
+    * `value` rows, then corpus-level integrity aggregates vs the
+    * parquet original. Text files carry no schema and no escaping, so
+    * the contract is per-LINE fidelity — the fixture's documents are
+    * newline-free by construction, which is exactly the precondition a
+    * real pipeline must enforce before a text-sink stage.
+    */
+  val sourceTextRoundtrip = RegisteredQuery(
+    "source_text_roundtrip",
+    (s, d) => {
+      val tmp = s"/tmp/graft_textdemo_${math.abs(d.hashCode)}"
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("value"))).as("sum_chars"),
+          countDistinct(col("value")).as("n_distinct"))
+    },
+    Some("""SELECT count(*) AS n, sum(length(text)) AS sum_chars,
+        count(DISTINCT text) AS n_distinct FROM documents"""))
+
+  /** Managed-table surface (`saveAsTable` into the session catalog →
+    * `spark.table` read-back → `tableExists`): the warehouse path a
+    * multi-step pipeline uses to hand datasets between stages by NAME
+    * instead of by path — the catalog carries schema + format, and
+    * readers prune/push down exactly as against the raw parquet.
+    */
+  val catalogManagedTable = RegisteredQuery(
+    "catalog_managed_table",
+    (s, d) => {
+      val tbl = s"graft_orders_${math.abs(d.hashCode)}"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").saveAsTable(tbl)
+      require(s.catalog.tableExists(tbl), s"catalog lost table $tbl")
+      s.table(tbl)
+        .filter(col("o_totalprice") > 50000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+        round(sum(o_totalprice), 2) AS sum_price
+      FROM orders WHERE o_totalprice > 50000
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** TPC-H Q6 core (forecast revenue change): the pure scan-filter-agg
     * — every predicate reaches the parquet scan as a pushed filter,
     * no shuffle at all before the single-row aggregate.
@@ -4628,6 +4676,7 @@ object Catalog {
     unpivotMelt, sampleStratified,
     mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourceOrcRoundtrip,
+    sourceTextRoundtrip, catalogManagedTable,
     schemaEvolution,
     joinShuffleHash, nestedPruning,
     windowRankStats, aggHistogram, timeseriesGapfill, scalarTryFunctions,
