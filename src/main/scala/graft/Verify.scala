@@ -1,9 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * The driver caps this run's wall-clock (r05: only 109/161 query dumps
+  * landed before the kill), so the dump is engineered to degrade
+  * gracefully under a timeout:
+  *   - oracle_sql.json is written FIRST — a partially-killed run still
+  *     lets the driver hash-check every query dump that did land;
+  *   - queries run on a thread pool (Spark local-mode schedules
+  *     concurrent jobs fine; catalog queries share no mutable state —
+  *     per-query view names and /tmp dirs are unique);
+  *   - known-slow queries (streaming micro-batch startup, iterative
+  *     train/IVF builds) are submitted first so they overlap with the
+  *     cheap tail instead of serializing at the end (LPT scheduling).
+  */
 object Verify {
+  /** Queries whose wall-time is dominated by fixed machinery cost
+    * (micro-batch startup, Lloyd iterations, line-search probes) —
+    * measured >1.5 s at sf0.1 in BENCH_r05. Submitted first. */
+  private val slowFirst = Seq(
+    "streaming_hll", "streaming_hourly", "streaming_sliding",
+    "streaming_sessions", "streaming_dedup", "streaming_join",
+    "streaming_join_outer", "streaming_join_full", "streaming_join_semi",
+    "streaming_running_totals",
+    "sim_topk_ivf", "sim_topk_ivf_disk", "sim_topk_pq", "sim_topk_ivfpq",
+    "pipeline_e2e", "train_loop", "train_predict", "dedup_components",
+    "sim_neardup_lsh", "dedup_minhash_sig", "q5_local_supplier",
+    "source_csv_roundtrip", "catalog_managed_table")
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (local iteration)
@@ -19,15 +46,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
-      }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,6 +63,32 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val ordered =
+      slowFirst.filter(queries.contains).map(n => n -> queries(n)) ++
+        queries.toSeq.filterNot(kv => slowFirst.contains(kv._1))
+          .sortBy(_._1)
+
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
+    val pool = Executors.newFixedThreadPool(par)
+    val t0 = System.nanoTime()
+    ordered.foreach { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            System.err.println(
+              f"[verify] $name done at ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(2, TimeUnit.HOURS)
     spark.stop()
   }
 }

@@ -197,7 +197,7 @@ object Catalog {
       bit_and(CAST(l_linenumber AS BIGINT)) AS and_ln,
       bit_or(CAST(l_linenumber AS BIGINT)) AS or_ln,
       bit_xor(CAST(l_linenumber AS BIGINT)) AS xor_ln,
-      count_if(l_quantity > 25) AS n_heavy
+      CAST(count_if(l_quantity > 25) AS BIGINT) AS n_heavy
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Ordered-set aggregates (`WITHIN GROUP` SQL-text surface):
@@ -688,7 +688,8 @@ object Catalog {
           sum(length(col("value"))).as("sum_chars"),
           countDistinct(col("value")).as("n_distinct"))
     },
-    Some("""SELECT count(*) AS n, sum(length(text)) AS sum_chars,
+    // CAST: DuckDB sum(INT) widens to INT128 → float64 in pandas
+    Some("""SELECT count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         count(DISTINCT text) AS n_distinct FROM documents"""))
 
   /** Managed-table surface (`saveAsTable` into the session catalog →
@@ -1234,13 +1235,16 @@ object Catalog {
           FROM orders GROUP BY o_custkey)
         SELECT c_mktsegment,
                CAST(sum(total_spend) AS DOUBLE) AS segment_spend,
-               sum(n_orders) AS segment_orders,
+               CAST(sum(n_orders) AS BIGINT) AS segment_orders,
                count(*) AS n_customers,
                CAST(max(total_spend) AS DOUBLE) AS top_customer_spend
         FROM customer JOIN spend ON c_custkey = o_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")
     },
+    // sum(BIGINT) is INT128 in DuckDB and arrives in pandas as float64
+    // (2932.0 vs Spark's 2932) — cast to BIGINT on BOTH sides so the
+    // driver's comparator hashes the same integer representation.
     Some("""WITH spend AS (
         SELECT o_custkey,
                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend,
@@ -1248,7 +1252,7 @@ object Catalog {
         FROM orders GROUP BY o_custkey)
       SELECT c_mktsegment,
              CAST(sum(total_spend) AS DOUBLE) AS segment_spend,
-             sum(n_orders) AS segment_orders,
+             CAST(sum(n_orders) AS BIGINT) AS segment_orders,
              count(*) AS n_customers,
              CAST(max(total_spend) AS DOUBLE) AS top_customer_spend
       FROM customer JOIN spend ON c_custkey = o_custkey
@@ -1991,6 +1995,53 @@ object Catalog {
         count(DISTINCT l_partkey) AS exact_distinct,
         TRUE AS hll_ok, TRUE AS p50_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Count-min sketch heavy hitters: ONE pass builds the frequency
+    * sketch (`count_min_sketch`, seeded), collected once as a few-KB
+    * bounded broadcastable digest, then the top-20 user exact counts
+    * probe it. CMS guarantees est ≥ exact always and est ≤ exact +
+    * ε·total with depth-many independent rows — both bounds asserted
+    * per user. This is the mergeable heavy-hitter path for 100 TB
+    * streams: per-partition sketches merge associatively, unlike an
+    * exact top-k which needs the full key space. The estimate values
+    * are hash-family-specific, so (as with the HLL queries) the
+    * checked contract is exact counts + both bound flags.
+    */
+  val aggCountmin = RegisteredQuery(
+    "agg_countmin",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val eps = 0.01
+      // ~depth 7 × width 272 ints: a bounded driver fetch, like the
+      // capped key/stats collects documented in SURVEY §2
+      val skBytes = ev
+        .agg(expr("count_min_sketch(user_id, 0.01d, 0.999d, 42)").as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val total = ev.count()
+      // bytes ship in the closure; the sketch object deserializes once
+      // per executor (transient lazy), not once per probed row
+      val probe = new (Long => Long) with Serializable {
+        @transient private lazy val cms =
+          org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(skBytes))
+        def apply(u: Long): Long = cms.estimateCount(u)
+      }
+      val est = udf((u: Long) => probe(u))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .select(col("user_id"), col("n_exact"),
+          est(col("user_id")).as("e"))
+        .select(col("user_id"), col("n_exact"),
+          (col("e") >= col("n_exact")).as("ge_exact"),
+          (col("e") <= col("n_exact") + lit(math.ceil(eps * total).toLong))
+            .as("within_eps"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""SELECT user_id, count(*) AS n_exact,
+        TRUE AS ge_exact, TRUE AS within_eps
+      FROM events GROUP BY user_id
+      ORDER BY n_exact DESC, user_id LIMIT 20"""))
 
   /** MERGEABLE sketches — the incremental-distinct pattern: one HLL
     * sketch per daily batch (`hll_sketch_agg`), merged with
@@ -3249,6 +3300,101 @@ object Catalog {
         SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
       SELECT id AS doc_id, min(r) AS component
       FROM reach GROUP BY id ORDER BY doc_id"""))
+
+  /** Unrolled-SQL PageRank oracle: p0 = 1/N, then `iters` chained CTEs
+    * each computing one power-iteration step. The teleport and damping
+    * constants are written as explicit DOUBLE casts so both engines run
+    * the identical IEEE expression; only summation order differs, which
+    * round(pr, 9) absorbs. The purchase graph is bidirectional, so every
+    * node has out-edges — no dangling-mass term needed here (the engine
+    * still implements it; GraphSpec pins the dangling case).
+    */
+  private def pagerankOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS (
+        SELECT nd.id,
+          (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+            + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0) AS pr
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (
+          SELECT e.dst AS id, sum(p.pr / o.d) AS contrib
+          FROM edges e JOIN p${k - 1} p ON p.id = e.src
+          JOIN outdeg o ON o.src = e.src
+          GROUP BY e.dst) c ON c.id = nd.id)"""
+    }.mkString(",\n      ")
+    s"""WITH raw AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT c AS src, sup + 1000000 AS dst FROM raw
+        UNION ALL
+        SELECT sup + 1000000 AS src, c AS dst FROM raw),
+      outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      p0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+      $steps
+      SELECT id AS node_id, round(pr, 9) AS pr FROM p$iters
+      ORDER BY node_id"""
+  }
+
+  /** PageRank centrality over the customer↔supplier purchase graph
+    * (distinct (custkey, suppkey) relations from orders ⋈ lineitem,
+    * both directions, supplier ids offset to their own range). Five
+    * power iterations at d = 0.85 — the OPIC/link-quality scoring a
+    * web-scale curation pipeline runs. The oracle replays all five
+    * iterations as unrolled SQL, so every rank value hash-matches, not
+    * just the node set. Iterative-operator scale shape documented at
+    * [[graft.llm.Graph.pageRank]].
+    */
+  val graphPagerank = RegisteredQuery(
+    "graph_pagerank",
+    (s, d) => {
+      val raw = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct()
+      val edges = raw
+        .select(col("c").as("src"), (col("sup") + 1000000L).as("dst"))
+        .union(raw
+          .select((col("sup") + 1000000L).as("src"), col("c").as("dst")))
+      graft.llm.Graph.pageRank(edges, "src", "dst", iters = 5)
+        .select(col("id").as("node_id"), round(col("pr"), 9).as("pr"))
+        .orderBy(col("node_id"))
+    },
+    Some(pagerankOracleSql(5)))
+
+  /** Degree summary of the DIRECTED purchase graph (customer → supplier
+    * only): out-degree counts distinct suppliers a customer buys from,
+    * in-degree counts distinct customers a supplier serves. One shuffle.
+    */
+  val graphDegrees = RegisteredQuery(
+    "graph_degrees",
+    (s, d) => {
+      val raw = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      graft.llm.Graph.degrees(raw, "src", "dst")
+        .orderBy(col("id"))
+    },
+    Some("""WITH raw AS (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      sides AS (
+        SELECT src AS id, 1 AS outd, 0 AS ind FROM raw
+        UNION ALL
+        SELECT dst AS id, 0 AS outd, 1 AS ind FROM raw)
+      SELECT id, CAST(sum(outd) AS BIGINT) AS out_degree,
+        CAST(sum(ind) AS BIGINT) AS in_degree
+      FROM sides GROUP BY id ORDER BY id"""))
 
   /** Fuzzy entity matching: EXACT edit-distance-≤1 join over customer
     * names via the deletion-neighborhood scheme (FastSS) — recall 1.0
@@ -4697,7 +4843,7 @@ object Catalog {
     vocabTopk, docTopTerms, docBm25, piiRedact,
     decontaminate,
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
-    dedupComponents,
+    dedupComponents, graphPagerank, graphDegrees, aggCountmin,
     dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
     simTopkPq, simTopkIvfPq,

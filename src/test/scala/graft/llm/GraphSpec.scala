@@ -1,0 +1,47 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1 → 2, 1 → 3, 2 → 3; node 3 is DANGLING (no out-edges) — the case
+  // the registered purchase-graph query cannot exercise (bidirectional
+  // edges have no sinks).
+  private def danglingEdges =
+    Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+
+  test("pageRank conserves probability mass with dangling nodes") {
+    val pr = Graph.pageRank(danglingEdges, "src", "dst", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 3)
+    val mass = pr.values.sum
+    // dangling mass is redistributed, not lost: total stays 1
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass=$mass")
+    // 3 receives from both 1 and 2 plus teleport+dangling: top rank
+    assert(pr(3L) > pr(2L) && pr(2L) > pr(1L), pr.toString)
+  }
+
+  test("pageRank matches the hand-computed one-iteration star") {
+    // star: 2,3,4 each → 1; 1 → 2 (so no dangling). N=4, d=0.85.
+    // After 1 iter: pr(1) = 0.15/4 + 0.85*(3 * 0.25/1) = 0.675
+    //              pr(2) = 0.15/4 + 0.85*(0.25/1)      = 0.25
+    //              pr(3) = pr(4) = 0.15/4              = 0.0375
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val pr = Graph.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.675) < 1e-12)
+    assert(math.abs(pr(2L) - 0.25) < 1e-12)
+    assert(math.abs(pr(3L) - 0.0375) < 1e-12)
+    assert(math.abs(pr(4L) - 0.0375) < 1e-12)
+  }
+
+  test("degrees counts directed in/out per node") {
+    val d = Graph.degrees(danglingEdges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d == Set((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+  }
+}

@@ -36,6 +36,24 @@ def frame_sig(df):
     return cols, rows
 
 
+def num_kinds(df):
+    """Column -> 'i' (integer) or 'f' (float) for numeric columns.
+
+    The driver's comparator is dtype-sensitive: DuckDB widens sum(BIGINT)
+    to INT128 which pandas renders as float64 (2932.0), hashing differently
+    from Spark's int64 (2932) even though %.10g hides it here. Flag any
+    int-vs-float disagreement so that class of bug is caught locally.
+    """
+    out = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if k in ("i", "u"):
+            out[c] = "i"
+        elif k == "f":
+            out[c] = "f"
+    return out
+
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -56,9 +74,15 @@ def main(sfdir, outdir):
             continue
         ocols, orows = frame_sig(odf)
         scols, srows = frame_sig(sdf)
+        ok_k, sk_k = num_kinds(odf), num_kinds(sdf)
+        kind_diff = {c: (ok_k[c], sk_k[c]) for c in ok_k
+                     if c in sk_k and ok_k[c] != sk_k[c]}
         r = {"rows_match": len(orows) == len(srows),
              "schema_match": ocols == scols,
-             "hash_match": orows == srows}
+             "hash_match": orows == srows and not kind_diff}
+        if kind_diff:
+            r["dtype_mismatch"] = {c: f"oracle={a} spark={b}"
+                                   for c, (a, b) in kind_diff.items()}
         if not r["schema_match"]:
             r["oracle_cols"] = ocols
             r["spark_cols"] = scols
