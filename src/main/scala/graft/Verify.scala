@@ -29,7 +29,8 @@ object Verify {
     "sim_topk_ivf", "sim_topk_ivf_disk", "sim_topk_pq", "sim_topk_ivfpq",
     "pipeline_e2e", "train_loop", "train_predict", "dedup_components",
     "sim_neardup_lsh", "dedup_minhash_sig", "q5_local_supplier",
-    "source_csv_roundtrip", "catalog_managed_table")
+    "source_csv_roundtrip", "catalog_managed_table",
+    "graph_pagerank", "split_leakfree", "dedup_lines")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

@@ -3265,15 +3265,10 @@ object Catalog {
     */
   val dedupComponents = RegisteredQuery(
     "dedup_components",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val edges = graft.llm.Dedup.jaccardJoinExact(
-        docs, "doc_id", "text", threshold = 0.7)
-      graft.llm.Dedup.connectedComponents(
-          docs, "doc_id", edges, "id_a", "id_b")
+    (s, d) =>
+      componentsFor(s, d)
         .select(col("id").as("doc_id"), col("component"))
-        .orderBy(col("doc_id"))
-    },
+        .orderBy(col("doc_id")),
     Some("""WITH RECURSIVE
       t AS (
         SELECT doc_id,
@@ -3395,6 +3390,154 @@ object Catalog {
       SELECT id, CAST(sum(outd) AS BIGINT) AS out_degree,
         CAST(sum(ind) AS BIGINT) AS in_degree
       FROM sides GROUP BY id ORDER BY id"""))
+
+  // The near-dup component assignment is an index artifact like the
+  // centroid sets: a pure function of (corpus, threshold), built once
+  // and reused by every query that consumes it (dedup_components,
+  // split_leakfree). The frame returned by connectedComponents is
+  // already checkpoint-materialized, so memoizing skips only the
+  // redundant edge-build + fixpoint jobs.
+  private val componentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def componentsFor(s: SparkSession, d: String): DataFrame =
+    componentCache.computeIfAbsent(d, _ => {
+      val docs = Tables.documents(s, d)
+      val edges = graft.llm.Dedup.jaccardJoinExact(
+        docs, "doc_id", "text", threshold = 0.7)
+      graft.llm.Dedup.connectedComponents(
+        docs, "doc_id", edges, "id_a", "id_b")
+    })
+
+  /** Leakage-free train/val split: hash-split by NEAR-DUP COMPONENT,
+    * not by document — a plain per-doc hash split leaks when a
+    * training document's near-duplicate lands in validation, which is
+    * exactly what happens at web scale (CC re-crawls, mirrors). Every
+    * member of a component gets the component's md5-based assignment
+    * (~75% train), so no near-dup pair ever straddles the split — the
+    * oracle recomputes the same components (WITH RECURSIVE) and the
+    * same md5 assignment, so the hash check proves the property on
+    * every row.
+    */
+  val splitLeakfree = RegisteredQuery(
+    "split_leakfree",
+    (s, d) =>
+      componentsFor(s, d)
+        .select(col("id").as("doc_id"), col("component"),
+          when(substring(md5(concat(lit("split:"),
+              col("component").cast("string"))), 1, 1) <= "b", "train")
+            .otherwise("val").as("split"))
+        .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE
+      t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        FROM t),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.7),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id AS doc_id, min(r) AS component
+        FROM reach GROUP BY id)
+      SELECT doc_id, component,
+        CASE WHEN substr(md5('split:' || CAST(component AS VARCHAR)), 1, 1)
+          <= 'b' THEN 'train' ELSE 'val' END AS split
+      FROM comp ORDER BY doc_id"""))
+
+  /** C4-style cross-document LINE dedup, adapted to the fixture's
+    * unpunctuated text as fixed 10-token chunks: the corpus keeps only
+    * the FIRST occurrence (lowest (doc_id, position)) of every distinct
+    * chunk, then each document is reassembled from its surviving chunks
+    * in order. Two shuffles total: winner election keyed by md5(chunk)
+    * (each bucket is one duplicate family — the in-bucket sort is
+    * bounded by the dup count), then the per-doc regroup. The chunk
+    * payload crosses the wire once per shuffle; no join.
+    */
+  val dedupLines = RegisteredQuery(
+    "dedup_lines",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("doc_id"), col("idx"))
+      // token array staged through a projection (the O(len²)
+      // inline-tokenization trap hashedShingles documents)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          ceil(size(col("toks")) / lit(10.0)).cast("long").as("n_chunks"),
+          posexplode(expr(
+            """transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1),
+               i -> array_join(slice(toks, i * 10 + 1, 10), ' '))"""))
+            .as(Seq("idx", "chunk")))
+        .withColumn("k", md5(col("chunk")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(first(col("n_chunks")).as("n_chunks"),
+          count(lit(1)).as("n_kept"),
+          array_join(expr("transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk)"), " ")
+            .as("cleaned_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(ceil(len(toks) / 10.0) AS BIGINT) AS n_chunks,
+          CAST(i AS INTEGER) AS idx,
+          array_to_string(toks[(CAST(i AS INTEGER) * 10 + 1):
+            (CAST(i AS INTEGER) * 10 + 10)], ' ') AS chunk
+        FROM t, unnest(generate_series(0,
+          CAST(ceil(len(toks) / 10.0) AS INTEGER) - 1)) u(i)),
+      kept AS (
+        SELECT doc_id, n_chunks, idx, chunk FROM (
+          SELECT *, row_number() OVER (PARTITION BY chunk
+            ORDER BY doc_id, idx) AS rn FROM c) WHERE rn = 1)
+      SELECT doc_id, any_value(n_chunks) AS n_chunks,
+        count(*) AS n_kept,
+        string_agg(chunk, ' ' ORDER BY idx) AS cleaned_text
+      FROM kept GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Tokenizer-training stage 1 — corpus-wide adjacent character-pair
+    * frequencies (the count a BPE trainer maximizes each merge round):
+    * words explode to slim 2-char pair rows, ONE keyed shuffle with
+    * map-side partial counts, top-30 via TakeOrdered. At 100 TB the
+    * pair key space stays tiny (alphabet²), so the aggregate is
+    * all-map-side; the corpus text never shuffles.
+    */
+  val bpePairCounts = RegisteredQuery(
+    "bpe_pair_counts",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 1)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30),
+    Some("""WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      p AS (
+        SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+        FROM w, unnest(generate_series(1, length(w) - 1)) u(i)
+        WHERE length(w) > 1)
+      SELECT pair, count(*) AS n FROM p
+      GROUP BY pair ORDER BY n DESC, pair LIMIT 30"""))
 
   /** Fuzzy entity matching: EXACT edit-distance-≤1 join over customer
     * names via the deletion-neighborhood scheme (FastSS) — recall 1.0
@@ -4844,6 +4987,7 @@ object Catalog {
     decontaminate,
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
     dedupComponents, graphPagerank, graphDegrees, aggCountmin,
+    splitLeakfree, dedupLines, bpePairCounts,
     dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
     simTopkPq, simTopkIvfPq,
