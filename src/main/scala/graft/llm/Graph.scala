@@ -1,7 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Graph analytics over derived relationship graphs (link graphs,
@@ -11,14 +12,15 @@ import org.apache.spark.storage.StorageLevel
   * pipelines do — so PageRank joins `Dedup.connectedComponents` as a
   * first-class iterative operator.
   *
-  * Scale shape (the 100 TB question): the adjacency is built ONCE, with
-  * out-degree attached, and persisted hash-partitioned by `src` (the
-  * build's last shuffle is the groupBy("src") degree join) — each
-  * iteration then shuffles only the rank frame (16 B/row) onto it; the
-  * edge payload never re-shuffles. Per-iteration lineage is truncated
-  * with an eager localCheckpoint, the same idiom as
-  * `Dedup.connectedComponents` (Dedup.scala:492), so the plan stays a
-  * leaf scan regardless of iteration count.
+  * Scale shape (the 100 TB question): the EDGE list is always
+  * distributed — it is materialized once (with out-degrees attached)
+  * and scanned per iteration, never re-shuffled. The VERTEX state
+  * (16 B/node) is orders of magnitude smaller; pageRank picks between
+  * the two classic vertex-program layouts on a measured node count:
+  * bounded vertex state rides a broadcast (one slim aggregation job
+  * per iteration — the kmeansCentroids layout), unbounded vertex state
+  * falls back to keyed joins with per-iteration checkpoints (the
+  * connectedComponents layout, Dedup.scala:492).
   */
 object Graph {
 
@@ -27,31 +29,131 @@ object Graph {
     * rank'(v) = (1-d)/N + d * [ Σ_{u→v} rank(u)/outdeg(u) + dm/N ]
     *
     * where dm is the dangling mass (rank held by nodes with no
-    * out-edges), redistributed uniformly. The dangling term is computed
-    * IN-PLAN as a broadcast one-row aggregate — no driver action per
-    * iteration; the whole loop runs `iters` Spark jobs (one per eager
-    * checkpoint) plus the two build jobs.
+    * out-edges), redistributed uniformly. Node set = src ∪ dst. Fixed
+    * iteration count (not convergence detection) keeps the result a
+    * pure function of the input — exactly replayable by the unrolled
+    * SQL oracle: both execution modes compute identical per-edge terms
+    * (pr/outdeg) and identical per-node update arithmetic; only
+    * summation order differs, which the caller's rounding absorbs.
     *
-    * Node set = src ∪ dst of the edge list. Fixed iteration count (not
-    * convergence detection) keeps the result a pure function of the
-    * input — exactly replayable by the unrolled-SQL oracle.
+    * Mode selection: with ≤ `broadcastThreshold` nodes (default 4M ≈
+    * 64 MB of vertex state) the rank vector is broadcast and each
+    * iteration is ONE job — a map-side lookup join over the persisted
+    * edge partitions into a slim (dst, partial-sum) aggregation whose
+    * result (≤ n rows, bounded by the same threshold) returns to the
+    * driver, the same bounded-collect contract as
+    * `Similarity.kmeansCentroids`. Above the threshold every side
+    * stays a DataFrame: rank-keyed hash joins, in-plan broadcast
+    * dangling mass, per-iteration eager checkpoints.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+      iters: Int = 5, damping: Double = 0.85,
+      broadcastThreshold: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // The edge list feeds several consumers (out-degrees, node set,
+    // per-iteration scans): persist it or the caller's whole edge
+    // pipeline re-runs once per consumer (measured 4× a join+distinct
+    // build on the purchase graph). Callers whose edge derivation fans
+    // out (e.g. a union of both directions) should persist their own
+    // upstream too.
+    require(broadcastThreshold < Int.MaxValue,
+      "broadcastThreshold must stay below Int.MaxValue")
+    // deserialized cache: the slim (src, dst) pairs are re-scanned once
+    // per iteration, and SER-cache deserialization was the dominant
+    // per-iteration cost at 1M+ edges (16 B/row — memory is not the
+    // constraint here)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg), partitioned by src — every iteration's
-    // contribution join reuses this partitioning and shuffles only ranks
+    // ONE pre-iteration job decides the mode AND (in the common bounded
+    // case) delivers the whole vertex table: the limit caps the fetch
+    // at threshold+1 rows, so an over-threshold graph costs one spilled
+    // row, not an OOM, and falls to the distributed layout
+    val vFrame = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .join(out.select(col("src").as("id"), col("outdeg")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    val vrows = vFrame.limit(broadcastThreshold.toInt + 1).collect()
+
+    val result =
+      if (vrows.length <= broadcastThreshold)
+        prBroadcast(e, vrows, iters, damping)
+      else prDistributed(e, out, vFrame.count(), iters, damping)
+    e.unpersist()
+    result
+  }
+
+  /** Bounded-vertex-state mode: ranks live in a per-iteration broadcast
+    * array; edges are scanned map-side (no edge shuffle, no join). One
+    * slim aggregation job per iteration.
+    */
+  private def prBroadcast(e: DataFrame, vrows: Array[Row],
+      iters: Int, damping: Double): DataFrame = {
+    val spark = e.sparkSession
+    val sc = spark.sparkContext
+    val n = vrows.length.toLong
+    val ids = vrows.map(_.getLong(0))
+    val outdeg = vrows.map(_.getLong(1))
+    val index: Map[Long, Int] = ids.zipWithIndex.toMap
+    val bcIndex = sc.broadcast(index)
+    val bcOutdeg = sc.broadcast(outdeg)
+    var pr = Array.fill(ids.length)(1.0 / n)
+    var it = 0
+    while (it < iters) {
+      val bcPr = sc.broadcast(pr)
+      // per-edge term pr(src)/outdeg(src), summed per dst by Spark with
+      // map-side combine — identical arithmetic to the join form
+      val weight = udf { (s: Long) =>
+        val i = bcIndex.value(s)
+        bcPr.value(i) / bcOutdeg.value(i)
+      }
+      val contribRows = e.select(col("dst"), weight(col("src")).as("w"))
+        .groupBy(col("dst")).agg(sum(col("w")).as("contrib"))
+        .collect()
+      val contrib = new Array[Double](ids.length)
+      contribRows.foreach(r => contrib(index(r.getLong(0))) = r.getDouble(1))
+      var dm = 0.0
+      var i = 0
+      while (i < ids.length) {
+        if (outdeg(i) == 0L) dm += pr(i)
+        i += 1
+      }
+      val next = new Array[Double](ids.length)
+      i = 0
+      while (i < ids.length) {
+        next(i) = (1.0 - damping) / n +
+          damping * (contrib(i) + dm / n)
+        i += 1
+      }
+      pr = next
+      bcPr.destroy()
+      it += 1
+    }
+    bcIndex.destroy(); bcOutdeg.destroy()
+    val rows = ids.indices.map(i => Row(ids(i), pr(i)))
+    spark.createDataFrame(sc.parallelize(rows.toSeq, 1),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("pr", DoubleType, nullable = false))))
+  }
+
+  /** Unbounded-vertex-state mode: everything stays a DataFrame. The
+    * adjacency (with out-degree attached) is persisted partitioned by
+    * src; each iteration shuffles only the 16 B/row rank frame onto it,
+    * the dangling mass is an in-plan broadcast one-row aggregate, and
+    * each iteration is eagerly checkpointed so lineage stays
+    * constant-depth (the connectedComponents idiom).
+    */
+  private def prDistributed(e: DataFrame, out: DataFrame, n: Long,
+      iters: Int, damping: Double): DataFrame = {
     val adj = e.join(out, Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val nodes = e.select(col("src").as("id"))
+    val nodeSet = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
-    val n = nodes.count()
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("pr"))
+    var ranks = nodeSet.select(col("id"), lit(1.0 / n).as("pr"))
       .localCheckpoint(true)
     var it = 0
     while (it < iters) {
@@ -60,12 +162,11 @@ object Graph {
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("outdeg")).as("contrib"))
         .select(col("dst").as("id"), col("contrib"))
-      // rank mass sitting on sink nodes; one broadcast row, zero rows
-      // scanned twice (anti-join against the checkpointed rank leaf)
+      // rank mass sitting on sink nodes; one broadcast row
       val dangling = ranks
         .join(out.select(col("src").as("id")), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
-      ranks = nodes
+      ranks = nodeSet
         .join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),

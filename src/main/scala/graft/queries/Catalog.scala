@@ -702,6 +702,15 @@ object Catalog {
     "catalog_managed_table",
     (s, d) => {
       val tbl = s"graft_orders_${math.abs(d.hashCode)}"
+      // a table DIRECTORY can survive from a prior process whose
+      // in-memory catalog is gone; saveAsTable then fails with
+      // LOCATION_ALREADY_EXISTS (overwrite only covers cataloged
+      // tables). Drop both the entry and any orphan location first.
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true): Unit
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.mode("overwrite").saveAsTable(tbl)
@@ -3345,6 +3354,8 @@ object Catalog {
   val graphPagerank = RegisteredQuery(
     "graph_pagerank",
     (s, d) => {
+      // persisted: the union'd directions scan it twice while the
+      // engine materializes its edge cache (no subplan CSE in Spark)
       val raw = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, d)
@@ -3352,12 +3363,16 @@ object Catalog {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
         .distinct()
+        .persist()
       val edges = raw
         .select(col("c").as("src"), (col("sup") + 1000000L).as("dst"))
         .union(raw
           .select((col("sup") + 1000000L).as("src"), col("c").as("dst")))
-      graft.llm.Graph.pageRank(edges, "src", "dst", iters = 5)
-        .select(col("id").as("node_id"), round(col("pr"), 9).as("pr"))
+      // pageRank returns a checkpoint-materialized frame, so the
+      // upstream cache can be released eagerly
+      val pr = graft.llm.Graph.pageRank(edges, "src", "dst", iters = 5)
+      raw.unpersist()
+      pr.select(col("id").as("node_id"), round(col("pr"), 9).as("pr"))
         .orderBy(col("node_id"))
     },
     Some(pagerankOracleSql(5)))

@@ -169,6 +169,21 @@ object ScaleProbe {
       println(f"[probe] docs x$mult simhash chunks=$chunks " +
         f"pairs=$nSim2 time=$tSim2%.2fs")
 
+      // ---- PageRank: edges grow N× (each doc copy links to the SAME
+      // supplier-style hub set via doc_id % 64, so degree distribution
+      // holds shape); per-iteration cost must track edges linearly —
+      // the adjacency is built/persisted once, each iteration shuffles
+      // only the 16 B/row rank frame
+      val prEdges = docs.select(
+          col("doc_id").as("src"), (col("doc_id") % 64 + 5000000L).as("dst"))
+        .union(docs.select((col("doc_id") % 64 + 5000000L).as("src"),
+          col("doc_id").as("dst")))
+      val (prTop, tPr) = timed(
+        graft.llm.Graph.pageRank(prEdges, "src", "dst", iters = 5)
+          .orderBy(col("pr").desc).limit(1).collect().head.getDouble(1))
+      println(f"[probe] docs x$mult pagerank edges=${2 * nDocs} " +
+        f"top=$prTop%.6f time=$tPr%.2fs")
+
       // ---- decontamination: the corpus side grows N× while the
       // benchmark set stays FIXED (its distinct-hash set broadcasts),
       // so wall time must track the corpus linearly — any superlinear

@@ -39,6 +39,21 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(pr(4L) - 0.0375) < 1e-12)
   }
 
+  test("distributed mode agrees with broadcast mode bit-for-bit") {
+    // broadcastThreshold = 0 forces the keyed-join path on the same
+    // dangling graph; per-edge terms and update arithmetic are shared,
+    // so the two layouts must agree to summation-order noise
+    val bc = Graph.pageRank(danglingEdges, "src", "dst", iters = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = Graph.pageRank(danglingEdges, "src", "dst", iters = 7,
+        broadcastThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc.keySet == dist.keySet)
+    bc.foreach { case (id, v) =>
+      assert(math.abs(v - dist(id)) < 1e-12, s"node $id: $v vs ${dist(id)}")
+    }
+  }
+
   test("degrees counts directed in/out per node") {
     val d = Graph.degrees(danglingEdges, "src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
