@@ -1698,6 +1698,120 @@ object Catalog {
         ON s.day = a.day AND s.user_id = a.user_id
       ORDER BY day, s.user_id"""))
 
+  /** Linear interpolation over time-series gaps (the resample step a
+    * metrics/feature pipeline runs after gap-fill): per-user daily
+    * sums on the global date spine, missing days interpolated between
+    * the nearest known neighbors, boundary gaps clamped to the nearest
+    * known value. Two window passes over the spine (prev/next known
+    * value+day via IGNORE NULLS frames) — no self-join, one shuffle
+    * keyed by user. Daily sums are decimal-exact before the IEEE
+    * interpolation arithmetic, so both engines compute bit-identical
+    * inputs and round(…, 6) absorbs only window-order noise.
+    */
+  val timeseriesInterp = RegisteredQuery(
+    "timeseries_interp",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val range = ev.agg(min(to_date(col("ts"))).as("lo"),
+        max(to_date(col("ts"))).as("hi"))
+      val spine = range
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        .crossJoin(ev.select(col("user_id")).distinct())
+      val actual = ev
+        .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(actual, Seq("day", "user_id"), "left")
+        .select(col("day"), col("user_id"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
+          last(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+            .over(wPrev).as("pd"),
+          first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
+          first(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+            .over(wNext).as("nd"))
+        .select(col("day").cast("string").as("day"), col("user_id"),
+          round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                (datediff(col("day"), col("pd")).cast("double") /
+                  datediff(col("nd"), col("pd")).cast("double"))), 6)
+            .as("v_interp"))
+        .orderBy(col("day"), col("user_id"))
+    },
+    Some("""WITH r AS (SELECT CAST(min(ts) AS DATE) AS lo,
+          CAST(max(ts) AS DATE) AS hi FROM events),
+      spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi,
+          INTERVAL 1 DAY)) AS DATE) AS day, u.user_id
+        FROM r, (SELECT DISTINCT user_id FROM events) u),
+      actual AS (
+        SELECT CAST(ts AS DATE) AS day, user_id,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      j AS (
+        SELECT s.day, s.user_id, a.v
+        FROM spine s LEFT JOIN actual a
+          ON s.day = a.day AND s.user_id = a.user_id),
+      w AS (
+        SELECT day, user_id, v,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+          first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM j)
+      SELECT CAST(day AS VARCHAR) AS day, user_id,
+        round(CASE
+          WHEN v IS NOT NULL THEN v
+          WHEN pv IS NULL THEN nv
+          WHEN nv IS NULL THEN pv
+          ELSE pv + (nv - pv) *
+            (CAST(date_diff('day', pd, day) AS DOUBLE) /
+             CAST(date_diff('day', pd, nd) AS DOUBLE))
+          END, 6) AS v_interp
+      FROM w ORDER BY day, user_id"""))
+
+  /** Stream-STATIC broadcast enrichment (the dimension-join every
+    * streaming ingest runs): the events stream joins the nation
+    * dimension map-side per micro-batch — a broadcast static side adds
+    * NO streaming state and no watermark interaction, unlike the
+    * stream-stream joins. Oracle: identical batch join+aggregate.
+    */
+  val streamingEnrich = RegisteredQuery(
+    "streaming_enrich",
+    (s, d) => {
+      import graft.streaming.Streams
+      val raw = Streams.eventsStreamFromFile(s, s"$d/events.parquet")
+      val nation = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+      val enriched = raw
+        .join(broadcast(nation), (col("user_id") % 25) === col("nk"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+      Streams.runAvailableNowWithPartitions(s, enriched,
+          s"graft_stream_enrich_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          statePartitions = 8)
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name, count(*) AS n_events,
+        round(sum(value), 2) AS sum_value
+      FROM events JOIN nation ON user_id % 25 = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
   val windowLagLead = RegisteredQuery(
     "window_lag_lead",
     (s, d) => {
@@ -4983,7 +5097,8 @@ object Catalog {
     sourceTextRoundtrip, catalogManagedTable,
     schemaEvolution,
     joinShuffleHash, nestedPruning,
-    windowRankStats, aggHistogram, timeseriesGapfill, scalarTryFunctions,
+    windowRankStats, aggHistogram, timeseriesGapfill, timeseriesInterp,
+    scalarTryFunctions, streamingEnrich,
     windowRollingMedian, scd2History, windowFillForward,
     aggStats,
     subqueryCorrelated, arrayFunctions,
