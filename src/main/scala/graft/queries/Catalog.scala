@@ -3640,6 +3640,30 @@ object Catalog {
         string_agg(chunk, ' ' ORDER BY idx) AS cleaned_text
       FROM kept GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Corpus mixture report — the per-source composition table every
+    * curation run starts from (doc counts, token mass, size and
+    * language spread per source): one scan, one keyed aggregate with
+    * map-side partials; the token count shares `split(text, ' ')`
+    * semantics with the token-counting queries.
+    */
+  val sourceMixReport = RegisteredQuery(
+    "source_mix_report",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source")),
+    Some("""SELECT source, count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        round(avg(n_chars), 2) AS avg_chars,
+        count(DISTINCT lang) AS n_langs
+      FROM documents GROUP BY source ORDER BY source"""))
+
   /** Tokenizer-training stage 1 — corpus-wide adjacent character-pair
     * frequencies (the count a BPE trainer maximizes each merge round):
     * words explode to slim 2-char pair rows, ONE keyed shuffle with
@@ -5117,7 +5141,7 @@ object Catalog {
     decontaminate,
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
     dedupComponents, graphPagerank, graphDegrees, aggCountmin,
-    splitLeakfree, dedupLines, bpePairCounts,
+    splitLeakfree, dedupLines, bpePairCounts, sourceMixReport,
     dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
     simTopkPq, simTopkIvfPq,
