@@ -1309,6 +1309,53 @@ object Catalog {
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** SQL session variables (Spark 4 `DECLARE`/`SET VARIABLE`): typed
+    * server-side state referenced from query text — the scripting
+    * surface between literals and bind parameters. Variable names are
+    * session-scoped and re-declarable, so the query is re-entrant.
+    * Oracle: the same query with values inlined, proving variable
+    * resolution ≡ literal substitution.
+    */
+  val sqlVariables = RegisteredQuery(
+    "sql_variables",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("DECLARE OR REPLACE VARIABLE graft_minp DOUBLE DEFAULT 0.0")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_seg STRING")
+      s.sql("SET VARIABLE graft_minp = 120000.0")
+      s.sql("SET VARIABLE graft_seg = 'BUILDING'")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > graft_minp AND c_mktsegment = graft_seg
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > 120000.0 AND c_mktsegment = 'BUILDING'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** SQL-text `PIVOT` clause (the DataFrame `pivot()` surface is
+    * covered by `agg_pivot`; this pins the PARSER path): orders
+    * pivoted to one column per status. Oracle: closed-form conditional
+    * aggregation — engine-neutral semantics of the same reshape.
+    */
+  val sqlPivotText = RegisteredQuery(
+    "sql_pivot_text",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT * FROM (
+          SELECT o_orderpriority, o_orderstatus FROM orders)
+        PIVOT (count(*) FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+        ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority,
+        count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+        count(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+        count(*) FILTER (WHERE o_orderstatus = 'P') AS p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** VARIANT ingestion (Spark 4's semi-structured type): parse the
     * JSON props column once into a variant, extract a typed field with
     * `variant_get` — the schema-on-read path for ragged event
@@ -5103,7 +5150,8 @@ object Catalog {
     q5LocalSupplier, q7VolumeShipping, q10ReturnedItems, q18LargeVolume,
     typedDataset,
     joinBloomPruned, joinBucketed, joinNullSafe, sqlCteWindow,
-    sqlGroupByAll, sqlParameterized, variantExtract,
+    sqlGroupByAll, sqlParameterized, sqlVariables, sqlPivotText,
+    variantExtract,
     sqlRecursiveCte, joinLateral, setopMultiset, unionByNameQ,
     regexExtractAll,
     joinSalted, zipFrames,
