@@ -78,7 +78,11 @@ object Graph {
     val vrows = vFrame.limit(broadcastThreshold.toInt + 1).collect()
 
     val result =
-      if (vrows.length <= broadcastThreshold)
+      if (vrows.isEmpty)
+        // empty edge list → empty ranks, composably (an upstream filter
+        // can legitimately produce no edges; 1/n would be ∞ here)
+        vFrame.select(col("id"), lit(0.0).as("pr")).where(lit(false))
+      else if (vrows.length <= broadcastThreshold)
         prBroadcast(e, vrows, iters, damping)
       else prDistributed(e, out, vFrame.count(), iters, damping)
     e.unpersist()
@@ -133,7 +137,10 @@ object Graph {
     }
     bcIndex.destroy(); bcOutdeg.destroy()
     val rows = ids.indices.map(i => Row(ids(i), pr(i)))
-    spark.createDataFrame(sc.parallelize(rows.toSeq, 1),
+    // ~100k rows per partition so a threshold-sized result (4M nodes)
+    // doesn't funnel through one task downstream
+    val slices = math.max(1, ids.length / 100000)
+    spark.createDataFrame(sc.parallelize(rows.toSeq, slices),
       StructType(Seq(StructField("id", LongType, nullable = false),
         StructField("pr", DoubleType, nullable = false))))
   }

@@ -54,6 +54,13 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank of an empty edge list is an empty frame, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val pr = Graph.pageRank(empty, "src", "dst", iters = 3)
+    assert(pr.columns.toSeq == Seq("id", "pr"))
+    assert(pr.count() == 0L)
+  }
+
   test("degrees counts directed in/out per node") {
     val d = Graph.degrees(danglingEdges, "src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
