@@ -21,7 +21,13 @@ class ConcurrencySpec extends SparkSpec {
   private val names = Seq(
     "q1_pricing_summary", "join_multiway", "window_topn_per_group",
     "text_stats", "dedup_exact", "agg_cube", "scalar_functions",
-    "sql_cte_window")
+    "sql_cte_window",
+    // round-6 additions with session-shared machinery: SQL session
+    // variables (DECLARE/SET on the shared session), the memoized
+    // component cache (split_leakfree + dedup_components race on one
+    // computeIfAbsent build), and the driver-side PageRank loop
+    "sql_variables", "split_leakfree", "dedup_components",
+    "graph_pagerank", "dedup_lines")
 
   private def run(name: String): Seq[String] =
     Catalog.byName(name).run(spark, sfDir)
