@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * `n_bytes`). IMAGE decode ([[decodeImage]]) and resize
   * ([[resizeImage]]) are REAL — `javax.imageio` ships with the JDK, so
   * PNG/JPEG/BMP/GIF dimensions come from the actual codec (header-only
-  * read, no pixel decode) and resize re-encodes actual pixels.
-  * Audio/video work is STUBBED behind [[decodeStub]] /
-  * [[frameSampleStub]] (no demuxer libraries in this container) with a
-  * deterministic fake so pipelines and tests exercise the full path.
+  * read, no pixel decode) and resize re-encodes actual pixels. AUDIO
+  * metadata ([[decodeAudio]]) is REAL too — `javax.sound.sampled`
+  * parses WAV/AIFF/AU headers from the JDK. Only VIDEO remains STUBBED
+  * behind [[decodeStub]] / [[frameSampleStub]] (no demuxer library in
+  * this container) with a deterministic fake so pipelines and tests
+  * exercise the full path.
   */
 object Multimodal {
 
@@ -78,11 +80,33 @@ object Multimodal {
         }
       })
 
-  /** STUB decode for audio/video — deterministic fake dimensions
-    * derived from the content hash, standing in for a demuxer (library
-    * absent in this environment; swap the body for a real one in
-    * production). The signature, null-safety, and batch shape are the
-    * real contract.
+  /** REAL audio metadata decode via `javax.sound.sampled` (ships with
+    * the JDK): (sample_rate_hz, channels, duration_ms) from the actual
+    * container parser — WAV/AIFF/AU out of the box. Header-only
+    * (`getAudioFileFormat` reads no sample data), so a metadata pass
+    * runs at scan speed like the image decoder. Null for bytes no
+    * installed provider recognizes.
+    */
+  val decodeAudio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((content: Array[Byte]) =>
+      if (content == null) null
+      else
+        try {
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(content))
+          val fmt = aff.getFormat
+          val frames = aff.getFrameLength
+          val durMs =
+            if (frames < 0 || fmt.getFrameRate <= 0) null
+            else Int.box(math.round(frames * 1000.0 / fmt.getFrameRate).toInt)
+          (math.round(fmt.getSampleRate).toInt, fmt.getChannels, durMs)
+        } catch { case scala.util.control.NonFatal(_) => null })
+
+  /** STUB decode for video — deterministic fake dimensions derived
+    * from the content hash, standing in for a demuxer (no video
+    * container library in this environment; swap the body for a real
+    * one in production). The signature, null-safety, and batch shape
+    * are the real contract.
     */
   val decodeStub: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((content: Array[Byte]) =>
@@ -98,18 +122,30 @@ object Multimodal {
 
   /** Decode metadata for a media struct column → filled meta struct.
     * Mimes starting with "image/" go through the REAL `javax.imageio`
-    * decoder; other modalities fall back to the documented stub.
+    * decoder; "audio/" through the REAL `javax.sound.sampled` parser
+    * (duration_ms from the container, width/height stay null); video
+    * falls back to the documented stub. CaseWhen evaluates the decoder
+    * branches lazily per row — each blob runs exactly one codec.
     */
   def withDecodedMeta(df: DataFrame, mediaCol: String): DataFrame = {
-    val isImage = col(s"$mediaCol.meta.mime").startsWith("image/")
-    val decoded = when(isImage, decodeImage(col(s"$mediaCol.content")))
-      .otherwise(decodeStub(col(s"$mediaCol.content")))
+    val mime = col(s"$mediaCol.meta.mime")
+    val content = col(s"$mediaCol.content")
+    val isImage = mime.startsWith("image/")
+    val isAudio = mime.startsWith("audio/")
+    val img = decodeImage(content)
+    val aud = decodeAudio(content)
+    val vid = decodeStub(content)
     df.withColumn("decoded",
         struct(
-          col(s"$mediaCol.meta.mime").as("mime"),
-          decoded.getField("_1").as("width"),
-          decoded.getField("_2").as("height"),
-          col(s"$mediaCol.meta.duration_ms").as("duration_ms"),
+          mime.as("mime"),
+          when(isImage, img.getField("_1"))
+            .when(isAudio, lit(null).cast(IntegerType))
+            .otherwise(vid.getField("_1")).as("width"),
+          when(isImage, img.getField("_2"))
+            .when(isAudio, lit(null).cast(IntegerType))
+            .otherwise(vid.getField("_2")).as("height"),
+          when(isAudio, aud.getField("_3"))
+            .otherwise(col(s"$mediaCol.meta.duration_ms")).as("duration_ms"),
           col(s"$mediaCol.meta.n_bytes").as("n_bytes")))
   }
 

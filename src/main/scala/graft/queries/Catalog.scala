@@ -4252,6 +4252,54 @@ object Catalog {
       CAST(12 + doc_id % 24 AS INTEGER) AS height
       FROM documents ORDER BY doc_id"""))
 
+  /** REAL audio metadata decode, oracle-checked: per-doc PCM WAV bytes
+    * synthesized in-flight (16-bit mono 8 kHz, frame count a
+    * deterministic function of doc_id) pushed through the actual
+    * `javax.sound.sampled` container parser. The oracle predicts the
+    * sample rate, channel count, and exact duration the parser must
+    * recover — a stub cannot pass. Frame count is a multiple of 8 so
+    * duration_ms = frames/8 is exact integer arithmetic on both sides.
+    */
+  val multimodalAudio = RegisteredQuery(
+    "multimodal_audio",
+    (s, d) => {
+      import graft.llm.Multimodal
+      val wavFor = udf((id: Long) => {
+        val frames = 8 * (100 + (id % 200).toInt)
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) { // deterministic sawtooth payload
+          val v = ((id + i) % 256 - 128).toShort
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      })
+      val media = Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.llm.Multimodal.asMedia(wavFor(col("doc_id")), "audio/wav")
+          .as("media"))
+      Multimodal.withDecodedMeta(media, "media")
+        .withColumn("a", Multimodal.decodeAudio(col("media.content")))
+        .select(col("doc_id"),
+          col("a._1").as("sample_rate"),
+          col("a._2").as("channels"),
+          col("decoded.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CAST(8000 AS INTEGER) AS sample_rate,
+        CAST(1 AS INTEGER) AS channels,
+        CAST(100 + doc_id % 200 AS INTEGER) AS duration_ms
+      FROM documents ORDER BY doc_id"""))
+
   /** REAL image resize round-trip, oracle-checked: per-doc PNGs pushed
     * through decode → bilinear rescale → PNG re-encode
     * ([[graft.llm.Multimodal.resizeImage]]). The oracle replicates the
@@ -5195,7 +5243,7 @@ object Catalog {
     simTopkPq, simTopkIvfPq,
     mixtureSample, mixtureSampleApproxQ,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
-    multimodalResize)
+    multimodalResize, multimodalAudio)
 
   def byName(name: String): RegisteredQuery =
     all.find(_.name == name).getOrElse(

@@ -121,6 +121,33 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Array[Byte]](2).nonEmpty))
   }
 
+  test("real WAV bytes round-trip through the javax.sound parser") {
+    // 0.5 s of 16-bit mono PCM at 8 kHz, written as a real WAV container
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val frames = 4000
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](frames * 2)),
+      fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+      .select(col("id"), Multimodal.asMedia(col("payload"), "audio/wav").as("m"))
+    val meta = Multimodal.withDecodedMeta(df, "m")
+      .select(col("decoded.duration_ms"), col("decoded.width")).collect().head
+    assert(meta.getInt(0) == 500) // 4000 frames / 8 kHz = 500 ms
+    assert(meta.isNullAt(1)) // audio has no spatial dims
+    val a = df.select(Multimodal.decodeAudio(col("m.content")).as("a"))
+      .select(col("a._1"), col("a._2")).collect().head
+    assert(a.getInt(0) == 8000 && a.getInt(1) == 1)
+  }
+
+  test("unrecognizable audio bytes decode to null, not a crash") {
+    val df = Seq((1L, "definitely not audio")).toDF("id", "payload")
+      .select(Multimodal.decodeAudio(col("payload").cast("binary")).as("a"))
+    assert(df.collect().head.isNullAt(0))
+  }
+
   test("byte-based repartition sizes by data volume not rows") {
     // 10 rows x 1 MiB payloads, 2 MiB target -> 5 partitions regardless
     // of the row count; size measured from the media column itself
