@@ -1859,6 +1859,55 @@ object Catalog {
       FROM events JOIN nation ON user_id % 25 = n_nationkey
       GROUP BY n_name ORDER BY n_name"""))
 
+  /** Ratio-to-total window (percent-of-group without a self-join): each
+    * (status, priority) cell's share of its status total via
+    * sum-over-partition — ONE shuffle keyed by status, no second
+    * aggregate or join back. Counts are exact integers, so the division
+    * is bit-identical cross-engine; round absorbs nothing but noise.
+    */
+  val windowRatio = RegisteredQuery(
+    "window_ratio",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          round(col("n").cast("double") /
+            sum(col("n")).over(w).cast("double"), 9))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    },
+    Some("""WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderstatus, o_orderpriority, n,
+        round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+          PARTITION BY o_orderstatus) AS DOUBLE), 9) AS share
+      FROM c ORDER BY o_orderstatus, o_orderpriority"""))
+
+  /** Median absolute deviation per group — the robust spread statistic
+    * quality-filter clipping uses (σ blows up on heavy tails; MAD does
+    * not). Two exact-percentile aggregates: per-group median, then the
+    * median of |x − median| after a broadcast join of the 3-row median
+    * table back onto the scan. DuckDB's `mad()` is the closed-form
+    * oracle for the whole composition.
+    */
+  val aggMad = RegisteredQuery(
+    "agg_mad",
+    (s, d) => {
+      val med = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5D)").as("med"))
+      Tables.lineitem(s, d)
+        .join(broadcast(med), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(abs(l_extendedprice - med), 0.5D)"), 6)
+          .as("mad"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, round(mad(l_extendedprice), 6) AS mad
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val windowLagLead = RegisteredQuery(
     "window_lag_lead",
     (s, d) => {
@@ -5218,7 +5267,7 @@ object Catalog {
     schemaEvolution,
     joinShuffleHash, nestedPruning,
     windowRankStats, aggHistogram, timeseriesGapfill, timeseriesInterp,
-    scalarTryFunctions, streamingEnrich,
+    scalarTryFunctions, streamingEnrich, windowRatio, aggMad,
     windowRollingMedian, scd2History, windowFillForward,
     aggStats,
     subqueryCorrelated, arrayFunctions,
