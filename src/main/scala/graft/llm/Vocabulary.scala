@@ -111,4 +111,48 @@ object Vocabulary {
       .filter(col("rn") <= k)
       .select(col("id"), col("rn"), col("term"), col("tf"), col("df"))
   }
+
+  /** Corpus bigram language model + per-document perplexity — the
+    * CCNet-style quality filter: documents whose token transitions are
+    * improbable under the corpus's own add-one-smoothed bigram LM are
+    * boilerplate/noise candidates.
+    *
+    *   p(b|a) = (c(a,b) + 1) / (c(a) + V),  ppl = exp(−Σ ln p / n)
+    *
+    * Scale shape: the LM tables (bigram counts, context counts) are
+    * VOCABULARY-sized, orders below the corpus — built with one slim
+    * (a, b) shuffle and joined back onto the slim per-occurrence pair
+    * rows by key (hash join; nothing assumes broadcastability except
+    * the 1-row V aggregate). The document text never shuffles. Token
+    * arrays are staged through a projection (the O(len²)
+    * inline-tokenization trap `hashedShingles` documents). Documents
+    * with < 2 tokens have no bigrams and drop out, as in the oracle.
+    */
+  def bigramPerplexity(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val big = toks.filter(size(col("toks")) >= 2)
+      .select(col("id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+           i -> struct(toks[i] AS a, toks[i + 1] AS b))""")).as("p"))
+      .select(col("id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = big.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val v = toks.select(explode(col("toks")).as("t"))
+      .filter(length(col("t")) > 0)
+      .agg(countDistinct(col("t")).as("v"))
+    big.join(cab, Seq("a", "b"))
+      .join(ca, Seq("a"))
+      .crossJoin(broadcast(v))
+      .select(col("id"),
+        log((col("cab").cast("double") + lit(1.0)) /
+          (col("ca").cast("double") + col("v").cast("double"))).as("lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+      .select(col("id"), col("n_bigrams"),
+        round(exp(negate(col("s")) / col("n_bigrams").cast("double")), 6)
+          .as("ppl"))
+  }
 }

@@ -3736,6 +3736,43 @@ object Catalog {
         string_agg(chunk, ' ' ORDER BY idx) AS cleaned_text
       FROM kept GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Per-document perplexity under the corpus's own add-one-smoothed
+    * bigram LM ([[graft.llm.Vocabulary.bigramPerplexity]]) — the
+    * CCNet-style quality filter. The oracle rebuilds the identical LM
+    * (same counts, same smoothing, same IEEE expression shape) and
+    * re-scores every document; round(…, 6) absorbs only ln-summation
+    * order.
+    */
+  val docLmPpl = RegisteredQuery(
+    "doc_lm_ppl",
+    (s, d) =>
+      graft.llm.Vocabulary.bigramPerplexity(
+          Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+          '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      big AS (
+        SELECT doc_id, toks[CAST(i AS INTEGER)] AS a,
+          toks[CAST(i AS INTEGER) + 1] AS b
+        FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)
+        WHERE len(toks) >= 2),
+      cab AS (SELECT a, b, count(*) AS cab FROM big GROUP BY a, b),
+      ca AS (SELECT a, CAST(sum(cab) AS DOUBLE) AS ca FROM cab GROUP BY a),
+      v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+        FROM (SELECT unnest(toks) AS tok FROM t) s
+        WHERE length(s.tok) > 0),
+      sc AS (
+        SELECT big.doc_id, count(*) AS n_bigrams,
+          sum(ln((CAST(cab.cab AS DOUBLE) + 1.0) / (ca.ca + v.v))) AS s
+        FROM big JOIN cab ON big.a = cab.a AND big.b = cab.b
+        JOIN ca ON big.a = ca.a CROSS JOIN v
+        GROUP BY big.doc_id)
+      SELECT doc_id, n_bigrams, round(exp(-s / n_bigrams), 6) AS ppl
+      FROM sc ORDER BY doc_id"""))
+
   /** Corpus mixture report — the per-source composition table every
     * curation run starts from (doc counts, token mass, size and
     * language spread per source): one scan, one keyed aggregate with
@@ -5286,7 +5323,7 @@ object Catalog {
     decontaminate,
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
     dedupComponents, graphPagerank, graphDegrees, aggCountmin,
-    splitLeakfree, dedupLines, bpePairCounts, sourceMixReport,
+    splitLeakfree, dedupLines, bpePairCounts, sourceMixReport, docLmPpl,
     dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
     simTopkPq, simTopkIvfPq,

@@ -72,6 +72,24 @@ class VocabularySpec extends SparkSpec {
     assert(out(3L) > out(1L))
   }
 
+  test("bigram perplexity matches the hand-computed add-one LM") {
+    // corpus: "a b a b" + "a b". V = 2. bigrams: (a,b)x3, (b,a)x1.
+    // c(a,b)=3, c(b,a)=1; c(a)=3, c(b)=1.
+    // p(b|a) = (3+1)/(3+2) = 0.8; p(a|b) = (1+1)/(1+2) = 2/3.
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Vocabulary.bigramPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: ln p = 2 ln 0.8 + ln(2/3); ppl = exp(-(...)/3)
+    val ppl1 = math.exp(-(2 * math.log(0.8) + math.log(2.0 / 3.0)) / 3.0)
+    val ppl2 = math.exp(-math.log(0.8))
+    assert(out(1L)._1 == 3L && out(1L)._2 == r6(ppl1))
+    assert(out(2L)._1 == 1L && out(2L)._2 == r6(ppl2))
+    // the doc with only high-probability transitions scores lower ppl
+    assert(out(2L)._2 < out(1L)._2)
+  }
+
   test("redactEmails scrubs planted emails and emailCount finds them") {
     val out = Seq((1L, "write to alice.smith@example.com or bob@test.org now"))
       .toDF("id", "t")
