@@ -127,6 +127,10 @@ object Vocabulary {
     * arrays are staged through a projection (the O(len²)
     * inline-tokenization trap `hashedShingles` documents). Documents
     * with < 2 tokens have no bigrams and drop out, as in the oracle.
+    * Cost: three projection-pruned corpus scans (LM build, vocabulary
+    * size, scoring) — at 100 TB persist the staged token frame or
+    * precompute the LM tables once and reuse them across scoring runs
+    * (they are tiny, mergeable artifacts like the IVF centroids).
     */
   def bigramPerplexity(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {

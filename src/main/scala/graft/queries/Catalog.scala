@@ -1890,7 +1890,10 @@ object Catalog {
     * not). Two exact-percentile aggregates: per-group median, then the
     * median of |x − median| after a broadcast join of the 3-row median
     * table back onto the scan. DuckDB's `mad()` is the closed-form
-    * oracle for the whole composition.
+    * oracle for the whole composition. Exact `percentile` buffers a
+    * group's values — at 100 TB swap both phases to
+    * `percentile_approx` (same shape, bounded state; the approx-vs-
+    * exact error contract is the `agg_approx_bounds` pattern).
     */
   val aggMad = RegisteredQuery(
     "agg_mad",
