@@ -210,6 +210,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL near-dup — incoming batch vs historical corpus (the
+    * nightly-ingest dedup: "is tonight's crawl already in the lake?").
+    * Same MinHash banding as [[nearDupPairs]] but the candidate join is
+    * ASYMMETRIC: incoming band rows equi-join the history's per-band
+    * member lists, so the work is O(|incoming| · bands) probe rows
+    * against a corpus-sized but SLIM (band → ids) table — the corpus
+    * text is never rescanned against itself, which is what makes
+    * nightly dedup affordable when |incoming| ≪ |history|. At scale
+    * the grouped history band table is the persistent artifact: build
+    * it once, append each night's accepted bands to it.
+    *
+    * Returns (id_in, id_hist, jaccard ≥ threshold) verified on hashed
+    * shingles. History buckets above `maxBucket` are dropped (surfaced
+    * via `observe` metrics, same contract as [[nearDupPairs]]).
+    */
+  def nearDupAgainst(history: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val hBands = history.select(col(idCol).as("id_hist"),
+      explode(bandHashes(col(textCol), shingleK, numHashes, bands))
+        .as("band"))
+    val iBands = incoming.select(col(idCol).as("id_in"),
+      explode(bandHashes(col(textCol), shingleK, numHashes, bands))
+        .as("band"))
+    val hGrouped = withBucketMetrics(
+      hBands.groupBy(col("band")).agg(collect_list(col("id_hist")).as("ids")),
+      size(col("ids")), maxBucket)
+      .filter(size(col("ids")) <= maxBucket)
+    val candidates = iBands.join(hGrouped, Seq("band"))
+      .select(col("id_in"), explode(col("ids")).as("id_hist"))
+      .distinct() // a pair may share several bands; verify once
+    val shH = history.select(col(idCol).as("id_hist"),
+      hashedShingles(col(textCol), shingleK).as("sh_h"))
+    val shI = incoming.select(col(idCol).as("id_in"),
+      hashedShingles(col(textCol), shingleK).as("sh_i"))
+    candidates
+      .join(shI, Seq("id_in"))
+      .join(shH, Seq("id_hist"))
+      .select(col("id_in"), col("id_hist"),
+        graft.functions.GraftFunctions
+          .jaccardSorted(col("sh_i"), col("sh_h")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** EXACT n-gram-Jaccard similarity join via prefix filtering (the
     * AllPairs/PPJoin family: Bayardo et al., WWW'07; Xiao et al.,
     * WWW'08). Unlike [[nearDupPairs]] (probabilistic recall from the

@@ -3619,6 +3619,47 @@ object Catalog {
         CAST(sum(ind) AS BIGINT) AS in_degree
       FROM sides GROUP BY id ORDER BY id"""))
 
+  /** Incremental (incoming-vs-history) near-dup: every 10th document
+    * plays tonight's batch, the rest the lake; the asymmetric banded
+    * join ([[graft.llm.Dedup.nearDupAgainst]]) must find exactly the
+    * cross-set near-dup pairs. Oracle: exact cross-set Jaccard — the
+    * banding's S-curve recall at the fixture's planted-pair
+    * similarities is 1.0, the same certified property as
+    * `dedup_pairs`.
+    */
+  val dedupIncremental = RegisteredQuery(
+    "dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.Dedup.nearDupAgainst(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+        .select(col("id_in"), col("id_hist"), round(col("jaccard"), 6)
+          .as("jaccard"))
+        .orderBy(col("id_in"), col("id_hist"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        FROM t)
+      SELECT i.doc_id AS id_in, h.doc_id AS id_hist,
+        round(CAST(len(list_intersect(i.sh, h.sh)) AS DOUBLE) /
+          greatest(len(list_distinct(list_concat(i.sh, h.sh))), 1), 6)
+          AS jaccard
+      FROM sh i JOIN sh h
+        ON i.doc_id % 10 = 0 AND h.doc_id % 10 <> 0
+      WHERE CAST(len(list_intersect(i.sh, h.sh)) AS DOUBLE) /
+          greatest(len(list_distinct(list_concat(i.sh, h.sh))), 1) >= 0.7
+      ORDER BY id_in, id_hist"""))
+
   // The near-dup component assignment is an index artifact like the
   // centroid sets: a pure function of (corpus, threshold), built once
   // and reused by every query that consumes it (dedup_components,
@@ -5327,7 +5368,7 @@ object Catalog {
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
     dedupComponents, graphPagerank, graphDegrees, aggCountmin,
     splitLeakfree, dedupLines, bpePairCounts, sourceMixReport, docLmPpl,
-    dedupSimhash, dedupSimhashPairs, fuzzyJoinNames,
+    dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
     simTopkPq, simTopkIvfPq,
     mixtureSample, mixtureSampleApproxQ,

@@ -192,6 +192,19 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) != got(3L))
   }
 
+  test("nearDupAgainst pairs incoming only against history") {
+    // 1 & 2 are identical INCOMING docs; 3 is their historical twin;
+    // 4 is unrelated history. Expect (1,3) and (2,3) — never (1,2).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val history = Seq((3L, base), (4L, "unrelated words entirely here now"))
+      .toDF("id", "text")
+    val incoming = Seq((1L, base), (2L, base)).toDF("id", "text")
+    val pairs = Dedup.nearDupAgainst(history, incoming, "id", "text")
+      .select("id_in", "id_hist").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L)), pairs.toString)
+  }
+
   test("editDistancePairs fails loudly when a bucket exceeds maxBucket") {
     val dupes = (1L to 12L).map(i => (i, "identical")).toDF("id", "name")
     val e = intercept[org.apache.spark.SparkException] {
