@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineDescriptor)
     ext.injectFunction(GraftFunctions.jaccardSortedDescriptor)
+    ext.injectFunction(GraftFunctions.ngramsDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.JaccardPrefilterRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -42,6 +43,29 @@ object GraftFunctions {
         s"graft_jaccard_sorted takes 2 arguments, got ${children.length}")
       JaccardSortedExpr(children.head, children.last)
     })
+
+  private[functions] val ngramsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_ngrams"),
+    new ExpressionInfo(classOf[WordNgramsGenerator].getName, "graft_ngrams"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"graft_ngrams takes 2 arguments (tokens, n), got ${children.length}")
+      val n = children(1) match {
+        case lit if lit.foldable && lit.dataType ==
+            org.apache.spark.sql.types.IntegerType =>
+          lit.eval().asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"graft_ngrams n must be an integer literal, got $other")
+      }
+      WordNgramsGenerator(children.head, n)
+    })
+
+  /** Column form: word n-gram generator rows (pos, ngram). */
+  def ngrams(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(WordNgramsGenerator(Bridge.expression(tokens), n))
+  }
 
   /** Column form: Jaccard of two sorted distinct array<bigint> sets. */
   def jaccardSorted(a: Column, b: Column): Column = {

@@ -3780,6 +3780,43 @@ object Catalog {
         string_agg(chunk, ' ' ORDER BY idx) AS cleaned_text
       FROM kept GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Native generator surface: per-doc trigram totals via the custom
+    * `graft_ngrams` table-generating expression
+    * ([[graft.functions.WordNgramsGenerator]]) through the SQL
+    * `LATERAL VIEW` path — the Generator rung of the custom-operator
+    * ladder (scalar Expression / UDAF / optimizer Rule / LogicalPlan+
+    * Strategy+Exec are already oracle-covered). Oracle: the same
+    * trigram windows (with the short-text whole-string degrade) in
+    * DuckDB list arithmetic.
+    */
+  val docNgrams = RegisteredQuery(
+    "doc_ngrams",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT doc_id, count(*) AS n_ngrams,
+          count(DISTINCT ngram) AS n_distinct
+        FROM documents
+        LATERAL VIEW graft_ngrams(
+          split(trim(regexp_replace(lower(text), '[^\\p{L}\\p{Nd}]+', ' ')),
+            ' '), 3) g AS pos, ngram
+        GROUP BY doc_id ORDER BY doc_id""")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' ')) END AS gs
+        FROM t)
+      SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams,
+        CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct
+      FROM g ORDER BY doc_id"""))
+
   /** Per-document perplexity under the corpus's own add-one-smoothed
     * bigram LM ([[graft.llm.Vocabulary.bigramPerplexity]]) — the
     * CCNet-style quality filter. The oracle rebuilds the identical LM
@@ -5368,6 +5405,7 @@ object Catalog {
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
     dedupComponents, graphPagerank, graphDegrees, aggCountmin,
     splitLeakfree, dedupLines, bpePairCounts, sourceMixReport, docLmPpl,
+    docNgrams,
     dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
     simTopkPq, simTopkIvfPq,
