@@ -56,14 +56,19 @@ object Graph {
     // build on the purchase graph). Callers whose edge derivation fans
     // out (e.g. a union of both directions) should persist their own
     // upstream too.
-    require(broadcastThreshold < Int.MaxValue,
-      "broadcastThreshold must stay below Int.MaxValue")
+    require(broadcastThreshold >= 0 && broadcastThreshold < Int.MaxValue,
+      s"broadcastThreshold must be in [0, Int.MaxValue), got " +
+        s"$broadcastThreshold (0 = always use the distributed layout)")
     // deserialized cache: the slim (src, dst) pairs are re-scanned once
     // per iteration, and SER-cache deserialization was the dominant
     // per-iteration cost at 1M+ edges (16 B/row — memory is not the
-    // constraint here)
+    // constraint here). Dirty rows (null endpoint) fall out rather than
+    // crash the broadcast-mode driver arrays or become a phantom null
+    // node in the distributed node set — the same null-out-don't-crash
+    // policy as the similarity module.
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // ONE pre-iteration job decides the mode AND (in the common bounded

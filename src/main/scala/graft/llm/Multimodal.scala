@@ -123,9 +123,15 @@ object Multimodal {
   /** Decode metadata for a media struct column → filled meta struct.
     * Mimes starting with "image/" go through the REAL `javax.imageio`
     * decoder; "audio/" through the REAL `javax.sound.sampled` parser
-    * (duration_ms from the container, width/height stay null); video
-    * falls back to the documented stub. CaseWhen evaluates the decoder
-    * branches lazily per row — each blob runs exactly one codec.
+    * (duration_ms from the container, falling back to the caller's
+    * meta.duration_ms when the parser cannot read the bytes — known
+    * metadata is never nulled out; width/height stay null); video
+    * falls back to the documented stub. CaseWhen picks ONE codec
+    * FAMILY per row; field extraction may re-evaluate the chosen
+    * codec's UDF once per projected field unless whole-stage codegen's
+    * subexpression elimination merges them — all decoders here are
+    * header-only, so the worst case is a small constant factor on an
+    * O(header) parse, not a pixel decode.
     */
   def withDecodedMeta(df: DataFrame, mediaCol: String): DataFrame = {
     val mime = col(s"$mediaCol.meta.mime")
@@ -144,7 +150,8 @@ object Multimodal {
           when(isImage, img.getField("_2"))
             .when(isAudio, lit(null).cast(IntegerType))
             .otherwise(vid.getField("_2")).as("height"),
-          when(isAudio, aud.getField("_3"))
+          when(isAudio, coalesce(aud.getField("_3"),
+              col(s"$mediaCol.meta.duration_ms")))
             .otherwise(col(s"$mediaCol.meta.duration_ms")).as("duration_ms"),
           col(s"$mediaCol.meta.n_bytes").as("n_bytes")))
   }

@@ -3665,11 +3665,16 @@ object Catalog {
   // and reused by every query that consumes it (dedup_components,
   // split_leakfree). The frame returned by connectedComponents is
   // already checkpoint-materialized, so memoizing skips only the
-  // redundant edge-build + fixpoint jobs.
+  // redundant edge-build + fixpoint jobs. Keyed by SESSION IDENTITY as
+  // well as directory: a DataFrame is bound to the session that built
+  // it, and a process that stops one session and opens another (e.g. a
+  // harness invoking two mains in-JVM) must rebuild, not resurrect a
+  // frame whose SparkContext is gone.
   private val componentCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def componentsFor(s: SparkSession, d: String): DataFrame =
-    componentCache.computeIfAbsent(d, _ => {
+    componentCache.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}|$d", _ => {
       val docs = Tables.documents(s, d)
       val edges = graft.llm.Dedup.jaccardJoinExact(
         docs, "doc_id", "text", threshold = 0.7)
@@ -5249,7 +5254,11 @@ object Catalog {
     */
   val streamingRunningTotals = RegisteredQuery(
     "streaming_running_totals",
-    (s, d) => {
+    // the provider swap is a session-global mutation like the shuffle-
+    // partitions override: take the same process lock (reentrant — the
+    // inner runner re-acquires it) so a concurrent stream never
+    // snapshots the temporary provider as its restore value
+    (s, d) => graft.streaming.Streams.confLock.synchronized {
       import graft.streaming.Streams
       import s.implicits._
       val key = "spark.sql.streaming.stateStore.providerClass"

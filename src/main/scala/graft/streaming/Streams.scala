@@ -363,20 +363,30 @@ object Streams {
     * for real firehoses; each micro-batch pays per-store overhead).
     * The session conf is restored after the query starts.
     *
-    * NOT thread-safe: the session-global shuffle-partitions conf is
-    * mutated for the duration of the run (restored in `finally`), so
-    * queries planned concurrently on the SAME session during that
-    * window would pick up the temporary value. Run on a dedicated
-    * session (`spark.newSession()`) when sharing a session between
-    * threads.
+    * Thread-safety: the session-global shuffle-partitions conf is
+    * mutated for the duration of the run, so concurrent callers of the
+    * partition-overriding runners serialize on a process lock — two
+    * overlapping streams would otherwise snapshot each other's
+    * TEMPORARY value as `prev` and leave the session permanently
+    * mis-configured after the last restore (observed risk under the
+    * thread-pooled Verify). A concurrent BATCH query that plans during
+    * a stream's window can still pick up the temporary value — that
+    * affects only that plan's parallelism, never results; use
+    * `spark.newSession()` isolation when even that matters.
     */
   def runAvailableNowWithPartitions(spark: SparkSession, streamed: DataFrame,
       queryName: String, outputMode: OutputMode,
-      statePartitions: Int): DataFrame = {
+      statePartitions: Int): DataFrame = confLock.synchronized {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions.toString)
     try runAvailableNow(spark, streamed, queryName, outputMode)
     finally spark.conf.set(key, prev)
   }
+
+  /** Serializes every session-conf-mutating stream run in the process
+    * (shuffle partitions here; the state-store-provider swap in the
+    * transformWithState runner goes through the same lock).
+    */
+  private[graft] val confLock = new Object
 }

@@ -54,6 +54,26 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("null edge endpoints fall out instead of crashing either layout") {
+    val dirty = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(2L), None),
+        (Some(2L), Some(1L)))
+      .toDF("src", "dst")
+    Seq(4000000L, 0L).foreach { bt =>
+      val pr = Graph.pageRank(dirty, "src", "dst", iters = 2,
+          broadcastThreshold = bt)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(pr.keySet == Set(1L, 2L), s"bt=$bt: ${pr.keySet}")
+      assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("negative broadcastThreshold is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(danglingEdges, "src", "dst", broadcastThreshold = -1L)
+    }
+    assert(e.getMessage.contains("broadcastThreshold"))
+  }
+
   test("pageRank of an empty edge list is an empty frame, not a crash") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     val pr = Graph.pageRank(empty, "src", "dst", iters = 3)
