@@ -727,6 +727,39 @@ object Catalog {
       FROM orders WHERE o_totalprice > 50000
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Custom DataSourceV2 connector end-to-end
+    * ([[graft.sources.synth.SynthDocsProvider]]): a deterministic
+    * synthetic table read through the full v2 path — id-range filter
+    * PUSHED into the source (rows outside the range are never
+    * generated, the source-side analogue of row-group pruning; pinned
+    * by SynthSourceSpec via the scan description) and columns pruned
+    * at the reader. Every cell is a pure function of id, so the oracle
+    * re-derives the table closed-form with generate_series and the
+    * identical integer arithmetic. Prices sum as DECIMAL for
+    * cross-engine order-independence.
+    */
+  val sourceCustomV2 = RegisteredQuery(
+    "source_custom_v2",
+    (s, d) =>
+      s.read.format("graft.sources.synth.SynthDocsProvider")
+        .option("rows", "100000").option("slices", "8").load()
+        .filter(col("id") >= 1000 && col("id") < 51000)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"),
+          countDistinct(col("tag")).as("n_tags"))
+        .orderBy(col("grp")),
+    Some("""WITH t AS (
+        SELECT i AS id, CAST(i % 25 AS INTEGER) AS grp,
+          (i * 2654435761 % 100000) / CAST(100 AS DOUBLE) AS value,
+          't' || CAST(i % 10 AS VARCHAR) AS tag
+        FROM (SELECT unnest(generate_series(1000, 50999)) AS i) s)
+      SELECT grp, count(*) AS n_rows,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        count(DISTINCT tag) AS n_tags
+      FROM t GROUP BY grp ORDER BY grp"""))
+
   /** TPC-H Q6 core (forecast revenue change): the pure scan-filter-agg
     * — every predicate reaches the parquet scan as a pushed filter,
     * no shuffle at all before the single-row aggregate.
@@ -5390,7 +5423,7 @@ object Catalog {
     unpivotMelt, sampleStratified,
     mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourceOrcRoundtrip,
-    sourceTextRoundtrip, catalogManagedTable,
+    sourceTextRoundtrip, catalogManagedTable, sourceCustomV2,
     schemaEvolution,
     joinShuffleHash, nestedPruning,
     windowRankStats, aggHistogram, timeseriesGapfill, timeseriesInterp,

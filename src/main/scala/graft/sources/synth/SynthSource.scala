@@ -1,0 +1,147 @@
+package graft.sources.synth
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSourceV2 connector: a deterministic synthetic table whose
+  * every cell is a PURE FUNCTION of the row id — so an external oracle
+  * can re-derive the whole table closed-form (`generate_series` +
+  * the same integer arithmetic) and hash-check queries over it.
+  *
+  * The point is the CONNECTOR surface, not the data: the ScanBuilder
+  * implements real FILTER PUSHDOWN (id-range predicates narrow the
+  * generated range — the source-side analogue of parquet row-group
+  * pruning: pushed filters mean rows are never materialized at all)
+  * and COLUMN PRUNING (readers emit only requested fields). Input
+  * splits carve the id range into `slices` partitions, so the scan
+  * parallelizes like any file source.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.synth.SynthDocsProvider")
+  *     .option("rows", 100000).option("slices", 8).load()
+  * }}}
+  */
+class SynthDocsProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new SynthTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "4").toInt)
+}
+
+object SynthTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("grp", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("tag", StringType, nullable = false)))
+
+  /** id → cell values; the oracle replays exactly this arithmetic. */
+  def grpOf(id: Long): Int = (id % 25).toInt
+  def valueOf(id: Long): Double = ((id * 2654435761L) % 100000L) / 100.0
+  def tagOf(id: Long): String = "t" + (id % 10)
+}
+
+final class SynthTable(rows: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_synth($rows)"
+  override def schema(): StructType = SynthTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(rows, slices)
+}
+
+/** Pushdown state: id-range predicates tighten [lo, hi); everything
+  * else is left for Spark to evaluate post-scan.
+  */
+final class SynthScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = rows
+  private var kept: Array[Filter] = Array.empty
+  private var required: StructType = SynthTable.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val rest = ArrayBuffer.empty[Filter]
+    filters.foreach {
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case IsNotNull("id") => // non-nullable: vacuous, absorb it
+      case other => rest += other
+    }
+    kept = filters.filterNot {
+      case GreaterThanOrEqual("id", _: Long) | GreaterThan("id", _: Long) |
+           LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
+           EqualTo("id", _: Long) | IsNotNull("id") => false
+      case _ => true
+    }
+    // everything not absorbed must be re-checked by Spark
+    rest.toArray
+  }
+  override def pushedFilters(): Array[Filter] =
+    Array(GreaterThanOrEqual("id", lo), LessThan("id", hi))
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SynthScan(lo, hi, slices, required)
+}
+
+final class SynthScan(lo: Long, hi: Long, slices: Int,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-synth lo=$lo hi=$hi cols=${required.fieldNames.mkString(",")}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    if (n == 0) Array.empty
+    else {
+      val k = math.min(slices.toLong, n).toInt
+      Array.tabulate(k) { i =>
+        SynthRange(lo + n * i / k, lo + n * (i + 1) / k)
+      }
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required.fieldNames)
+}
+
+final case class SynthRange(from: Long, until: Long) extends InputPartition
+
+final class SynthReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[SynthRange]
+    new PartitionReader[InternalRow] {
+      private var id = r.from - 1
+      override def next(): Boolean = { id += 1; id < r.until }
+      override def get(): InternalRow =
+        new GenericInternalRow(fields.map[Any] {
+          case "id" => id
+          case "grp" => SynthTable.grpOf(id)
+          case "value" => SynthTable.valueOf(id)
+          case "tag" => UTF8String.fromString(SynthTable.tagOf(id))
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

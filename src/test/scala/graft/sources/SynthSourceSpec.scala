@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SynthSourceSpec extends SparkSpec {
+
+  private def read(rows: Long, slices: Int = 4) =
+    spark.read.format("graft.sources.synth.SynthDocsProvider")
+      .option("rows", rows.toString).option("slices", slices.toString)
+      .load()
+
+  test("generates the deterministic closed-form table") {
+    val rows = read(100).collect()
+    assert(rows.length == 100)
+    val r42 = rows.find(_.getLong(0) == 42L).get
+    assert(r42.getInt(1) == 17) // 42 % 25
+    assert(r42.getDouble(2) == ((42L * 2654435761L) % 100000L) / 100.0)
+    assert(r42.getString(3) == "t2")
+  }
+
+  test("id-range filters are pushed: the scan generates only the range") {
+    val df = read(1000000L, slices = 8)
+      .filter(col("id") >= 500 && col("id") < 600)
+    // pushed range is visible in the v2 scan description
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("lo=500") && plan.contains("hi=600"), plan)
+    assert(df.count() == 100)
+    // the residual (non-id) filter stays post-scan but pushed id
+    // bounds still narrow generation
+    val mixed = read(1000000L).filter(col("id") < 50 && col("tag") === "t3")
+    val mixedPlan = mixed.queryExecution.executedPlan.toString
+    assert(mixedPlan.contains("hi=50"), mixedPlan)
+    assert(mixed.count() == 5) // ids 3,13,23,33,43
+  }
+
+  test("column pruning reaches the reader") {
+    val df = read(1000).select(col("grp"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=grp"), plan)
+    assert(df.distinct().count() == 25)
+  }
+
+  test("empty pushed range plans zero partitions") {
+    val df = read(1000).filter(col("id") >= 900 && col("id") < 900)
+    assert(df.count() == 0)
+  }
+}
