@@ -760,6 +760,39 @@ object Catalog {
         count(DISTINCT tag) AS n_tags
       FROM t GROUP BY grp ORDER BY grp"""))
 
+  /** Custom DataSourceV2 WRITE path end-to-end
+    * ([[graft.sources.synth.MemorySinkProvider]]): an aggregate written
+    * through the full two-phase commit protocol (per-task DataWriters →
+    * WriterCommitMessages → atomic publish) and read back from the
+    * committed registry — the oracle checks the round-tripped rows
+    * against the same aggregate computed directly, so a sink that
+    * drops/duplicates a partition or publishes before commit cannot
+    * pass. Abort semantics are pinned by MemorySinkSpec.
+    */
+  val sinkCustomV2 = RegisteredQuery(
+    "sink_custom_v2",
+    (s, d) => {
+      import graft.sources.synth.MemorySinkRegistry
+      val tbl = s"sink_demo_${math.abs(d.hashCode)}"
+      MemorySinkRegistry.clear(tbl)
+      val agg = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+      agg.write.format("graft.sources.synth.MemorySinkProvider")
+        .option("table", tbl).mode("append").save()
+      s.createDataFrame(
+          new java.util.ArrayList(
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              MemorySinkRegistry.rows(tbl)).asJava),
+          agg.schema)
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** TPC-H Q6 core (forecast revenue change): the pure scan-filter-agg
     * — every predicate reaches the parquet scan as a pushed filter,
     * no shuffle at all before the single-row aggregate.
@@ -5423,7 +5456,7 @@ object Catalog {
     unpivotMelt, sampleStratified,
     mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourceOrcRoundtrip,
-    sourceTextRoundtrip, catalogManagedTable, sourceCustomV2,
+    sourceTextRoundtrip, catalogManagedTable, sourceCustomV2, sinkCustomV2,
     schemaEvolution,
     joinShuffleHash, nestedPruning,
     windowRankStats, aggHistogram, timeseriesGapfill, timeseriesInterp,

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.synth.MemorySinkRegistry
+
+class MemorySinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-phase commit publishes all partitions atomically") {
+    MemorySinkRegistry.clear("ms_roundtrip")
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(5)
+    df.write.format("graft.sources.synth.MemorySinkProvider")
+      .option("table", "ms_roundtrip").mode("append").save()
+    val got = MemorySinkRegistry.rows("ms_roundtrip")
+    assert(got.length == 100)
+    assert(got.map(_.getLong(0)).toSet == (1L to 100L).toSet)
+    assert(got.find(_.getLong(0) == 7L).get.getString(1) == "v7")
+  }
+
+  test("a failed job publishes nothing (abort path)") {
+    MemorySinkRegistry.clear("ms_abort")
+    val boom = udf((i: Long) =>
+      if (i == 50L) throw new RuntimeException("boom") else i)
+    val df = (1L to 100L).toDF("id").repartition(4)
+      .select(boom(col("id")).as("id"))
+    intercept[Exception] {
+      df.write.format("graft.sources.synth.MemorySinkProvider")
+        .option("table", "ms_abort").mode("append").save()
+    }
+    assert(MemorySinkRegistry.rows("ms_abort").isEmpty)
+  }
+}
