@@ -30,7 +30,8 @@ object Verify {
     "pipeline_e2e", "train_loop", "train_predict", "dedup_components",
     "sim_neardup_lsh", "dedup_minhash_sig", "q5_local_supplier",
     "source_csv_roundtrip", "catalog_managed_table",
-    "graph_pagerank", "split_leakfree", "dedup_lines", "streaming_enrich")
+    "graph_pagerank", "split_leakfree", "dedup_lines", "streaming_enrich",
+    "source_custom_stream")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

@@ -760,6 +760,41 @@ object Catalog {
         count(DISTINCT tag) AS n_tags
       FROM t GROUP BY grp ORDER BY grp"""))
 
+  /** Custom STREAMING source end-to-end: the same synth connector read
+    * through `readStream` as a MicroBatchStream with real offset
+    * management — admission control paces 4 micro-batches
+    * (`maxRowsPerBatch`), AvailableNow drains to the reported end, and
+    * the final aggregate must hash-match the closed-form oracle over
+    * the whole range: custom-source streaming ≡ batch, the same
+    * equivalence law the file-source streaming queries pin.
+    */
+  val sourceCustomStream = RegisteredQuery(
+    "source_custom_stream",
+    (s, d) => {
+      import graft.streaming.Streams
+      val st = s.readStream
+        .format("graft.sources.synth.SynthDocsProvider")
+        .option("rows", "20000").option("slices", "8")
+        .option("maxRowsPerBatch", "6000")
+        .load()
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+      Streams.runAvailableNowWithPartitions(s, st,
+          s"graft_synthstream_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          statePartitions = 8)
+        .orderBy(col("grp"))
+    },
+    Some("""WITH t AS (
+        SELECT CAST(i % 25 AS INTEGER) AS grp,
+          (i * 2654435761 % 100000) / CAST(100 AS DOUBLE) AS value
+        FROM (SELECT unnest(generate_series(0, 19999)) AS i) s)
+      SELECT grp, count(*) AS n_rows,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM t GROUP BY grp ORDER BY grp"""))
+
   /** Custom DataSourceV2 WRITE path end-to-end
     * ([[graft.sources.synth.MemorySinkProvider]]): an aggregate written
     * through the full two-phase commit protocol (per-task DataWriters →
@@ -5457,6 +5492,7 @@ object Catalog {
     mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourceOrcRoundtrip,
     sourceTextRoundtrip, catalogManagedTable, sourceCustomV2, sinkCustomV2,
+    sourceCustomStream,
     schemaEvolution,
     joinShuffleHash, nestedPruning,
     windowRankStats, aggHistogram, timeseriesGapfill, timeseriesInterp,

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -61,15 +62,18 @@ final class SynthTable(rows: Long, slices: Int)
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SynthTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, slices)
+    new SynthScanBuilder(rows, slices,
+      options.getLong("maxRowsPerBatch", 0L))
 }
 
 /** Pushdown state: id-range predicates tighten [lo, hi); everything
   * else is left for Spark to evaluate post-scan.
   */
-final class SynthScanBuilder(rows: Long, slices: Int)
+final class SynthScanBuilder(rows: Long, slices: Int,
+    maxRowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var lo = 0L
@@ -102,27 +106,78 @@ final class SynthScanBuilder(rows: Long, slices: Int)
     Array(GreaterThanOrEqual("id", lo), LessThan("id", hi))
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SynthScan(lo, hi, slices, required)
+  override def build(): Scan =
+    new SynthScan(lo, hi, slices, required, maxRowsPerBatch)
 }
 
 final class SynthScan(lo: Long, hi: Long, slices: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType, maxRowsPerBatch: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-synth lo=$lo hi=$hi cols=${required.fieldNames.mkString(",")}"
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
+  override def planInputPartitions(): Array[InputPartition] =
+    SynthScan.split(lo, hi, slices)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SynthMicroBatchStream(lo, hi, slices, required, maxRowsPerBatch)
+}
+
+object SynthScan {
+  def split(from: Long, until: Long, slices: Int): Array[InputPartition] = {
+    val n = math.max(0L, until - from)
     if (n == 0) Array.empty
     else {
       val k = math.min(slices.toLong, n).toInt
       Array.tabulate(k) { i =>
-        SynthRange(lo + n * i / k, lo + n * (i + 1) / k)
+        SynthRange(from + n * i / k, from + n * (i + 1) / k)
       }
     }
   }
+}
+
+/** Streaming face of the same table: the offset is simply the next
+  * unread id, so micro-batch N covers [startOffset, endOffset) of the
+  * identical closed-form rows the batch scan generates. Admission
+  * control (`maxRowsPerBatch`) throttles each micro-batch the way a
+  * real source paces a firehose; AvailableNow runs the remaining range
+  * to completion and stops. Offsets are plain longs in the checkpoint
+  * log, so restart-resume works like any production source.
+  */
+final case class SynthOffset(next: Long) extends Offset {
+  override def json(): String = next.toString
+}
+
+final class SynthMicroBatchStream(lo: Long, hi: Long, slices: Int,
+    required: StructType, maxRowsPerBatch: Long)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  private var availableNowEnd: Long = hi
+  override def initialOffset(): Offset = SynthOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    SynthOffset(json.trim.toLong)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SynthOffset].next
+    val cap = if (maxRowsPerBatch > 0) s + maxRowsPerBatch else availableNowEnd
+    SynthOffset(math.min(availableNowEnd, math.max(s, cap)))
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerBatch > 0) ReadLimit.maxRows(maxRowsPerBatch)
+    else ReadLimit.allAvailable()
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = hi
+  override def reportLatestOffset(): Offset = SynthOffset(availableNowEnd)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    SynthScan.split(start.asInstanceOf[SynthOffset].next,
+      end.asInstanceOf[SynthOffset].next, slices)
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required.fieldNames)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class SynthRange(from: Long, until: Long) extends InputPartition

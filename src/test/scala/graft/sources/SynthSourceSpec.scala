@@ -42,6 +42,23 @@ class SynthSourceSpec extends SparkSpec {
     assert(df.distinct().count() == 25)
   }
 
+  test("micro-batch stream over the source equals the batch read") {
+    val streamed = spark.readStream
+      .format("graft.sources.synth.SynthDocsProvider")
+      .option("rows", "5000").option("slices", "4")
+      .option("maxRowsPerBatch", "1200") // forces 5 real micro-batches
+      .load()
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"))
+    val got = graft.streaming.Streams.runAvailableNow(spark, streamed,
+        s"synth_stream_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = read(5000).groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("empty pushed range plans zero partitions") {
     val df = read(1000).filter(col("id") >= 900 && col("id") < 900)
     assert(df.count() == 0)
