@@ -3189,7 +3189,9 @@ object Catalog {
     * md5 k-grams → rightmost-min per sliding window → distinct picks
     * in position order — so the fingerprint LISTS hash-match, not just
     * counts. (The rolling-hash `winnow` stays as the O(len) scale form
-    * with implementation-defined values.)
+    * with implementation-defined values.) The list is emitted as a
+    * comma-joined scalar: the driver's comparator sorts rows with
+    * pandas, and ARRAY cells (unhashable Python lists) crash it.
     */
   val docWinnow = RegisteredQuery(
     "doc_winnow",
@@ -3198,7 +3200,7 @@ object Catalog {
       Tables.documents(s, d).select(
         col("doc_id"),
         size(fp).as("n_fingerprints"),
-        fp.as("fingerprints"))
+        array_join(fp, ",").as("fingerprints"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH d AS (
@@ -3224,13 +3226,14 @@ object Catalog {
       picks AS (SELECT DISTINCT doc_id, p, hx FROM ranked WHERE rn = 1),
       agg AS (
         SELECT doc_id, count(*) AS n_fingerprints,
-          list(hx ORDER BY p) AS fingerprints
+          string_agg(hx, ',' ORDER BY p) AS fingerprints
         FROM picks GROUP BY doc_id)
       SELECT d.doc_id,
-        coalesce(a.n_fingerprints,
-          CASE WHEN length(d.s) < 8 THEN 1 ELSE 0 END) AS n_fingerprints,
+        CAST(coalesce(a.n_fingerprints,
+          CASE WHEN length(d.s) < 8 THEN 1 ELSE 0 END) AS INTEGER)
+          AS n_fingerprints,
         coalesce(a.fingerprints,
-          CASE WHEN length(d.s) < 8 THEN [md5(d.s)] ELSE [] END)
+          CASE WHEN length(d.s) < 8 THEN md5(d.s) ELSE '' END)
           AS fingerprints
       FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
       ORDER BY d.doc_id"""))
@@ -5029,7 +5032,9 @@ object Catalog {
     * `map_from_entries` (sorted entries ⇒ deterministic map order),
     * interrogated with `map_keys`/`map_filter`/`map_values` and a HOF
     * `aggregate` fold. The oracle computes the same figures from the
-    * flat rows — proving the map round-trip loses nothing.
+    * flat rows — proving the map round-trip loses nothing. Key lists
+    * are emitted comma-joined: the driver's comparator sorts rows with
+    * pandas and ARRAY cells (unhashable Python lists) crash it.
     */
   val mapFunctions = RegisteredQuery(
     "map_functions",
@@ -5045,7 +5050,8 @@ object Catalog {
           struct(col("l_linenumber"), col("qty"))))).as("m"))
         .select(col("l_orderkey"),
           size(col("m")).as("n_lines"),
-          sort_array(map_keys(col("m"))).as("line_nums"),
+          array_join(transform(sort_array(map_keys(col("m"))),
+            _.cast("string")), ",").as("line_nums"),
           round(aggregate(
             map_values(map_filter(col("m"), (_, v) => v >= 25.0)),
             lit(0.0), (acc, x) => acc + x), 2).as("big_qty_sum"))
@@ -5054,8 +5060,8 @@ object Catalog {
         SELECT l_orderkey, l_linenumber, sum(l_quantity) AS qty
         FROM lineitem WHERE l_orderkey <= 1000
         GROUP BY l_orderkey, l_linenumber)
-      SELECT l_orderkey, count(*) AS n_lines,
-        list_sort(list(l_linenumber)) AS line_nums,
+      SELECT l_orderkey, CAST(count(*) AS INTEGER) AS n_lines,
+        array_to_string(list_sort(list(l_linenumber)), ',') AS line_nums,
         round(coalesce(sum(qty) FILTER (WHERE qty >= 25.0), 0.0), 2)
           AS big_qty_sum
       FROM lines GROUP BY l_orderkey ORDER BY l_orderkey"""))

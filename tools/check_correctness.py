@@ -31,8 +31,13 @@ def norm_cell(v):
 
 def frame_sig(df):
     cols = sorted(df.columns)
+    # The driver sorts rows with pandas sort_values over ALL columns
+    # before hashing. Python lists / numpy arrays in cells are unhashable
+    # and crash its lexsort (r6: doc_winnow, map_functions). Replicate
+    # that sort here so the crash class is caught locally.
+    body = df[cols].sort_values(by=cols, kind="mergesort")
     rows = [tuple(norm_cell(v) for v in row)
-            for row in df[cols].itertuples(index=False, name=None)]
+            for row in body.itertuples(index=False, name=None)]
     return cols, rows
 
 
@@ -72,8 +77,15 @@ def main(sfdir, outdir):
         except Exception as e:
             results[name] = {"status": "spark_missing", "err": str(e)[:200]}
             continue
-        ocols, orows = frame_sig(odf)
-        scols, srows = frame_sig(sdf)
+        try:
+            ocols, orows = frame_sig(odf)
+            scols, srows = frame_sig(sdf)
+        except Exception as e:
+            # mirrors a driver-side checker crash (err != null in
+            # CORRECTNESS_r*.json) — usually an unhashable ARRAY cell
+            results[name] = {"status": "driver_sort_crash",
+                             "err": str(e)[:200]}
+            continue
         ok_k, sk_k = num_kinds(odf), num_kinds(sdf)
         kind_diff = {c: (ok_k[c], sk_k[c]) for c in ok_k
                      if c in sk_k and ok_k[c] != sk_k[c]}
