@@ -102,31 +102,27 @@ object Multimodal {
           (math.round(fmt.getSampleRate).toInt, fmt.getChannels, durMs)
         } catch { case scala.util.control.NonFatal(_) => null })
 
-  /** STUB decode for video — deterministic fake dimensions derived
-    * from the content hash, standing in for a demuxer (no video
-    * container library in this environment; swap the body for a real
-    * one in production). The signature, null-safety, and batch shape
-    * are the real contract.
+  /** REAL video metadata decode via [[VideoMeta]] — pure-JVM container
+    * parsing (MP4/ISO-BMFF box walk, Matroska/WebM EBML walk), no
+    * codec: (width, height, duration_ms, codec id) straight from the
+    * container structures. Header-only like the image/audio decoders,
+    * so a metadata pass over 100 TB of video reads KBs per object.
+    * Null for bytes that are neither container (or corrupt).
     */
-  val decodeStub: org.apache.spark.sql.expressions.UserDefinedFunction =
+  val decodeVideo: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((content: Array[Byte]) =>
-      if (content == null) null
-      else {
-        var h = 1125899906842597L
-        content.take(1024).foreach(b => h = 31 * h + b)
-        // fake but stable dims: 64..1087 px
-        val w = 64 + math.abs(h % 1024).toInt
-        val ht = 64 + math.abs((h >> 10) % 1024).toInt
-        (w, ht, 3)
-      })
+      VideoMeta.parse(content)
+        .map(m => (m.width, m.height, m.durationMs.toInt, m.codec))
+        .orNull)
 
   /** Decode metadata for a media struct column → filled meta struct.
     * Mimes starting with "image/" go through the REAL `javax.imageio`
     * decoder; "audio/" through the REAL `javax.sound.sampled` parser
     * (duration_ms from the container, falling back to the caller's
     * meta.duration_ms when the parser cannot read the bytes — known
-    * metadata is never nulled out; width/height stay null); video
-    * falls back to the documented stub. CaseWhen picks ONE codec
+    * metadata is never nulled out; width/height stay null); "video/"
+    * through the REAL [[VideoMeta]] container parser (unparseable
+    * bytes ⇒ null dims, caller's duration kept). CaseWhen picks ONE codec
     * FAMILY per row; field extraction may re-evaluate the chosen
     * codec's UDF once per projected field unless whole-stage codegen's
     * subexpression elimination merges them — all decoders here are
@@ -138,19 +134,22 @@ object Multimodal {
     val content = col(s"$mediaCol.content")
     val isImage = mime.startsWith("image/")
     val isAudio = mime.startsWith("audio/")
+    val isVideo = mime.startsWith("video/")
     val img = decodeImage(content)
     val aud = decodeAudio(content)
-    val vid = decodeStub(content)
+    val vid = decodeVideo(content)
     df.withColumn("decoded",
         struct(
           mime.as("mime"),
           when(isImage, img.getField("_1"))
-            .when(isAudio, lit(null).cast(IntegerType))
-            .otherwise(vid.getField("_1")).as("width"),
+            .when(isVideo, vid.getField("_1"))
+            .otherwise(lit(null).cast(IntegerType)).as("width"),
           when(isImage, img.getField("_2"))
-            .when(isAudio, lit(null).cast(IntegerType))
-            .otherwise(vid.getField("_2")).as("height"),
+            .when(isVideo, vid.getField("_2"))
+            .otherwise(lit(null).cast(IntegerType)).as("height"),
           when(isAudio, coalesce(aud.getField("_3"),
+              col(s"$mediaCol.meta.duration_ms")))
+            .when(isVideo, coalesce(vid.getField("_3"),
               col(s"$mediaCol.meta.duration_ms")))
             .otherwise(col(s"$mediaCol.meta.duration_ms")).as("duration_ms"),
           col(s"$mediaCol.meta.n_bytes").as("n_bytes")))
@@ -202,33 +201,35 @@ object Multimodal {
         Array.fill(dim)(rnd.nextGaussian())
       })
 
-  /** STUB resize: deterministic fake downscale — emits new dimensions
-    * and a content hash standing in for re-encoded bytes (real impl:
-    * image codec). Signature/batch shape are the contract.
+  /** REAL frame-sample extraction from MP4 bytes: resolves the sample
+    * tables ([[VideoMeta.sampleOffsetsMp4]]) and returns up to `n`
+    * evenly-spaced samples as (sample_index, bytes) — sync (key)
+    * samples when the container declares them (stss), since only those
+    * decode standalone. This is the demux half of frame sampling; the
+    * returned bytes are REAL coded samples cut at container-declared
+    * offsets, ready for a codec. One row per sampled frame after the
+    * caller explodes — the shape a full extractor produces. Empty for
+    * bytes without resolvable sample tables.
     */
-  def resizeStub(maxDim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((content: Array[Byte], w: java.lang.Integer, h: java.lang.Integer) =>
-      if (content == null || w == null || h == null) null
-      else {
-        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-        val nw = math.max(1, (w * scale).toInt)
-        val nh = math.max(1, (h * scale).toInt)
-        val fakeBytes = java.util.Arrays.copyOf(content,
-          math.min(content.length, math.max(16, content.length * nw / math.max(w, 1))))
-        (nw, nh, fakeBytes)
-      })
-
-  /** STUB frame sampling: pick `n` deterministic offsets from a fake
-    * video payload → one row per sampled frame (the explode shape a
-    * real frame extractor produces; real impl: container demuxer).
-    */
-  def frameSampleStub(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  def frameSampleMp4(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((content: Array[Byte]) =>
       if (content == null) Seq.empty[(Int, Array[Byte])]
-      else (0 until n).map { i =>
-        val off = if (content.length <= 1) 0 else (content.length.toLong * i / n).toInt
-        (i, java.util.Arrays.copyOfRange(content, off,
-          math.min(content.length, off + 64)))
+      else {
+        val (offs, sync) = VideoMeta.sampleOffsetsMp4(content)
+        val picks: Seq[Int] = // 0-based sample indices
+          if (sync.nonEmpty) {
+            val k = math.min(n, sync.length)
+            (0 until k).map(i => sync((sync.length.toLong * i / k).toInt) - 1)
+          } else {
+            val k = math.min(n, offs.length)
+            (0 until k).map(i => (offs.length.toLong * i / k).toInt)
+          }
+        picks.filter(i => i >= 0 && i < offs.length).map { i =>
+          val (off, sz) = offs(i)
+          val from = math.min(content.length.toLong, math.max(0L, off)).toInt
+          (i, java.util.Arrays.copyOfRange(content, from,
+            math.min(content.length, from + sz)))
+        }
       })
 
   /** Size-aware repartition for media processing: target bytes per

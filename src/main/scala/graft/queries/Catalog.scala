@@ -2328,19 +2328,22 @@ object Catalog {
     * streams: per-partition sketches merge associatively, unlike an
     * exact top-k which needs the full key space. The estimate values
     * are hash-family-specific, so (as with the HLL queries) the
-    * checked contract is exact counts + both bound flags.
+    * checked contract is exact counts + the ge_exact flag — the one
+    * bound CMS guarantees DETERMINISTICALLY (est ≥ exact always). The
+    * ε-overcount bound holds only with probability 1−δ per estimate,
+    * so hashing it into the oracle would make the gate flake ~2% per
+    * run over 20 rows; it is asserted in CountMinBoundSpec instead,
+    * where a rare miss is diagnosable.
     */
   val aggCountmin = RegisteredQuery(
     "agg_countmin",
     (s, d) => {
       val ev = Tables.events(s, d)
-      val eps = 0.01
       // ~depth 7 × width 272 ints: a bounded driver fetch, like the
       // capped key/stats collects documented in SURVEY §2
       val skBytes = ev
         .agg(expr("count_min_sketch(user_id, 0.01d, 0.999d, 42)").as("sk"))
         .collect()(0).getAs[Array[Byte]](0)
-      val total = ev.count()
       // bytes ship in the closure; the sketch object deserializes once
       // per executor (transient lazy), not once per probed row
       val probe = new (Long => Long) with Serializable {
@@ -2355,14 +2358,11 @@ object Catalog {
         .select(col("user_id"), col("n_exact"),
           est(col("user_id")).as("e"))
         .select(col("user_id"), col("n_exact"),
-          (col("e") >= col("n_exact")).as("ge_exact"),
-          (col("e") <= col("n_exact") + lit(math.ceil(eps * total).toLong))
-            .as("within_eps"))
+          (col("e") >= col("n_exact")).as("ge_exact"))
         .orderBy(col("n_exact").desc, col("user_id"))
         .limit(20)
     },
-    Some("""SELECT user_id, count(*) AS n_exact,
-        TRUE AS ge_exact, TRUE AS within_eps
+    Some("""SELECT user_id, count(*) AS n_exact, TRUE AS ge_exact
       FROM events GROUP BY user_id
       ORDER BY n_exact DESC, user_id LIMIT 20"""))
 
@@ -4237,6 +4237,19 @@ object Catalog {
     })
   private val pqModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.llm.Pq.PqModel]()
+
+  /** Drop every memoized shared artifact (component frames, purchase
+    * graph, k-means centroids, PQ codebooks) so a re-timing pass pays
+    * the same build jobs a cold process would — Bench's second pass
+    * calls this to keep min-of-2 numbers honest. Checkpointed frames
+    * are released to the ContextCleaner by dropping the reference.
+    */
+  def resetSharedArtifacts(): Unit = {
+    purchaseGraphCache.clear()
+    componentCache.clear()
+    centroidCache.clear()
+    pqModelCache.clear()
+  }
   private def pqModelFor(s: SparkSession, d: String,
       dim: Int): graft.llm.Pq.PqModel =
     pqModelCache.computeIfAbsent(d, _ =>
@@ -4474,12 +4487,15 @@ object Catalog {
           b.embedding::DOUBLE[]) >= 0.5
       ORDER BY id_a, id_b"""))
 
-  /** Multimodal plumbing: documents text → binary media struct → stub
-    * decode → typed metadata. The stub's fake dimensions carry no
-    * contract, so the CHECKED output is the part that does: the byte
+  /** Multimodal plumbing: documents text → binary media struct →
+    * decode → typed metadata. Text bytes are NOT a video container, so
+    * the CHECKED contract is the plumbing's null-safety: the byte
     * count must survive the binary cast and struct round-trip exactly
-    * (oracle = DuckDB `strlen`, BYTES not chars), and the stub must
-    * fill dims inside its documented 64..1087 range for every row.
+    * (oracle = DuckDB `strlen`, BYTES not chars), and the real
+    * container parser must yield NULL dims for unparseable bytes
+    * instead of crashing the scan — the one-bad-blob-in-100-TB
+    * property. (Real decode contracts: `multimodal_decode` for images,
+    * `multimodal_audio` for audio, `multimodal_video` for video.)
     */
   val multimodalMeta = RegisteredQuery(
     "multimodal_meta",
@@ -4490,11 +4506,11 @@ object Catalog {
         Multimodal.asMedia(col("text"), "video/fake").as("media"))
       Multimodal.withDecodedMeta(media, "media")
         .select(col("doc_id"), col("decoded.n_bytes").as("n_bytes"),
-          (col("decoded.width").between(64, 1087) &&
-            col("decoded.height").between(64, 1087)).as("dims_in_range"))
+          (col("decoded.width").isNull && col("decoded.height").isNull)
+            .as("dims_null"))
         .orderBy(col("doc_id"))
     },
-    Some("""SELECT doc_id, strlen(text) AS n_bytes, TRUE AS dims_in_range
+    Some("""SELECT doc_id, strlen(text) AS n_bytes, TRUE AS dims_null
       FROM documents ORDER BY doc_id"""))
 
   /** REAL image decode round-trip, oracle-checked: per-doc PNG bytes
@@ -4578,6 +4594,88 @@ object Catalog {
         CAST(1 AS INTEGER) AS channels,
         CAST(100 + doc_id % 200 AS INTEGER) AS duration_ms
       FROM documents ORDER BY doc_id"""))
+
+  /** REAL video metadata decode, oracle-checked: per-doc MP4 (even
+    * ids) or WebM (odd ids) containers synthesized in-flight with
+    * spec-layout writers ([[graft.llm.VideoMeta.buildMp4]]/
+    * [[graft.llm.VideoMeta.buildWebm]]), pushed through the actual
+    * box/EBML walk. The oracle predicts the width, height, duration,
+    * and codec id the parser must recover from the container
+    * structures — covering both families, 16.16 fixed-point dims,
+    * mvhd timescale arithmetic, and EBML float duration. Durations
+    * stay < 2^24 so the WebM float round-trip is exact.
+    */
+  val multimodalVideo = RegisteredQuery(
+    "multimodal_video",
+    (s, d) => {
+      import graft.llm.{Multimodal, VideoMeta}
+      val vidFor = udf((id: Long) => {
+        val w = 16 * (20 + (id % 60).toInt)
+        val h = 16 * (12 + (id % 34).toInt)
+        val dur = 1000L + id % 9000
+        if (id % 2 == 0) VideoMeta.buildMp4(w, h, dur, codec = "avc1")
+        else VideoMeta.buildWebm(w, h, dur, codec = "V_VP9")
+      })
+      val media = Tables.documents(s, d).select(
+        col("doc_id"),
+        Multimodal.asMedia(vidFor(col("doc_id")), "video/mp4").as("media"))
+      Multimodal.withDecodedMeta(media, "media")
+        .withColumn("v", Multimodal.decodeVideo(col("media.content")))
+        .select(col("doc_id"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("decoded.duration_ms").as("duration_ms"),
+          col("v._4").as("codec"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CAST(16 * (20 + doc_id % 60) AS INTEGER) AS width,
+        CAST(16 * (12 + doc_id % 34) AS INTEGER) AS height,
+        CAST(1000 + doc_id % 9000 AS INTEGER) AS duration_ms,
+        CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'V_VP9' END AS codec
+      FROM documents ORDER BY doc_id"""))
+
+  /** REAL frame-sample extraction, oracle-checked: per-doc MP4s carry
+    * 6 + id%7 coded samples of 24 + (id+k)%16 bytes each; the demux
+    * ([[graft.llm.Multimodal.frameSampleMp4]]) must resolve the
+    * stsz/stsc/stco tables and cut up to 4 evenly-spaced samples back
+    * out. The oracle replays the even-spacing pick (`n*i//k` integer
+    * floor) and the per-sample sizes — so the count AND the exact
+    * total byte mass of extracted frames hash-match. A wrong offset
+    * or a misread table cannot pass (`total_bytes` would shift).
+    */
+  val multimodalFrames = RegisteredQuery(
+    "multimodal_frames",
+    (s, d) => {
+      import graft.llm.{Multimodal, VideoMeta}
+      val vidFor = udf((id: Long) => {
+        val n = 6 + (id % 7).toInt
+        val samples = (0 until n).map(k =>
+          Array.fill[Byte](24 + ((id + k) % 16).toInt)(
+            ((id + 7 * k) % 127).toByte))
+        VideoMeta.buildMp4(320, 240, 1000L, samples = samples)
+      })
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(Multimodal.frameSampleMp4(4)(vidFor(col("doc_id"))))
+            .as("frame"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_frames"),
+          sum(length(col("frame._2"))).cast("long").as("total_bytes"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, 6 + doc_id % 7 AS n,
+          least(4, 6 + doc_id % 7) AS k
+        FROM documents),
+      sel AS (
+        SELECT doc_id, (n * i) // k AS s
+        FROM p, unnest(range(0, CAST(k AS BIGINT))) AS t(i)),
+      sz AS (
+        SELECT doc_id, 24 + (doc_id + s) % 16 AS bytes FROM sel)
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_frames,
+        CAST(sum(bytes) AS BIGINT) AS total_bytes
+      FROM sz GROUP BY doc_id ORDER BY doc_id"""))
 
   /** REAL image resize round-trip, oracle-checked: per-doc PNGs pushed
     * through decode → bilinear rescale → PNG re-encode
@@ -5531,7 +5629,7 @@ object Catalog {
     simTopkPq, simTopkIvfPq,
     mixtureSample, mixtureSampleApproxQ,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
-    multimodalResize, multimodalAudio)
+    multimodalResize, multimodalAudio, multimodalVideo, multimodalFrames)
 
   def byName(name: String): RegisteredQuery =
     all.find(_.name == name).getOrElse(

@@ -45,8 +45,12 @@ class MemorySinkProvider extends TableProvider {
 /** Committed tables, keyed by the `table` option. */
 object MemorySinkRegistry {
   private val tables = new ConcurrentHashMap[String, Seq[Row]]()
-  private[synth] def publish(name: String, rows: Seq[Row]): Unit =
-    tables.put(name, rows): Unit
+  /** Atomic publish: append merges onto previously committed rows
+    * (mode("append") contract), replace drops them (truncate/overwrite). */
+  private[synth] def publish(name: String, rows: Seq[Row],
+      replace: Boolean): Unit =
+    if (replace) tables.put(name, rows): Unit
+    else tables.merge(name, rows, (a, b) => a ++ b): Unit
   def rows(name: String): Seq[Row] =
     Option(tables.get(name)).getOrElse(Seq.empty)
   def clear(name: String): Unit = tables.remove(name): Unit
@@ -59,11 +63,15 @@ final class MemorySinkTable(name: String, schema0: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
+  // SupportsTruncate backs mode("overwrite"): the analyzer's TRUNCATE
+  // capability claim is honored here, not left to fail at runtime
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new MemoryBatchWrite(name, info.schema())
+          new MemoryBatchWrite(name, info.schema(), replace)
       }
     }
 }
@@ -73,8 +81,8 @@ final class MemorySinkTable(name: String, schema0: StructType)
 final case class MemRows(partitionId: Int, rows: Seq[Row])
   extends WriterCommitMessage
 
-final class MemoryBatchWrite(name: String, schema: StructType)
-    extends BatchWrite {
+final class MemoryBatchWrite(name: String, schema: StructType,
+    replace: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(schema)
@@ -84,7 +92,7 @@ final class MemoryBatchWrite(name: String, schema: StructType)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     MemorySinkRegistry.publish(name,
       messages.map(_.asInstanceOf[MemRows]).sortBy(_.partitionId)
-        .flatMap(_.rows).toSeq)
+        .flatMap(_.rows).toSeq, replace)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 

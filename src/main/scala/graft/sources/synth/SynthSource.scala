@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -78,7 +78,6 @@ final class SynthScanBuilder(rows: Long, slices: Int,
     with SupportsPushDownRequiredColumns {
   private var lo = 0L
   private var hi = rows
-  private var kept: Array[Filter] = Array.empty
   private var required: StructType = SynthTable.Schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -92,12 +91,6 @@ final class SynthScanBuilder(rows: Long, slices: Int,
         lo = math.max(lo, v); hi = math.min(hi, v + 1)
       case IsNotNull("id") => // non-nullable: vacuous, absorb it
       case other => rest += other
-    }
-    kept = filters.filterNot {
-      case GreaterThanOrEqual("id", _: Long) | GreaterThan("id", _: Long) |
-           LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
-           EqualTo("id", _: Long) | IsNotNull("id") => false
-      case _ => true
     }
     // everything not absorbed must be re-checked by Spark
     rest.toArray
@@ -162,8 +155,15 @@ final class SynthMicroBatchStream(lo: Long, hi: Long, slices: Int,
       "latestOffset(start, limit) is used (SupportsAdmissionControl)")
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SynthOffset].next
-    val cap = if (maxRowsPerBatch > 0) s + maxRowsPerBatch else availableNowEnd
-    SynthOffset(math.min(availableNowEnd, math.max(s, cap)))
+    // honor the HARNESS-supplied limit (it is usually the default one,
+    // but Trigger.AvailableNow and composite limits substitute others):
+    // a max-rows term caps the batch end; anything else reads all
+    def capOf(l: ReadLimit): Long = l match {
+      case mr: ReadMaxRows => s + mr.maxRows()
+      case c: CompositeReadLimit => c.getReadLimits.map(capOf).min
+      case _ => availableNowEnd
+    }
+    SynthOffset(math.min(availableNowEnd, math.max(s, capOf(limit))))
   }
   override def getDefaultReadLimit: ReadLimit =
     if (maxRowsPerBatch > 0) ReadLimit.maxRows(maxRowsPerBatch)

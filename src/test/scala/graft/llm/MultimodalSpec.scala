@@ -48,7 +48,7 @@ class MultimodalSpec extends SparkSpec {
         (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2))))).toMap
     assert(out(1L) == Some((123, 77)), s"real PNG dims wrong: $out")
     assert(out(2L).isEmpty, "undecodable image bytes must yield null dims")
-    assert(out(3L).isDefined, "video mime must take the stub path")
+    assert(out(3L).isEmpty, "non-container video bytes must yield null dims")
   }
 
   test("real image resize scales long edge to maxDim and re-encodes") {
@@ -67,17 +67,21 @@ class MultimodalSpec extends SparkSpec {
     assert(small.getInt(0) == 30 && small.getInt(1) == 20)
   }
 
-  test("stub decode is deterministic and null-safe") {
-    val df = Seq((1L, "abc"), (2L, "abc"), (3L, null))
+  test("real video decode reads MP4 and WebM container metadata") {
+    val mp4 = VideoMeta.buildMp4(640, 360, 2500L, codec = "avc1")
+    val webm = VideoMeta.buildWebm(1280, 720, 4000L, codec = "V_VP9")
+    val df = Seq((1L, mp4), (2L, webm), (3L, null))
       .toDF("id", "payload")
-      .select(col("id"), Multimodal.asMedia(col("payload"), "video/fake").as("m"))
+      .select(col("id"), Multimodal.asMedia(col("payload"), "video/mp4").as("m"))
     val out = Multimodal.withDecodedMeta(df, "m")
-      .select(col("id"), col("decoded.width"), col("decoded.height"))
+      .select(col("id"), col("decoded.width"), col("decoded.height"),
+        col("decoded.duration_ms"))
       .collect()
     val byId = out.map(r => r.getLong(0) ->
-      (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2))))).toMap
-    assert(byId(1L).isDefined && byId(1L) == byId(2L)) // deterministic
-    assert(byId(1L).exists { case (w, h) => w >= 64 && h >= 64 })
+      (if (r.isNullAt(1)) None
+       else Some((r.getInt(1), r.getInt(2), r.getInt(3))))).toMap
+    assert(byId(1L) == Some((640, 360, 2500)), s"mp4: $byId")
+    assert(byId(2L) == Some((1280, 720, 4000)), s"webm: $byId")
     assert(byId(3L).isEmpty) // null content -> null dims
   }
 
@@ -92,33 +96,32 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head.getLong(0) == 1L) // self-similarity wins
   }
 
-  test("resize stub scales dims down to maxDim, preserves aspect-ish") {
-    val df = Seq((1L, "image payload bytes here", 2000, 1000))
-      .toDF("id", "payload", "w", "h")
-      .select(col("id"),
-        Multimodal.resizeStub(512)(col("payload").cast("binary"),
-          col("w"), col("h")).as("r"))
-    val r = df.select(col("r._1"), col("r._2")).collect().head
-    assert(r.getInt(0) == 512 && r.getInt(1) == 256)
-    // upscale never happens
-    val small = Seq((1L, "x", 100, 50)).toDF("id", "payload", "w", "h")
-      .select(Multimodal.resizeStub(512)(col("payload").cast("binary"),
-        col("w"), col("h")).as("r"))
-      .select(col("r._1")).collect().head
-    assert(small.getInt(0) == 100)
-  }
-
-  test("frame sampling explodes one row per sampled frame") {
-    val df = Seq((1L, "0123456789" * 100)).toDF("id", "payload")
+  test("frame sampling extracts real sample bytes from MP4 tables") {
+    // 12 distinct coded samples; the demux must cut exactly these byte
+    // ranges back out of the container
+    val samples = (0 until 12).map(i =>
+      Array.fill[Byte](32 + i)((0x40 + i).toByte))
+    val mp4 = VideoMeta.buildMp4(320, 240, 1200L, samples = samples)
+    val df = Seq((1L, mp4)).toDF("id", "payload")
       .select(col("id"),
         org.apache.spark.sql.functions.explode(
-          Multimodal.frameSampleStub(4)(col("payload").cast("binary")))
+          Multimodal.frameSampleMp4(4)(col("payload")))
           .as("frame"))
       .select(col("id"), col("frame._1").as("idx"), col("frame._2").as("bytes"))
     val rows = df.collect()
     assert(rows.length == 4)
-    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
-    assert(rows.forall(r => r.getAs[Array[Byte]](2).nonEmpty))
+    val idxs = rows.map(_.getInt(1)).toSeq
+    assert(idxs == Seq(0, 3, 6, 9), s"evenly spaced, got $idxs")
+    rows.foreach { r =>
+      val i = r.getInt(1)
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](2), samples(i)),
+        s"sample $i bytes must match what the container carried")
+    }
+    // non-container bytes -> no frames, not a crash
+    val empty = Seq((1L, "not a video".getBytes("UTF-8"))).toDF("id", "p")
+      .select(Multimodal.frameSampleMp4(4)(col("p")).as("f"))
+      .collect().head.getSeq[Any](0)
+    assert(empty.isEmpty)
   }
 
   test("real WAV bytes round-trip through the javax.sound parser") {

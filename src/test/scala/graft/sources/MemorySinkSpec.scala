@@ -20,6 +20,21 @@ class MemorySinkSpec extends SparkSpec {
     assert(got.find(_.getLong(0) == 7L).get.getString(1) == "v7")
   }
 
+  test("append accumulates; overwrite truncates") {
+    MemorySinkRegistry.clear("ms_modes")
+    def write(range: Range, mode: String): Unit =
+      range.map(i => (i.toLong, s"v$i")).toDF("id", "s")
+        .write.format("graft.sources.synth.MemorySinkProvider")
+        .option("table", "ms_modes").mode(mode).save()
+    write(1 to 10, "append")
+    write(11 to 15, "append")
+    assert(MemorySinkRegistry.rows("ms_modes").map(_.getLong(0)).toSet ==
+      (1L to 15L).toSet)
+    write(21 to 23, "overwrite")
+    assert(MemorySinkRegistry.rows("ms_modes").map(_.getLong(0)).toSet ==
+      (21L to 23L).toSet)
+  }
+
   test("a failed job publishes nothing (abort path)") {
     MemorySinkRegistry.clear("ms_abort")
     val boom = udf((i: Long) =>

@@ -63,4 +63,19 @@ class SynthSourceSpec extends SparkSpec {
     val df = read(1000).filter(col("id") >= 900 && col("id") < 900)
     assert(df.count() == 0)
   }
+
+  test("latestOffset honors the harness-supplied ReadLimit") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.synth.{SynthMicroBatchStream, SynthOffset}
+    import org.apache.spark.sql.types.StructType
+    // constructor option says 1000/batch, but the harness passes its
+    // own tighter/looser limits — the passed limit must win
+    val s = new SynthMicroBatchStream(0L, 10000L, 4, new StructType(), 1000L)
+    def end(l: ReadLimit): Long =
+      s.latestOffset(SynthOffset(0L), l).asInstanceOf[SynthOffset].next
+    assert(end(ReadLimit.maxRows(300L)) == 300L)
+    assert(end(ReadLimit.allAvailable()) == 10000L)
+    assert(end(ReadLimit.compositeLimit(
+      Array(ReadLimit.maxRows(700L), ReadLimit.allAvailable()))) == 700L)
+  }
 }
