@@ -82,4 +82,21 @@ class PlanLintSpec extends SparkSpec {
     assert(!np.contains("etype") && !np.contains("props"), np)
   }
 
+  test("join_lateral decorrelates to WindowGroupLimit, no per-row subquery") {
+    // The LATERAL ORDER BY/LIMIT-2 subquery must compile to a rank-
+    // over-o_custkey WindowGroupLimit (with a map-side partial pass
+    // before the exchange) joined once to customer — NOT a nested-loop
+    // or per-customer subquery execution, which would be a scale-killer
+    // at 100 TB (one orders sort per customer row).
+    val plan = Catalog.byName("join_lateral").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("WindowGroupLimit").length - 1 >= 2,
+      s"expected partial+final WindowGroupLimit: $plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // exactly one exchange keyed by the correlation key on the orders
+    // side (the decorrelated window partitioning)
+    assert(plan.split("hashpartitioning\\(o_custkey").length - 1 == 1, plan)
+  }
+
 }
