@@ -727,6 +727,106 @@ object Catalog {
       FROM orders WHERE o_totalprice > 50000
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** DYNAMIC partition overwrite on a file sink: the second write
+    * carries only 'F'-partition rows, so with
+    * `partitionOverwriteMode=dynamic` exactly that partition is
+    * replaced and the 'O'/'P' partitions SURVIVE — the nightly-rebuild
+    * semantics a partitioned lake table needs (static mode would wipe
+    * every partition). The read-back aggregate proves both halves:
+    * untouched partitions intact, rewritten partition reduced to its
+    * high-value subset. At 100 TB this is the difference between
+    * rewriting one day and rewriting the table.
+    */
+  val sinkPartitionOverwrite = RegisteredQuery(
+    "sink_partition_overwrite",
+    (s, d) => {
+      val tmp = s"/tmp/graft_dpo_${math.abs(d.hashCode)}"
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(tmp)
+      orders
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_totalprice") > 100000.0)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+        round(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      WHERE o_orderstatus <> 'F' OR o_totalprice > 100000
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** SQL-text INSERT OVERWRITE with a STATIC partition spec on a
+    * partitioned managed table: `PARTITION (o_orderstatus = 'O')`
+    * must replace exactly the named partition (the other partitions'
+    * files are never touched), the SQL-DDL face of the dynamic-mode
+    * sink above. INSERT INTO seeds all partitions first, so the final
+    * state proves targeted replacement, not append.
+    */
+  val sinkInsertOverwrite = RegisteredQuery(
+    "sink_insert_overwrite",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      val tbl = s"graft_iow_${math.abs(d.hashCode)}"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true): Unit
+      s.sql(s"""CREATE TABLE $tbl
+        (o_orderkey BIGINT, o_totalprice DOUBLE)
+        USING parquet PARTITIONED BY (o_orderstatus STRING)""")
+      s.sql(s"""INSERT INTO $tbl
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders""")
+      s.sql(s"""INSERT OVERWRITE TABLE $tbl
+        PARTITION (o_orderstatus = 'O')
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'O' AND o_totalprice <= 50000""")
+      s.table(tbl)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+        round(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      WHERE o_orderstatus <> 'O' OR o_totalprice <= 50000
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Catalog introspection as a checked query: DESCRIBE TABLE over two
+    * registered views, unioned with a table label — the schema the
+    * catalog serves readers must be exactly the parquet schema
+    * (names AND Spark type strings), which the oracle pins as
+    * literals. (SHOW TABLES is deliberately not hashed: the pooled
+    * verify registers other queries' temp views concurrently, so its
+    * row set is nondeterministic by design.)
+    */
+  val catalogIntrospect = RegisteredQuery(
+    "catalog_introspect",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      def describe(t: String) =
+        s.sql(s"DESCRIBE TABLE $t")
+          .select(lit(t).as("tbl"), col("col_name"), col("data_type"))
+      describe("nation").union(describe("region"))
+        .orderBy(col("tbl"), col("col_name"))
+    },
+    Some("""SELECT * FROM (VALUES
+        ('nation', 'n_name', 'string'),
+        ('nation', 'n_nationkey', 'int'),
+        ('nation', 'n_regionkey', 'int'),
+        ('region', 'r_name', 'string'),
+        ('region', 'r_regionkey', 'int'))
+      AS t(tbl, col_name, data_type) ORDER BY tbl, col_name"""))
+
   /** Custom DataSourceV2 connector end-to-end
     * ([[graft.sources.synth.SynthDocsProvider]]): a deterministic
     * synthetic table read through the full v2 path — id-range filter
@@ -5598,7 +5698,8 @@ object Catalog {
     unpivotMelt, sampleStratified,
     mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourceOrcRoundtrip,
-    sourceTextRoundtrip, catalogManagedTable, sourceCustomV2, sinkCustomV2,
+    sourceTextRoundtrip, catalogManagedTable, sinkPartitionOverwrite,
+    sinkInsertOverwrite, catalogIntrospect, sourceCustomV2, sinkCustomV2,
     sourceCustomStream,
     schemaEvolution,
     joinShuffleHash, nestedPruning,
