@@ -895,6 +895,61 @@ object Catalog {
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM t GROUP BY grp ORDER BY grp"""))
 
+  /** Custom DataSourceV2 STREAMING WRITE path end-to-end — the fourth
+    * DSv2 quadrant (batch read / batch write / stream read / stream
+    * write): the synth MicroBatchStream paces 4 micro-batches through
+    * a Complete-mode aggregation into the custom
+    * [[graft.sources.synth.MemorySinkProvider]] StreamingWrite — each
+    * epoch a full two-phase commit (buffered per-task writers →
+    * per-epoch atomic publish with monotone-epoch replay protection).
+    * The registry's final state after AvailableNow must equal the
+    * closed-form batch aggregate: custom-source streaming through a
+    * custom sink ≡ batch. Epoch-replay idempotence is pinned by
+    * MemorySinkSpec.
+    */
+  val sinkCustomStream = RegisteredQuery(
+    "sink_custom_stream",
+    (s, d) => {
+      import org.apache.spark.sql.types.{StructType, StructField, IntegerType, LongType, DoubleType}
+      import graft.sources.synth.MemorySinkRegistry
+      val tbl = s"stream_sink_${math.abs(d.hashCode)}"
+      MemorySinkRegistry.clear(tbl)
+      val ckpt = s"/tmp/graft_ssink_${math.abs(d.hashCode)}_${System.nanoTime()}"
+      val st = s.readStream
+        .format("graft.sources.synth.SynthDocsProvider")
+        .option("rows", "20000").option("slices", "8")
+        .option("maxRowsPerBatch", "6000") // 4 epochs through the sink
+        .load()
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+      val q = st.writeStream
+        .format("graft.sources.synth.MemorySinkProvider")
+        .option("table", tbl)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .queryName(tbl)
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val schema = StructType(Seq(
+        StructField("grp", IntegerType),
+        StructField("n_rows", LongType),
+        StructField("sum_value", DoubleType)))
+      s.createDataFrame(
+          s.sparkContext.parallelize(MemorySinkRegistry.rows(tbl), 1),
+          schema)
+        .orderBy(col("grp"))
+    },
+    Some("""WITH t AS (
+        SELECT CAST(i % 25 AS INTEGER) AS grp,
+          (i * 2654435761 % 100000) / CAST(100 AS DOUBLE) AS value
+        FROM (SELECT unnest(generate_series(0, 19999)) AS i) s)
+      SELECT grp, count(*) AS n_rows,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM t GROUP BY grp ORDER BY grp"""))
+
   /** Custom DataSourceV2 WRITE path end-to-end
     * ([[graft.sources.synth.MemorySinkProvider]]): an aggregate written
     * through the full two-phase commit protocol (per-task DataWriters →
@@ -5700,7 +5755,7 @@ object Catalog {
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourceOrcRoundtrip,
     sourceTextRoundtrip, catalogManagedTable, sinkPartitionOverwrite,
     sinkInsertOverwrite, catalogIntrospect, sourceCustomV2, sinkCustomV2,
-    sourceCustomStream,
+    sourceCustomStream, sinkCustomStream,
     schemaEvolution,
     joinShuffleHash, nestedPruning,
     windowRankStats, aggHistogram, timeseriesGapfill, timeseriesInterp,

@@ -45,15 +45,36 @@ class MemorySinkProvider extends TableProvider {
 /** Committed tables, keyed by the `table` option. */
 object MemorySinkRegistry {
   private val tables = new ConcurrentHashMap[String, Seq[Row]]()
+  // boxed Long on purpose: with scala.Long values the compute lambda
+  // unboxes an absent key's null to 0, making a legitimate epoch 0
+  // look like a replay of itself
+  private val epochs = new ConcurrentHashMap[String, java.lang.Long]()
   /** Atomic publish: append merges onto previously committed rows
     * (mode("append") contract), replace drops them (truncate/overwrite). */
   private[synth] def publish(name: String, rows: Seq[Row],
       replace: Boolean): Unit =
     if (replace) tables.put(name, rows): Unit
     else tables.merge(name, rows, (a, b) => a ++ b): Unit
+  /** Streaming epoch commit with EXACTLY-ONCE semantics: a restarted
+    * query re-runs its last uncommitted epoch, and the engine may
+    * re-deliver an epoch the sink already committed — those replays
+    * must be no-ops or an at-least-once source becomes
+    * duplicate-writing. Monotone epoch tracking per table gives the
+    * sink side of end-to-end exactly-once (the contract real sinks
+    * implement transactionally).
+    */
+  private[synth] def publishEpoch(name: String, epochId: Long,
+      rows: Seq[Row], replace: Boolean): Unit =
+    epochs.compute(name, (_, last) =>
+      if (last != null && epochId <= last.longValue()) last
+      else { publish(name, rows, replace); java.lang.Long.valueOf(epochId) }
+    ): Unit
   def rows(name: String): Seq[Row] =
     Option(tables.get(name)).getOrElse(Seq.empty)
-  def clear(name: String): Unit = tables.remove(name): Unit
+  def clear(name: String): Unit = {
+    tables.remove(name): Unit
+    epochs.remove(name): Unit
+  }
 }
 
 final class MemorySinkTable(name: String, schema0: StructType)
@@ -62,9 +83,11 @@ final class MemorySinkTable(name: String, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
-  // SupportsTruncate backs mode("overwrite"): the analyzer's TRUNCATE
-  // capability claim is honored here, not left to fail at runtime
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+  // SupportsTruncate backs mode("overwrite") for batch AND Complete
+  // output mode for streaming (the engine calls truncate() per the
+  // mode): the analyzer's TRUNCATE capability claim is honored here,
+  // not left to fail at runtime
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replace = false
@@ -72,6 +95,8 @@ final class MemorySinkTable(name: String, schema0: StructType)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new MemoryBatchWrite(name, info.schema(), replace)
+        override def toStreaming: streaming.StreamingWrite =
+          new MemoryStreamingWrite(name, info.schema(), replace)
       }
     }
 }
@@ -96,7 +121,28 @@ final class MemoryBatchWrite(name: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final class MemWriterFactory(schema: StructType) extends DataWriterFactory {
+/** Streaming face: the same buffered-partition writers, committed per
+  * EPOCH through [[MemorySinkRegistry.publishEpoch]] so replayed epochs
+  * (restart recovery, at-least-once delivery) are no-ops — the sink
+  * half of end-to-end exactly-once. Complete output mode arrives as
+  * `truncate()` on the WriteBuilder ⇒ replace per epoch; Append merges.
+  */
+final class MemoryStreamingWrite(name: String, schema: StructType,
+    replace: Boolean) extends streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new MemWriterFactory(schema)
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    MemorySinkRegistry.publishEpoch(name, epochId,
+      messages.map(_.asInstanceOf[MemRows]).sortBy(_.partitionId)
+        .flatMap(_.rows).toSeq, replace)
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class MemWriterFactory(schema: StructType) extends DataWriterFactory
+    with streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -112,4 +158,8 @@ final class MemWriterFactory(schema: StructType) extends DataWriterFactory {
       override def abort(): Unit = buf.clear()
       override def close(): Unit = ()
     }
+  // streaming face: same buffering writer, epoch routed by the commit
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
 }

@@ -35,6 +35,29 @@ class MemorySinkSpec extends SparkSpec {
       (21L to 23L).toSet)
   }
 
+  test("streaming epoch replay is idempotent; later epochs land") {
+    import graft.sources.synth.{MemoryStreamingWrite, MemRows}
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    import org.apache.spark.sql.Row
+    MemorySinkRegistry.clear("ms_epochs")
+    val w = new MemoryStreamingWrite("ms_epochs",
+      org.apache.spark.sql.types.StructType(Seq()), replace = false)
+    def msg(v: Long): Array[WriterCommitMessage] =
+      Array(MemRows(0, Seq(Row(v))))
+    w.commit(0L, msg(1L))
+    w.commit(0L, msg(1L)) // replayed epoch: must be a no-op
+    w.commit(1L, msg(2L))
+    w.commit(0L, msg(9L)) // stale replay after progress: no-op too
+    val got = MemorySinkRegistry.rows("ms_epochs").map(_.getLong(0))
+    assert(got == Seq(1L, 2L), s"append mode: one row per real epoch, got $got")
+    // complete-mode (replace) epochs supersede
+    MemorySinkRegistry.clear("ms_epochs2")
+    val wc = new MemoryStreamingWrite("ms_epochs2",
+      org.apache.spark.sql.types.StructType(Seq()), replace = true)
+    wc.commit(0L, msg(1L)); wc.commit(1L, msg(5L)); wc.commit(1L, msg(7L))
+    assert(MemorySinkRegistry.rows("ms_epochs2").map(_.getLong(0)) == Seq(5L))
+  }
+
   test("a failed job publishes nothing (abort path)") {
     MemorySinkRegistry.clear("ms_abort")
     val boom = udf((i: Long) =>
