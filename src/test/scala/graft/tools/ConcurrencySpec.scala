@@ -27,7 +27,10 @@ class ConcurrencySpec extends SparkSpec {
     // component cache (split_leakfree + dedup_components race on one
     // computeIfAbsent build), and the driver-side PageRank loop
     "sql_variables", "split_leakfree", "dedup_components",
-    "graph_pagerank", "dedup_lines")
+    "graph_pagerank", "dedup_lines",
+    // round-7: graph_degrees + graph_pagerank race on the memoized
+    // purchase-graph build (one computeIfAbsent localCheckpoint)
+    "graph_degrees")
 
   private def run(name: String): Seq[String] =
     Catalog.byName(name).run(spark, sfDir)
@@ -43,6 +46,18 @@ class ConcurrencySpec extends SparkSpec {
         assert(parallel(n) == serial(n),
           s"$n diverged under concurrency")
       }
+    }
+  }
+
+  test("resetSharedArtifacts forces a rebuild that matches the cached run") {
+    // the bench's re-time pass depends on this: dropping every memoized
+    // artifact must change COST only, never results
+    val memoized = Seq("graph_pagerank", "graph_degrees",
+      "split_leakfree", "sim_topk_ivf", "sim_topk_pq")
+    val before = memoized.map(n => n -> run(n)).toMap
+    Catalog.resetSharedArtifacts()
+    memoized.foreach { n =>
+      assert(run(n) == before(n), s"$n diverged after artifact reset")
     }
   }
 }
