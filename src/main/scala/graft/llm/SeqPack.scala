@@ -1,0 +1,75 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the step that turns a cleaned document corpus
+  * into fixed-length training examples: concatenate documents in a
+  * deterministic order and cut the global token stream every
+  * `chunkLen` tokens (documents span chunk boundaries; no padding
+  * waste). The hard part at scale is the GLOBAL PREFIX SUM of token
+  * counts: a bare `Window.orderBy(id)` with no partition key plans a
+  * single-partition window — one task scans the whole corpus. This
+  * module runs the classic two-phase distributed scan instead:
+  * per-bucket local cumulative sums in parallel, plus a
+  * one-row-per-bucket offset frame cumulated alone and broadcast
+  * back. Nothing global ever exceeds #buckets rows.
+  */
+object SeqPack {
+
+  /** Adds `start` = exclusive global prefix sum of `nCol` in `idCol`
+    * order. `bucketCol` must be a deterministic, order-aligned
+    * coarsening of `idCol` (b1 < b2 ⇒ every id in b1 sorts before
+    * every id in b2) — e.g. `id div 1000` for dense ids, or a
+    * range-partition id. The per-bucket window runs fully parallel;
+    * only the #buckets-row offset frame is cumulated on one task,
+    * which is bounded by construction (buckets ~ corpus/10⁶ rows).
+    */
+  def withStartOffsets(df: DataFrame, idCol: String, nCol: String,
+      bucketCol: Column): DataFrame = {
+    val b = df.withColumn("_bucket", bucketCol)
+    val local = b.withColumn("_local_start",
+      coalesce(sum(col(nCol)).over(
+        Window.partitionBy(col("_bucket")).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = b.groupBy(col("_bucket"))
+      .agg(sum(col(nCol)).as("_total"))
+      .withColumn("_bucket_offset",
+        coalesce(sum(col("_total")).over(
+          Window.orderBy(col("_bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bucket"), col("_bucket_offset"))
+    local.join(broadcast(offsets), Seq("_bucket"))
+      .withColumn("start",
+        (col("_local_start") + col("_bucket_offset")).cast("long"))
+      .drop("_bucket", "_local_start")
+  }
+
+  /** Per-chunk packing report: each document lands in chunks
+    * `start div L .. (start+n-1) div L`, contributing the overlap of
+    * its token interval with the chunk's. Returns (chunk, n_docs,
+    * n_tokens) — every chunk except the last carries exactly
+    * `chunkLen` tokens, the invariant a packed training set must
+    * satisfy. Zero-token rows are dropped (they occupy no stream
+    * positions). Pure integer arithmetic end to end, so an external
+    * oracle replays it exactly.
+    */
+  def packChunks(df: DataFrame, idCol: String, nCol: String,
+      bucketCol: Column, chunkLen: Long): DataFrame = {
+    require(chunkLen > 0, s"chunkLen must be > 0, got $chunkLen")
+    val L = lit(chunkLen)
+    withStartOffsets(df, idCol, nCol, bucketCol)
+      .filter(col(nCol) > 0)
+      .withColumn("_end", col("start") + col(nCol))
+      .withColumn("chunk", explode(sequence(
+        floor(col("start") / L).cast("long"),
+        floor((col("_end") - 1) / L).cast("long"))))
+      .withColumn("_contrib",
+        least(col("_end"), (col("chunk") + 1) * L) -
+          greatest(col("start"), col("chunk") * L))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("_contrib")).cast("long").as("n_tokens"))
+  }
+}

@@ -3844,6 +3844,47 @@ object Catalog {
           .distinct()
           .localCheckpoint(true))
 
+  /** Sequence packing ([[graft.llm.SeqPack]]): concat-and-chunk the
+    * corpus token stream into fixed 2048-token training chunks,
+    * documents spanning boundaries. The global prefix sum runs as the
+    * two-phase distributed scan (per-bucket local cumsum + broadcast
+    * bucket offsets — never a single-partition window); the oracle
+    * replays the identical integer arithmetic over a plain window
+    * cumsum, so every chunk's doc count and token mass hash-match.
+    * Tokenization is the same portable form `token_count` certifies.
+    */
+  val seqPack = RegisteredQuery(
+    "seq_pack",
+    (s, d) => {
+      import graft.llm.{SeqPack, TextAnalysis}
+      val counted = Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      SeqPack.packChunks(counted, "doc_id", "n",
+          (col("doc_id") / 500).cast("long"), chunkLen = 2048L)
+        .orderBy(col("chunk"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ')) AS BIGINT) AS n
+        FROM documents),
+      s AS (
+        SELECT doc_id, n,
+          CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start
+        FROM t WHERE n > 0),
+      x AS (
+        SELECT doc_id, n, start,
+          unnest(generate_series(start // 2048, (start + n - 1) // 2048))
+            AS chunk
+        FROM s)
+      SELECT chunk, CAST(count(*) AS INTEGER) AS n_docs,
+        CAST(sum(least(start + n, (chunk + 1) * 2048)
+          - greatest(start, chunk * 2048)) AS BIGINT) AS n_tokens
+      FROM x GROUP BY chunk ORDER BY chunk"""))
+
   val graphPagerank = RegisteredQuery(
     "graph_pagerank",
     (s, d) => {
@@ -5777,7 +5818,7 @@ object Catalog {
     vocabTopk, docTopTerms, docBm25, piiRedact,
     decontaminate,
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
-    dedupComponents, graphPagerank, graphDegrees, aggCountmin,
+    dedupComponents, seqPack, graphPagerank, graphDegrees, aggCountmin,
     splitLeakfree, dedupLines, bpePairCounts, sourceMixReport, docLmPpl,
     docNgrams,
     dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,

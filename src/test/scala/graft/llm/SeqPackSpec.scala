@@ -1,0 +1,37 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SeqPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed packing: docs span chunk boundaries exactly") {
+    // counts [3,4,2], L=4 → starts [0,3,7]; stream positions:
+    // doc1: 0-2, doc2: 3-6, doc3: 7-8
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 2L)).toDF("id", "n")
+    val got = SeqPack.packChunks(df, "id", "n", col("id"), 4L)
+      .orderBy(col("chunk"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 2, 4L), (1L, 2, 4L), (2L, 1, 1L)))
+  }
+
+  test("bucket granularity never changes the result; invariants hold") {
+    val docs = (1L to 500L).map(i => (i, 1L + (i * 7) % 50)).toDF("id", "n")
+    val single = SeqPack.packChunks(docs, "id", "n", lit(0L), 128L)
+      .orderBy(col("chunk")).collect().toSeq
+    val bucketed = SeqPack.packChunks(docs, "id", "n",
+        (col("id") / 37).cast("long"), 128L)
+      .orderBy(col("chunk")).collect().toSeq
+    assert(single == bucketed, "prefix sum must not depend on bucketing")
+    val total = docs.agg(sum(col("n"))).collect().head.getLong(0)
+    val chunks = single.map(r => (r.getLong(0), r.getLong(2)))
+    assert(chunks.map(_._2).sum == total, "no token lost or duplicated")
+    chunks.dropRight(1).foreach { case (c, n) =>
+      assert(n == 128L, s"chunk $c must be full, got $n")
+    }
+    assert(chunks.map(_._1) == chunks.indices.map(_.toLong),
+      "chunk ids must be dense from 0")
+  }
+}
