@@ -31,7 +31,7 @@ object Verify {
     "sim_neardup_lsh", "dedup_minhash_sig", "q5_local_supplier",
     "source_csv_roundtrip", "catalog_managed_table",
     "graph_pagerank", "split_leakfree", "dedup_lines", "streaming_enrich",
-    "source_custom_stream")
+    "source_custom_stream", "sink_custom_stream")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

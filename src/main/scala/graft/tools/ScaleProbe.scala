@@ -196,6 +196,18 @@ object ScaleProbe {
       println(f"[probe] docs x$mult decontaminate contaminated=$nCont " +
         f"time=$tCont%.2fs")
 
+      // ---- sequence packing: the global token prefix sum must run as
+      // the two-phase scan (per-bucket windows + a one-row-per-bucket
+      // offset frame) — wall tracks the corpus linearly; a
+      // single-partition global window would flatline one core here
+      val counted = docs.select(col("doc_id"),
+        graft.llm.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      val (nChunks, tPack) = timed(
+        graft.llm.SeqPack.packChunks(counted, "doc_id", "n",
+          (col("doc_id") / 500).cast("long"), 2048L).count())
+      println(f"[probe] docs x$mult seqpack chunks=$nChunks " +
+        f"time=$tPack%.2fs")
+
       docs.unpersist(); emb.unpersist(); cust.unpersist()
     }
     spark.stop()
