@@ -6,9 +6,13 @@ fixture parquet tables, loads the Spark result parquet from
 <outdir>/<name>/, sorts columns by name on both sides, and compares
 row count, schema (column names), and values.
 
-Usage: python3 check_correctness.py <sfdir> <outdir>
+Usage: python3 check_correctness.py <sfdir> <outdir> [only]
+  only: comma-separated query names (or 'name!' to exclude) — lets a
+  big-SF sweep split the quadratic oracles (all-pairs jaccard,
+  recursive-CTE components) from the cheap tail. With --times, each
+  oracle's wall seconds stream to stderr as they finish.
 """
-import json, sys, math
+import json, sys, math, time
 
 import duckdb
 import pandas as pd
@@ -59,19 +63,29 @@ def num_kinds(df):
     return out
 
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, only=None, times=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        names = {n.rstrip("!") for n in only.split(",")}
+        exclude = all(n.endswith("!") for n in only.split(","))
+        oracle = {k: v for k, v in oracle.items()
+                  if (k not in names) == exclude}
     results = {}
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         try:
             odf = con.execute(sql).fetchdf()
         except Exception as e:
             results[name] = {"status": "oracle_error", "err": str(e)[:200]}
             continue
+        finally:
+            if times:
+                print(f"[oracle] {name} {time.time() - t0:.1f}s",
+                      file=sys.stderr, flush=True)
         try:
             sdf = pd.read_parquet(f"{outdir}/{name}")
         except Exception as e:
@@ -114,4 +128,6 @@ def main(sfdir, outdir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    args = [a for a in sys.argv[1:] if a != "--times"]
+    main(args[0], args[1], args[2] if len(args) > 2 else None,
+         times="--times" in sys.argv)
