@@ -114,13 +114,33 @@ object Similarity {
     * shuffle carries only the candidate set (~O(k·L·bucket) rows), not
     * the corpus.
     */
+  /** All signatures within Hamming `r` of `sig` — the multiprobe set.
+    * Size 1 + b + b(b−1)/2 at r=2: a CLOSED bucket list, so the probe
+    * compiles to `(table, sig) IN (…)` — a point lookup against a
+    * sig-partitioned index layout, where a `bit_count(xor) ≤ r` filter
+    * would scan every row. */
+  def probeSignatures(sig: Long, bits: Int, r: Int): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer(sig)
+    if (r >= 1) (0 until bits).foreach(i => out += (sig ^ (1L << i)))
+    if (r >= 2) for (i <- 0 until bits; j <- (i + 1) until bits)
+      out += (sig ^ (1L << i) ^ (1L << j))
+    out.toSeq
+  }
+
+  /** Multi-table multiprobe ANN top-k. Per-table catch probability for
+    * a neighbor at angle θ (p = 1−θ/π per bit) is Σ_{h≤r} C(b,h)·
+    * p^(b−h)·(1−p)^h — at b=5, p≈0.6, r=2 that is ~0.68, so 8 tables
+    * miss with probability ~10⁻⁴ (r=1 left it at ~4%, which a 2000-row
+    * fixture draw actually hit). Candidates stay bounded by
+    * probes·tables·bucketSize regardless of corpus size — recall is
+    * bought with PROBES, not index copies. */
   def topKAnnMultiTable(index: DataFrame, query: Array[Double],
-      dim: Int, bits: Int, tables: Int, k: Int, probeHamming: Int = 1,
+      dim: Int, bits: Int, tables: Int, k: Int, probeHamming: Int = 2,
       seedPrefix: String = "lsh"): DataFrame = {
     val probe = (0 until tables).map { t =>
       val qSig = signatureOf(query, hyperplanes(dim, bits, s"$seedPrefix/t$t"))
-      col("table") === lit(t) &&
-        bit_count(col("sig").bitwiseXOR(lit(qSig))) <= probeHamming
+      val sigs = probeSignatures(qSig, bits, probeHamming)
+      col("table") === lit(t) && col("sig").isin(sigs: _*)
     }.reduce(_ || _)
     val q = typedLit(query.toSeq)
     index.filter(probe)
@@ -178,12 +198,33 @@ object Similarity {
     * whole corpus's vectors L× just to dedup them.
     */
   def similarityJoinMultiTable(index: DataFrame, source: DataFrame,
-      vecCol: String, idCol: String, threshold: Double): DataFrame = {
+      vecCol: String, idCol: String, threshold: Double,
+      bits: Int = 0, probeHamming: Int = 0): DataFrame = {
     // candidates over slim (table, sig, id) rows; vectors join back onto
     // the DEDUPED pair list (same pattern as Dedup.nearDupPairs: payloads
     // must not ride through the explode/bucket join)
     val slim = index.select(col("table"), col("sig"), col("id"))
-    val candidates = slim.select(col("table"), col("sig"), col("id").as("id_a"))
+    // ASYMMETRIC MULTIPROBE (bits > 0, probeHamming > 0): one side
+    // explodes each signature into its Hamming-≤r neighborhood, so the
+    // equi-join catches pairs whose signatures differ in ≤r bits in ANY
+    // table. At b=5 bits, pair-bit-agreement p=2/3 (cosine 0.5), r=2:
+    // per-table catch 0.79 vs 0.13 bucket-exact — 8 tables take the
+    // miss probability from ~33% to ~4·10⁻⁶ per threshold pair. Cost
+    // is ×(1+b+C(b,2)) SLIM 16 B rows on the probe side only — recall
+    // bought with probes, never with index copies or coarser buckets.
+    val probeSide =
+      if (bits <= 0 || probeHamming <= 0) slim
+      else {
+        val flips = scala.collection.mutable.ArrayBuffer[Column](col("sig"))
+        if (probeHamming >= 1) (0 until bits).foreach(i =>
+          flips += col("sig").bitwiseXOR(lit(1L << i)))
+        if (probeHamming >= 2) for (i <- 0 until bits; j <- (i + 1) until bits)
+          flips += col("sig").bitwiseXOR(lit((1L << i) | (1L << j)))
+        slim.select(col("table"), explode(array(flips.toSeq: _*)).as("sig"),
+          col("id"))
+      }
+    val candidates = probeSide
+      .select(col("table"), col("sig"), col("id").as("id_a"))
       .join(slim.select(col("table"), col("sig"), col("id").as("id_b")),
         Seq("table", "sig"))
       .filter(col("id_a") < col("id_b"))

@@ -4650,16 +4650,21 @@ object Catalog {
       ORDER BY id_a, id_b"""))
 
   /** Embedding near-dup pairs at scale: same threshold, candidates
-    * restricted to shared LSH buckets across 8 independent bitsFor-
-    * scaled tables (single-table recall for a cosine-0.5 pair is only
-    * ~(2/3)^bits; the OR over tables lifts it above 80%). No all-pairs
-    * join.
+    * restricted to Hamming-≤2 MULTIPROBE buckets across 8 independent
+    * bitsFor-scaled tables. Bucket-exact joins alone are not enough:
+    * a cosine-0.5 pair agrees per bit with p=2/3, so at 5 bits a
+    * single table catches it with ~0.13 and even 8 tables miss ~33%
+    * of threshold pairs — which the sf0.1 fixture actually exposed.
+    * The asymmetric probe explode (one side emits its 16-signature
+    * Hamming neighborhood) lifts the per-table catch to ~0.79 and the
+    * 8-table miss to ~4·10⁻⁶. No all-pairs join; probe cost is slim
+    * 16 B rows only.
     *
     * Oracle: the exact all-pairs answer (same SQL as
-    * `sim_neardup_exact`) — hash-green proves multi-table recall is
-    * 1.0 on this corpus in addition to score arithmetic parity; a
-    * recall miss would surface as a missing row. General-case recall
-    * bounds are probed in SimilaritySpec.
+    * `sim_neardup_exact`) — hash-green proves multiprobe recall is
+    * 1.0 on this corpus (now at sf0.001/0.01/0.1) in addition to
+    * score arithmetic parity; a recall miss surfaces as a missing
+    * row. General-case recall bounds are probed in SimilaritySpec.
     */
   val simNeardupLsh = RegisteredQuery(
     "sim_neardup_lsh",
@@ -4670,7 +4675,7 @@ object Catalog {
       val index = Similarity.multiTableIndex(
         emb, "embedding", "vec_id", dim = 64, bits = bits, tables = 8)
       Similarity.similarityJoinMultiTable(index, emb, "embedding", "vec_id",
-          threshold = 0.5)
+          threshold = 0.5, bits = bits, probeHamming = 2)
         .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
         .orderBy(col("id_a"), col("id_b"))
     },
