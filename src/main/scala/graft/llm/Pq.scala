@@ -64,11 +64,19 @@ object Pq {
   /** Train PQ codebooks: deterministic seeds (hashed-id order, the
     * [[Similarity.kmeansCentroids]] spread rule) sliced into m
     * subvectors, then `iters` Lloyd rounds. Each round is ONE
-    * distributed job for all m subspaces: rows explode into slim
-    * (subspace, code, pos, x) tuples — total n·dim elements, the same
-    * shuffle volume as one full-dimension k-means round — and only
-    * m·k·sub sums return to the driver. Empty codewords keep their
-    * previous value.
+    * shuffle-free job for all m subspaces: `mapPartitions` folds every
+    * row into dense per-partition (m·k·sub sums, m·k counts) arrays,
+    * merged partition-ordered on the driver
+    * ([[Similarity.densePartialFold]] — bit-deterministic, unlike
+    * arrival-order treeAggregate) — the same map-side-combine shape as
+    * [[Similarity.kmeansCentroids]] (and MLlib's KMeans). The previous
+    * form (encode expr → double
+    * posexplode → groupBy(j, code, pos)) shuffled n·dim slim rows per
+    * round; its per-job fixed cost dominated the cold IVF+PQ build
+    * tail at fixture scale. Per-row assignment mirrors
+    * [[graft.functions.PqEncodeExpr]] exactly (argmax of
+    * `v_j·c − ‖c‖²/2` per subspace, ties → lowest codeword id). Empty
+    * codewords keep their previous value.
     */
   def trainCodebooks(df: DataFrame, vecCol: String, idCol: String,
       dim: Int, m: Int = 8, k: Int = 256, iters: Int = 3): PqModel = {
@@ -98,33 +106,71 @@ object Pq {
       java.util.Arrays.copyOfRange(seed, j * sub, (j + 1) * sub)
     }
 
+    val sp = df.sparkSession
+    import sp.implicits._
+    val rows = base.select(col("nv")).as[Array[Double]]
     var it = 0
     while (it < iters) {
-      // one job: encode (fused pass) → explode each row into its m
-      // subvectors (slim — total dim doubles per row, never amplified)
-      // → per-(subspace, codeword, position) sums
-      val enc = GraftFunctions.pqEncode(col("nv"), books)
-      val sums = base
-        .select(enc.as("codes"),
-          posexplode(transform(sequence(lit(0), lit(m - 1)),
-            j => slice(col("nv"), j * lit(sub) + 1, lit(sub))))
-            .as(Seq("j", "sv")))
-        .filter(col("codes").isNotNull)
-        .select(col("j"),
-          element_at(col("codes"), col("j") + 1).as("code"),
-          posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("j"), col("code"), col("pos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
-      books = Array.tabulate(m, k) { (j, c) =>
-        byCell.get((j, c)) match {
-          case Some(rows) =>
-            val mean = new Array[Double](sub)
-            rows.foreach(r => mean(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
-            mean
-          case None => books(j)(c) // empty codeword: keep previous
+      // flat m×k×sub codeword tensor + half squared norms — the same
+      // reference layout PqEncodeExpr embeds; assignment below uses the
+      // identical argmax(v_j·c − ‖c‖²/2) rule
+      val flat = new Array[Double](m * k * sub)
+      val halfNorm2 = new Array[Double](m * k)
+      var j0 = 0
+      while (j0 < m) {
+        var c0 = 0
+        while (c0 < k) {
+          val cw = books(j0)(c0)
+          var n2 = 0.0
+          var i0 = 0
+          while (i0 < sub) {
+            flat((j0 * k + c0) * sub + i0) = cw(i0)
+            n2 += cw(i0) * cw(i0)
+            i0 += 1
+          }
+          halfNorm2(j0 * k + c0) = 0.5 * n2
+          c0 += 1
         }
+        j0 += 1
+      }
+      val bc = sp.sparkContext.broadcast((flat, halfNorm2))
+      val (sums, counts) = Similarity.densePartialFold(
+        rows.rdd, m * k * sub, m * k) { (s, n, vec) =>
+        if (vec.length == dim) {
+          val (f, h) = bc.value
+          var j = 0
+          while (j < m) {
+            var best = 0
+            var bestScore = Double.NegativeInfinity
+            var c = 0
+            while (c < k) {
+              var dot = 0.0
+              val off = (j * k + c) * sub
+              var i = 0
+              while (i < sub) { dot += f(off + i) * vec(j * sub + i); i += 1 }
+              val score = dot - h(j * k + c)
+              if (score > bestScore) { bestScore = score; best = c }
+              c += 1
+            }
+            val off = (j * k + best) * sub
+            var i = 0
+            while (i < sub) { s(off + i) += vec(j * sub + i); i += 1 }
+            n(j * k + best) += 1
+            j += 1
+          }
+        }
+      }
+      bc.destroy()
+      books = Array.tabulate(m, k) { (j, c) =>
+        if (counts(j * k + c) > 0) {
+          val mean = new Array[Double](sub)
+          var i = 0
+          while (i < sub) {
+            mean(i) = sums((j * k + c) * sub + i) / counts(j * k + c)
+            i += 1
+          }
+          mean
+        } else books(j)(c) // empty codeword: keep previous
       }
       it += 1
     }

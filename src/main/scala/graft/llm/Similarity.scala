@@ -268,12 +268,22 @@ object Similarity {
   /** Deterministic spherical k-means centroids for IVF coarse
     * quantization. Init picks `k` seed vectors by hashed-id order (a
     * deterministic pseudo-random spread — no RNG state, same centroids
-    * on every run/cluster); each Lloyd iteration is one distributed
-    * assign + per-dimension average (`posexplode` → groupBy(cell, pos)),
-    * collecting only k·dim doubles to the driver. Empty cells keep
-    * their previous centroid. The index is built once and reused across
-    * queries, so a handful of full-scan iterations amortize the way any
-    * index build does.
+    * on every run/cluster). Each Lloyd iteration is ONE shuffle-free
+    * job: `mapPartitions` folds every row into dense per-partition
+    * (k·dim sums, k counts) arrays, merged partition-ordered on the
+    * driver ([[densePartialFold]]) — the map-side-combine shape (Spark
+    * MLlib's KMeans aggregates the same way). The previous form
+    * (assign expr → posexplode → groupBy(cell, pos)) shuffled n·dim
+    * rows and paid a full exchange per round — at fixture scale that
+    * fixed per-job cost dominated the whole IVF/PQ build tail, the
+    * same pathology the PageRank dense-array rewrite removed.
+    * Per-row assignment mirrors [[graft.functions.NearestCentroidExpr]]
+    * exactly (argmax dot against unit-norm centroids, dead cells never
+    * win, ties → lowest id); zero-norm rows don't vote (the index-time
+    * expr files them under cell 0, but a zero vector has no direction
+    * to pull a spherical mean toward). Empty cells keep their previous
+    * centroid. The clean-row set is persisted across iterations and
+    * released after training.
     */
   def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int = 3): Array[Array[Double]] = {
@@ -291,34 +301,134 @@ object Similarity {
       .orderBy(col("h"), col("seed_id"))
       .limit(k)
       .collect().map(r => normalize(r.getSeq[Double](0).toArray))
-    var it = 0
-    while (it < iters) {
+    if (iters > 0 && centroids.nonEmpty) {
       // dirty rows whose vector length differs from the seed dimension
-      // fall out of the centroid update (positions >= dim would throw
-      // on the driver-side mean fill) — same null-out-don't-crash
-      // policy as the rest of the module
-      val dim = centroids.headOption.map(_.length).getOrElse(0)
-      val sums = df.select(v.as("vec"))
-        .filter(size(col("vec")) === lit(dim))
-        .withColumn("cell", nearestCell(col("vec"), centroids))
-        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val byCell = sums.groupBy(_.getInt(0))
-      centroids = centroids.indices.map { c =>
-        byCell.get(c) match {
-          case Some(rows) =>
-            val dim = centroids(c).length
-            val mean = new Array[Double](dim)
-            rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
-            normalize(mean)
-          case None => centroids(c) // empty cell: keep previous
+      // (or carry null elements) fall out of the centroid update —
+      // same null-out-don't-crash policy as the rest of the module
+      val dim = centroids.head.length
+      val sp = df.sparkSession
+      import sp.implicits._
+      val clean = df.select(v.as("vec"))
+        .filter(size(col("vec")) === lit(dim) &&
+          !exists(col("vec"), _.isNull))
+        .as[Array[Double]]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      var it = 0
+      while (it < iters) {
+        val (flat, dead) = flattenUnitNorm(centroids)
+        val bc = sp.sparkContext.broadcast((flat, dead))
+        val kk = centroids.length
+        val (sums, counts) = densePartialFold(clean.rdd, kk * dim, kk) {
+          (s, n, vec) =>
+            val (f, dd) = bc.value
+            val c = nearestCellLocal(vec, f, dd, dim)
+            if (c >= 0) {
+              var i = 0
+              while (i < dim) { s(c * dim + i) += vec(i); i += 1 }
+              n(c) += 1
+            }
         }
-      }.toArray
-      it += 1
+        bc.destroy()
+        centroids = centroids.indices.map { c =>
+          if (counts(c) > 0) {
+            val mean = new Array[Double](dim)
+            var i = 0
+            while (i < dim) { mean(i) = sums(c * dim + i) / counts(c); i += 1 }
+            normalize(mean)
+          } else centroids(c) // empty cell: keep previous
+        }.toArray
+        it += 1
+      }
+      clean.unpersist(blocking = false)
     }
     centroids
+  }
+
+  /** One dense (sums, counts) partial per non-empty partition, merged
+    * on the driver in PARTITION order. `collect()` returns results
+    * indexed by partition regardless of task completion order, so the
+    * float-sum merge order is fixed and the fold is bit-identical
+    * across runs — `treeAggregate`/`fold` merge partials in task-
+    * ARRIVAL order and are NOT reproducible (a last-ulp drift that
+    * breaks the "same centroids on every run/cluster" contract both
+    * Lloyd trainers advertise). Each partial is k·dim doubles (tens of
+    * KB), so the driver fetch is bounded by partition count — the same
+    * class of bounded collect as the group-sum rows it replaces.
+    */
+  private[graft] def densePartialFold(
+      rows: org.apache.spark.rdd.RDD[Array[Double]],
+      sumLen: Int, cntLen: Int)(
+      fold: (Array[Double], Array[Long], Array[Double]) => Unit)
+      : (Array[Double], Array[Long]) = {
+    val partials = rows.mapPartitions { it =>
+      val s = new Array[Double](sumLen)
+      val n = new Array[Long](cntLen)
+      var any = false
+      it.foreach { v => fold(s, n, v); any = true }
+      if (any) Iterator.single((s, n)) else Iterator.empty
+    }.collect()
+    val s = new Array[Double](sumLen)
+    val n = new Array[Long](cntLen)
+    partials.foreach { case (ps, pn) =>
+      var i = 0
+      while (i < sumLen) { s(i) += ps(i); i += 1 }
+      var c = 0
+      while (c < cntLen) { n(c) += pn(c); c += 1 }
+    }
+    (s, n)
+  }
+
+  /** Unit-normalized flat k×dim matrix + dead flags for zero-norm rows
+    * — the same reference layout [[graft.functions.NearestCentroidExpr]]
+    * embeds in codegen.
+    */
+  private[graft] def flattenUnitNorm(
+      centroids: Array[Array[Double]]): (Array[Double], Array[Boolean]) = {
+    val k = centroids.length
+    val dim = centroids.head.length
+    val flat = new Array[Double](k * dim)
+    val dead = new Array[Boolean](k)
+    var c = 0
+    while (c < k) {
+      val row = centroids(c)
+      val n = math.sqrt(row.map(x => x * x).sum)
+      if (n == 0.0) dead(c) = true
+      else {
+        var i = 0
+        while (i < dim) { flat(c * dim + i) = row(i) / n; i += 1 }
+      }
+      c += 1
+    }
+    (flat, dead)
+  }
+
+  /** Driver/executor-local mirror of NearestCentroidExpr's assignment
+    * (argmax dot over live unit-norm centroids, ties → lowest id).
+    * Returns −1 for rows that shouldn't vote in a training fold
+    * (zero norm, no live cell) — the expr files those under cell 0 at
+    * index time, which the training loop deliberately skips.
+    */
+  private[graft] def nearestCellLocal(vec: Array[Double],
+      flat: Array[Double], dead: Array[Boolean], dim: Int): Int = {
+    if (vec.length != dim) return -1
+    var norm2 = 0.0
+    var i = 0
+    while (i < dim) { norm2 += vec(i) * vec(i); i += 1 }
+    if (norm2 == 0.0) return -1
+    var best = -1
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < dead.length) {
+      if (!dead(c)) {
+        var dot = 0.0
+        val off = c * dim
+        var j = 0
+        while (j < dim) { dot += flat(off + j) * vec(j); j += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+      }
+      c += 1
+    }
+    best
   }
 
   /** IVF index: every row assigned to its nearest-centroid cell.
