@@ -85,6 +85,20 @@ object GraftFunctions {
         Bridge.expression(vec), arrDouble), planes))
   }
 
+  /** Column form: query-directed multiprobe signature set — the exact
+    * signature plus flips of up to `hamming` of the `flipBits`
+    * lowest-|margin| bits, one fused pass (see HyperplaneProbesExpr).
+    */
+  def hyperplaneProbes(vec: Column, planes: Array[Array[Double]],
+      flipBits: Int, hamming: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    val arrDouble = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    Bridge.column(HyperplaneProbesExpr(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        Bridge.expression(vec), arrDouble), planes, flipBits, hamming))
+  }
+
   /** Column form: cosine-nearest centroid cell id in one fused k×dim
     * pass (normalized matrix embedded as a codegen reference — the
     * composable argmin form plans k separate cosine expressions).

@@ -745,9 +745,9 @@ object Dedup {
     * uniquified because observation names must be unique per query and
     * one query may contain several dedup operators.
     */
-  private def withBucketMetrics(grouped: DataFrame, bucketSize: Column,
-      maxBucket: Int): DataFrame =
-    grouped.observe(s"graft_dedup_buckets_${obsId.incrementAndGet()}",
+  private[llm] def withBucketMetrics(grouped: DataFrame, bucketSize: Column,
+      maxBucket: Int, name: String = "graft_dedup_buckets"): DataFrame =
+    grouped.observe(s"${name}_${obsId.incrementAndGet()}",
       sum(when(bucketSize > maxBucket, 1L).otherwise(0L))
         .as("dropped_oversized_buckets"),
       max(bucketSize).as("max_bucket_size"))

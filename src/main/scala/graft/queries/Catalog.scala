@@ -4650,19 +4650,23 @@ object Catalog {
       ORDER BY id_a, id_b"""))
 
   /** Embedding near-dup pairs at scale: same threshold, candidates
-    * restricted to Hamming-≤2 MULTIPROBE buckets across 8 independent
-    * bitsFor-scaled tables. Bucket-exact joins alone are not enough:
-    * a cosine-0.5 pair agrees per bit with p=2/3, so at 5 bits a
-    * single table catches it with ~0.13 and even 8 tables miss ~33%
-    * of threshold pairs — which the sf0.1 fixture actually exposed.
-    * The asymmetric probe explode (one side emits its 16-signature
-    * Hamming neighborhood) lifts the per-table catch to ~0.79 and the
-    * 8-table miss to ~4·10⁻⁶. No all-pairs join; probe cost is slim
-    * 16 B rows only.
+    * restricted to QUERY-DIRECTED multiprobe buckets (Lv et al. 2007)
+    * across 8 independent bitsFor-scaled tables. Bucket-exact joins
+    * alone are not enough: a cosine-0.5 pair agrees per bit with
+    * p=2/3, so at 5 bits a single table catches it with ~0.13 and
+    * even 8 tables miss ~33% of threshold pairs — which the sf0.1
+    * fixture actually exposed. Instead of exploding the full
+    * Hamming-≤2 neighborhood (16 rows at b=5, C(b,2)-growth at the
+    * b≈20 a 100 TB corpus needs), each row probes only flips of its 3
+    * lowest-|margin| bits — 7 rows at ANY b — and the pair join is
+    * symmetric (either endpoint's probe set may cover the differing
+    * bits): per-table catch ~0.69, 8-table miss ~8·10⁻⁵ per threshold
+    * pair, at 2.3× (16/7) less probe shuffle than the full
+    * neighborhood. No all-pairs join; probe cost is slim 16 B rows.
     *
     * Oracle: the exact all-pairs answer (same SQL as
     * `sim_neardup_exact`) — hash-green proves multiprobe recall is
-    * 1.0 on this corpus (now at sf0.001/0.01/0.1) in addition to
+    * 1.0 on this corpus (at sf0.001/0.01/0.1) in addition to
     * score arithmetic parity; a recall miss surfaces as a missing
     * row. General-case recall bounds are probed in SimilaritySpec.
     */
@@ -4672,10 +4676,9 @@ object Catalog {
       import graft.llm.Similarity
       val emb = Tables.embeddings(s, d)
       val bits = Similarity.bitsFor(emb.count())
-      val index = Similarity.multiTableIndex(
-        emb, "embedding", "vec_id", dim = 64, bits = bits, tables = 8)
-      Similarity.similarityJoinMultiTable(index, emb, "embedding", "vec_id",
-          threshold = 0.5, bits = bits, probeHamming = 2)
+      Similarity.similarityJoinMultiProbe(emb, "embedding", "vec_id",
+          threshold = 0.5, dim = 64, bits = bits, tables = 8,
+          flipBits = 3, probeHamming = 2)
         .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
         .orderBy(col("id_a"), col("id_b"))
     },

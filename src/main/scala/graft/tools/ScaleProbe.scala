@@ -88,6 +88,17 @@ object ScaleProbe {
       println(s"[probe] emb x$mult n=$nVecs bits=$bits " +
         f"lsh_buckets{$sigStats} pairs=$nSim time=$tSim%.2fs")
 
+      // ---- embeddings: QUERY-DIRECTED multiprobe pair join — probe
+      // volume is fixed at 1+t+C(t,2)=7 rows/entry/table while the
+      // full Hamming-≤2 neighborhood grows as C(bits,2) with the
+      // bitsFor-scaled corpus; wall time must stay output-bound
+      val (nQd, tQd) = timed(
+        Similarity.similarityJoinMultiProbe(emb, "embedding", "vec_id",
+          threshold = 0.5, dim = 64, bits = bits, tables = 8,
+          flipBits = 3, probeHamming = 2).count())
+      println(s"[probe] emb x$mult n=$nVecs bits=$bits " +
+        f"multiprobe pairs=$nQd time=$tQd%.2fs")
+
       // ---- documents: EXACT prefix-filter Jaccard join (PPJoin)
       val (nExact, tExact) = timed(
         Dedup.jaccardJoinExact(docs, "doc_id", "text", threshold = 0.7).count())

@@ -221,6 +221,72 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > recallSingle, s"multi $recall !> single $recallSingle")
   }
 
+  test("hyperplane probes: query-directed multiprobe set semantics") {
+    import graft.functions.{GraftFunctions, HyperplaneProbesExpr}
+    val dim = 16; val bits = 5; val t = 3
+    val planes = Similarity.hyperplanes(dim, bits)
+    val vecs = randomVecs(50, dim)
+    val df = vecs.toDF("id", "vec")
+    val got = df.select(col("id"),
+        GraftFunctions.hyperplaneProbes(
+          col("vec").cast("array<double>"), planes, t, 2).as("probes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    vecs.foreach { case (id, v) =>
+      // scala reference: sig + flips of the t lowest-|margin| bits
+      val dots = planes.map(p => p.zip(v).map { case (a, b) => a * b }.sum)
+      val sig = dots.zipWithIndex
+        .map { case (d, p) => if (d >= 0) 1L << p else 0L }.sum
+      val chosen = dots.map(math.abs).zipWithIndex
+        .sortBy { case (a, p) => (a, p) }.take(t).map(_._2).sorted
+      val expected = Seq(sig) ++ chosen.map(i => sig ^ (1L << i)) ++
+        (for { i <- chosen.indices; j <- (i + 1) until chosen.length }
+          yield sig ^ (1L << chosen(i)) ^ (1L << chosen(j)))
+      assert(got(id) == expected, s"id $id")
+      assert(got(id).length == 1 + t + t * (t - 1) / 2)
+      // interpreted eval path must agree with the codegen'd df path
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val interp = HyperplaneProbesExpr(
+          Literal.create(v, ArrayType(DoubleType)), planes, t, 2)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      assert(interp.toLongArray().toSeq == expected, s"interp id $id")
+    }
+    // dirty row (wrong dimension) probes to null, not an exception
+    val dirty = Seq((0L, Seq(1.0, 2.0))).toDF("id", "vec")
+    assert(dirty.select(GraftFunctions.hyperplaneProbes(
+        col("vec").cast("array<double>"), planes, t, 2))
+      .collect().head.isNullAt(0))
+  }
+
+  test("query-directed multiprobe join recalls planted mid-similarity pairs") {
+    // same planted construction as the multi-table LSH test: pairs at
+    // cosine 0.6, threshold 0.55
+    val rnd = new java.util.Random(11)
+    val base = (0 until 30).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val planted = base.zipWithIndex.flatMap { case (v0, i) =>
+      val u = unit(v0)
+      val r = Array.fill(16)(rnd.nextGaussian())
+      val proj = u.zip(r).map { case (a, b) => a * b }.sum
+      val ortho = unit(r.zip(u).map { case (b, a) => b - proj * a })
+      val partner = u.zip(ortho).map { case (a, o) => 0.6 * a + 0.8 * o }
+      Seq((i.toLong * 2) -> u.toSeq, (i.toLong * 2 + 1) -> partner.toSeq)
+    }
+    val df = planted.toDF("id", "vec")
+    val exactPairs = (0 until 30).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    val found = Similarity.similarityJoinMultiProbe(df, "vec", "id",
+        threshold = 0.55, dim = 16, bits = 4, tables = 8,
+        flipBits = 3, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exactPairs.intersect(found).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"query-directed multiprobe recall $recall too low")
+    // every found pair must really clear the threshold (no false hits
+    // survive exact rescoring)
+    assert(found.forall { case (a, b) => a < b })
+  }
+
   test("similarity join finds identical vectors in same bucket") {
     val vecs = randomVecs(20, 8) :+ (100L -> randomVecs(20, 8).head._2)
     val df = vecs.toDF("id", "vec")
