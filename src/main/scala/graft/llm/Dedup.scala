@@ -734,6 +734,140 @@ object Dedup {
   def chunksFor(n: Long): Int =
     if (n < (1L << 14)) 8 else if (n < (1L << 22)) 4 else 2
 
+  // -------------------------------------------------- exact substring
+
+  /** Positional winnowing over RAW text (no normalization — exact
+    * means exact): rolling-hash every k-gram, keep each w-window's
+    * minimum (rightmost on ties), dedup consecutive picks, return
+    * (hash, 0-based position) pairs. The MOSS guarantee transfers:
+    * any common RAW substring of length ≥ k+w−1 yields at least one
+    * shared (hash, ·) pick in BOTH documents at the aligned offsets.
+    * Documents shorter than k+w−1 cannot contain a qualifying
+    * substring and emit nothing. O(len·w) per document, one UDF pass.
+    */
+  private def winnowPicksUdf(k: Int, w: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      if (text == null || text.length < k + w - 1) Seq.empty[(Long, Int)]
+      else {
+        val B = 1000003L
+        var pow = 1L
+        var i = 0
+        while (i < k - 1) { pow *= B; i += 1 }
+        val n = text.length - k + 1
+        val hashes = new Array[Long](n)
+        var h = 0L
+        i = 0
+        while (i < text.length) {
+          if (i >= k) h -= text.charAt(i - k) * pow
+          h = h * B + text.charAt(i)
+          if (i >= k - 1) hashes(i - k + 1) = h
+          i += 1
+        }
+        val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        var lastPickIdx = -1
+        var start = 0
+        while (start + w <= n) {
+          var minIdx = start
+          var j = start + 1
+          while (j < start + w) {
+            if (hashes(j) <= hashes(minIdx)) minIdx = j
+            j += 1
+          }
+          if (minIdx != lastPickIdx) {
+            picks += ((hashes(minIdx), minIdx)); lastPickIdx = minIdx
+          }
+          start += 1
+        }
+        picks.toSeq
+      }
+    })
+
+  /** EXACT-substring near-dup pairs (the Lee et al. 2021 "exact
+    * substring deduplication" semantics): document pairs sharing a
+    * verbatim substring of ≥ `minLen` characters. The reference
+    * method builds one suffix array over the concatenated corpus — a
+    * global sort-order structure that doesn't distribute; this is the
+    * Spark-shaped equivalent with the same answer set:
+    *
+    *   1. positional winnowing anchors ([[winnowPicksUdf]], k-gram
+    *      size `k`, window w = minLen−k+1, so the guarantee threshold
+    *      is exactly `minLen`) — fingerprint density ~2/(w+1) per
+    *      char, so the exploded anchor table is a small constant
+    *      fraction of corpus size, in slim (id, hash, pos) rows;
+    *   2. ONE shuffle keyed by anchor hash; bucket members gather
+    *      into `maxBucket`-capped lists (observe() drop metrics, the
+    *      [[nearDupPairs]] contract — an over-cap bucket is a k-gram
+    *      shared by >maxBucket docs, i.e. boilerplate) and in-bucket
+    *      anchor pairs are emitted via higher-order functions, never
+    *      a UDF over the corpus;
+    *   3. anchor pairs dedup per document pair (first `maxAnchors` in
+    *      deterministic position order — a true ≥minLen match yields
+    *      an in-region anchor among the earliest by construction, but
+    *      pathologically self-repetitive docs could exceed the cap,
+    *      hence its size);
+    *   4. texts join onto the DEDUPED pair list only (payloads never
+    *      ride the explode), and a verification UDF extends each
+    *      anchor left/right while characters match: hash collisions
+    *      and sub-minLen coincidences are rejected, so the output has
+    *      NO false positives, and the winnowing guarantee means no
+    *      false negatives — exact, with no all-pairs join and no
+    *      global suffix sort.
+    *
+    * Returns (id_a, id_b) with id_a < id_b.
+    */
+  def exactSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, k: Int = 20, maxBucket: Int = 1000,
+      maxAnchors: Int = 256): DataFrame = {
+    require(k >= 2 && k < minLen, s"need 2 <= k < minLen, got k=$k minLen=$minLen")
+    val w = minLen - k + 1
+    val picks = df.select(col(idCol).as("id"),
+        explode(winnowPicksUdf(k, w)(col(textCol))).as("pk"))
+      .select(col("pk._1").as("h"), col("id"), col("pk._2").as("pos"))
+    // in-bucket anchor pairs: sorted members, i<j upper triangle —
+    // pure Catalyst HOFs over the capped member list
+    val anchorPairs = withBucketMetrics(
+      picks.groupBy(col("h"))
+        .agg(collect_list(struct(col("id"), col("pos"))).as("ms")),
+      size(col("ms")), maxBucket, "graft_substring_buckets")
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(array_sort(ms), (x, i) ->
+          |  transform(slice(array_sort(ms), i + 2, size(ms)), y ->
+          |    struct(x.id AS id_a, x.pos AS pos_a,
+          |           y.id AS id_b, y.pos AS pos_b))))""".stripMargin)).as("p"))
+      .select(col("p.*"))
+      .filter(col("id_a") =!= col("id_b"))
+    val candidates = anchorPairs
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(slice(array_sort(collect_set(
+        array(col("pos_a"), col("pos_b")))), 1, maxAnchors).as("anchors"))
+    val verifies = udf((ta: String, tb: String, anchors: Seq[Seq[Int]]) => {
+      if (ta == null || tb == null) false
+      else anchors.exists { an =>
+        val pa = an(0); val pb = an(1)
+        var ok = pa >= 0 && pb >= 0 && pa + k <= ta.length && pb + k <= tb.length
+        var i = 0
+        while (ok && i < k) { ok = ta.charAt(pa + i) == tb.charAt(pb + i); i += 1 }
+        ok && {
+          var left = 0
+          while (pa - left - 1 >= 0 && pb - left - 1 >= 0 &&
+            ta.charAt(pa - left - 1) == tb.charAt(pb - left - 1)) left += 1
+          var right = 0
+          while (pa + k + right < ta.length && pb + k + right < tb.length &&
+            ta.charAt(pa + k + right) == tb.charAt(pb + k + right)) right += 1
+          left + k + right >= minLen
+        }
+      }
+    })
+    val txt = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    candidates
+      .join(txt.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(txt.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .filter(verifies(col("text_a"), col("text_b"), col("anchors")))
+      .select(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------- metrics
 
   private val obsId = new java.util.concurrent.atomic.AtomicInteger

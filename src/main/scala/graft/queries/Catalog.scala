@@ -4088,6 +4088,34 @@ object Catalog {
         string_agg(chunk, ' ' ORDER BY idx) AS cleaned_text
       FROM kept GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** EXACT-substring dedup pairs — Lee et al. 2021 "exact substring
+    * deduplication" semantics: document pairs sharing a VERBATIM
+    * substring of ≥50 characters. The reference builds one suffix
+    * array over the concatenated corpus (a global sort-order structure
+    * that doesn't distribute); the Spark shape
+    * ([[graft.llm.Dedup.exactSubstringPairs]]) gets the same answer
+    * set from positional winnowing anchors (guarantee threshold =
+    * minLen exactly), one hash-keyed shuffle with capped buckets, and
+    * per-anchor left/right extension over texts joined onto the
+    * DEDUPED pair list — no all-pairs join, no false positives
+    * (extension verifies), no false negatives (the MOSS guarantee).
+    * Oracle: DuckDB md5 of every 50-char window, self-joined —
+    * pairs share a window iff they share a ≥50-char substring.
+    */
+  val dedupSubstring = RegisteredQuery(
+    "dedup_substring",
+    (s, d) =>
+      graft.llm.Dedup.exactSubstringPairs(
+          Tables.documents(s, d), "doc_id", "text", minLen = 50, k = 20)
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH wins AS (
+        SELECT doc_id, md5(substr(text, CAST(u.i AS INTEGER), 50)) AS h
+        FROM documents,
+          unnest(range(1, greatest(strlen(text) - 48, 1))) u(i))
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""))
+
   /** Native generator surface: per-doc trigram totals via the custom
     * `graft_ngrams` table-generating expression
     * ([[graft.functions.WordNgramsGenerator]]) through the SQL
@@ -5827,7 +5855,8 @@ object Catalog {
     decontaminate,
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
     dedupComponents, seqPack, graphPagerank, graphDegrees, aggCountmin,
-    splitLeakfree, dedupLines, bpePairCounts, sourceMixReport, docLmPpl,
+    splitLeakfree, dedupLines, dedupSubstring, bpePairCounts,
+    sourceMixReport, docLmPpl,
     docNgrams,
     dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,

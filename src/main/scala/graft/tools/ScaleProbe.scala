@@ -104,6 +104,11 @@ object ScaleProbe {
         Dedup.jaccardJoinExact(docs, "doc_id", "text", threshold = 0.7).count())
       println(f"[probe] docs x$mult ppjoin pairs=$nExact time=$tExact%.2fs")
 
+      // ---- documents: exact-substring pairs (winnow anchors + extension)
+      val (nSub, tSub) = timed(
+        Dedup.exactSubstringPairs(docs, "doc_id", "text").count())
+      println(f"[probe] docs x$mult substring pairs=$nSub time=$tSub%.2fs")
+
       // ---- customer names: FastSS deletion-signature buckets
       val cust0 = Tables.customer(spark, sfDir)
       val cust = (if (mult == 1) cust0

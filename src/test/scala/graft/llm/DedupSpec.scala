@@ -214,4 +214,43 @@ class DedupSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("maxBucket")))
   }
 
+  test("exactSubstringPairs: minLen boundary is exact, raw not normalized") {
+    val rnd = new java.util.Random(3)
+    def noise(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared50 = noise(50)   // planted verbatim block, exactly minLen
+    val shared49 = noise(49)   // one short of the threshold
+    val docs = Seq(
+      (1L, noise(80) + shared50 + noise(80)),
+      (2L, noise(60) + shared50 + noise(100)),
+      (3L, noise(80) + shared49 + noise(80)),
+      (4L, noise(60) + shared49 + noise(100)),
+      // case differs inside the block: raw-exact must NOT match
+      (5L, noise(70) + shared50.toUpperCase + noise(70)),
+      (6L, noise(200)),          // unrelated
+      (7L, shared50)             // doc IS the block (edge: len == minLen)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.exactSubstringPairs(docs, "doc_id", "text",
+        minLen = 50, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 7L), (2L, 7L)), pairs.toString)
+  }
+
+  test("exactSubstringPairs: shared block shorter than doc overlap region") {
+    // two docs sharing a 120-char block — multiple anchors, still one pair
+    val rnd = new java.util.Random(9)
+    def noise(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val block = noise(120)
+    val docs = Seq(
+      (10L, noise(40) + block + noise(40)),
+      (20L, block + noise(90)),
+      (30L, noise(55))           // shorter than minLen+k, no picks used
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.exactSubstringPairs(docs, "doc_id", "text",
+        minLen = 50, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 20L)), pairs.toString)
+  }
+
 }
