@@ -860,6 +860,50 @@ object Catalog {
         count(DISTINCT tag) AS n_tags
       FROM t GROUP BY grp ORDER BY grp"""))
 
+  /** DSv2 AGGREGATE pushdown, COMPLETE: COUNT(*)/MIN(id)/MAX(id) with
+    * no GROUP BY answer closed-form from the pushed id-range — the
+    * connector returns the final one-row result and Spark plans NO
+    * aggregation node at all (SynthSourceSpec pins the plan: no
+    * HashAggregate, scan description carries the pushed functions).
+    * The DSv2 analogue of answering COUNT/MIN/MAX from parquet footer
+    * statistics: at 100 TB the difference between a metadata read and
+    * a full scan. Oracle replays the same arithmetic over
+    * generate_series.
+    */
+  val sourcePushdownAgg = RegisteredQuery(
+    "source_pushdown_agg",
+    (s, d) =>
+      s.read.format("graft.sources.synth.SynthDocsProvider")
+        .option("rows", "100000").option("slices", "8").load()
+        .filter(col("id") >= 1000 && col("id") < 91000)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id")),
+    Some("""SELECT count(*) AS n_rows, min(i) AS min_id, max(i) AS max_id
+      FROM (SELECT unnest(generate_series(1000, 90999)) AS i) s"""))
+
+  /** DSv2 LIMIT pushdown: the scan itself caps its generated range
+    * (isPartiallyPushed = false — fully honored at the source), so
+    * Spark's limit on top passes through rows the connector never
+    * over-produced. Deterministic here because the pushed filter
+    * already restricts to exactly the limited set. Full row contents
+    * re-derived by the oracle.
+    */
+  val sourcePushdownLimit = RegisteredQuery(
+    "source_pushdown_limit",
+    (s, d) =>
+      s.read.format("graft.sources.synth.SynthDocsProvider")
+        .option("rows", "100000").option("slices", "8").load()
+        .filter(col("id") < 7).limit(7)
+        .select(col("id"), col("grp"),
+          col("value").cast("decimal(18,2)").cast("double").as("value"),
+          col("tag"))
+        .orderBy(col("id")),
+    Some("""SELECT i AS id, CAST(i % 25 AS INTEGER) AS grp,
+        CAST(CAST((i * 2654435761 % 100000) / CAST(100 AS DOUBLE)
+          AS DECIMAL(18,2)) AS DOUBLE) AS value,
+        't' || CAST(i % 10 AS VARCHAR) AS tag
+      FROM (SELECT unnest(generate_series(0, 6)) AS i) s ORDER BY id"""))
+
   /** Custom STREAMING source end-to-end: the same synth connector read
     * through `readStream` as a MicroBatchStream with real offset
     * management — admission control paces 4 micro-batches
@@ -5831,7 +5875,8 @@ object Catalog {
     mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourceOrcRoundtrip,
     sourceTextRoundtrip, catalogManagedTable, sinkPartitionOverwrite,
-    sinkInsertOverwrite, catalogIntrospect, sourceCustomV2, sinkCustomV2,
+    sinkInsertOverwrite, catalogIntrospect, sourceCustomV2,
+    sourcePushdownAgg, sourcePushdownLimit, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,
     joinShuffleHash, nestedPruning,

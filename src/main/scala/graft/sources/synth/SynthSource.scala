@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{aggregate, NamedReference}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
@@ -69,16 +70,23 @@ final class SynthTable(rows: Long, slices: Int)
       options.getLong("maxRowsPerBatch", 0L))
 }
 
-/** Pushdown state: id-range predicates tighten [lo, hi); everything
+/** Pushdown state: id-range predicates tighten [lo, hi); a pushed
+  * LIMIT caps the range end; a pushed AGGREGATE (COUNT(*) / MIN(id) /
+  * MAX(id), no GROUP BY) collapses the scan to ONE closed-form row —
+  * the source-side answer never materializes a single data row, the
+  * DSv2 analogue of parquet footer-statistics aggregation. Everything
   * else is left for Spark to evaluate post-scan.
   */
 final class SynthScanBuilder(rows: Long, slices: Int,
     maxRowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var required: StructType = SynthTable.Schema
+  private var limit: Long = -1L
+  private var aggFuncs: Array[String] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val rest = ArrayBuffer.empty[Filter]
@@ -99,8 +107,86 @@ final class SynthScanBuilder(rows: Long, slices: Int,
     Array(GreaterThanOrEqual("id", lo), LessThan("id", hi))
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new SynthScan(lo, hi, slices, required, maxRowsPerBatch)
+
+  /** Fully honored: the scan generates at most `l` rows, so Spark's
+    * own limit on top becomes a no-op pass-through.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = false
+
+  /** COUNT(*)/MIN(id)/MAX(id) with no GROUP BY are closed-form over
+    * [lo, hi) — COMPLETE pushdown (Spark plans no aggregation node at
+    * all; the scan returns the final one-row answer). Anything else is
+    * declined and runs as a normal aggregation over the scan.
+    */
+  private def supported(agg: aggregate.Aggregation): Option[Array[String]] = {
+    def idRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+          nr.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }
+    if (agg.groupByExpressions.nonEmpty) None
+    else {
+      val fns = agg.aggregateExpressions.map {
+        case _: aggregate.CountStar => "count_star"
+        case m: aggregate.Min if idRef(m.column) => "min_id"
+        case m: aggregate.Max if idRef(m.column) => "max_id"
+        case _ => return None
+      }
+      Some(fns)
+    }
+  }
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    supported(agg).isDefined
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean =
+    supported(agg) match {
+      case Some(fns) => aggFuncs = fns; true
+      case None => false
+    }
+
+  override def build(): Scan = {
+    val end = if (limit >= 0) math.min(hi, lo + limit) else hi
+    if (aggFuncs.nonEmpty) new SynthAggScan(lo, end, aggFuncs)
+    else new SynthScan(lo, end, slices, required, maxRowsPerBatch)
+  }
+}
+
+/** Completely-pushed aggregate: one partition, one closed-form row.
+  * COUNT(*) = hi−lo; MIN/MAX(id) = the range ends (null on an empty
+  * range, matching aggregate semantics). No data row is ever built.
+  */
+final class SynthAggScan(lo: Long, hi: Long, fns: Array[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(fns.zipWithIndex.map { case (f, i) =>
+      StructField(s"agg_$i" + "_" + f, LongType, nullable = f != "count_star")
+    })
+  override def description(): String =
+    s"graft-synth-agg lo=$lo hi=$hi fns=${fns.mkString(",")}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthRange(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      private val localFns = fns
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val r = p.asInstanceOf[SynthRange]
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val go = !emitted; emitted = true; go }
+          override def get(): InternalRow = {
+            val n = math.max(0L, r.until - r.from)
+            new GenericInternalRow(localFns.map[Any] {
+              case "count_star" => n
+              case "min_id" => if (n == 0) null else r.from
+              case "max_id" => if (n == 0) null else r.until - 1
+            })
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 final class SynthScan(lo: Long, hi: Long, slices: Int,

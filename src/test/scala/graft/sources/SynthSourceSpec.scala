@@ -42,6 +42,46 @@ class SynthSourceSpec extends SparkSpec {
     assert(df.distinct().count() == 25)
   }
 
+  test("aggregate pushdown is COMPLETE: no aggregation node in the plan") {
+    val df = read(1000000L, slices = 8)
+      .filter(col("id") >= 100 && col("id") < 900)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-synth-agg"), plan)
+    assert(plan.contains("count_star") && plan.contains("min_id") &&
+      plan.contains("max_id"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((800L, 100L, 899L)))
+  }
+
+  test("aggregate pushdown declines GROUP BY and non-id columns") {
+    // grouped: source declines, Spark aggregates normally — values equal
+    val grouped = read(1000).groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    assert(grouped.queryExecution.executedPlan.toString
+      .contains("HashAggregate"))
+    assert(grouped.collect().map(_.getLong(1)).sum == 1000L)
+    // min over a non-id column: declined too
+    val nonId = read(1000).agg(min(col("value")).as("m"))
+    assert(nonId.queryExecution.executedPlan.toString
+      .contains("HashAggregate"))
+  }
+
+  test("aggregate pushdown over an empty pushed range yields 0/null") {
+    val df = read(1000).filter(col("id") >= 500 && col("id") < 500)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"))
+    val r = df.collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1), r.toString)
+  }
+
+  test("limit pushdown caps the generated range at the source") {
+    val df = read(1000000L, slices = 8).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hi=5"), plan) // scan itself generates 5 rows
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("micro-batch stream over the source equals the batch read") {
     val streamed = spark.readStream
       .format("graft.sources.synth.SynthDocsProvider")
