@@ -904,6 +904,37 @@ object Catalog {
         't' || CAST(i % 10 AS VARCHAR) AS tag
       FROM (SELECT unnest(generate_series(0, 6)) AS i) s ORDER BY id"""))
 
+  /** DSv2 RUNTIME filtering (dynamic pruning): a filtered dim joins
+    * the 100k-row fact on id — the connector reports honest post-
+    * pushdown statistics (SupportsReportStatistics), so the dim
+    * auto-broadcasts; dynamic pruning reuses that broadcast, delivers
+    * the dim's id set to the fact scan AFTER the build side runs
+    * (SupportsRuntimeV2Filtering), and partitions for pruned ids are
+    * never planned — SynthSourceSpec pins numOutputRows == matches,
+    * not the full range. The v2 analogue of DPP on hive partitions:
+    * at 100 TB the fact scan reads only the joined keys' slices.
+    */
+  val sourceRuntimeFilter = RegisteredQuery(
+    "source_runtime_filter",
+    (s, d) => {
+      def read(rows: Long) = s.read
+        .format("graft.sources.synth.SynthDocsProvider")
+        .option("rows", rows.toString).option("slices", "8").load()
+      val dim = read(30).filter(col("tag") === "t3")
+        .select(col("id").as("k"))
+      read(100000L).join(dim, col("id") === col("k"))
+        .select(col("id"), col("grp"),
+          col("value").cast("decimal(18,2)").cast("double").as("value"),
+          col("tag"))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT i AS id, CAST(i % 25 AS INTEGER) AS grp,
+        CAST(CAST((i * 2654435761 % 100000) / CAST(100 AS DOUBLE)
+          AS DECIMAL(18,2)) AS DOUBLE) AS value,
+        't' || CAST(i % 10 AS VARCHAR) AS tag
+      FROM (SELECT unnest(generate_series(0, 29)) AS i) s
+      WHERE i % 10 = 3 ORDER BY id"""))
+
   /** Custom STREAMING source end-to-end: the same synth connector read
     * through `readStream` as a MicroBatchStream with real offset
     * management — admission control paces 4 micro-batches
@@ -5876,7 +5907,8 @@ object Catalog {
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourceOrcRoundtrip,
     sourceTextRoundtrip, catalogManagedTable, sinkPartitionOverwrite,
     sinkInsertOverwrite, catalogIntrospect, sourceCustomV2,
-    sourcePushdownAgg, sourcePushdownLimit, sinkCustomV2,
+    sourcePushdownAgg, sourcePushdownLimit, sourceRuntimeFilter,
+    sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,
     joinShuffleHash, nestedPruning,

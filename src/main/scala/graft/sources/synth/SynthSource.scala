@@ -190,13 +190,77 @@ final class SynthAggScan(lo: Long, hi: Long, fns: Array[String])
 }
 
 final class SynthScan(lo: Long, hi: Long, slices: Int,
-    required: StructType, maxRowsPerBatch: Long) extends Scan with Batch {
+    required: StructType, maxRowsPerBatch: Long) extends Scan with Batch
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+  /** Honest post-pushdown statistics: row count is exactly the pushed
+    * range, bytes are schema width × rows. Without these Spark assumes
+    * the source is huge and will never auto-broadcast it — which also
+    * silently disables dynamic pruning (reuseBroadcastOnly finds no
+    * broadcast to reuse and degrades the filter to `true`). Stats
+    * reporting is what lets the planner pick broadcast joins for small
+    * v2 tables, the same decision file sources get from file sizes.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * math.max(1, required.defaultSize))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
+  // RUNTIME filtering (the DSv2 dynamic-partition-pruning contract):
+  // a join against a filtered broadcast dim delivers the dim's id set
+  // AFTER the build side runs, and partitions for pruned ids are never
+  // planned — at 100 TB this turns a fact-scan into reads of only the
+  // joined keys' slices, the v2 analogue of DPP on hive partitions.
+  // Unsupported predicates are ignored (pruning is an optimization;
+  // Spark re-applies the join condition anyway).
+  private var kept: Option[Array[Long]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    def idsOf(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Option[Array[Long]] = p.name() match {
+      case "IN" | "=" =>
+        val vals = p.children().toSeq.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Long] => l.value().asInstanceOf[Long]
+        }
+        // first child must be the id column; literals must cover the rest
+        val isId = p.children().headOption.exists {
+          case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+          case _ => false
+        }
+        if (isId && vals.length == p.children().length - 1) Some(vals.toArray)
+        else None
+      case _ => None
+    }
+    predicates.foreach { p =>
+      idsOf(p).foreach { ids =>
+        val inRange = ids.filter(i => i >= lo && i < hi).sorted.distinct
+        kept = Some(kept.fold(inRange)(prev => prev.intersect(inRange)))
+      }
+    }
+  }
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-synth lo=$lo hi=$hi cols=${required.fieldNames.mkString(",")}"
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    SynthScan.split(lo, hi, slices)
+  override def planInputPartitions(): Array[InputPartition] = kept match {
+    case None => SynthScan.split(lo, hi, slices)
+    case Some(ids) =>
+      // contiguous runs of kept ids become ranges; pruned ids get NO
+      // partition at all
+      val parts = ArrayBuffer.empty[InputPartition]
+      var i = 0
+      while (i < ids.length) {
+        var j = i
+        while (j + 1 < ids.length && ids(j + 1) == ids(j) + 1) j += 1
+        parts += SynthRange(ids(i), ids(j) + 1)
+        i = j + 1
+      }
+      parts.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required.fieldNames)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

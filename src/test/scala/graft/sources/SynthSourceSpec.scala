@@ -82,6 +82,38 @@ class SynthSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("runtime v2 filtering: joined dim keys prune scan partitions") {
+    val fact = read(1000000L, slices = 8)
+    // dim: a second synth read with a RESIDUAL (non-id) filter — stays
+    // a Filter node, which is what marks the build side selective for
+    // dynamic pruning (a local Seq would constant-fold the filter away)
+    val dim = read(30, slices = 1).filter(col("tag") === "t3")
+      .select(col("id").as("k"))
+    val joined = fact.join(dim, fact("id") === col("k"))
+    val rows = joined.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(3L, 13L, 23L))
+    val planned = joined.queryExecution.executedPlan.toString
+    // a dynamic-pruning subquery must hang off the fact scan
+    assert(planned.toLowerCase.contains("dynamicpruning"), planned)
+    // and the scan must have planned partitions ONLY for the dim keys:
+    // numOutputRows == matches, not the 1M-row range
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[
+        org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: QueryStageExec => scans(s.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case other => other.children.flatMap(scans)
+      }
+    val scanMetrics = scans(joined.queryExecution.executedPlan)
+      .filter(_.scan.description().contains("hi=1000000"))
+      .flatMap(_.metrics.get("numOutputRows").map(_.value))
+    assert(scanMetrics.contains(3L), s"fact scan emitted $scanMetrics rows")
+  }
+
   test("micro-batch stream over the source equals the batch read") {
     val streamed = spark.readStream
       .format("graft.sources.synth.SynthDocsProvider")
