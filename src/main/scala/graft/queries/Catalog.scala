@@ -904,6 +904,47 @@ object Catalog {
         't' || CAST(i % 10 AS VARCHAR) AS tag
       FROM (SELECT unnest(generate_series(0, 6)) AS i) s ORDER BY id"""))
 
+  /** Custom V2 CATALOG PLUGIN end-to-end
+    * ([[graft.sources.catalog.GraftCatalog]]): SQL DDL + DML against a
+    * connector-served namespace — CREATE TABLE AS SELECT, INSERT INTO,
+    * row-level DELETE FROM (`SupportsDeleteV2`, predicates evaluated
+    * source-side), then an aggregate read back through the catalog
+    * scan. The oracle replays the same build-insert-delete sequence as
+    * plain SQL set algebra over lineitem. This is the
+    * `spark.sql.catalog.*` extension point lakehouse formats use; the
+    * registered sequence proves identifiers, writes, deletes and scans
+    * all route through the plugin.
+    */
+  val catalogV2Dml = RegisteredQuery(
+    "catalog_v2_dml",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_cat_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li")
+      s.sql("""CREATE TABLE graft_cat.ns.li AS
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM li_cat_src WHERE l_orderkey <= 1000""")
+      s.sql("""INSERT INTO graft_cat.ns.li
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM li_cat_src WHERE l_orderkey > 1000 AND l_orderkey <= 1600""")
+      s.sql("DELETE FROM graft_cat.ns.li WHERE l_returnflag = 'R'")
+      s.sql("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+          CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        FROM graft_cat.ns.li GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""WITH t AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem WHERE l_orderkey <= 1600)
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        CAST(max(l_orderkey) AS BIGINT) AS max_ok
+      FROM t WHERE l_returnflag <> 'R'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** DSv2 RUNTIME filtering (dynamic pruning): a filtered dim joins
     * the 100k-row fact on id — the connector reports honest post-
     * pushdown statistics (SupportsReportStatistics), so the dim
@@ -5908,7 +5949,7 @@ object Catalog {
     sourceTextRoundtrip, catalogManagedTable, sinkPartitionOverwrite,
     sinkInsertOverwrite, catalogIntrospect, sourceCustomV2,
     sourcePushdownAgg, sourcePushdownLimit, sourceRuntimeFilter,
-    sinkCustomV2,
+    catalogV2Dml, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,
     joinShuffleHash, nestedPruning,

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.catalog.GraftCatalog
+
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.graft_cat",
+    classOf[GraftCatalog].getName)
+
+  test("CTAS, INSERT, SELECT round-trip through the catalog") {
+    GraftCatalog.reset()
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "tag", "v").createOrReplaceTempView("cat_src")
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.t1 AS SELECT * FROM cat_src WHERE id <= 2")
+    spark.sql(
+      "INSERT INTO graft_cat.ns.t1 SELECT * FROM cat_src WHERE id > 2")
+    val got = spark.sql("SELECT id, tag, v FROM graft_cat.ns.t1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)))
+  }
+
+  test("DELETE FROM evaluates predicates source-side") {
+    GraftCatalog.reset()
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0))
+      .toDF("id", "tag", "v").createOrReplaceTempView("cat_src2")
+    spark.sql("CREATE TABLE graft_cat.ns.t2 AS SELECT * FROM cat_src2")
+    spark.sql("DELETE FROM graft_cat.ns.t2 WHERE tag = 'a'")
+    assert(spark.sql("SELECT id FROM graft_cat.ns.t2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))
+    spark.sql("DELETE FROM graft_cat.ns.t2 WHERE v >= 15.0 AND id IN (2, 9)")
+    assert(spark.sql("SELECT id FROM graft_cat.ns.t2")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("INSERT OVERWRITE truncates then writes") {
+    GraftCatalog.reset()
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+      .createOrReplaceTempView("cat_src3")
+    spark.sql("CREATE TABLE graft_cat.ns.t3 AS SELECT * FROM cat_src3")
+    spark.sql(
+      "INSERT OVERWRITE graft_cat.ns.t3 SELECT id + 10, s FROM cat_src3")
+    assert(spark.sql("SELECT id FROM graft_cat.ns.t3 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(11L, 12L))
+  }
+
+  test("SHOW TABLES / DESCRIBE / DROP route through the plugin") {
+    GraftCatalog.reset()
+    spark.sql("CREATE TABLE graft_cat.ns.a (id BIGINT, nm STRING)")
+    spark.sql("CREATE TABLE graft_cat.other.b (k INT)")
+    val shown = spark.sql("SHOW TABLES IN graft_cat.ns")
+      .collect().map(_.getString(1)).toSet
+    assert(shown == Set("a"), shown.toString)
+    val desc = spark.sql("DESCRIBE TABLE graft_cat.ns.a")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("id") == "bigint" && desc("nm") == "string")
+    spark.sql("DROP TABLE graft_cat.ns.a")
+    assert(spark.sql("SHOW TABLES IN graft_cat.ns").collect().isEmpty)
+  }
+
+  test("unsupported DELETE predicate fails up front, deletes nothing") {
+    GraftCatalog.reset()
+    Seq((1L, "ab"), (2L, "cd")).toDF("id", "s")
+      .createOrReplaceTempView("cat_src4")
+    spark.sql("CREATE TABLE graft_cat.ns.t4 AS SELECT * FROM cat_src4")
+    // LIKE does not translate to a supported connector predicate
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft_cat.ns.t4 WHERE s LIKE 'a%'")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.t4")
+      .collect().head.getLong(0) == 2L)
+  }
+}
