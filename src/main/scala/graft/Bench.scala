@@ -56,7 +56,12 @@ object Bench {
         fn(spark, sfDir).count()
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
-        case e: Throwable => errors(name) = e.toString.take(300)
+        case e: Throwable =>
+          errors(name) = e.toString.take(300)
+          // the JSON line keeps errors short; the full stack goes to
+          // stderr so a failure is diagnosable from the run log
+          System.err.println(s"[bench] $name FAILED:")
+          e.printStackTrace()
       }
     }
 

@@ -126,7 +126,14 @@ final class SynthScanBuilder(rows: Long, slices: Int,
           nr.fieldNames.sameElements(Array("id"))
         case _ => false
       }
-    if (agg.groupByExpressions.nonEmpty) None
+    // an EMPTY aggregation must be declined, not "completely pushed":
+    // under an outer Dataset.count() Spark's column pruning can strip
+    // the inner aggregate to zero expressions, and accepting it makes
+    // aggFuncs empty → build() returns the DATA scan while the holder
+    // expects 0 aggregate columns — the readSchema mismatch
+    // INTERNAL_ERROR bench r7 hit on every `.count()`-driven run
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty)
+      None
     else {
       val fns = agg.aggregateExpressions.map {
         case _: aggregate.CountStar => "count_star"
@@ -137,10 +144,17 @@ final class SynthScanBuilder(rows: Long, slices: Int,
       Some(fns)
     }
   }
+  // Decline any SECOND aggregation push: Dataset.count() stacks an
+  // outer Aggregate(count) on the pushed one, and Spark re-visits the
+  // same builder — accepting the re-push desyncs the holder's recorded
+  // 3-column output from the 1-column scan it then builds ("data
+  // source returns unexpected number of columns" INTERNAL_ERROR). One
+  // builder, one pushed aggregate; the outer count runs post-scan.
   override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
-    supported(agg).isDefined
+    aggFuncs.isEmpty && supported(agg).isDefined
   override def pushAggregation(agg: aggregate.Aggregation): Boolean =
-    supported(agg) match {
+    if (aggFuncs.nonEmpty) false
+    else supported(agg) match {
       case Some(fns) => aggFuncs = fns; true
       case None => false
     }

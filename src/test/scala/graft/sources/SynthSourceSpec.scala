@@ -56,6 +56,21 @@ class SynthSourceSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((800L, 100L, 899L)))
   }
 
+  test("count() OVER a completely-pushed aggregate plans and answers 1") {
+    // Dataset.count() stacks an outer Aggregate(count) on the pushed
+    // inner aggregate — Spark re-visits the same ScanBuilder and, if
+    // the builder accepts a SECOND pushAggregation, the holder's
+    // recorded output (3 cols) no longer matches the built scan
+    // (1 col): "data source returns unexpected number of columns"
+    // INTERNAL_ERROR (bench r7, every query runs under .count()).
+    // The builder must decline re-pushes.
+    val df = read(1000000L, slices = 8)
+      .filter(col("id") >= 100 && col("id") < 900)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    assert(df.count() == 1L)
+  }
+
   test("aggregate pushdown declines GROUP BY and non-id columns") {
     // grouped: source declines, Spark aggregates normally — values equal
     val grouped = read(1000).groupBy(col("grp")).agg(count(lit(1)).as("n"))
