@@ -692,6 +692,214 @@ object Catalog {
     Some("""SELECT count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         count(DISTINCT text) AS n_distinct FROM documents"""))
 
+  /** XML source/sink round-trip (Spark 4's built-in XML data source —
+    * the format enterprise feeds still arrive in): orders slice →
+    * row-tagged XML files → explicit-schema read-back (schema
+    * inference over XML is an extra full pass at 100 TB — never ship
+    * it) → aggregate vs the parquet original. Hash-green proves the
+    * markup round-trip loses nothing, numeric text formatting
+    * included; plan-wise the XML scan is a line-splittable text read,
+    * so it parallelizes like CSV.
+    */
+  val sourceXmlRoundtrip = RegisteredQuery(
+    "source_xml_roundtrip",
+    (s, d) => {
+      val tmp = s"/tmp/graft_xmldemo_${math.abs(d.hashCode)}"
+      val slim = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      slim.write.mode("overwrite")
+        .option("rowTag", "order").option("rootTag", "orders")
+        .format("xml").save(tmp)
+      s.read
+        .schema("o_orderkey BIGINT, o_orderpriority STRING, " +
+          "o_totalprice DOUBLE")
+        .option("rowTag", "order")
+        .format("xml").load(tmp)
+        .filter(col("o_totalprice") >= 1000.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+        round(sum(o_totalprice), 2) AS sum_price
+      FROM orders WHERE o_totalprice >= 1000.0
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** XML scalar-function surface: `to_xml(struct)` → `from_xml` back
+    * to a typed struct, plus the Hive `xpath_*` extractors on the
+    * markup text — the per-row path for XML payload COLUMNS (message
+    * queues, API dumps) as opposed to XML files. The oracle replays
+    * the identity from the raw columns, so hash-green pins the full
+    * encode→parse loop, double text-formatting included. All codegen
+    * expressions, one scan, zero shuffle.
+    */
+  val xmlFunctions = RegisteredQuery(
+    "xml_functions",
+    (s, d) => {
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("rowTag", "cust")
+      val base = Tables.customer(s, d)
+        .filter(col("c_custkey") <= 500)
+        .withColumn("x", to_xml(struct(
+          col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal"), 2).as("bal")), opts))
+      base.select(
+          col("c_custkey"),
+          from_xml(col("x"), lit("id BIGINT, seg STRING, bal DOUBLE"),
+            opts).as("p"),
+          expr("xpath_long(x, '/cust/id/text()')").as("id_xp"),
+          expr("xpath_string(x, '/cust/seg/text()')").as("seg_xp"))
+        .select(col("c_custkey"), col("p.seg").as("seg_rt"),
+          round(col("p.bal"), 2).as("bal_rt"), col("id_xp"), col("seg_xp"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment AS seg_rt,
+        round(c_acctbal, 2) AS bal_rt, c_custkey AS id_xp,
+        c_mktsegment AS seg_xp
+      FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey"""))
+
+  /** CDC changelog apply (the lakehouse ingest pattern: a stream of
+    * keyed upserts/deletes folded into a snapshot). The scale-right
+    * form is `max_by(payload, version)` under a hash aggregate — NOT a
+    * window sort: partial aggregation keeps ONE candidate row per key
+    * per map task, so the shuffle moves O(keys) rows while
+    * `row_number` ships every version to the sort. Delete tombstones
+    * are dropped AFTER latest-version election (a delete must beat an
+    * older update). The oracle replays with the window form — two
+    * shapes, one semantics. Version order is (µs ts, event_id); the
+    * oracle casts TIMESTAMP_NS to µs first so both engines break
+    * sub-µs ties identically, by event id.
+    */
+  val cdcApply = RegisteredQuery(
+    "cdc_apply",
+    (s, d) => {
+      val log = Tables.events(s, d).select(
+        col("user_id"),
+        when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("value"), col("ts"), col("event_id"))
+      log.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_versions"),
+          max_by(struct(col("op"), col("value"), col("ts")),
+            struct(col("ts"), col("event_id"))).as("last"))
+        .filter(col("last.op") =!= "D")
+        .select(col("user_id"), col("n_versions"),
+          col("last.value").as("last_value"),
+          col("last.ts").as("last_ts"))
+        .orderBy(col("user_id"))
+    },
+    // last_value passes through UNROUNDED: the double is never
+    // arithmetic'd, so both engines return the identical bits —
+    // rounding a per-row scalar near a .00005 tie is the only way to
+    // make them differ.
+    Some("""WITH ranked AS (
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts_us,
+          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+          count(*) OVER (PARTITION BY user_id) AS n_versions,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, n_versions, value AS last_value,
+        ts_us AS last_ts
+      FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id"""))
+
+  /** The SAME CDC fold as a stateful STREAM (`transformWithState`,
+    * one ValueState per key carrying the winning version across
+    * micro-batches): two time-ordered micro-batches replay the
+    * changelog, the final emission per key is the snapshot, and the
+    * oracle is cdc_apply's — batch/stream parity for the ingest
+    * pattern. The stream touches each version once and holds O(keys)
+    * state; the batch recompute re-reads all history every run — at
+    * 100 TB the stream IS the deployable form and this query proves
+    * it computes the same snapshot.
+    */
+  val streamingCdc = RegisteredQuery(
+    "streaming_cdc",
+    (s, d) => graft.streaming.Streams.confLock.synchronized {
+      import graft.streaming.Streams
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val raw = Streams
+          .eventsStreamTwoBatches(s, s"$d/events.parquet", "2024-01-16")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            when(col("event_type") === "error", lit("D"))
+              .otherwise(lit("U")).as("op"),
+            col("value"))
+          .as[Streams.CdcEvent]
+        val snaps = Streams.cdcSnapshot(raw)
+        Streams.runAvailableNowWithPartitions(s, snaps.toDF(),
+            s"graft_streamcdc_${System.nanoTime()}",
+            org.apache.spark.sql.streaming.OutputMode.Update(),
+            statePartitions = 8)
+          // the LAST emission per key (largest fold count) is final
+          .groupBy(col("user_id"))
+          .agg(max_by(struct(col("op"), col("value"), col("ts")),
+            col("n_versions")).as("last"),
+            max(col("n_versions")).as("n_versions"))
+          .filter(col("last.op") =!= "D")
+          .select(col("user_id"), col("n_versions"),
+            col("last.value").as("last_value"),
+            col("last.ts").as("last_ts"))
+          .orderBy(col("user_id"))
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some("""WITH ranked AS (
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts_us,
+          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+          count(*) OVER (PARTITION BY user_id) AS n_versions,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, n_versions, value AS last_value,
+        ts_us AS last_ts
+      FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id"""))
+
+  /** RAG-style overlapping text chunking (fixed window 128 chars,
+    * stride 96): per document, `sequence(0, len-1, stride)` generates
+    * the start offsets and `posexplode` emits one row per chunk — one
+    * scan, zero shuffle, output linear in total text volume, no
+    * driver involvement. Chunks are emitted as md5 scalars (the
+    * embedding stage downstream consumes the text; the check needs
+    * identity, not payload). The oracle replays with
+    * `generate_series`/`substr` — character (not byte) semantics in
+    * both engines.
+    */
+  val chunkOverlap = RegisteredQuery(
+    "chunk_overlap",
+    (s, d) => {
+      val (size, stride) = (128, 96)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("starts",
+          sequence(lit(0), length(col("text")) - 1, lit(stride)))
+        .select(col("doc_id"), col("text"),
+          posexplode(col("starts")).as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("text").substr(col("start") + 1, lit(size)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH starts AS (
+        SELECT doc_id, text, CAST(u.i AS INTEGER) AS start,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY u.i) - 1
+            AS INTEGER) AS chunk_idx
+        FROM documents,
+          unnest(generate_series(0, length(text) - 1, 96)) AS u(i))
+      SELECT doc_id, chunk_idx,
+        CAST(length(substr(text, start + 1, 128)) AS INTEGER) AS chunk_len,
+        md5(substr(text, start + 1, 128)) AS chunk_md5
+      FROM starts ORDER BY doc_id, chunk_idx"""))
+
   /** Managed-table surface (`saveAsTable` into the session catalog →
     * `spark.table` read-back → `tableExists`): the warehouse path a
     * multi-step pipeline uses to hand datasets between stages by NAME
@@ -5946,7 +6154,8 @@ object Catalog {
     unpivotMelt, sampleStratified,
     mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourceOrcRoundtrip,
-    sourceTextRoundtrip, catalogManagedTable, sinkPartitionOverwrite,
+    sourceTextRoundtrip, sourceXmlRoundtrip, xmlFunctions, cdcApply,
+    chunkOverlap, catalogManagedTable, sinkPartitionOverwrite,
     sinkInsertOverwrite, catalogIntrospect, sourceCustomV2,
     sourcePushdownAgg, sourcePushdownLimit, sourceRuntimeFilter,
     catalogV2Dml, sinkCustomV2,
@@ -5963,7 +6172,7 @@ object Catalog {
     streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll, streamingRunningTotals, streamingJoinOuter,
-    streamingJoinFull, streamingJoinSemi,
+    streamingJoinFull, streamingJoinSemi, streamingCdc,
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,

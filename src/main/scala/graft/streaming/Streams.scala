@@ -306,6 +306,84 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** Input row of the streaming CDC fold (top-level for the encoder):
+    * one changelog entry — `op` is 'U' (upsert) or 'D' (delete
+    * tombstone), `(ts, event_id)` is the version order.
+    */
+  final case class CdcEvent(user_id: Long, event_id: Long,
+      ts: Timestamp, op: String, value: Double)
+
+  /** Internal state of [[CdcProcessor]]: the winning version so far,
+    * as comparable primitives (µs + id), plus the fold count.
+    */
+  final case class CdcState(tsUs: Long, eventId: Long, op: String,
+      value: Double, n: Long)
+
+  /** Output row: the per-key snapshot candidate after each batch. */
+  final case class CdcSnapshot(user_id: Long, n_versions: Long,
+      op: String, value: Double, ts: Timestamp)
+
+  private def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Streaming CDC apply: the batch `cdc_apply` fold (latest version
+    * per key by `(ts, id)`, tombstones beat older updates) as an
+    * arbitrary-state processor. One ValueState per key carries the
+    * current winner ACROSS micro-batches — after the last batch, the
+    * final emission per key IS the snapshot row, the equivalence the
+    * oracle checks. State is O(keys) and constant per key: the
+    * streaming form never re-reads history, which is the whole point
+    * of CDC at 100 TB — the batch recompute touches every version
+    * ever, the stream touches each version once.
+    */
+  class CdcProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, CdcEvent, CdcSnapshot] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[CdcState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CdcState]("cdc",
+        org.apache.spark.sql.Encoders.product[CdcState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CdcSnapshot] = {
+      var best = if (st.exists()) st.get()
+        else CdcState(Long.MinValue, Long.MinValue, "", 0.0, 0L)
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        val wins = us > best.tsUs ||
+          (us == best.tsUs && e.event_id > best.eventId)
+        best = CdcState(
+          if (wins) us else best.tsUs,
+          if (wins) e.event_id else best.eventId,
+          if (wins) e.op else best.op,
+          if (wins) e.value else best.value,
+          best.n + 1)
+      }
+      st.update(best)
+      Iterator(CdcSnapshot(key, best.n, best.op, best.value,
+        fromMicros(best.tsUs)))
+    }
+  }
+
+  def cdcSnapshot(log: Dataset[CdcEvent]): Dataset[CdcSnapshot] = {
+    import log.sparkSession.implicits._
+    log.groupByKey(_.user_id)
+      .transformWithState(new CdcProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Run a streaming frame over the full available input once
     * (`availableNow`) into an in-memory table and return the result —
     * the batch-equivalence harness used by specs and the catalog.

@@ -268,4 +268,52 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("CDC fold keeps the latest version across batches; tombstones beat older updates") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("cdc_src")
+      // batch 1: key1 v1, key2 TOMBSTONE (late ts), key3 v1 at ts=4000
+      Seq((1L, 1L, new Timestamp(1000L), "U", 10.0),
+          (2L, 2L, new Timestamp(5000L), "D", 0.0),
+          (3L, 5L, new Timestamp(4000L), "U", 1.0))
+        .toDF("user_id", "event_id", "ts", "op", "value").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+      // batch 2: key1 newer update (wins), key2 OLDER update (must
+      // lose to the tombstone), key3 same-ts higher id (tie-break wins)
+      Seq((1L, 3L, new Timestamp(3000L), "U", 7.0),
+          (2L, 4L, new Timestamp(2000L), "U", 5.0),
+          (3L, 6L, new Timestamp(4000L), "U", 2.0))
+        .toDF("user_id", "event_id", "ts", "op", "value").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+      import org.apache.spark.sql.types.{StructType, StructField, LongType, TimestampType, StringType, DoubleType}
+      val raw = spark.readStream
+        .schema(StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", TimestampType), StructField("op", StringType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString)
+        .as[Streams.CdcEvent]
+      val got = Streams.runAvailableNow(spark,
+          Streams.cdcSnapshot(raw).toDF(),
+          s"cdc_test_${System.nanoTime()}", OutputMode.Update())
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("op"), col("value")), col("n_versions"))
+          .as("last"), max(col("n_versions")).as("n"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getStruct(1).getString(0), r.getStruct(1).getDouble(1),
+            r.getLong(2))))
+        .toMap
+      assert(got(1L) == (("U", 7.0, 2L)), s"key 1: ${got(1L)}")
+      assert(got(2L) == (("D", 0.0, 2L)), s"key 2: ${got(2L)}")
+      assert(got(3L) == (("U", 2.0, 2L)), s"key 3: ${got(3L)}")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
 }
