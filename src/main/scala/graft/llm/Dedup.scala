@@ -536,7 +536,8 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      broadcastThreshold: Long = 4000000L): DataFrame = {
     // materialize the adjacency ONCE: every round joins against it, and
     // an unpersisted edge list would re-run its whole upstream pipeline
     // (e.g. the exact-Jaccard join) once per round
@@ -551,6 +552,26 @@ object Dedup {
       .join(adj.select(col("src").as("id")), Seq("id"), "left_semi")
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    // Dual layout (the graph_pagerank pattern): when the NON-ISOLATED
+    // vertex set is bounded (≤ broadcastThreshold, 8 B/id = 32 MB at
+    // the default), the min-label loop runs on dense primitive arrays
+    // — labels broadcast per round, edges packed once into
+    // per-partition index pairs, one shuffle-free mapPartitions +
+    // treeReduce(min) job per round. The DataFrame loop below pays
+    // ~0.5 s/round of join+checkpoint plan fixed cost at ANY size;
+    // the dense loop pays ~50 ms. Above the threshold the keyed-join
+    // loop IS the scale path and runs unchanged.
+    val nNonIsolated = labels.count()
+    if (nNonIsolated > 0 && nNonIsolated <= broadcastThreshold) {
+      val ids = labels.select(col("id")).collect().map(_.getLong(0))
+      val components = ccBroadcast(adj, ids, maxIter)
+        .select(col("id"), col("label").as("component"))
+      adj.unpersist()
+      val isolated = allIds
+        .join(components.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component"))
+      return components.union(isolated)
+    }
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -588,6 +609,89 @@ object Dedup {
       .join(components.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
     components.union(isolated)
+  }
+
+  /** Bounded-vertex-state connected components: ids as a sorted
+    * primitive long array, edges packed ONCE into per-partition dense
+    * (srcIdx<<32|dstIdx) pairs via binary search, then each min-label
+    * round is one shuffle-free `mapPartitions` + elementwise-min
+    * `treeReduce` over a per-round labels broadcast — no joins, no
+    * checkpoints, no plan rebuild. Same semantics as the DataFrame
+    * loop (component = min id, O(diameter) rounds, loud
+    * non-convergence); edges stay DISTRIBUTED — only vertex state is
+    * bounded.
+    */
+  private def ccBroadcast(adj: DataFrame, idsIn: Array[Long],
+      maxIter: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = adj.sparkSession
+    val sc = spark.sparkContext
+    val ids = idsIn.clone()
+    java.util.Arrays.sort(ids)
+    val bcIds = sc.broadcast(ids)
+    val packed = adj.rdd.mapPartitions { rows =>
+      val idArr = bcIds.value
+      val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+      rows.foreach { r =>
+        val si = java.util.Arrays.binarySearch(idArr, r.getLong(0))
+        val di = java.util.Arrays.binarySearch(idArr, r.getLong(1))
+        buf += (si.toLong << 32) | (di.toLong & 0xffffffffL)
+      }
+      Iterator.single(buf.result())
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = ids.length
+    var labels = ids.clone()
+    var changed = true
+    var it = 0
+    while (changed && it < maxIter) {
+      val bcL = sc.broadcast(labels)
+      val contrib = packed.mapPartitions { arrs =>
+        val lv = bcL.value
+        val acc = Array.fill(lv.length)(Long.MaxValue)
+        arrs.foreach { arr =>
+          var j = 0
+          while (j < arr.length) {
+            val p = arr(j)
+            val l = lv((p >>> 32).toInt)
+            val d = (p & 0xffffffffL).toInt
+            if (l < acc(d)) acc(d) = l
+            j += 1
+          }
+        }
+        Iterator.single(acc)
+      }.treeReduce({ (a, b) =>
+        var j = 0
+        while (j < a.length) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+        a
+      }, depth = 2)
+      changed = false
+      var i = 0
+      val next = new Array[Long](nn)
+      while (i < nn) {
+        val v = math.min(labels(i), contrib(i))
+        next(i) = v
+        if (v != labels(i)) changed = true
+        i += 1
+      }
+      labels = next
+      bcL.destroy()
+      it += 1
+    }
+    packed.unpersist(false)
+    bcIds.destroy()
+    if (changed) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the bound; raise maxIter")
+    }
+    // ~100k rows/partition so a threshold-sized result never funnels
+    // through one downstream task
+    val rows = ids.indices.map(i => Row(ids(i), labels(i)))
+    val slices = math.max(1, nn / 100000)
+    spark.createDataFrame(sc.parallelize(rows.toSeq, slices),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("label", LongType, nullable = false))))
   }
 
   /** Exact-duplicate clusters on the normalized-text fingerprint:

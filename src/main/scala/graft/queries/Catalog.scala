@@ -2056,6 +2056,39 @@ object Catalog {
         WHERE c.doc_id > 0)
       SELECT doc_id, d FROM depth ORDER BY doc_id"""))
 
+  /** NOT IN subquery semantics — the SQL trap and the physical
+    * operator it forces. `x NOT IN (subquery)` is NOT an anti-join
+    * when the subquery can yield NULL: three-valued logic makes every
+    * row's predicate UNKNOWN, so the result is EMPTY. Spark compiles
+    * the clean variant to a null-aware anti join (single-key broadcast
+    * NAAJ — the hash-join form, not a nested loop) and must get the
+    * poisoned variant's empty answer right. Both variants' counts in
+    * one output; DuckDB replays the same standard semantics.
+    */
+  val subqueryNotIn = RegisteredQuery(
+    "subquery_not_in",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT 'clean' AS variant, count(*) AS n FROM customer
+          WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        UNION ALL
+        SELECT 'with_null', count(*) FROM customer
+          WHERE c_custkey NOT IN
+            (SELECT CASE WHEN o_totalprice > 150000 THEN o_custkey END
+             FROM orders)
+        ORDER BY variant""")
+    },
+    Some("""SELECT 'clean' AS variant, count(*) AS n FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+      UNION ALL
+      SELECT 'with_null', count(*) FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT CASE WHEN o_totalprice > 150000 THEN o_custkey END
+           FROM orders)
+      ORDER BY variant"""))
+
   /** Correlated LATERAL subquery with per-row ORDER/LIMIT: each
     * customer's top-2 orders by price — the "top-N per key as a join"
     * formulation (the window formulation is `window_topn_per_group`;
@@ -6140,7 +6173,7 @@ object Catalog {
     joinBloomPruned, joinBucketed, joinNullSafe, sqlCteWindow,
     sqlGroupByAll, sqlParameterized, sqlVariables, sqlPivotText,
     variantExtract,
-    sqlRecursiveCte, joinLateral, setopMultiset, unionByNameQ,
+    sqlRecursiveCte, joinLateral, subqueryNotIn, setopMultiset, unionByNameQ,
     regexExtractAll,
     joinSalted, zipFrames,
     aggApproxBounds, partitionPruning,

@@ -99,4 +99,21 @@ class PlanLintSpec extends SparkSpec {
     assert(plan.split("hashpartitioning\\(o_custkey").length - 1 == 1, plan)
   }
 
+  test("cdc_apply aggregates partially before the shuffle, no window sort") {
+    // The CDC fold must be the max_by hash-aggregate shape: a PARTIAL
+    // max_by pass before the exchange (the shuffle moves one candidate
+    // row per key per map task, O(keys)), never the row_number window
+    // form (which ships every changelog version to a sort) — at 100 TB
+    // the difference is shuffling the snapshot vs shuffling all
+    // history.
+    val plan = Catalog.byName("cdc_apply").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by"),
+      s"expected map-side partial max_by: $plan")
+    assert(!plan.contains("Window"), s"expected no window sort: $plan")
+    // exactly one keyed exchange (plus the final ORDER BY range
+    // exchange, which partitions by user_id range, not hash)
+    assert(plan.split("hashpartitioning\\(user_id").length - 1 == 1, plan)
+  }
+
 }
