@@ -398,6 +398,38 @@ object Dedup {
       .agg(min(col("band_min")).as("cluster_id"))
   }
 
+  /** One-hop LSH clustering in the PORTABLE md5 hash family: the band
+    * keys are slices of [[minhashSignaturePortable]]'s signature, so a
+    * DuckDB oracle can reproduce the ENTIRE pipeline — shingling,
+    * per-slot min, banding, bucket-min labeling — byte-for-byte. Same
+    * labeling semantics as [[minhashClusters]] (min doc id sharing any
+    * band; under-merges chains, never over-merges beyond a shared
+    * band) and the same one-scan window-min shape; only the hash
+    * family differs. Use this when cross-engine reproducibility of
+    * cluster ids matters (e.g. incremental dedup against an index
+    * built by another engine); [[minhashClusters]]' splitmix family is
+    * faster per hash when the ids stay engine-private.
+    */
+  def minhashClustersPortable(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 8, bands: Int = 4,
+      shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val slots = split(col("sig"), ",")
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("|",
+        (lit(b.toString) +: (0 until rowsPerBand).map(r =>
+          slots.getItem(b * rowsPerBand + r))): _*)
+    }
+    minhashSignaturePortable(df, idCol, textCol, numHashes, shingleK)
+      .select(col("id"), explode(array(bandKeys: _*)).as("band"))
+      .withColumn("band_min", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+      .groupBy(col("id"))
+      .agg(min(col("band_min")).as("cluster_id"))
+  }
+
   /** MinHash signature in a PORTABLE hash family: slot `i` of the
     * signature is `min over shingles of md5(i + "|" + shingle)`
     * (low 64 hex bits) — any engine with md5 reproduces it

@@ -1248,15 +1248,26 @@ object Catalog {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("sum_value"))
-      val q = st.writeStream
-        .format("graft.sources.synth.MemorySinkProvider")
-        .option("table", tbl)
-        .option("checkpointLocation", ckpt)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .queryName(tbl)
-        .start()
-      try q.awaitTermination() finally q.stop()
+      // 8 state partitions, not the session's 32: per-epoch state-store
+      // open/commit overhead dominates this 25-key aggregate (the 2PC
+      // protocol under test is per-epoch, not per-partition), same
+      // right-sizing source_custom_stream applies
+      graft.streaming.Streams.confLock.synchronized {
+        val key = "spark.sql.shuffle.partitions"
+        val prev = s.conf.get(key)
+        s.conf.set(key, "8")
+        try {
+          val q = st.writeStream
+            .format("graft.sources.synth.MemorySinkProvider")
+            .option("table", tbl)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .queryName(tbl)
+            .start()
+          try q.awaitTermination() finally q.stop()
+        } finally s.conf.set(key, prev)
+      }
       val schema = StructType(Seq(
         StructField("grp", IntegerType),
         StructField("n_rows", LongType),
@@ -3971,16 +3982,47 @@ object Catalog {
   // ------------------------------------------------ LLM: near-dup + ANN
 
   /** MinHash-LSH near-dup clustering: every doc labeled with the min
-    * doc id sharing an LSH band. Rows-only (hash-dependent); planted
-    * near-dups are verified in DedupSpec.
+    * doc id sharing an LSH band. Uses the PORTABLE md5 hash family
+    * ([[graft.llm.Dedup.minhashClustersPortable]]) so the oracle
+    * reproduces banding and bucket-min labeling byte-for-byte —
+    * cluster ASSIGNMENT itself is hash-checked, not just row count.
+    * The faster engine-private splitmix path (`minhashClusters`)
+    * keeps its planted-near-dup coverage in DedupSpec.
     */
   val dedupMinhash = RegisteredQuery(
     "dedup_minhash",
     (s, d) =>
-      graft.llm.Dedup.minhashClusters(
-        Tables.documents(s, d), "doc_id", "text")
-        .orderBy(col("id")),
-    None)
+      graft.llm.Dedup.minhashClustersPortable(
+        Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, bands = 4)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        FROM t),
+      e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      h AS (
+        SELECT doc_id, i,
+          min(substr(md5(CAST(i AS VARCHAR) || '|' || s), 17, 16)) AS m
+        FROM e, unnest(generate_series(0, 7)) AS u(i)
+        GROUP BY doc_id, i),
+      bands AS (
+        SELECT doc_id,
+          CAST(i // 2 AS VARCHAR) || '|' || string_agg(m, '|' ORDER BY i)
+            AS bk
+        FROM h GROUP BY doc_id, i // 2),
+      lbl AS (SELECT bk, min(doc_id) AS m FROM bands GROUP BY bk)
+      SELECT b.doc_id, min(l.m) AS cluster_id
+      FROM bands b JOIN lbl l ON b.bk = l.bk
+      GROUP BY b.doc_id ORDER BY doc_id"""))
 
   /** The MinHash signature itself, hash-checked: slot `i` is the
     * minimum `md5(i + "|" + shingle)` (low 64 hex bits) over the

@@ -28,18 +28,89 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's TimestampType (µs) cannot hold natively — the vectorized
-    * reader refuses it outright. Read nanos as long and convert to a µs
-    * timestamp, the same truncation DuckDB applies when it coerces
-    * TIMESTAMP_NS to TIMESTAMP, so both engines see identical values.
+  /** The events fixture's `ts` physical type has changed across fixture
+    * generations (TIMESTAMP(NANOS) in early rounds, TIMESTAMP(MICROS,
+    * NTZ) since 2026-08-13). Adapt to whatever is on disk instead of
+    * hardcoding one generation: `normalizeEventsTs` branches on the
+    * loaded type and fails loudly on anything it doesn't recognize.
+    * The output contract is stable either way: `ts` is TimestampType
+    * (µs, session tz = UTC), matching what DuckDB's oracle sees.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // harmless for non-nanos files; required to load a nanos fixture at all
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(s, table(s, d, "events"), s"$d/events.parquet")
   }
+
+  /** Normalize an events frame's `ts` to TimestampType regardless of the
+    * fixture generation it was read from. Shared by the batch reader and
+    * `streaming.Streams.eventsStream` so there is exactly one copy of
+    * the adaptation logic. Unrecognized types fail loudly — a wrong
+    * answer from a silently mis-scaled timestamp is worse than an error.
+    */
+  def normalizeEventsTs(spark: SparkSession, df: DataFrame,
+      sourcePath: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case TimestampType => df
+      case TimestampNTZType =>
+        // session tz is UTC (GraftSession), so the cast is value-preserving
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
+        // Ambiguous: nanosAsLong turns TIMESTAMP(NANOS) into LongType, but
+        // a plain un-annotated INT64 column loads identically. Only the
+        // parquet footer can tell them apart — probe it before dividing.
+        val unit = probeTsTimestampUnit(spark, sourcePath)
+        if (unit != "NANOS")
+          throw new IllegalStateException(
+            s"events fixture at $sourcePath: ts loaded as LongType but the " +
+            s"parquet footer says '$unit', not TIMESTAMP(NANOS) — refusing " +
+            "to apply the nanos/1000 conversion to values of unknown scale")
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other =>
+        throw new IllegalStateException(
+          s"events fixture at $sourcePath: unsupported ts type $other — " +
+          "expected TIMESTAMP, TIMESTAMP_NTZ, or nanos-as-long")
+    }
+  }
+
+  /** Read the parquet footer of `path` (a file, or a directory whose
+    * first data file is probed) and return the `ts` column's timestamp
+    * unit ("NANOS"/"MICROS"/"MILLIS"), or the raw type string when `ts`
+    * carries no timestamp annotation. Footer-only: O(KB) of IO, cached
+    * per path.
+    */
+  private val tsUnitCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def probeTsTimestampUnit(spark: SparkSession, path: String): String =
+    tsUnitCache.computeIfAbsent(path, { p =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val dataFile =
+        if (fs.getFileStatus(hp).isDirectory)
+          fs.listStatus(hp).map(_.getPath)
+            .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+            .sortBy(_.getName)
+            .headOption.getOrElse(throw new IllegalStateException(
+              s"no data files under $p to probe"))
+        else hp
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val tsField = schema.getFields.get(schema.getFieldIndex("ts"))
+        tsField.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit.toString
+          case null => "UNANNOTATED_" + tsField.toString
+          case other => other.toString
+        }
+      } finally reader.close()
+    })
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

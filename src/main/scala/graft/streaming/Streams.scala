@@ -30,20 +30,19 @@ object Streams {
     StructField("props", StringType)))
 
   /** File-based event stream over a parquet directory. The fixture's
-    * `ts` is parquet TIMESTAMP(NANOS), unreadable as Spark
-    * TimestampType — read nanos as long and convert (the single shared
-    * copy of the workaround `Tables.events` applies on the batch side).
-    * Sets the session-wide nanosAsLong flag: subsequent reads of
-    * nano-timestamp parquet in this session yield LongType.
+    * `ts` physical type has changed across generations (NANOS, then
+    * MICROS NTZ), so the stream schema is derived from the staged
+    * files' own footer (via a batch schema inference — footer-only IO)
+    * rather than pinned. `Tables.normalizeEventsTs` then applies the
+    * one shared conversion and FAILS LOUDLY on an unrecognized type —
+    * a pinned-but-wrong schema here previously read µs values as nanos
+    * and silently compressed every timestamp 1000×.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = StructType(EventSchema.fields.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-    spark.readStream
-      .schema(nanosSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val onDiskSchema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(onDiskSchema).parquet(dir)
+    graft.sources.Tables.normalizeEventsTs(spark, raw, dir)
   }
 
   /** Stage a single fixture parquet FILE into a fresh directory (the
@@ -126,8 +125,8 @@ object Streams {
     val dir = twoBatchCache.computeIfAbsent((parquetFile, splitTs), _ => {
       val d = java.nio.file.Files.createTempDirectory("events_2b")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val full = spark.read.parquet(parquetFile)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val full = graft.sources.Tables.normalizeEventsTs(spark,
+        spark.read.parquet(parquetFile), parquetFile)
       def stage(df: DataFrame, name: String): Unit = {
         val tmp = d.resolve(name + "_tmp")
         df.coalesce(1).write.parquet(tmp.toString)

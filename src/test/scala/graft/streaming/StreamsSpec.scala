@@ -25,24 +25,7 @@ class StreamsSpec extends SparkSpec {
 
   test("streaming hourly agg over events files equals the batch answer") {
     val dir = "/root/testdata/sf0.001"
-    // stream side: run the nanos-as-long conversion path like Tables.events
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("props",
-          org.apache.spark.sql.types.StringType))))
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = Streams.eventsStream(spark, eventsDir)
     val streamed = Streams.hourlyAgg(raw)
     val got = Streams.runAvailableNow(spark, streamed, "hourly_test")
       .orderBy("hour_start")
@@ -81,13 +64,7 @@ class StreamsSpec extends SparkSpec {
 
   test("sliding windows emit overlapping window starts") {
     val dir = "/root/testdata/sf0.001"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Streams.EventSchema
-        .fields.map(f => if (f.name == "ts")
-          f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = Streams.eventsStream(spark, eventsDir)
     val got = Streams.runAvailableNow(spark,
       Streams.slidingTypeCounts(raw), "sliding_test")
     val starts = got.select("window_start").distinct().count()
