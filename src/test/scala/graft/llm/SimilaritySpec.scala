@@ -287,6 +287,34 @@ class SimilaritySpec extends SparkSpec {
     assert(found.forall { case (a, b) => a < b })
   }
 
+  test("multiprobe join: small-corpus and at-scale plan paths agree") {
+    // the dedup-vs-score ordering is a size-based plan choice keyed off
+    // autoBroadcastJoinThreshold; force each path and require identical
+    // output — the oracle must not be able to tell them apart
+    val rnd = new java.util.Random(7)
+    val vecs = (0 until 60).map(i =>
+      i.toLong -> Array.fill(16)(rnd.nextGaussian()).toSeq)
+    val df = vecs.toDF("id", "vec")
+    def run(): Set[(Long, Long, Double)] =
+      Similarity.similarityJoinMultiProbe(df, "vec", "id",
+          threshold = 0.3, dim = 16, bits = 4, tables = 8,
+          flipBits = 3, probeHamming = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val small = run() // local Seq-backed frame: broadcastable path
+    val big =
+      try { spark.conf.set(key, "-1"); run() } // forced at-scale path
+      finally spark.conf.set(key, prev)
+    assert(small == big,
+      s"plan paths diverge: only-small=${small.diff(big).take(3)} " +
+        s"only-big=${big.diff(small).take(3)}")
+    assert(small.nonEmpty)
+  }
+
   test("similarity join finds identical vectors in same bucket") {
     val vecs = randomVecs(20, 8) :+ (100L -> randomVecs(20, 8).head._2)
     val df = vecs.toDF("id", "vec")
