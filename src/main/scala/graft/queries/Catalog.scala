@@ -4113,8 +4113,7 @@ object Catalog {
   val dedupJaccardExact = RegisteredQuery(
     "dedup_jaccard_exact",
     (s, d) =>
-      graft.llm.Dedup.jaccardJoinExact(
-        Tables.documents(s, d), "doc_id", "text", threshold = 0.7)
+      exactPairsFor(s, d)
         .orderBy(col("id_a"), col("id_b")),
     Some("""WITH t AS (
         SELECT doc_id,
@@ -4378,11 +4377,27 @@ object Catalog {
     componentCache.computeIfAbsent(
       s"${System.identityHashCode(s.sparkContext)}|$d", _ => {
       val docs = Tables.documents(s, d)
-      val edges = graft.llm.Dedup.jaccardJoinExact(
-        docs, "doc_id", "text", threshold = 0.7)
       graft.llm.Dedup.connectedComponents(
-        docs, "doc_id", edges, "id_a", "id_b")
+        docs, "doc_id", exactPairsFor(s, d), "id_a", "id_b")
     })
+
+  /** The exact-Jaccard (≥0.7) pair set over `documents` — the near-dup
+    * EDGE LIST both `dedup_jaccard_exact` and the component family
+    * consume. Built once per (session, dir) and eagerly checkpointed:
+    * in a real pipeline this is a persisted index artifact, and
+    * rebuilding the 3-scan prefix-filter join per downstream consumer
+    * would pay its dominant cost (the shingle/prefix passes) twice.
+    * Cleared by [[resetSharedArtifacts]] so re-timing passes stay
+    * honest.
+    */
+  private val exactPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def exactPairsFor(s: SparkSession, d: String): DataFrame =
+    exactPairsCache.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}|$d", _ =>
+        graft.llm.Dedup.jaccardJoinExact(
+          Tables.documents(s, d), "doc_id", "text", threshold = 0.7)
+          .localCheckpoint(true))
 
   /** Leakage-free train/val split: hash-split by NEAR-DUP COMPONENT,
     * not by document — a plain per-doc hash split leaks when a
@@ -4870,6 +4885,7 @@ object Catalog {
   def resetSharedArtifacts(): Unit = {
     purchaseGraphCache.clear()
     componentCache.clear()
+    exactPairsCache.clear()
     centroidCache.clear()
     pqModelCache.clear()
   }
