@@ -1446,6 +1446,47 @@ object Catalog {
         FROM orders) WHERE rn <= 20
       ORDER BY o_orderstatus, rn"""))
 
+  /** Weighted sampling without replacement, k=5 docs per language,
+    * weight = length bucket (longer docs proportionally likelier) —
+    * the quality-weighted subsampling step of a training-data mixture.
+    * Efraimidis-Spirakis via min-of-w-md5-tickets
+    * ([[graft.relational.Sampling.weightedSample]]): the min of w iid
+    * uniforms has the same distribution as u^(1/w), so this IS the
+    * textbook weighted k-sample, but every comparison is an exact
+    * string compare — no ln/pow whose last-ulp differences would break
+    * cross-engine hash equality. The oracle replays tickets, min, and
+    * ranking verbatim, so the CHECK proves the sampling scheme
+    * end-to-end, not just row counts.
+    */
+  val sampleWeighted = RegisteredQuery(
+    "sample_weighted",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("weight",
+          least(lit(8), lit(1) + floor(col("n_chars") / 500)).cast("int"))
+      graft.relational.Sampling.weightedSample(
+          docs, "lang", "doc_id", "weight", k = 5, maxWeight = 8)
+        .select(col("lang"), col("doc_id"), col("weight"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, lang,
+          CAST(least(8, 1 + n_chars // 500) AS INTEGER) AS weight
+        FROM documents),
+      tick AS (
+        SELECT doc_id, lang, weight,
+          min(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(t AS VARCHAR)))
+            AS ticket
+        FROM w, unnest(generate_series(0, weight - 1)) AS u(t)
+        GROUP BY doc_id, lang, weight),
+      r AS (
+        SELECT lang, doc_id, weight,
+          row_number() OVER (PARTITION BY lang ORDER BY ticket, doc_id)
+            AS rn
+        FROM tick)
+      SELECT lang, doc_id, weight FROM r WHERE rn <= 5
+      ORDER BY lang, doc_id"""))
+
   /** Upsert/merge as a pure relational program (the SCD-1 pattern
     * without a table format): base = customer, updates = each
     * customer's latest order priority; merged = updates win, inserts
@@ -6242,7 +6283,7 @@ object Catalog {
     q4OrderPriority, q8MarketShare, q9ProductProfit, q12LateLines,
     q13CustomerDistribution, q15TopSupplier, q19DiscountedRevenue,
     q21WaitingSupplier, q22GlobalSales, globalSort,
-    unpivotMelt, sampleStratified,
+    unpivotMelt, sampleStratified, sampleWeighted,
     mergeUpsert, profileColumns, windowRangeFrame,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourceOrcRoundtrip,
     sourceTextRoundtrip, sourceXmlRoundtrip, xmlFunctions, cdcApply,

@@ -95,6 +95,60 @@ object Sampling {
       .drop("__group", "__frac")
   }
 
+  /** Weighted sampling without replacement, k rows per group —
+    * Efraimidis-Spirakis (IPL 2006) realized WITHOUT floating point:
+    * instead of ranking by u^(1/w) keys (whose ln/pow differ in the
+    * last ulp across engines and would break cross-engine
+    * reproducibility), each row gets `w` integer tickets and ranks by
+    * its MINIMUM md5(key || "#" || ticket). The min of w iid uniforms
+    * and u^(1/w) have the SAME distribution (both CDF x^w after the
+    * obvious reflection), so taking the k smallest per-group min
+    * tickets IS the E-S weighted k-sample — inclusion probability
+    * rises with weight exactly as the textbook scheme — while every
+    * comparison is an exact string compare: deterministic, portable,
+    * stable under corpus appends.
+    *
+    * Scale shape: the ticket explode carries only (group, key, w≤
+    * `maxWeight`) slim rows; the per-row min folds map-side in the
+    * ticket aggregate; ranking shuffles one slim row per INPUT row;
+    * payloads join back onto the ≤k·groups winners at the end. The
+    * per-group window serializes each group's slim rows into one task
+    * — the [[mixtureSample]] caveat; at larger scale swap the window
+    * for a per-group top-k aggregate.
+    *
+    * `weightCol` must be integral and in [1, maxWeight]; out-of-range
+    * weights fail loudly (a silent clamp would quietly distort the
+    * sampling distribution).
+    */
+  def weightedSample(df: DataFrame, groupCol: String, keyCol: String,
+      weightCol: String, k: Int, maxWeight: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(k > 0, s"k must be positive, got $k")
+    require(maxWeight >= 1, s"maxWeight must be >= 1, got $maxWeight")
+    val wOk = col(weightCol).isNotNull &&
+      col(weightCol) >= 1 && col(weightCol) <= maxWeight
+    val guarded = df.withColumn("__w",
+      when(wOk, col(weightCol).cast("int")).otherwise(
+        raise_error(concat(lit(s"weightedSample: $weightCol out of [1, " +
+          s"$maxWeight] for key "), col(keyCol).cast("string")))))
+    val tickets = guarded
+      .select(col(groupCol).as("__g"), col(keyCol).as("__k"),
+        explode(sequence(lit(0), col("__w") - 1)).as("__t"))
+      .groupBy(col("__g"), col("__k"))
+      .agg(min(md5(concat(col("__k").cast("string"), lit("#"),
+        col("__t").cast("string")))).as("__ticket"))
+    val winners = tickets
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__g"))
+          .orderBy(col("__ticket"), col("__k"))))
+      .filter(col("__rn") <= k)
+      .select(col("__g"), col("__k"), col("__rn"))
+    df.join(winners,
+        df(groupCol) === winners("__g") && df(keyCol) === winners("__k"))
+      .drop("__g", "__k", "__rn")
+  }
+
   /** L-5: driver micro-batching (reference `collect().grouped(1000)`,
     * `ModelingStrategy.scala:100, 124`) — but via `toLocalIterator`, so
     * only one partition is resident on the driver at a time.

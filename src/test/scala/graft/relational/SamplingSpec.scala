@@ -98,4 +98,32 @@ class SamplingSpec extends SparkSpec {
       plan)
   }
 
+  test("weightedSample: deterministic, k per group, biased toward weight") {
+    import org.apache.spark.sql.functions._
+    // 400 keys per group, half weight 8, half weight 1
+    val df = (0 until 800).map { i =>
+      (if (i % 2 == 0) "a" else "b", i.toLong, if (i < 400) 8 else 1)
+    }.toDF("g", "id", "w")
+    val s1 = Sampling.weightedSample(df, "g", "id", "w", k = 50)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    val s2 = Sampling.weightedSample(df, "g", "id", "w", k = 50)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(s1.sorted.toSeq == s2.sorted.toSeq, "not deterministic")
+    assert(s1.count(_._1 == "a") == 50 && s1.count(_._1 == "b") == 50)
+    // E-S inclusion: weight-8 rows (ids < 400) should dominate. Per
+    // slot P(heavy) ≈ 8/9; over 100 picks the count below 70 has
+    // vanishing probability under the scheme
+    val heavy = s1.count(_._2 < 400)
+    assert(heavy >= 70, s"weight bias too weak: $heavy/100 heavy picks")
+  }
+
+  test("weightedSample: out-of-range weight fails loudly") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("a", 1L, 0), ("a", 2L, 3)).toDF("g", "id", "w")
+    val ex = intercept[Exception] {
+      Sampling.weightedSample(df, "g", "id", "w", k = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
 }
