@@ -110,11 +110,11 @@ object Sampling {
     *
     * Scale shape: the ticket explode carries only (group, key, w≤
     * `maxWeight`) slim rows; the per-row min folds map-side in the
-    * ticket aggregate; ranking shuffles one slim row per INPUT row;
-    * payloads join back onto the ≤k·groups winners at the end. The
-    * per-group window serializes each group's slim rows into one task
-    * — the [[mixtureSample]] caveat; at larger scale swap the window
-    * for a per-group top-k aggregate.
+    * ticket aggregate; ranking is a BOUNDED top-k aggregate
+    * ([[graft.functions.TopKMinByKey]]) whose map-side partials are
+    * O(k) per task regardless of group size — no per-group window
+    * sort, no group serialized into one task; payloads join back onto
+    * the ≤k·groups winners at the end.
     *
     * `weightCol` must be integral and in [1, maxWeight]; out-of-range
     * weights fail loudly (a silent clamp would quietly distort the
@@ -122,10 +122,13 @@ object Sampling {
     */
   def weightedSample(df: DataFrame, groupCol: String, keyCol: String,
       weightCol: String, k: Int, maxWeight: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     require(k > 0, s"k must be positive, got $k")
     require(maxWeight >= 1, s"maxWeight must be >= 1, got $maxWeight")
+    val keyType = df.schema(keyCol).dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(keyType),
+      s"weightedSample requires an integral keyCol; '$keyCol' is " +
+        s"$keyType. Hash or rank string keys first.")
     val wOk = col(weightCol).isNotNull &&
       col(weightCol) >= 1 && col(weightCol) <= maxWeight
     val guarded = df.withColumn("__w",
@@ -133,17 +136,18 @@ object Sampling {
         raise_error(concat(lit(s"weightedSample: $weightCol out of [1, " +
           s"$maxWeight] for key "), col(keyCol).cast("string")))))
     val tickets = guarded
-      .select(col(groupCol).as("__g"), col(keyCol).as("__k"),
+      .select(col(groupCol).as("__g"), col(keyCol).cast("long").as("__k"),
         explode(sequence(lit(0), col("__w") - 1)).as("__t"))
       .groupBy(col("__g"), col("__k"))
       .agg(min(md5(concat(col("__k").cast("string"), lit("#"),
         col("__t").cast("string")))).as("__ticket"))
     val winners = tickets
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__g"))
-          .orderBy(col("__ticket"), col("__k"))))
-      .filter(col("__rn") <= k)
-      .select(col("__g"), col("__k"), col("__rn"))
+      .groupBy(col("__g"))
+      .agg(graft.functions.TopKMinByKey(k)(col("__ticket"), col("__k"))
+        .as("__top"))
+      .select(col("__g"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("__g"), col("__e.id").as("__k"),
+        (col("__p") + 1).as("__rn"))
     df.join(winners,
         df(groupCol) === winners("__g") && df(keyCol) === winners("__k"))
       .drop("__g", "__k", "__rn")

@@ -117,6 +117,35 @@ class SamplingSpec extends SparkSpec {
     assert(heavy >= 70, s"weight bias too weak: $heavy/100 heavy picks")
   }
 
+  test("weightedSample: bounded top-k aggregate, no per-group window sort") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = (0 until 300).map(i => ("g" + (i % 3), i.toLong, 1 + i % 8))
+      .toDF("g", "id", "w")
+    val got = Sampling.weightedSample(df, "g", "id", "w", k = 7)
+    // plan: ranking runs as a partial-merge aggregate, not a window —
+    // a window would sort-shuffle every group row into one task
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_topkminbykey") ||
+      plan.toLowerCase.contains("objecthashaggregate"), plan)
+    // equivalence: the aggregate ranking equals the window form
+    val tickets = df
+      .select(col("g"), col("id"),
+        explode(sequence(lit(0), col("w") - 1)).as("t"))
+      .groupBy(col("g"), col("id"))
+      .agg(min(md5(concat(col("id").cast("string"), lit("#"),
+        col("t").cast("string")))).as("ticket"))
+    val windowForm = tickets
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("ticket"), col("id"))))
+      .filter(col("rn") <= 7)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    val aggForm = got.select("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(aggForm.sorted.toSeq == windowForm.sorted.toSeq)
+  }
+
   test("weightedSample: out-of-range weight fails loudly") {
     import org.apache.spark.sql.functions._
     val df = Seq(("a", 1L, 0), ("a", 2L, 3)).toDF("g", "id", "w")
