@@ -73,6 +73,16 @@ object GraftFunctions {
     Bridge.column(JaccardSortedExpr(Bridge.expression(a), Bridge.expression(b)))
   }
 
+  /** Column form: cosine between a row vector and its assigned
+    * centroid (one dim-loop; matrix embedded as a codegen reference).
+    */
+  def centroidCosine(vec: Column, cell: Column,
+      centroids: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(CentroidCosineExpr(
+      Bridge.expression(vec), Bridge.expression(cell), centroids))
+  }
+
   /** Column form: fused b-bit hyperplane LSH signature (one pass over
     * the vector for all planes; matrix embedded as a codegen reference).
     */
