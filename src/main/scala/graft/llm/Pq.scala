@@ -304,6 +304,90 @@ object Pq {
     topKRerank(index.filter(col("cell").isin(cells.toIndexedSeq: _*)),
       source, vecCol, idCol, query, model, k, shortlist)
 
+  /** A read-back serving handle for a persisted IVF×PQ index: the
+    * byte-packed codes frame (cell is a partition column, so cell
+    * filters prune directories) plus the driver-side metadata every
+    * probe consumes (codebooks for the ADC LUT, centroids + radii for
+    * exact cell bounds).
+    */
+  final case class IvfPqDiskIndex(codes: DataFrame, model: PqModel,
+      centroids: Array[Array[Double]], radii: Array[Double])
+
+  /** Persist an IVF×PQ index for SERVING — build once, serve many (the
+    * production ANN shape: at 100 TB the Lloyd builds are a batch job,
+    * not a per-query cost). Layout:
+    *
+    *   - `path/codes`: (id, codes) parquet PARTITIONED BY cell — a
+    *     probe that filters on `cell` opens only the probed cells'
+    *     directories, so per-query IO is O(occupancy·nprobe) rows ×
+    *     m BYTES each (the PQ lever composed onto the directory-pruning
+    *     lever, same contract as [[Similarity.writeIvfIndex]]);
+    *   - `path/codebooks`: (j, c, codeword) — m·k rows of sub-dim
+    *     vectors, the ADC LUT source;
+    *   - `path/centroids`: (cell, centroid, radius) — the exact
+    *     branch-and-bound metadata, radii persisted so serving never
+    *     re-scans the corpus;
+    *   - `path/params`: one (dim, m, k) row.
+    *
+    * All sidecars are driver-sized metadata (m·k·sub + cells·dim
+    * doubles); only `codes` scales with the corpus.
+    */
+  def writeIvfPqIndex(index: DataFrame, path: String, model: PqModel,
+      centroids: Array[Array[Double]], radii: Array[Double]): Unit = {
+    require(radii.length == centroids.length,
+      s"radii (${radii.length}) must match centroids (${centroids.length})")
+    val sp = index.sparkSession
+    index.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    import sp.implicits._
+    (for { j <- 0 until model.m; c <- 0 until model.k }
+        yield (j, c, model.codebooks(j)(c).toSeq))
+      .toDF("j", "c", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    centroids.indices.map(i => (i, centroids(i).toSeq, radii(i)))
+      .toDF("cell", "centroid", "radius")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((model.dim, model.m, model.k)).toDF("dim", "m", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Read an IVF×PQ index back for serving. The codes frame keeps
+    * `cell` as a partition column (cell filters prune directories —
+    * pinned in IvfPqDiskSpec); the metadata sidecars collect to the
+    * driver (bounded: index metadata, not corpus data).
+    */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqDiskIndex = {
+    val p = spark.read.parquet(s"$path/params")
+      .select(col("dim").cast("int"), col("m").cast("int"),
+        col("k").cast("int"))
+      .collect().head
+    val (dim, m, k) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    val sub = dim / m
+    val books = Array.fill(m, k)(null: Array[Double])
+    spark.read.parquet(s"$path/codebooks")
+      .select(col("j").cast("int"), col("c").cast("int"), col("codeword"))
+      .collect().foreach { r =>
+        books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+    require(books.forall(_.forall(cw => cw != null && cw.length == sub)),
+      s"codebook sidecar at $path is incomplete")
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").cast("int"), col("centroid"), col("radius"))
+      .collect()
+    val cells = centRows.length
+    val centroids = Array.fill(cells)(null: Array[Double])
+    val radii = new Array[Double](cells)
+    centRows.foreach { r =>
+      centroids(r.getInt(0)) = r.getSeq[Double](1).toArray
+      radii(r.getInt(0)) = r.getDouble(2)
+    }
+    require(centroids.forall(_ != null),
+      s"centroid sidecar at $path has gaps")
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("codes"), col("cell").cast("int").as("cell"))
+    IvfPqDiskIndex(codes, PqModel(dim, m, k, books), centroids, radii)
+  }
+
   /** PQ shortlist → exact re-rank: ADC picks `shortlist` candidate ids
     * from codes alone, then the candidates join back to the RAW
     * vectors (broadcast — a shortlist is O(k'), never corpus-sized)

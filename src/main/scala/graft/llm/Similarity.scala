@@ -364,7 +364,9 @@ object Similarity {
         .autoBroadcastJoinThreshold
       threshold > 0 &&
         df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
-    } catch { case _: Throwable => false }
+      // NonFatal only: an OOM/interrupt during stats estimation must
+      // propagate, not silently flip the plan to the at-scale path
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Bucket sizing rule: bits ≈ log2(n / targetBucketSize) — bucket
     * count tracks the corpus so per-bucket pair work stays constant;

@@ -816,40 +816,36 @@ object Catalog {
     */
   val streamingCdc = RegisteredQuery(
     "streaming_cdc",
-    (s, d) => graft.streaming.Streams.confLock.synchronized {
+    (s, d) => {
       import graft.streaming.Streams
       import s.implicits._
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try {
-        val raw = Streams
-          .eventsStreamTwoBatches(s, s"$d/events.parquet", "2024-01-16")
-          .select(col("user_id"), col("event_id"), col("ts"),
-            when(col("event_type") === "error", lit("D"))
-              .otherwise(lit("U")).as("op"),
-            col("value"))
-          .as[Streams.CdcEvent]
-        val snaps = Streams.cdcSnapshot(raw)
-        Streams.runAvailableNowWithPartitions(s, snaps.toDF(),
-            s"graft_streamcdc_${System.nanoTime()}",
-            org.apache.spark.sql.streaming.OutputMode.Update(),
-            statePartitions = 8)
-          // the LAST emission per key (largest fold count) is final
-          .groupBy(col("user_id"))
-          .agg(max_by(struct(col("op"), col("value"), col("ts")),
-            col("n_versions")).as("last"),
-            max(col("n_versions")).as("n_versions"))
-          .filter(col("last.op") =!= "D")
-          .select(col("user_id"), col("n_versions"),
-            col("last.value").as("last_value"),
-            col("last.ts").as("last_ts"))
-          .orderBy(col("user_id"))
-      } finally prev match {
-        case Some(p) => s.conf.set(key, p)
-        case None => s.conf.unset(key)
-      }
+      val raw = Streams
+        .eventsStreamTwoBatches(s, s"$d/events.parquet", "2024-01-16")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "error", lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("value"))
+        .as[Streams.CdcEvent]
+      val snaps = Streams.cdcSnapshot(raw)
+      // the RocksDB provider swap rides the runner's ISOLATED session —
+      // the shared session is never mutated, so no lock and no restore
+      Streams.runAvailableNowWithPartitions(s, snaps.toDF(),
+          s"graft_streamcdc_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          statePartitions = 8,
+          extraConf = Map("spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming." +
+              "state.RocksDBStateStoreProvider")))
+        // the LAST emission per key (largest fold count) is final
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("op"), col("value"), col("ts")),
+          col("n_versions")).as("last"),
+          max(col("n_versions")).as("n_versions"))
+        .filter(col("last.op") =!= "D")
+        .select(col("user_id"), col("n_versions"),
+          col("last.value").as("last_value"),
+          col("last.ts").as("last_ts"))
+        .orderBy(col("user_id"))
     },
     Some("""WITH ranked AS (
         SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts_us,
@@ -1251,22 +1247,21 @@ object Catalog {
       // 8 state partitions, not the session's 32: per-epoch state-store
       // open/commit overhead dominates this 25-key aggregate (the 2PC
       // protocol under test is per-epoch, not per-partition), same
-      // right-sizing source_custom_stream applies
-      graft.streaming.Streams.confLock.synchronized {
-        val key = "spark.sql.shuffle.partitions"
-        val prev = s.conf.get(key)
-        s.conf.set(key, "8")
-        try {
-          val q = st.writeStream
-            .format("graft.sources.synth.MemorySinkProvider")
-            .option("table", tbl)
-            .option("checkpointLocation", ckpt)
-            .outputMode("complete")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .queryName(tbl)
-            .start()
-          try q.awaitTermination() finally q.stop()
-        } finally s.conf.set(key, prev)
+      // right-sizing source_custom_stream applies. The override rides
+      // an ISOLATED session (plan rebound onto it) so concurrent batch
+      // queries in the shared session never see it
+      locally {
+        val iso = graft.streaming.Streams.isolatedSession(s,
+          Map("spark.sql.shuffle.partitions" -> "8"))
+        val q = graft.streaming.Streams.rebind(iso, st).writeStream
+          .format("graft.sources.synth.MemorySinkProvider")
+          .option("table", tbl)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .queryName(tbl)
+          .start()
+        try q.awaitTermination() finally q.stop()
       }
       val schema = StructType(Seq(
         StructField("grp", IntegerType),
@@ -1744,27 +1739,34 @@ object Catalog {
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       val stampFile = new java.io.File(wh, s"graft_bucketed_stamp_$tag.txt")
       val stamp = stampOf(s"$d/orders.parquet", s"$d/lineitem.parquet")
-      val fresh = stampFile.exists() &&
-        scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-          .toOption.contains(stamp) &&
-        s.catalog.tableExists(s"graft_orders_b_$tag") &&
-        s.catalog.tableExists(s"graft_lineitem_b_$tag")
-      if (!fresh) joinBucketedLock.synchronized {
-        resetTable(s"graft_orders_b_$tag")
-        resetTable(s"graft_lineitem_b_$tag")
-        // bucket only the columns the join consumes — the layout
-        // investment is priced by bytes written, and a bucketed copy is
-        // a materialized view, not a backup
-        Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderpriority"))
-          .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable(s"graft_orders_b_$tag")
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
-          .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable(s"graft_lineitem_b_$tag")
-        stampFile.getParentFile.mkdirs()
-        java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+      // the freshness check runs INSIDE the lock (and the lock is held
+      // until the stamp is written): a check-then-act outside it let two
+      // concurrent invocations both see !fresh and rebuild twice, and a
+      // caller that judged the tables fresh could read them while
+      // another thread was mid drop/overwrite
+      joinBucketedLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp) &&
+          s.catalog.tableExists(s"graft_orders_b_$tag") &&
+          s.catalog.tableExists(s"graft_lineitem_b_$tag")
+        if (!fresh) {
+          resetTable(s"graft_orders_b_$tag")
+          resetTable(s"graft_lineitem_b_$tag")
+          // bucket only the columns the join consumes — the layout
+          // investment is priced by bytes written, and a bucketed copy is
+          // a materialized view, not a backup
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority"))
+            .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable(s"graft_orders_b_$tag")
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+            .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable(s"graft_lineitem_b_$tag")
+          stampFile.getParentFile.mkdirs()
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
       }
       s.table(s"graft_lineitem_b_$tag").hint("merge")
         .join(s.table(s"graft_orders_b_$tag"),
@@ -5111,6 +5113,69 @@ object Catalog {
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
+  /** The disk-SERVING path of IVF×PQ — the production ANN lifecycle:
+    * the Lloyd builds (IVF centroids + PQ codebooks) and the radii scan
+    * are paid ONCE per corpus version (stamp-gated, like
+    * `join_bucketed`'s layout investment), written as a
+    * cell-partitioned codes parquet plus driver-sized metadata
+    * sidecars; every query thereafter reads sidecars + only the probed
+    * cells' directories (PartitionFilters, pinned in IvfPqDiskSpec) at
+    * m bytes/row. Same exact-cell-bound + ADC-shortlist + exact-rerank
+    * math as `sim_topk_ivfpq`, so the brute-force oracle applies on the
+    * same recall-1.0-with-margin grounds.
+    */
+  private val ivfPqDiskLock = new Object
+  val simTopkIvfPqDisk = RegisteredQuery(
+    "sim_topk_ivfpq_disk",
+    (s, d) => {
+      import graft.llm.{Pq, Similarity}
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val path = s"/tmp/graft_ivfpq_${math.abs(d.hashCode)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = {
+        val f = new java.io.File(s"$d/embeddings.parquet")
+        val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+        parts.sortBy(_.getName)
+          .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+          .mkString(",")
+      }
+      // build-once: freshness check AND build both inside the lock
+      // (the join_bucketed lesson — no check-then-act race, no reader
+      // of a half-built index)
+      ivfPqDiskLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          val model = pqModelFor(s, d, query.length)
+          val cents = centroidsFor(s, d)
+          val index = Pq.ivfPqIndex(emb, "embedding", "vec_id", cents, model)
+            .persist()
+          val radii = Similarity.cellRadii(
+            index.join(emb.select(col("vec_id").as("id"),
+              col("embedding").cast("array<double>").as("vec")), "id"), cents)
+          Pq.writeIvfPqIndex(index, path, model, cents, radii)
+          index.unpersist(blocking = false)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      val idx = Pq.readIvfPqIndex(s, path)
+      Pq.topKIvfPq(idx.codes, emb, "embedding", "vec_id", query, idx.model,
+          idx.centroids, idx.radii, k = 10,
+          nprobe = math.max(2, idx.centroids.length / 4), shortlist = 100)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
   /** Mixture sampling over documents: per-source target counts (the
     * "40% web, 30% code" domain-mixing primitive), drawn by md5-of-key
     * rank so the pick is a pure function of the data — identical
@@ -6173,40 +6238,30 @@ object Catalog {
   /** `transformWithState` running totals (Spark 4's arbitrary-state
     * streaming processor): per-user ValueState folds each micro-batch;
     * the final emission per user must equal the batch aggregate. Runs
-    * on the RocksDB state store (the only provider the API supports);
-    * the previous provider is restored after the run so the rest of
-    * the catalog is untouched.
+    * on the RocksDB state store (the only provider the API supports),
+    * set on the runner's isolated session so the shared session is
+    * never touched.
     */
   val streamingRunningTotals = RegisteredQuery(
     "streaming_running_totals",
-    // the provider swap is a session-global mutation like the shuffle-
-    // partitions override: take the same process lock (reentrant — the
-    // inner runner re-acquires it) so a concurrent stream never
-    // snapshots the temporary provider as its restore value
-    (s, d) => graft.streaming.Streams.confLock.synchronized {
+    (s, d) => {
       import graft.streaming.Streams
       import s.implicits._
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try {
-        val raw = Streams.eventsStreamFromFile(s, s"$d/events.parquet")
-          .select(col("user_id"), col("ts"), col("value"))
-          .as[Streams.SessionEvent]
-        val totals = Streams.runningTotals(raw)
-        Streams.runAvailableNowWithPartitions(s, totals.toDF(),
-            s"graft_twstotals_${System.nanoTime()}",
-            org.apache.spark.sql.streaming.OutputMode.Update(),
-            statePartitions = 8)
-          .groupBy(col("user_id"))
-          .agg(max(col("n")).as("n_events"),
-            round(max(col("total")), 2).as("total_value"))
-          .orderBy(col("user_id"))
-      } finally prev match {
-        case Some(p) => s.conf.set(key, p)
-        case None => s.conf.unset(key)
-      }
+      val raw = Streams.eventsStreamFromFile(s, s"$d/events.parquet")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[Streams.SessionEvent]
+      val totals = Streams.runningTotals(raw)
+      Streams.runAvailableNowWithPartitions(s, totals.toDF(),
+          s"graft_twstotals_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          statePartitions = 8,
+          extraConf = Map("spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming." +
+              "state.RocksDBStateStoreProvider")))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          round(max(col("total")), 2).as("total_value"))
+        .orderBy(col("user_id"))
     },
     Some("""SELECT user_id, count(*) AS n_events,
         round(sum(value), 2) AS total_value
@@ -6348,7 +6403,7 @@ object Catalog {
     docNgrams,
     dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
-    simTopkPq, simTopkIvfPq,
+    simTopkPq, simTopkIvfPq, simTopkIvfPqDisk,
     mixtureSample, mixtureSampleApproxQ,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
     multimodalResize, multimodalAudio, multimodalVideo, multimodalFrames)

@@ -75,11 +75,14 @@ object Tables {
     }
   }
 
-  /** Read the parquet footer of `path` (a file, or a directory whose
-    * first data file is probed) and return the `ts` column's timestamp
-    * unit ("NANOS"/"MICROS"/"MILLIS"), or the raw type string when `ts`
-    * carries no timestamp annotation. Footer-only: O(KB) of IO, cached
-    * per path.
+  /** Read the parquet footers of `path` (a file, or EVERY data file of
+    * a directory) and return the `ts` column's timestamp unit
+    * ("NANOS"/"MICROS"/"MILLIS"), or the raw type string when `ts`
+    * carries no timestamp annotation. All files are probed — a
+    * directory holding mixed fixture generations (e.g. NANOS and MICROS
+    * files after a partial regeneration) must fail loudly rather than
+    * have one file's unit silently applied to all of them. Footer-only:
+    * O(KB) of IO per file, cached per path.
     */
   private val tsUnitCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def probeTsTimestampUnit(spark: SparkSession, path: String): String =
@@ -91,25 +94,37 @@ object Tables {
       val conf = spark.sessionState.newHadoopConf()
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
-      val dataFile =
-        if (fs.getFileStatus(hp).isDirectory)
-          fs.listStatus(hp).map(_.getPath)
+      val dataFiles =
+        if (fs.getFileStatus(hp).isDirectory) {
+          val fl = fs.listStatus(hp).map(_.getPath)
             .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-            .sortBy(_.getName)
-            .headOption.getOrElse(throw new IllegalStateException(
-              s"no data files under $p to probe"))
-        else hp
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, conf))
-      try {
-        val schema = reader.getFooter.getFileMetaData.getSchema
-        val tsField = schema.getFields.get(schema.getFieldIndex("ts"))
-        tsField.getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            t.getUnit.toString
-          case null => "UNANNOTATED_" + tsField.toString
-          case other => other.toString
-        }
-      } finally reader.close()
+            .sortBy(_.getName).toSeq
+          if (fl.isEmpty) throw new IllegalStateException(
+            s"no data files under $p to probe")
+          fl
+        } else Seq(hp)
+      def unitOf(f: Path): String = {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          val tsField = schema.getFields.get(schema.getFieldIndex("ts"))
+          tsField.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit.toString
+            case null => "UNANNOTATED_" + tsField.toString
+            case other => other.toString
+          }
+        } finally reader.close()
+      }
+      val units = dataFiles.map(f => f.getName -> unitOf(f))
+      val distinct = units.map(_._2).distinct
+      if (distinct.length > 1)
+        throw new IllegalStateException(
+          s"events fixture at $p: data files disagree on the ts " +
+          s"logical type (${units.map { case (n, u) => s"$n=$u" }
+            .mkString(", ")}) — mixed fixture generations; refusing to " +
+          "apply one unit to all files")
+      distinct.head
     })
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -438,32 +438,39 @@ object Streams {
     * volumes, 32 partitions mean store setup dwarfs the data. State
     * partitioning is an ops knob: size it to stream volume (raise it
     * for real firehoses; each micro-batch pays per-store overhead).
-    * The session conf is restored after the query starts.
     *
-    * Thread-safety: the session-global shuffle-partitions conf is
-    * mutated for the duration of the run, so concurrent callers of the
-    * partition-overriding runners serialize on a process lock — two
-    * overlapping streams would otherwise snapshot each other's
-    * TEMPORARY value as `prev` and leave the session permanently
-    * mis-configured after the last restore (observed risk under the
-    * thread-pooled Verify). A concurrent BATCH query that plans during
-    * a stream's window can still pick up the temporary value — that
-    * affects only that plan's parallelism, never results; use
-    * `spark.newSession()` isolation when even that matters.
+    * Conf isolation: the override is applied to a THROWAWAY
+    * `spark.newSession()` (own SQLConf, shared SparkContext/catalog)
+    * and the stream's logical plan is rebound onto it — the caller's
+    * session is never mutated, so concurrent batch queries can't
+    * silently plan with the stream's partition count and no
+    * restore-ordering lock is needed (the previous
+    * set/run/restore-under-lock form still leaked the temporary value
+    * to any batch query that planned during the stream's window).
+    * `extraConf` rides the same isolated session — e.g. the RocksDB
+    * state-store provider swap for `transformWithState` runs.
     */
   def runAvailableNowWithPartitions(spark: SparkSession, streamed: DataFrame,
       queryName: String, outputMode: OutputMode,
-      statePartitions: Int): DataFrame = confLock.synchronized {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, statePartitions.toString)
-    try runAvailableNow(spark, streamed, queryName, outputMode)
-    finally spark.conf.set(key, prev)
+      statePartitions: Int,
+      extraConf: Map[String, String] = Map.empty): DataFrame = {
+    val iso = isolatedSession(spark,
+      extraConf + ("spark.sql.shuffle.partitions" -> statePartitions.toString))
+    runAvailableNow(iso, rebind(iso, streamed), queryName, outputMode)
   }
 
-  /** Serializes every session-conf-mutating stream run in the process
-    * (shuffle partitions here; the state-store-provider swap in the
-    * transformWithState runner goes through the same lock).
+  /** A throwaway session carrying per-query conf overrides. */
+  def isolatedSession(spark: SparkSession,
+      overrides: Map[String, String]): SparkSession = {
+    val iso = spark.newSession()
+    overrides.foreach { case (k, v) => iso.conf.set(k, v) }
+    iso
+  }
+
+  /** Rebind a frame's logical plan onto another session (same
+    * SparkContext): re-analysis happens in the target session, so its
+    * conf — not the origin session's — governs planning.
     */
-  private[graft] val confLock = new Object
+  def rebind(to: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Bridge.ofRows(to, df.queryExecution.logical)
 }
