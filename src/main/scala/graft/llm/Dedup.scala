@@ -548,13 +548,16 @@ object Dedup {
     * O(graph diameter) rounds, which for near-dup clusters is small
     * (they are dense families, not long chains). Each round is one
     * keyed join + aggregate; each round's labels are eagerly
-    * `localCheckpoint`ed, which both caches the rows AND truncates the
-    * logical lineage — persist alone truncates only execution, so the
-    * plan tree (and any explain/AQE log of it) would still grow by one
-    * full round per iteration and OOM the driver after ~10 rounds (the
-    * classic iterative-algorithm trap). On a real cluster with executor
-    * loss, swap `localCheckpoint` for reliable `checkpoint` against a
-    * cluster-visible dir; the loop shape is unchanged.
+    * materialized with lineage truncated ([[Checkpointing]]) — persist
+    * alone truncates only execution, so the plan tree (and any
+    * explain/AQE log of it) would still grow by one full round per
+    * iteration and OOM the driver after ~10 rounds (the classic
+    * iterative-algorithm trap). On a real cluster set `checkpointDir`
+    * (or the `spark.graft.checkpointDir` session conf) to switch the
+    * rounds to RELIABLE checkpoints: localCheckpoint blocks die with
+    * their executor, which on a multi-hour 100 TB job turns one lost
+    * executor into a dead fixpoint. The loop shape is identical either
+    * way (CheckpointingSpec pins label equality).
     * Non-convergence inside `maxIter` throws loudly rather than
     * returning a silently-partial clustering.
     *
@@ -569,7 +572,10 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20,
-      broadcastThreshold: Long = 4000000L): DataFrame = {
+      broadcastThreshold: Long = 4000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val materialize =
+      Checkpointing.materializer(vertices.sparkSession, checkpointDir)
     // materialize the adjacency ONCE: every round joins against it, and
     // an unpersisted edge list would re-run its whole upstream pipeline
     // (e.g. the exact-Jaccard join) once per round
@@ -580,10 +586,9 @@ object Dedup {
       .persist()
     adj.count()
     val allIds = vertices.select(col(idCol).cast("long").as("id"))
-    var labels = allIds
+    var labels = materialize(allIds
       .join(adj.select(col("src").as("id")), Seq("id"), "left_semi")
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .select(col("id"), col("id").as("label")))
     // Dual layout (the graph_pagerank pattern): when the NON-ISOLATED
     // vertex set is bounded (≤ broadcastThreshold, 8 B/id = 32 MB at
     // the default), the min-label loop runs on dense primitive arrays
@@ -616,11 +621,10 @@ object Dedup {
       // one join per round: carry old and new labels side by side so
       // convergence detection needs no second join; eager checkpoint
       // materializes the round and resets the plan to a leaf scan
-      val joined = labels.join(nbrMin, Seq("id"), "left")
+      val joined = materialize(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
-        .localCheckpoint(true)
+            .as("label")))
       changed = joined.filter(col("label") =!= col("old_label")).count()
       labels = joined.select(col("id"), col("label"))
       it += 1

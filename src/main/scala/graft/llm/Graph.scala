@@ -48,7 +48,8 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damping: Double = 0.85,
-      broadcastThreshold: Long = 4000000L): DataFrame = {
+      broadcastThreshold: Long = 4000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // The edge list feeds several consumers (out-degrees, node set,
     // per-iteration scans): persist it or the caller's whole edge
@@ -91,7 +92,7 @@ object Graph {
       else prDistributed(e,
         vFrame.filter(col("outdeg") > 0)
           .select(col("id").as("src"), col("outdeg")),
-        vFrame.count(), iters, damping)
+        vFrame.count(), iters, damping, checkpointDir)
     e.unpersist()
     result
   }
@@ -193,18 +194,20 @@ object Graph {
     * src; each iteration shuffles only the 16 B/row rank frame onto it,
     * the dangling mass is an in-plan broadcast one-row aggregate, and
     * each iteration is eagerly checkpointed so lineage stays
-    * constant-depth (the connectedComponents idiom).
+    * constant-depth (the connectedComponents idiom — and like CC, a
+    * configured [[Checkpointing]] dir upgrades the rounds to RELIABLE
+    * checkpoints that survive executor loss on a real cluster).
     */
   private def prDistributed(e: DataFrame, out: DataFrame, n: Long,
-      iters: Int, damping: Double): DataFrame = {
+      iters: Int, damping: Double,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val materialize = Checkpointing.materializer(e.sparkSession, checkpointDir)
     val adj = e.join(out, Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val nodeSet = e.select(col("src").as("id"))
+    val nodeSet = materialize(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint(true)
-    var ranks = nodeSet.select(col("id"), lit(1.0 / n).as("pr"))
-      .localCheckpoint(true)
+      .distinct())
+    var ranks = materialize(nodeSet.select(col("id"), lit(1.0 / n).as("pr")))
     var it = 0
     while (it < iters) {
       val contribs = adj
@@ -216,13 +219,12 @@ object Graph {
       val dangling = ranks
         .join(out.select(col("src").as("id")), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
-      ranks = nodeSet
+      ranks = materialize(nodeSet
         .join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("pr"))
-        .localCheckpoint(true)
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("pr")))
       it += 1
     }
     adj.unpersist()

@@ -9,15 +9,14 @@ import org.apache.spark.sql.types._
   *
   * Convention: media travels as an opaque `binary` column plus a typed
   * metadata struct (`mime`, `width`, `height`, `duration_ms`,
-  * `n_bytes`). IMAGE decode ([[decodeImage]]) and resize
-  * ([[resizeImage]]) are REAL — `javax.imageio` ships with the JDK, so
-  * PNG/JPEG/BMP/GIF dimensions come from the actual codec (header-only
-  * read, no pixel decode) and resize re-encodes actual pixels. AUDIO
-  * metadata ([[decodeAudio]]) is REAL too — `javax.sound.sampled`
-  * parses WAV/AIFF/AU headers from the JDK. Only VIDEO remains STUBBED
-  * behind [[decodeStub]] / [[frameSampleStub]] (no demuxer library in
-  * this container) with a deterministic fake so pipelines and tests
-  * exercise the full path.
+  * `n_bytes`). EVERY decoder here is REAL: image decode
+  * ([[decodeImage]]) and resize ([[resizeImage]]) via `javax.imageio`;
+  * audio metadata ([[decodeAudio]]) via `javax.sound.sampled`; video
+  * metadata ([[decodeVideo]]) and frame demux ([[frameSampleMp4]]) via
+  * the pure-JVM [[VideoMeta]] container walks; and the feature
+  * extractors ([[imageHistogram]], [[audioBands]],
+  * [[contentFeatures]]) compute deterministic integer features from
+  * the actually-decoded rasters/samples — no stubs remain.
   */
 object Multimodal {
 
@@ -188,18 +187,122 @@ object Multimodal {
       }
     })
 
-  /** STUB feature extraction: a deterministic `dim`-wide embedding from
-    * content bytes (stands in for a vision/audio encoder). Plumbing is
-    * real: one pass, arrays ready for [[Similarity]].
+  /** REAL image feature extraction: a 3×8-bin RGB color histogram
+    * computed from the actual decoded raster (full pixel decode, the
+    * real per-image cost a feature pass pays). Channel-major 24-int
+    * array: slots [0,8) = red bins (value >> 5), [8,16) = green,
+    * [16,24) = blue. Pure integer arithmetic over lossless-decoded
+    * pixels, so an oracle can replay every bin exactly
+    * (`multimodal_features`). Null for undecodable bytes.
     */
-  def featureStub(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  val imageHistogram: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((content: Array[Byte]) => {
+      val img =
+        if (content == null) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+          catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) null
+      else {
+        val bins = new Array[Int](24)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            bins(((rgb >> 16) & 0xff) >> 5) += 1
+            bins(8 + (((rgb >> 8) & 0xff) >> 5)) += 1
+            bins(16 + ((rgb & 0xff) >> 5)) += 1
+            x += 1
+          }
+          y += 1
+        }
+        bins
+      }
+    })
+
+  /** REAL audio feature extraction: per-band energy (sum of squared
+    * sample values, exact integer) and zero-crossing counts over the
+    * PCM samples decoded by the actual `javax.sound.sampled` parser
+    * (16-bit PCM, channel 0, container-declared endianness). The
+    * sample range splits into `nBands` equal spans (band b =
+    * [b·n/nBands, (b+1)·n/nBands), integer floor); a zero crossing is
+    * counted at sample i (within-band, i > band start) when
+    * `(v[i-1] < 0) != (v[i] < 0)`. All-integer, so an oracle replays
+    * it bit-for-bit (`multimodal_audio_features`). Returns
+    * (band, sum_sq, zero_crossings) tuples; null for bytes the parser
+    * can't read or non-16-bit formats.
+    */
+  def audioBands(nBands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((content: Array[Byte]) =>
+      if (content == null) null
+      else
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(content))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 ||
+                fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
+            else {
+              val bytes = ais.readAllBytes()
+              val frameSize = fmt.getFrameSize // channels × 2 bytes
+              val n = bytes.length / frameSize
+              val samples = new Array[Int](n)
+              var i = 0
+              while (i < n) { // channel 0 of each frame
+                val off = i * frameSize
+                samples(i) =
+                  if (fmt.isBigEndian)
+                    ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort.toInt
+                  else
+                    ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort.toInt
+                i += 1
+              }
+              (0 until nBands).map { b =>
+                val from = (n.toLong * b / nBands).toInt
+                val until = (n.toLong * (b + 1) / nBands).toInt
+                var sumSq = 0L
+                var zc = 0
+                var j = from
+                while (j < until) {
+                  val v = samples(j)
+                  sumSq += v.toLong * v
+                  if (j > from && ((samples(j - 1) < 0) != (v < 0))) zc += 1
+                  j += 1
+                }
+                (b, sumSq, zc)
+              }
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => null })
+
+  /** REAL generic content features: the byte-value distribution of the
+    * content folded into `dim` buckets (bucket = b·dim/256 over the
+    * unsigned byte value) and L2-normalized — a deterministic,
+    * engine-replayable descriptor for arbitrary binary payloads, and
+    * the fixed-dim vector shape [[Similarity]] consumes. This replaces
+    * the former hash-seeded Gaussian stub: the vector now actually
+    * describes the content (similar byte distributions ⇒ similar
+    * vectors), not a PRNG stream.
+    */
+  def contentFeatures(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(dim > 0 && dim <= 256, s"dim must be in [1,256], got $dim")
     udf((content: Array[Byte]) =>
       if (content == null) null
       else {
-        val rnd = new java.util.Random(
-          content.take(1024).foldLeft(0L)((h, b) => 31 * h + b))
-        Array.fill(dim)(rnd.nextGaussian())
+        val counts = new Array[Long](dim)
+        var i = 0
+        while (i < content.length) {
+          counts((content(i) & 0xff) * dim / 256) += 1
+          i += 1
+        }
+        val norm = math.sqrt(counts.map(c => c.toDouble * c).sum)
+        if (norm == 0) Array.fill(dim)(0.0)
+        else counts.map(_ / norm)
       })
+  }
 
   /** REAL frame-sample extraction from MP4 bytes: resolves the sample
     * tables ([[VideoMeta.sampleOffsetsMp4]]) and returns up to `n`

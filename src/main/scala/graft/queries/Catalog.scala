@@ -5501,6 +5501,125 @@ object Catalog {
         TRUE AS has_bytes
       FROM t ORDER BY doc_id"""))
 
+  /** REAL image FEATURE extraction, oracle-checked: per-doc PNGs with
+    * a deterministic per-pixel color function are pushed through full
+    * raster decode into a 3×8-bin RGB histogram
+    * ([[graft.llm.Multimodal.imageHistogram]]). The oracle regenerates
+    * every pixel's channel values in SQL and re-bins them — all
+    * integer arithmetic over a lossless PNG round-trip, so every
+    * (channel, bin) count must hash-match exactly. This is the
+    * vision-encoder slot of the multimodal pipeline computing a real
+    * function of the pixels (the former hash-seeded stub is gone).
+    */
+  val multimodalFeatures = RegisteredQuery(
+    "multimodal_features",
+    (s, d) => {
+      import graft.llm.Multimodal
+      val pngFor = udf((id: Long) => {
+        val w = 16 + (id % 16).toInt
+        val h = 12 + (id % 12).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((id * 3 + x * 7 + y * 11) % 256).toInt
+            val g = ((id * 5 + x * 13 + y * 3) % 256).toInt
+            val b = ((id * 7 + x + y * 17) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(Multimodal.imageHistogram(pngFor(col("doc_id")))))
+        .select(col("doc_id"),
+          (col("pos") / 8).cast("int").as("channel"),
+          (col("pos") % 8).cast("int").as("bin"),
+          col("col").as("n"))
+        .filter(col("n") > 0)
+        .orderBy(col("doc_id"), col("channel"), col("bin"))
+    },
+    Some("""WITH px AS (
+        SELECT doc_id, x, y
+        FROM documents,
+          unnest(range(0, 16 + doc_id % 16)) AS tx(x),
+          unnest(range(0, 12 + doc_id % 12)) AS ty(y)),
+      ch AS (
+        SELECT doc_id, 0 AS channel,
+          ((doc_id * 3 + x * 7 + y * 11) % 256) // 32 AS bin FROM px
+        UNION ALL
+        SELECT doc_id, 1,
+          ((doc_id * 5 + x * 13 + y * 3) % 256) // 32 FROM px
+        UNION ALL
+        SELECT doc_id, 2,
+          ((doc_id * 7 + x + y * 17) % 256) // 32 FROM px)
+      SELECT doc_id, CAST(channel AS INTEGER) AS channel,
+        CAST(bin AS INTEGER) AS bin, CAST(count(*) AS INTEGER) AS n
+      FROM ch GROUP BY doc_id, channel, bin
+      ORDER BY doc_id, channel, bin"""))
+
+  /** REAL audio FEATURE extraction, oracle-checked: the same
+    * deterministic sawtooth WAVs as `multimodal_audio`, decoded by the
+    * actual `javax.sound.sampled` parser into 16-bit samples and
+    * folded into 4 equal bands of (sum of squares, zero crossings)
+    * ([[graft.llm.Multimodal.audioBands]]). The oracle regenerates the
+    * PCM samples in SQL and replays band assignment, energy, and
+    * crossing detection — exact integers end to end (frame counts are
+    * multiples of 8, so quarter-band boundaries are exact).
+    */
+  val multimodalAudioFeatures = RegisteredQuery(
+    "multimodal_audio_features",
+    (s, d) => {
+      import graft.llm.Multimodal
+      val wavFor = udf((id: Long) => {
+        val frames = 8 * (100 + (id % 200).toInt)
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) { // deterministic sawtooth payload
+          val v = ((id + i) % 256 - 128).toShort
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      })
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(Multimodal.audioBands(4)(wavFor(col("doc_id")))).as("b"))
+        .select(col("doc_id"),
+          col("b._1").as("band"),
+          col("b._2").as("sum_sq"),
+          col("b._3").as("zero_crossings"))
+        .orderBy(col("doc_id"), col("band"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, 8 * (100 + doc_id % 200) AS n FROM documents),
+      s AS (
+        SELECT doc_id, i // (n // 4) AS band,
+          (doc_id + i) % 256 - 128 AS v,
+          CASE WHEN i % (n // 4) > 0 AND
+            (((doc_id + i - 1) % 256 - 128 < 0)
+              <> ((doc_id + i) % 256 - 128 < 0))
+            THEN 1 ELSE 0 END AS zc
+        FROM p, unnest(range(0, CAST(n AS BIGINT))) AS t(i))
+      SELECT doc_id, CAST(band AS INTEGER) AS band,
+        CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        CAST(sum(zc) AS INTEGER) AS zero_crossings
+      FROM s GROUP BY doc_id, band ORDER BY doc_id, band"""))
+
   // ----------------------------------------------- TPC-H completion set
   // The fixture is TPC-H-lite: no partsupp table and no
   // commitdate/receiptdate/shipmode/comment/phone columns, so Q2, Q9,
@@ -6406,7 +6525,8 @@ object Catalog {
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk,
     mixtureSample, mixtureSampleApproxQ,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
-    multimodalResize, multimodalAudio, multimodalVideo, multimodalFrames)
+    multimodalResize, multimodalAudio, multimodalVideo, multimodalFrames,
+    multimodalFeatures, multimodalAudioFeatures)
 
   def byName(name: String): RegisteredQuery =
     all.find(_.name == name).getOrElse(

@@ -85,15 +85,61 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(3L).isEmpty) // null content -> null dims
   }
 
-  test("feature stub produces fixed-dim vectors usable by Similarity") {
-    val df = Seq((1L, "payload one"), (2L, "payload two")).toDF("id", "payload")
+  test("content features produce fixed-dim vectors usable by Similarity") {
+    val df = Seq((1L, "payload one"), (2L, "zzzz!!!!####")).toDF("id", "payload")
       .select(col("id"),
-        Multimodal.featureStub(16)(col("payload").cast("binary")).as("vec"))
+        Multimodal.contentFeatures(16)(col("payload").cast("binary")).as("vec"))
     val rows = df.collect()
     assert(rows.forall(_.getSeq[Double](1).length == 16))
     val top = Similarity.topKBrute(df, "vec", "id",
       rows.head.getSeq[Double](1).toArray, 1).collect()
     assert(top.head.getLong(0) == 1L) // self-similarity wins
+  }
+
+  test("image histogram counts actual raster pixels per channel bin") {
+    // 4×2 image: 5 pure-red pixels (255,0,0), 3 mid-gray (100,100,100)
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (i <- 0 until 8) {
+      val rgb = if (i < 5) 0xff0000 else 0x646464
+      img.setRGB(i % 4, i / 4, rgb)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bins = Seq(Tuple1(bos.toByteArray)).toDF("png")
+      .select(Multimodal.imageHistogram(col("png")))
+      .collect().head.getSeq[Int](0)
+    assert(bins.length == 24)
+    assert(bins(7) == 5, s"red bin 7 (255>>5): $bins") // red channel, 255
+    assert(bins(3) == 3, s"red bin 3 (100>>5): $bins") // red channel, 100
+    assert(bins(8) == 5, s"green bin 0 (0>>5): $bins") // green, 0
+    assert(bins(8 + 3) == 3) // green, 100
+    assert(bins(16) == 5) // blue, 0
+    assert(bins(16 + 3) == 3) // blue, 100
+    assert(bins.sum == 3 * 8) // every pixel votes once per channel
+  }
+
+  test("audio bands compute exact integer energy and zero crossings") {
+    // 8 samples alternating +1000/-1000 → every step is a crossing
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](16)
+    for (i <- 0 until 8) {
+      val v: Short = if (i % 2 == 0) 1000 else -1000
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 8L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val bands = Seq(Tuple1(bos.toByteArray)).toDF("wav")
+      .select(Multimodal.audioBands(2)(col("wav")).as("b"))
+      .select(org.apache.spark.sql.functions.explode(col("b")).as("band"))
+      .select(col("band._1"), col("band._2"), col("band._3"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    // each band: 4 samples of 1000² energy, 3 within-band crossings
+    assert(bands == Seq((0, 4000000L, 3), (1, 4000000L, 3)))
   }
 
   test("frame sampling extracts real sample bytes from MP4 tables") {
