@@ -1251,9 +1251,9 @@ object Catalog {
       // an ISOLATED session (plan rebound onto it) so concurrent batch
       // queries in the shared session never see it
       locally {
-        val iso = graft.streaming.Streams.isolatedSession(s,
+        val iso = graft.core.Sessions.isolated(s,
           Map("spark.sql.shuffle.partitions" -> "8"))
-        val q = graft.streaming.Streams.rebind(iso, st).writeStream
+        val q = graft.core.Sessions.rebind(iso, st).writeStream
           .format("graft.sources.synth.MemorySinkProvider")
           .option("table", tbl)
           .option("checkpointLocation", ckpt)
@@ -2263,6 +2263,46 @@ object Catalog {
       round(sum(o_totalprice), 2) AS total
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** AQE skew-split join as a checked query (the runtime counterpart
+    * of `join_salted`'s manual mitigation): 90% of lineitem rows are
+    * funneled onto one join key, the join runs through
+    * [[graft.relational.Skew.aqeSkewJoin]] with fixture-scale
+    * thresholds, and AQE splits the hot reducer partition at runtime
+    * (JoinSkewAqeSpec pins `isSkewJoin` + PartialReducer slices in the
+    * executed plan). Oracle = the plain join: skew splitting must be
+    * semantically invisible.
+    */
+  val joinSkewAqe = RegisteredQuery(
+    "join_skew_aqe",
+    (s, d) => {
+      val fact = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 100 < 90, lit(0L))
+          .otherwise(col("l_orderkey") % 100).as("sk"),
+        col("l_quantity"))
+      val dim = Tables.customer(s, d)
+        .groupBy((col("c_custkey") % 100).as("sk"))
+        .agg(count(lit(1)).as("n_cust"))
+      graft.relational.Skew.aqeSkewJoin(fact, dim, "sk",
+          skewThresholdBytes = 16L << 10, advisoryBytes = 8L << 10)
+        .groupBy(col("sk"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          max(col("n_cust")).as("n_cust"))
+        .orderBy(col("sk"))
+    },
+    Some("""WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+          ELSE l_orderkey % 100 END AS sk, l_quantity
+        FROM lineitem),
+      dim AS (
+        SELECT c_custkey % 100 AS sk, count(*) AS n_cust
+        FROM customer GROUP BY 1)
+      SELECT f.sk, CAST(count(*) AS BIGINT) AS n_rows,
+        round(sum(l_quantity), 2) AS sum_qty,
+        max(n_cust) AS n_cust
+      FROM fact f JOIN dim d ON f.sk = d.sk
+      GROUP BY f.sk ORDER BY f.sk"""))
 
   // ------------------------------------------------------------ windows
 
@@ -6477,7 +6517,7 @@ object Catalog {
     variantExtract,
     sqlRecursiveCte, joinLateral, subqueryNotIn, setopMultiset, unionByNameQ,
     regexExtractAll,
-    joinSalted, zipFrames,
+    joinSalted, joinSkewAqe, zipFrames,
     aggApproxBounds, partitionPruning,
     aggGroupingSets, aggGroupingId, jsonCorruptRecords, mapFunctions,
     windowTopnPerGroup, windowRunningSum, windowLagLead,

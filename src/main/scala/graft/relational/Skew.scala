@@ -35,6 +35,48 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** AQE skew-split inner equi-join — the mitigation a 100 TB operator
+    * reaches for FIRST (salting is the manual fallback): Spark's
+    * adaptive planner measures the actual shuffle-partition sizes at
+    * runtime and splits any reducer partition larger than
+    * max(`skewThresholdBytes`, `factor` × median) into
+    * `advisoryBytes`-sized slices, each joined against a duplicated
+    * copy of the other side's matching partition. Semantically
+    * invisible (same rows — the oracle for `join_skew_aqe` is the
+    * plain join); only the reducer-size distribution changes.
+    *
+    * The thresholds are session-wide knobs, so the join runs on an
+    * isolated session ([[graft.core.Sessions]]) sized by the caller —
+    * production defaults (256 MB threshold) are right for real
+    * clusters; tests/fixtures pass KB-scale values so the split
+    * observably fires. `forceOptimizeSkewedJoin` is set because a
+    * downstream aggregation on the join key would otherwise make AQE
+    * veto the split (it adds a shuffle) — the explicit operator exists
+    * to prioritize straggler elimination over shuffle count.
+    * Broadcast is disabled on the isolated session: a broadcast join
+    * has no reducer skew to split, and the operator's contract is the
+    * sort-merge path (`hint("merge")` pins it).
+    */
+  def aqeSkewJoin(fact: DataFrame, dim: DataFrame, key: String,
+      skewThresholdBytes: Long = 256L << 20,
+      advisoryBytes: Long = 64L << 20,
+      factor: Int = 2): DataFrame = {
+    import graft.core.Sessions
+    val iso = Sessions.isolated(fact.sparkSession, Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> factor.toString,
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        skewThresholdBytes.toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        advisoryBytes.toString,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))
+    Sessions.rebind(iso, fact).hint("merge")
+      .join(Sessions.rebind(iso, dim), Seq(key))
+  }
+
   /** Top-N heavy-hitter keys with their frequencies — the diagnostic
     * that decides whether salting is warranted. One aggregate job.
     */

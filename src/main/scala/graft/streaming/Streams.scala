@@ -454,23 +454,9 @@ object Streams {
       queryName: String, outputMode: OutputMode,
       statePartitions: Int,
       extraConf: Map[String, String] = Map.empty): DataFrame = {
-    val iso = isolatedSession(spark,
+    val iso = graft.core.Sessions.isolated(spark,
       extraConf + ("spark.sql.shuffle.partitions" -> statePartitions.toString))
-    runAvailableNow(iso, rebind(iso, streamed), queryName, outputMode)
+    runAvailableNow(iso, graft.core.Sessions.rebind(iso, streamed),
+      queryName, outputMode)
   }
-
-  /** A throwaway session carrying per-query conf overrides. */
-  def isolatedSession(spark: SparkSession,
-      overrides: Map[String, String]): SparkSession = {
-    val iso = spark.newSession()
-    overrides.foreach { case (k, v) => iso.conf.set(k, v) }
-    iso
-  }
-
-  /** Rebind a frame's logical plan onto another session (same
-    * SparkContext): re-analysis happens in the target session, so its
-    * conf — not the origin session's — governs planning.
-    */
-  def rebind(to: SparkSession, df: DataFrame): DataFrame =
-    org.apache.spark.sql.graft.Bridge.ofRows(to, df.queryExecution.logical)
 }
