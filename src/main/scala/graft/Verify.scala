@@ -27,6 +27,7 @@ object Verify {
     "streaming_join_outer", "streaming_join_full", "streaming_join_semi",
     "streaming_running_totals",
     "sim_topk_ivf", "sim_topk_ivf_disk", "sim_topk_pq", "sim_topk_ivfpq",
+    "sim_topk_ivfpq_disk", "multimodal_features", "multimodal_audio_features",
     "pipeline_e2e", "train_loop", "train_predict", "dedup_components",
     "sim_neardup_lsh", "dedup_minhash_sig", "q5_local_supplier",
     "source_csv_roundtrip", "catalog_managed_table",

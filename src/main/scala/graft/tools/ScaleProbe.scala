@@ -173,9 +173,26 @@ object ScaleProbe {
         Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
             pairGraph, "id_a", "id_b", maxIter = 30)
           .filter(col("id") =!= col("component")).count())
-      pairGraph.unpersist()
       println(f"[probe] docs x$mult cc nonRoot=$nComp " +
         f"activeV=$activeV/$nDocs time=$tComp%.2fs")
+
+      // ---- connected components, KEYED-JOIN layout FORCED
+      // (broadcastThreshold=0): the fixture never exceeds the dense
+      // threshold, so this is the only exercise the 100 TB code path
+      // gets — per-round cost (one keyed join + aggregate + eager
+      // checkpoint) must track the active subgraph linearly, and
+      // labels must equal the dense mode's (CheckpointingSpec pins
+      // equality; here we pin the wall-clock shape)
+      val (nCompK, tCompK) = timed(
+        Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+            pairGraph, "id_a", "id_b", maxIter = 30,
+            broadcastThreshold = 0L)
+          .filter(col("id") =!= col("component")).count())
+      pairGraph.unpersist()
+      require(nCompK == nComp,
+        s"keyed CC nonRoot $nCompK != dense $nComp")
+      println(f"[probe] docs x$mult cc_keyed nonRoot=$nCompK " +
+        f"time=$tCompK%.2fs")
 
       // ---- documents: SimHash chunk-pigeonhole path (chunksFor-scaled)
       val chunks = Dedup.chunksFor(nDocs)
@@ -199,6 +216,19 @@ object ScaleProbe {
           .orderBy(col("pr").desc).limit(1).collect().head.getDouble(1))
       println(f"[probe] docs x$mult pagerank edges=${2 * nDocs} " +
         f"top=$prTop%.6f time=$tPr%.2fs")
+
+      // ---- PageRank, KEYED-JOIN (distributed) layout FORCED — same
+      // rationale as cc_keyed: the 5 fixed iterations are each one
+      // rank-keyed join + aggregate + checkpoint, so per-iteration
+      // wall = time/5 and must grow linearly with edges, not worse
+      val (prTopK, tPrK) = timed(
+        graft.llm.Graph.pageRank(prEdges, "src", "dst", iters = 5,
+            broadcastThreshold = 0L)
+          .orderBy(col("pr").desc).limit(1).collect().head.getDouble(1))
+      require(math.abs(prTopK - prTop) < 1e-9,
+        s"keyed PageRank top $prTopK != dense $prTop")
+      println(f"[probe] docs x$mult pagerank_keyed edges=${2 * nDocs} " +
+        f"time=$tPrK%.2fs per_iter=${tPrK / 5}%.2fs")
 
       // ---- decontamination: the corpus side grows N× while the
       // benchmark set stays FIXED (its distinct-hash set broadcasts),
