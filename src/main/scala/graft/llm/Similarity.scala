@@ -627,6 +627,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN JOIN, brute-force over a BOUNDED query set: for every
+    * query row, the exact top-k corpus rows by cosine. The serving
+    * shape of similarity search — one query per call
+    * ([[topKIvfExact]]) is a lookup; retrieval pipelines (RAG context
+    * assembly, embedding-join enrichment) need top-k PER ROW of a
+    * query table.
+    *
+    * Plan: the query side broadcasts (it is the bounded side — tens to
+    * tens of thousands of rows), the corpus is scanned ONCE through a
+    * broadcast nested-loop cross join, and per-(query, partition)
+    * candidates fold into a bounded O(k) [[graft.functions.TopKMaxByScore]]
+    * partial BEFORE the exchange — so the shuffle carries
+    * q·k·partitions rows, never the q·n scored cross product, and no
+    * per-query group is ever sorted in one task (the window-sort
+    * anti-shape). At 100 TB this is corpus-scan-bound: exactly one
+    * pass over the vectors regardless of q. For query sides too big to
+    * broadcast, the bucketed pair joins ([[similarityJoinMultiProbe]])
+    * are the symmetric-scale path.
+    *
+    * Exact by construction (every corpus row is scored), so the
+    * brute-force oracle applies verbatim; ties resolve (score desc,
+    * id asc) — deterministic.
+    */
+  def knnJoinBrute(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), v.as("graft_knn_qv")))
+    corpus.select(col(idCol).as("id"), v.as("graft_knn_cv"))
+      .join(q) // broadcast cross join: corpus scanned once
+      .select(col("query_id"), col("id"),
+        cosineNative(col("graft_knn_cv"), col("graft_knn_qv")).as("score"))
+      .filter(col("score").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKMaxByScore(k)(col("score"), col("id"))
+        .as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"),
+        col("e.score").as("score"))
+  }
+
   /** Cell-count rule: cells ≈ n / targetCellSize (clamped ≥ 2) — cell
     * population stays constant as the corpus grows; probe cost is then
     * controlled by `nprobe` alone.

@@ -5216,6 +5216,43 @@ object Catalog {
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
+  /** Batch k-NN JOIN (the retrieval-serving shape: top-k corpus
+    * neighbors PER ROW of a query table, not per single vector): 8
+    * query vectors broadcast, corpus scanned once, candidates folded
+    * into bounded O(k) map-side partials
+    * ([[graft.functions.TopKMaxByScore]]) — the shuffle carries
+    * q·k·partitions rows, never the scored cross product, and no
+    * window sort appears anywhere in the plan (KnnJoinSpec pins both).
+    * Exact by construction ⇒ the DuckDB all-pairs row_number oracle
+    * must hash-match.
+    */
+  val simKnnJoin = RegisteredQuery(
+    "sim_knn_join",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.llm.Similarity.knnJoinBrute(
+          emb.filter(col("vec_id") < 8), emb, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("id").as("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT query_id, e.vec_id AS vec_id,
+          list_cosine_similarity(e.embedding::DOUBLE[], qv::DOUBLE[])
+            AS score
+        FROM embeddings e, q),
+      ranked AS (
+        SELECT query_id, vec_id, score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn
+        FROM scored)
+      SELECT query_id, vec_id, round(score, 6) AS score
+      FROM ranked WHERE rn <= 5
+      ORDER BY query_id, score DESC, vec_id"""))
+
   /** Mixture sampling over documents: per-source target counts (the
     * "40% web, 30% code" domain-mixing primitive), drawn by md5-of-key
     * rank so the pick is a pure function of the data — identical
@@ -6562,7 +6599,7 @@ object Catalog {
     docNgrams,
     dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
-    simTopkPq, simTopkIvfPq, simTopkIvfPqDisk,
+    simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin,
     mixtureSample, mixtureSampleApproxQ,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
     multimodalResize, multimodalAudio, multimodalVideo, multimodalFrames,
