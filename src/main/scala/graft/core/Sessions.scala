@@ -12,10 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sessions {
 
-  /** A throwaway session carrying per-query conf overrides. */
+  /** A throwaway session carrying per-query conf overrides.
+    *
+    * `newSession()` inherits only BUILDER-time options — confs the
+    * parent set at runtime (e.g. the `nanosAsLong` flag
+    * `Tables.events` flips for TIMESTAMP(NANOS) fixture generations)
+    * would silently reset to defaults and change behavior inside the
+    * isolated execution. So the parent's runtime conf is copied over
+    * first, then the overrides applied on top. Non-modifiable entries
+    * (static confs surfaced by getAll) are skipped.
+    */
   def isolated(spark: SparkSession,
       overrides: Map[String, String]): SparkSession = {
     val iso = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(iso.conf.set(k, v)): Unit
+    }
     overrides.foreach { case (k, v) => iso.conf.set(k, v) }
     iso
   }

@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions.udaf
   * ([[graft.llm.Similarity.knnJoinBrute]]).
   *
   * The (−score, id) order is total for distinct ids, so results are
-  * deterministic under any merge order. Null/NaN scores are ignored
-  * (they can't rank).
+  * deterministic under any merge order. NaN scores are ignored (they
+  * can't rank). SQL NULL scores are NOT representable by the primitive
+  * input encoder — callers must filter them out first
+  * (`score.isNotNull`, as [[graft.llm.Similarity.knnJoinBrute]] does);
+  * an unfiltered null would otherwise decode as 0.0 and could occupy a
+  * top-k slot.
   */
 class TopKMaxByScore(k: Int)
     extends Aggregator[(Double, Long), TopKMaxByScore.Buf, Seq[TopKMaxByScore.Entry]] {

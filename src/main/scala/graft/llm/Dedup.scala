@@ -599,7 +599,13 @@ object Dedup {
     // the dense loop pays ~50 ms. Above the threshold the keyed-join
     // loop IS the scale path and runs unchanged.
     val nNonIsolated = labels.count()
-    if (nNonIsolated > 0 && nNonIsolated <= broadcastThreshold) {
+    if (nNonIsolated == 0) {
+      // no edges at all: every vertex is its own singleton component —
+      // no loop to run in either layout
+      adj.unpersist()
+      return allIds.select(col("id"), col("id").as("component"))
+    }
+    if (nNonIsolated <= broadcastThreshold) {
       val ids = labels.select(col("id")).collect().map(_.getLong(0))
       val components = ccBroadcast(adj, ids, maxIter)
         .select(col("id"), col("label").as("component"))

@@ -201,10 +201,16 @@ object Graph {
   private def prDistributed(e: DataFrame, out: DataFrame, n: Long,
       iters: Int, damping: Double,
       checkpointDir: Option[String] = None): DataFrame = {
+    // TWO materializer chains (the Checkpointing chain contract):
+    // nodeSet is read by EVERY iteration, so it gets its own instance
+    // (one write, never rotated); the ranks chain rotates — iteration
+    // i only reads ranks(i-1)
+    val materializePinned =
+      Checkpointing.materializer(e.sparkSession, checkpointDir)
     val materialize = Checkpointing.materializer(e.sparkSession, checkpointDir)
     val adj = e.join(out, Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val nodeSet = materialize(e.select(col("src").as("id"))
+    val nodeSet = materializePinned(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct())
     var ranks = materialize(nodeSet.select(col("id"), lit(1.0 / n).as("pr")))

@@ -649,6 +649,13 @@ object Similarity {
     * Exact by construction (every corpus row is scored), so the
     * brute-force oracle applies verbatim; ties resolve (score desc,
     * id asc) — deterministic.
+    *
+    * Precondition: query vectors must be clean (non-null, matching
+    * dim, non-zero norm). A query row whose vector scores null against
+    * every corpus row produces NO output group (it has no defined
+    * neighbors) — same null-out-don't-crash policy as the rest of the
+    * module, but callers diffing against a row_number formulation
+    * should know the group count can shrink.
     */
   def knnJoinBrute(queries: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {

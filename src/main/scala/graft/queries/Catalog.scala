@@ -37,6 +37,30 @@ final case class Ord(o_orderkey: Long, o_custkey: Long,
   */
 object Catalog {
 
+  /** Filesystem/table-name-safe tag of a fixture dir — the FULL path,
+    * sanitized. A 32-bit `hashCode` tag collides across datasets,
+    * which for the STAMPED build-once caches below (bucketed tables,
+    * disk ANN indexes) means two datasets fighting over one cache
+    * path; ephemeral write-then-read temp dirs are unaffected.
+    */
+  private def dirTag(d: String): String =
+    d.replaceAll("[^A-Za-z0-9_]", "_").replaceAll("_+", "_")
+      .stripPrefix("_")
+
+  /** Freshness stamp of source parquet paths (name:length:mtime of
+    * every part file) — the gate that makes a persisted layout
+    * investment (bucketed tables, disk indexes) rebuild exactly when
+    * the fixture regenerates. Shared by every build-once cache so the
+    * stamping rule can't silently diverge between them.
+    */
+  private def sourceStamp(paths: String*): String = paths.map { p =>
+    val f = new java.io.File(p)
+    val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+    parts.sortBy(_.getName)
+      .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .mkString(",")
+  }.mkString(";")
+
   // ---------------------------------------------------------------- agg
 
   /** TPC-H Q1 core (SURVEY §7.2): scan → hash-agg → sort. */
@@ -1703,7 +1727,7 @@ object Catalog {
   val joinBucketed = RegisteredQuery(
     "join_bucketed",
     (s, d) => {
-      val tag = math.abs(d.hashCode).toString
+      val tag = dirTag(d)
       // a fresh session's catalog is empty but the managed-table
       // LOCATION from a previous run survives on disk — clear both or
       // saveAsTable raises LOCATION_ALREADY_EXISTS
@@ -1729,16 +1753,9 @@ object Catalog {
       // Correctness never depends on the stamp — the oracle checks the
       // join output either way, and a missing/corrupt table simply
       // fails the read loudly.
-      def stampOf(paths: String*): String = paths.map { p =>
-        val f = new java.io.File(p)
-        val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
-        parts.sortBy(_.getName)
-          .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-          .mkString(",")
-      }.mkString(";")
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       val stampFile = new java.io.File(wh, s"graft_bucketed_stamp_$tag.txt")
-      val stamp = stampOf(s"$d/orders.parquet", s"$d/lineitem.parquet")
+      val stamp = sourceStamp(s"$d/orders.parquet", s"$d/lineitem.parquet")
       // the freshness check runs INSIDE the lock (and the lock is held
       // until the stamp is written): a check-then-act outside it let two
       // concurrent invocations both see !fresh and rebuild twice, and a
@@ -5065,7 +5082,7 @@ object Catalog {
         .collect().head.getSeq[Double](0).toArray
       val cents = centroidsFor(s, d)
       val cells = cents.length
-      val path = s"/tmp/graft_ivf_${math.abs(d.hashCode)}"
+      val path = s"/tmp/graft_ivf_${dirTag(d)}"
       Similarity.writeIvfIndex(
         Similarity.ivfIndex(emb, "embedding", "vec_id", cents), path)
       val disk = Similarity.readIvfIndex(s, path)
@@ -5173,15 +5190,9 @@ object Catalog {
       val query = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .collect().head.getSeq[Double](0).toArray
-      val path = s"/tmp/graft_ivfpq_${math.abs(d.hashCode)}"
+      val path = s"/tmp/graft_ivfpq_${dirTag(d)}"
       val stampFile = new java.io.File(s"$path.stamp")
-      val stamp = {
-        val f = new java.io.File(s"$d/embeddings.parquet")
-        val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
-        parts.sortBy(_.getName)
-          .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-          .mkString(",")
-      }
+      val stamp = sourceStamp(s"$d/embeddings.parquet")
       // build-once: freshness check AND build both inside the lock
       // (the join_bucketed lesson — no check-then-act race, no reader
       // of a half-built index)

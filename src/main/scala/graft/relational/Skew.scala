@@ -56,6 +56,14 @@ object Skew {
     * Broadcast is disabled on the isolated session: a broadcast join
     * has no reducer skew to split, and the operator's contract is the
     * sort-merge path (`hint("merge")` pins it).
+    *
+    * Scope note: the returned frame is BOUND to the isolated session,
+    * so everything the caller layers on top (aggregations, further
+    * joins, the final write) also plans under these confs — broadcast
+    * stays disabled and shuffles target `advisoryBytes`. Compose the
+    * skew join as the LAST heavy step, or rebind the result onto the
+    * original session ([[graft.core.Sessions.rebind]]) once the join
+    * output is small.
     */
   def aqeSkewJoin(fact: DataFrame, dim: DataFrame, key: String,
       skewThresholdBytes: Long = 256L << 20,

@@ -3,7 +3,6 @@ package graft.llm
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -44,13 +43,8 @@ class IvfDiskSpec extends SparkSpec {
     val pruned = Similarity.readIvfIndex(spark, dir)
       .filter(col("cell") === 1)
     pruned.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case s: FileSourceScanExec => Seq(s)
-      case other => other.children.flatMap(scans)
-    }
-    val scan = scans(pruned.queryExecution.executedPlan)
+    val scan = walkExecutedPlan(pruned.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
     assert(scan.nonEmpty, "no file scan found")
     assert(scan.head.partitionFilters.nonEmpty,
       s"cell filter did not reach partition pruning:\n${scan.head}")

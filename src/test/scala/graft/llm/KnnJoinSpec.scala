@@ -1,7 +1,5 @@
 package graft.llm
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -55,15 +53,7 @@ class KnnJoinSpec extends SparkSpec {
     val joined = Similarity.knnJoinBrute(df.filter(col("id") < 6), df,
       "vec", "id", k = 4)
     joined.collect()
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      p +: kids.flatMap(walk)
-    }
-    val plans = walk(joined.queryExecution.executedPlan)
+    val plans = walkExecutedPlan(joined.queryExecution.executedPlan)
     assert(!plans.exists(_.isInstanceOf[WindowExec]),
       "k-NN join planned a window sort")
     assert(plans.exists(_.getClass.getSimpleName

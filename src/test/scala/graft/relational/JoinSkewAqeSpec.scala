@@ -1,8 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.functions._
 
@@ -23,15 +22,8 @@ class JoinSkewAqeSpec extends SparkSpec {
   }.toDF("sk", "v")
   private def dim = (0L until 10L).map(k => (k, s"label_$k")).toDF("sk", "name")
 
-  private def collectPlans(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan) // stages are leaf wrappers
-      case r: ReusedExchangeExec => Seq(r.child)
-      case other => other.children
-    }
-    p +: kids.flatMap(collectPlans)
-  }
+  private def collectPlans(p: SparkPlan): Seq[SparkPlan] =
+    walkExecutedPlan(p)
 
   test("skewed partition is split and the result equals the plain join") {
     val joined = Skew.aqeSkewJoin(fact, dim, "sk",

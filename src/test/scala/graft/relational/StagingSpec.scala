@@ -3,7 +3,7 @@ package graft.relational
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
-import graft.relational.Staging.StagingSpec
+import graft.relational.Staging.{StagingSpec => StagingConf}
 
 class StagingSpec extends SparkSpec {
   import spark.implicits._
@@ -13,7 +13,7 @@ class StagingSpec extends SparkSpec {
   ).toDF("i", "l", "d", "s", "drop_col")
 
   test("widens Int to Double, leaves Double/String untouched") {
-    val out = Staging.stage(df, StagingSpec())
+    val out = Staging.stage(df, StagingConf())
     val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
     assert(types("i") == DoubleType)
     assert(types("d") == DoubleType)
@@ -21,25 +21,25 @@ class StagingSpec extends SparkSpec {
   }
 
   test("does NOT widen Long unless widenLongs is set") {
-    val defaultOut = Staging.stage(df, StagingSpec())
+    val defaultOut = Staging.stage(df, StagingConf())
     assert(defaultOut.schema("l").dataType == LongType)
-    val widened = Staging.stage(df, StagingSpec(widenLongs = true))
+    val widened = Staging.stage(df, StagingConf(widenLongs = true))
     assert(widened.schema("l").dataType == DoubleType)
   }
 
   test("drops columns by prefix") {
-    val out = Staging.stage(df, StagingSpec(dropPrefixes = Seq("drop_")))
+    val out = Staging.stage(df, StagingConf(dropPrefixes = Seq("drop_")))
     assert(!out.columns.contains("drop_col"))
     assert(out.columns.toSeq == Seq("i", "l", "d", "s"))
   }
 
   test("label column is kept verbatim (no cast)") {
-    val out = Staging.stage(df, StagingSpec(labelColumn = Some("i")))
+    val out = Staging.stage(df, StagingConf(labelColumn = Some("i")))
     assert(out.schema("i").dataType == IntegerType)
   }
 
   test("values survive the projection") {
-    val out = Staging.stage(df, StagingSpec(dropPrefixes = Seq("drop_")))
+    val out = Staging.stage(df, StagingConf(dropPrefixes = Seq("drop_")))
       .collect().head
     assert(out.getDouble(0) == 1.0)
     assert(out.getLong(1) == 2L)
@@ -48,7 +48,7 @@ class StagingSpec extends SparkSpec {
   }
 
   test("widenIntegers=false keeps Int") {
-    val out = Staging.stage(df, StagingSpec(widenIntegers = false))
+    val out = Staging.stage(df, StagingConf(widenIntegers = false))
     assert(out.schema("i").dataType == IntegerType)
   }
 }
