@@ -159,6 +159,14 @@ object ScaleProbe {
         idx.unpersist()
       }
 
+      // ---- batch k-NN join: 8 fixed queries against the N×-grown
+      // corpus — wall must track the corpus linearly (one scan +
+      // q·k·partitions shuffle rows), never q·n
+      val (nKnn, tKnn) = timed(
+        Similarity.knnJoinBrute(emb.filter(col("vec_id") < 8), emb,
+          "embedding", "vec_id", k = 5).count())
+      println(f"[probe] emb x$mult knn_join rows=$nKnn time=$tKnn%.2fs")
+
       // ---- connected components over the exact-join pair graph:
       // rounds should track graph diameter (constant for dup families),
       // NOT corpus size, and per-round plans stay constant-depth
