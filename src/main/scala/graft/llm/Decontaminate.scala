@@ -57,6 +57,53 @@ object Decontaminate {
         round(col("n_overlap") / col("n_ngrams"), 6).as("overlap_frac"))
   }
 
+  /** Contamination report via a BLOOM pre-filter — the shape for when
+    * the benchmark side is too big to broadcast as an exact hash set.
+    * A suite of eval benchmarks can reach 10⁹ distinct n-grams
+    * (~16 GB exact); at 1.2 bytes/key (fpp 0.01) the Bloom sketch is
+    * ~1.2 GB and broadcasts where the set cannot. Three-phase:
+    *
+    *   1. build the sketch over the bench sigs (one distributed
+    *      treeAggregate on the SMALL side,
+    *      [[graft.relational.RuntimeFilter.bloomSemiFilter]]);
+    *   2. map-side prune the corpus shingle stream against the
+    *      broadcast sketch — at corpus scale the overwhelming
+    *      majority of shingles drop HERE, before any shuffle;
+    *   3. exact-verify the survivors with a semi join against the real
+    *      bench sig set. Only bloom survivors (true overlaps + the
+    *      fpp·n false positives) enter this join, so it is tiny even
+    *      as a shuffle join when the bench set stays unbroadcastable.
+    *
+    * No false negatives exist at any phase, and phase 3 removes the
+    * false positives, so the report is BYTE-IDENTICAL to
+    * [[contaminationReport]] — which is why it shares that oracle.
+    * Per-doc totals (`n_ngrams`) come from a separate partial-agg pass
+    * over the unpruned shingle stream (they must count clean shingles
+    * too); its shuffle rows are (id, count) partials, not shingles.
+    */
+  def contaminationReportBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    val cg = shingleSet(corpus, idCol, textCol, k)
+    val bg = shingleSet(bench, idCol, textCol, k)
+      .select(col("sig")).distinct()
+      .persist()
+    try {
+      // the bench side is the small side by definition — an exact
+      // count is one cheap job and sizes the sketch correctly
+      val nBench = math.max(1L, bg.count())
+      val survivors = graft.relational.RuntimeFilter
+        .bloomSemiFilter(cg, "sig", bg, "sig", nBench, fpp)
+        .join(bg, Seq("sig"), "left_semi")
+      val overlap = survivors.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      val totals = cg.groupBy(col("id")).agg(count(lit(1)).as("n_ngrams"))
+      overlap.join(totals, Seq("id"))
+        .select(col("id"), col("n_overlap"), col("n_ngrams"),
+          round(col("n_overlap") / col("n_ngrams"), 6).as("overlap_frac"))
+    } finally { bg.unpersist(): Unit }
+  }
+
   /** The decontaminated corpus: drop documents whose contamination
     * fraction reaches `maxFrac` (0.0 drops on ANY shared n-gram). An
     * anti join against the (small) contaminated-id list, so the

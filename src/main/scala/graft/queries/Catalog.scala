@@ -6546,6 +6546,83 @@ object Catalog {
       FROM tot JOIN ov ON tot.doc_id = ov.doc_id
       ORDER BY tot.doc_id"""))
 
+  /** Bloom-prefiltered decontamination: same report as `decontaminate`
+    * (and the same oracle — the sketch has no false negatives and the
+    * exact verify phase removes its false positives), but the corpus
+    * side is pruned map-side against a ~1.2 byte/key broadcast Bloom
+    * sketch instead of an exact broadcast hash set — the shape for
+    * benchmark suites whose distinct n-gram set outgrows broadcast.
+    */
+  val decontaminateBloom = RegisteredQuery(
+    "decontaminate_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.Decontaminate.contaminationReportBloom(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", k = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),
+          '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 2),
+              i -> array_to_string(toks[i:i+3], ' '))) END AS sh
+        FROM t),
+      cg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 20 <> 0),
+      bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 20 = 0),
+      tot AS (SELECT doc_id, len(sh) AS n_ngrams FROM sh
+              WHERE doc_id % 20 <> 0),
+      ov AS (SELECT cg.doc_id, count(*) AS n_overlap
+             FROM cg JOIN bg USING (g) GROUP BY cg.doc_id)
+      SELECT tot.doc_id, ov.n_overlap, tot.n_ngrams,
+        round(ov.n_overlap * 1.0 / tot.n_ngrams, 6) AS overlap_frac
+      FROM tot JOIN ov ON tot.doc_id = ov.doc_id
+      ORDER BY tot.doc_id"""))
+
+  /** SemDeDup-style semantic dedup over the embeddings table: k=8
+    * md5-ranked seed medoids, argmax-cosine assignment, and the
+    * EXISTS drop rule (a row dies iff a smaller-id row in its cluster
+    * sits at cosine ≥ 0.5). The oracle replays all three phases —
+    * seed pick, assignment (argmax with ties to seed rank, the
+    * [[graft.functions.NearestCentroidExpr]] tie rule), and the
+    * within-cluster pair exists — so a hash match proves the
+    * clustering and the drop set, not just the output shape.
+    */
+  val dedupSemantic = RegisteredQuery(
+    "dedup_semantic",
+    (s, d) => {
+      graft.llm.SemDedup.semanticDedup(
+          Tables.embeddings(s, d), "embedding", "vec_id",
+          k = 8, threshold = 0.5)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH seeds AS (
+        SELECT vec_id AS sid, embedding::DOUBLE[] AS sv,
+          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rk
+        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+      assign AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+          (SELECT s.sid FROM seeds s
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.sv)
+             DESC, s.rk ASC
+           LIMIT 1) AS cluster
+        FROM embeddings e),
+      dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.v, b.v) >= 0.5)
+      SELECT vec_id, cluster FROM assign
+      WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+      ORDER BY vec_id"""))
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[RegisteredQuery] = Seq(
@@ -6602,7 +6679,7 @@ object Catalog {
     textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
     charEntropy, docRepetition,
     vocabTopk, docTopTerms, docBm25, piiRedact,
-    decontaminate,
+    decontaminate, decontaminateBloom, dedupSemantic,
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
     dedupComponents, seqPack, graphPagerank, graphDegrees, aggCountmin,
     splitLeakfree, dedupLines, dedupSubstring, bpePairCounts,

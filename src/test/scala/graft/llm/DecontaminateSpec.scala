@@ -40,6 +40,19 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept == Set(2L), s"kept: $kept")
   }
 
+  test("bloom-prefiltered report is byte-identical to the exact report") {
+    val exact = Decontaminate
+      .contaminationReport(corpus, bench, "id", "text", k = 4)
+      .orderBy(col("id")).collect().toSeq
+    // fpp high enough that false positives are likely on a tiny set —
+    // the exact-verify phase must still strip every one of them
+    val bloom = Decontaminate
+      .contaminationReportBloom(corpus, bench, "id", "text", k = 4,
+        fpp = 0.2)
+      .orderBy(col("id")).collect().toSeq
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+  }
+
   test("a doc shorter than k words matches only as a whole unit") {
     val shortBench = Seq((200L, "tiny doc")).toDF("id", "text")
     val shortCorpus = Seq((10L, "tiny doc"), (11L, "tiny dog"))
