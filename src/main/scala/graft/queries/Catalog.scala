@@ -4785,6 +4785,71 @@ object Catalog {
       SELECT pair, count(*) AS n FROM p
       GROUP BY pair ORDER BY n DESC, pair LIMIT 30"""))
 
+  /** BPE tokenizer APPLY ([[graft.llm.Bpe]]): greedy lowest-rank-first
+    * merge encoding of every corpus word against a 40-entry merge
+    * table ranked exactly like `bpe_pair_counts`. Checked per DOC:
+    * total token count plus the md5 of the full space-joined token
+    * stream in word order — the oracle replays the merge ranking, the
+    * greedy fixpoint (recursive CTE), and the stream reassembly, so a
+    * wrong merge order in any single word anywhere in the corpus
+    * breaks the hash.
+    */
+  val bpeEncode = RegisteredQuery(
+    "bpe_encode",
+    (s, d) =>
+      graft.llm.Bpe.encodeCorpus(Tables.documents(s, d), "doc_id", "text",
+          m = 40)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE
+        occ AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        pairs AS (
+          SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, count(*) AS n
+          FROM occ, unnest(generate_series(1, length(w) - 1)) u(i)
+          WHERE length(w) > 1
+          GROUP BY 1),
+        merges AS (
+          SELECT pair,
+            CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rk
+          FROM pairs ORDER BY n DESC, pair LIMIT 40),
+        vocab AS (SELECT DISTINCT w FROM occ),
+        enc AS (
+          SELECT w,
+            CASE WHEN length(w) < 2 THEN [w]
+              ELSE list_transform(range(1, length(w) + 1),
+                i -> substr(w, CAST(i AS INTEGER), 1)) END AS syms,
+            0 AS iter
+          FROM vocab
+          UNION ALL
+          SELECT w,
+            syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:],
+            iter + 1
+          FROM (
+            SELECT w, syms, iter,
+              (SELECT CAST(u.i AS INTEGER)
+               FROM unnest(generate_series(1, len(e.syms) - 1)) u(i)
+               JOIN merges m
+                 ON m.pair = e.syms[CAST(u.i AS INTEGER)] ||
+                             e.syms[CAST(u.i AS INTEGER) + 1]
+               ORDER BY m.rk, u.i LIMIT 1) AS bp
+            FROM enc e) s
+          WHERE bp IS NOT NULL),
+        dict AS (
+          SELECT w, syms FROM enc
+          QUALIFY row_number() OVER (PARTITION BY w ORDER BY iter DESC) = 1),
+        wordpos AS (
+          SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+            ws[CAST(u.i AS INTEGER)] AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents) t,
+               unnest(generate_series(1, len(ws))) u(i))
+      SELECT doc_id,
+        CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
+        md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
+          AS tok_md5
+      FROM wordpos JOIN dict USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Fuzzy entity matching: EXACT edit-distance-≤1 join over customer
     * names via the deletion-neighborhood scheme (FastSS) — recall 1.0
     * by construction (any one-edit pair shares a deletion signature),
@@ -6686,6 +6751,7 @@ object Catalog {
     sourceMixReport, docLmPpl,
     docNgrams,
     dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,
+    bpeEncode,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin,
     mixtureSample, mixtureSampleApproxQ,
