@@ -675,6 +675,78 @@ object Similarity {
         col("e.score").as("score"))
   }
 
+  /** Batch k-NN join via multi-table multiprobe LSH — the SCALE path of
+    * [[knnJoinBrute]]: instead of scoring every (query, corpus) pair,
+    * each query row probes its Hamming-≤r bucket neighborhood in each
+    * of L tables and only bucket-mates are scored.
+    *
+    * Plan shape (the load-bearing properties):
+    *   - probe generation is IN-PLAN (per-row signature + bitwiseXOR
+    *     flips over slim (table, sig, query_id) rows) — no driver-side
+    *     signature computation, so the query side may be any size, not
+    *     just a broadcastable one;
+    *   - the candidate join is an equi-join on (table, sig) between two
+    *     SLIM frames; vectors join back onto the DEDUPED (query_id, id)
+    *     candidate list (query vectors broadcast, corpus vectors from
+    *     the un-exploded source — the [[similarityJoinMultiTable]]
+    *     payload rule);
+    *   - the top-k fold is the same bounded [[graft.functions.TopKMaxByScore]]
+    *     aggregate pair as the brute join — no window sort.
+    *
+    * Cost at 100 TB: candidates ≈ q · tables · probes · bucketSize,
+    * independent of corpus row count (bucketSize rides `bitsFor`);
+    * corpus vectors are touched only for candidate ids. Recall is
+    * bought with probes × tables exactly as in [[topKAnnMultiTable]] —
+    * and must be VALIDATED for a k-NN workload (the k-th neighbor is
+    * usually farther than a near-dup threshold pair, so catch
+    * probability per table is lower; the registered query pins
+    * hash-equality against the exact answer at 3 SFs).
+    */
+  def knnJoinAnn(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int, dim: Int, bits: Int,
+      tables: Int = 8, probeHamming: Int = 2,
+      seedPrefix: String = "lsh"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val slim = multiTableIndex(corpus, vecCol, idCol, dim, bits, tables,
+      seedPrefix).select(col("table"), col("sig"), col("id"))
+    val qSigCols = (0 until tables).map { t =>
+      val planes = hyperplanes(dim, bits, s"$seedPrefix/t$t")
+      struct(lit(t).as("table"), signature(v, planes).as("sig")).as(s"s$t")
+    }
+    val qSlim = queries.select(col(idCol).as("query_id"),
+        explode(array(qSigCols: _*)).as("ts"))
+      .select(col("query_id"), col("ts.table").as("table"),
+        col("ts.sig").as("sig"))
+    val flips = scala.collection.mutable.ArrayBuffer[Column](col("sig"))
+    if (probeHamming >= 1) (0 until bits).foreach(i =>
+      flips += col("sig").bitwiseXOR(lit(1L << i)))
+    if (probeHamming >= 2) for (i <- 0 until bits; j <- (i + 1) until bits)
+      flips += col("sig").bitwiseXOR(lit((1L << i) | (1L << j)))
+    if (probeHamming >= 3)
+      for (i <- 0 until bits; j <- (i + 1) until bits;
+           l <- (j + 1) until bits)
+        flips += col("sig")
+          .bitwiseXOR(lit((1L << i) | (1L << j) | (1L << l)))
+    val qProbes = qSlim.select(col("table"),
+      explode(array(flips.toSeq: _*)).as("sig"), col("query_id"))
+    val cands = qProbes.join(slim, Seq("table", "sig"))
+      .select(col("query_id"), col("id"))
+      .distinct()
+    val qVecs = broadcast(queries.select(col(idCol).as("query_id"),
+      v.as("graft_knn_qv")))
+    val cVecs = corpus.select(col(idCol).as("id"), v.as("graft_knn_cv"))
+    cands.join(cVecs, Seq("id")).join(qVecs, Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        cosineNative(col("graft_knn_cv"), col("graft_knn_qv")).as("score"))
+      .filter(col("score").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKMaxByScore(k)(col("score"), col("id"))
+        .as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"),
+        col("e.score").as("score"))
+  }
+
   /** Cell-count rule: cells ≈ n / targetCellSize (clamped ≥ 2) — cell
     * population stays constant as the corpus grows; probe cost is then
     * controlled by `nprobe` alone.

@@ -5329,6 +5329,46 @@ object Catalog {
       FROM ranked WHERE rn <= 5
       ORDER BY query_id, score DESC, vec_id"""))
 
+  /** The SCALE path of `sim_knn_join`: same top-k-per-query-row
+    * semantics, but candidates come from multi-table multiprobe LSH
+    * buckets instead of a full corpus scan — candidate volume is
+    * q·tables·probes·bucketSize, independent of corpus row count.
+    * Probe generation runs in-plan (no driver signature computation),
+    * so the query side need not be broadcastable. Oracle: the EXACT
+    * brute-force answer — hash-green certifies recall 1.0 on this
+    * corpus at all three SFs, the same evidence standard as
+    * `sim_topk_ann` / `sim_neardup_lsh`.
+    */
+  val simKnnJoinAnn = RegisteredQuery(
+    "sim_knn_join_ann",
+    (s, d) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, d)
+      val bits = Similarity.bitsFor(emb.count())
+      Similarity.knnJoinAnn(
+          emb.filter(col("vec_id") < 8), emb, "embedding", "vec_id",
+          k = 5, dim = 64, bits = bits, tables = 8, probeHamming = 2)
+        .select(col("query_id"), col("id").as("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT query_id, e.vec_id AS vec_id,
+          list_cosine_similarity(e.embedding::DOUBLE[], qv::DOUBLE[])
+            AS score
+        FROM embeddings e, q),
+      ranked AS (
+        SELECT query_id, vec_id, score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn
+        FROM scored)
+      SELECT query_id, vec_id, round(score, 6) AS score
+      FROM ranked WHERE rn <= 5
+      ORDER BY query_id, score DESC, vec_id"""))
+
   /** Mixture sampling over documents: per-source target counts (the
     * "40% web, 30% code" domain-mixing primitive), drawn by md5-of-key
     * rank so the pick is a pure function of the data — identical
@@ -6753,7 +6793,7 @@ object Catalog {
     dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,
     bpeEncode,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
-    simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin,
+    simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin, simKnnJoinAnn,
     mixtureSample, mixtureSampleApproxQ,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
     multimodalResize, multimodalAudio, multimodalVideo, multimodalFrames,

@@ -61,6 +61,27 @@ class KnnJoinSpec extends SparkSpec {
       s"query side not broadcast:\n${plans.map(_.nodeName).mkString("\n")}")
   }
 
+  test("ANN knn join equals brute on the clustered corpus, without a window") {
+    val df = corpus
+    val queries = df.filter(col("id") < 6)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    val brute = key(Similarity.knnJoinBrute(queries, df, "vec", "id", k = 4)
+      .collect())
+    // 4 bits over dim 6; tight families make same-family signatures
+    // nearly identical, so Hamming-2 probes across 8 tables recover the
+    // full neighbor sets
+    val ann = Similarity.knnJoinAnn(queries, df, "vec", "id", k = 4,
+      dim = 6, bits = 4, tables = 8, probeHamming = 2)
+    val got = key(ann.collect())
+    assert(got == brute,
+      s"ANN missed neighbors: brute-only=${brute -- got}, ann-only=${got -- brute}")
+    val plans = walkExecutedPlan(ann.queryExecution.executedPlan)
+    assert(!plans.exists(_.isInstanceOf[WindowExec]),
+      "ANN k-NN join planned a window sort")
+  }
+
   test("aggregator buffer stays bounded at k and orders deterministically") {
     val agg = new graft.functions.TopKMaxByScore(3)
     var buf = agg.zero
