@@ -167,6 +167,35 @@ object ScaleProbe {
           "embedding", "vec_id", k = 5).count())
       println(f"[probe] emb x$mult knn_join rows=$nKnn time=$tKnn%.2fs")
 
+      // ---- ANN batch k-NN join: same 8 fixed queries, candidates from
+      // multiprobe buckets — candidate volume must track
+      // q·tables·probes·bucketSize (bucketSize rides bitsFor), never
+      // the corpus row count
+      val (nKnnA, tKnnA) = timed(
+        Similarity.knnJoinAnn(emb.filter(col("vec_id") < 8), emb,
+          "embedding", "vec_id", k = 5, dim = 64, bits = bits,
+          tables = 8, probeHamming = 2).count())
+      println(f"[probe] emb x$mult knn_join_ann rows=$nKnnA time=$tKnnA%.2fs")
+
+      // ---- semantic dedup: k scales with n so cluster population is
+      // ~constant — the pair search must stay n·clusterSize, not n².
+      // (The ×N copies are identical vectors: every family collapses to
+      // one survivor, the worst-case duplicate load.)
+      val kSem = math.max(8, (nVecs / 64).toInt)
+      val (nSem, tSem) = timed(
+        graft.llm.SemDedup.semanticDedup(emb, "embedding", "vec_id",
+          k = kSem, threshold = 0.5).count())
+      println(f"[probe] emb x$mult semdedup k=$kSem survivors=$nSem " +
+        f"time=$tSem%.2fs")
+
+      // ---- BPE encode: the dictionary stays at the distinct-word
+      // count while the corpus stream grows N× — wall must track the
+      // corpus (explode + broadcast join + one doc-id shuffle), with
+      // the greedy loop cost fixed at vocabulary size
+      val (nBpe, tBpe) = timed(
+        graft.llm.Bpe.encodeCorpus(docs, "doc_id", "text", m = 40).count())
+      println(f"[probe] docs x$mult bpe_encode docs=$nBpe time=$tBpe%.2fs")
+
       // ---- connected components over the exact-join pair graph:
       // rounds should track graph diameter (constant for dup families),
       // NOT corpus size, and per-round plans stay constant-depth
