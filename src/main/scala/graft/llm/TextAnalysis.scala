@@ -151,6 +151,30 @@ object TextAnalysis {
         size(array_distinct(arr)).cast("double") /
           size(arr).cast("double"), 4))
 
+  /** Quality-filter CASCADE: the C4/Gopher-style keep/drop decision as
+    * ONE scan — each rule's raw signal plus its boolean flag plus the
+    * final verdict, so a pipeline can both filter and audit WHY a
+    * document died (drop-reason accounting is how filter drift gets
+    * caught at corpus scale). The token array is STAGED into an
+    * attribute before the bigram lambda (re-evaluating the split per
+    * element would be O(len²) per document); zero shuffle.
+    */
+  def qualityCascade(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minTokens: Int = 20, minQuality: Double = 0.5,
+      maxBigramDup: Double = 0.1): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        size(col("__toks")).as("n_tokens"),
+        round(qualityScore(col("__text")), 6).as("quality"),
+        dupFraction(repetitionBigrams(col("__toks")))
+          .as("dup_bigram_frac"))
+      .withColumn("too_short", col("n_tokens") < minTokens)
+      .withColumn("low_quality", col("quality") < minQuality)
+      .withColumn("repetitive", col("dup_bigram_frac") > maxBigramDup)
+      .withColumn("keep",
+        !col("too_short") && !col("low_quality") && !col("repetitive"))
+
   def fingerprint(text: Column): Column = xxhash64(normalized(text))
 
   /** MD5 fingerprint variant (hex string) — portable to any engine with

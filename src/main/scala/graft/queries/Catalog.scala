@@ -5391,6 +5391,98 @@ object Catalog {
       WHERE rn <= 3 + (CAST(substr(source, 4) AS INTEGER) % 5)
       ORDER BY source, doc_id"""))
 
+  /** Token-budget mixture sampling: per-source token budgets (the unit
+    * training actually consumes) rather than document counts. Budgets
+    * derive from the source name so the oracle recomputes them; the
+    * md5 ranking and running-sum cut are integer/string arithmetic —
+    * exact in any engine.
+    */
+  val mixtureSampleBudget = RegisteredQuery(
+    "mixture_sample_budget",
+    (s, d) => {
+      val budgets = (0 until 20)
+        .map(i => s"src$i" -> (150L + 40L * (i % 7))).toMap
+      graft.relational.Sampling.mixtureSampleByBudget(
+          Tables.documents(s, d)
+            .select(col("source"), col("doc_id"),
+              graft.llm.TextAnalysis.tokenCount(col("text")).as("n_tok")),
+          "source", "doc_id", "n_tok", budgets)
+        .select(col("source"), col("doc_id"), col("n_tok"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT source, doc_id,
+          CAST(len(regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ')) AS INTEGER) AS n_tok,
+          md5(CAST(doc_id AS VARCHAR)) AS rk
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, n_tok,
+          coalesce(sum(n_tok) OVER (PARTITION BY source
+            ORDER BY rk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before
+        FROM t)
+      SELECT source, doc_id, n_tok FROM c
+      WHERE cum_before < 150 + 40 * (CAST(substr(source, 4) AS INTEGER) % 7)
+      ORDER BY source, doc_id"""))
+
+  /** Quality-filter cascade: every rule's raw signal, its flag, and
+    * the final keep verdict in ONE scan — the filter-and-audit shape
+    * (drop-reason accounting) of a C4/Gopher-style cleaning pass. The
+    * oracle replays all three signals (whitespace token count, the
+    * composite quality score, bigram repetition) op-for-op and re-derives
+    * every flag.
+    */
+  val qualityCascade = RegisteredQuery(
+    "quality_cascade",
+    (s, d) =>
+      graft.llm.TextAnalysis.qualityCascade(
+          Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks,
+          CAST(length(regexp_replace(text, '[\p{L}\p{Nd}\s]', '', 'g'))
+            AS DOUBLE) / greatest(length(text), 1) AS punct_ratio
+        FROM documents),
+      c AS (
+        SELECT doc_id, toks,
+          least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score,
+          1.0 - least(punct_ratio * 4.0, 1.0) AS punct_score,
+          CAST(len(list_filter(toks, x -> list_contains(['the','and','of',
+            'to','in','is','that','it','was','for','with','as','his','on',
+            'be','at','by','had','not','a','an','are','but','from','or',
+            'this','which','you','we','they','have','has','were','been',
+            'their','its','can','will'], x))) AS DOUBLE)
+            / greatest(len(toks), 1) AS swr,
+          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / greatest(len(toks), 1) AS mwl,
+          CASE WHEN len(toks) < 2 THEN []
+            ELSE list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i + 1]) END AS bi
+        FROM t),
+      f AS (
+        SELECT doc_id,
+          CAST(len(toks) AS INTEGER) AS n_tokens,
+          round(len_score * 0.3 + punct_score * 0.2
+            + (1.0 - least(abs(swr - 0.4) * 2.5, 1.0)) * 0.3
+            + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+              * 0.2, 6) AS quality,
+          CASE WHEN len(bi) < 1 THEN 0.0 ELSE
+            round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) /
+              CAST(len(bi) AS DOUBLE), 4) END AS dup_bigram_frac
+        FROM c)
+      SELECT doc_id, n_tokens, quality, dup_bigram_frac,
+        n_tokens < 20 AS too_short,
+        quality < 0.5 AS low_quality,
+        dup_bigram_frac > 0.1 AS repetitive,
+        NOT (n_tokens < 20 OR quality < 0.5 OR dup_bigram_frac > 0.1)
+          AS keep
+      FROM f ORDER BY doc_id"""))
+
   /** Embedding near-dup pairs, exact baseline: broadcast cross join at
     * fixture scale, oracle-checked against DuckDB's all-pairs cosine.
     * The scale path is `sim_neardup_lsh` below — same logical result
@@ -6794,7 +6886,8 @@ object Catalog {
     bpeEncode,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin, simKnnJoinAnn,
-    mixtureSample, mixtureSampleApproxQ,
+    mixtureSample, mixtureSampleApproxQ, mixtureSampleBudget,
+    qualityCascade,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
     multimodalResize, multimodalAudio, multimodalVideo, multimodalFrames,
     multimodalFeatures, multimodalAudioFeatures)

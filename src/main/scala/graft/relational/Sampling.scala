@@ -67,6 +67,42 @@ object Sampling {
       .drop("__group", "__target", "__rn")
   }
 
+  /** TOKEN-BUDGET mixture sampling: the domain-mixing primitive as
+    * training actually consumes it — "this source contributes N
+    * TOKENS", not N documents (doc counts misallocate budget whenever
+    * length distributions differ across sources, which they always
+    * do). Per group, documents are md5-ranked (pure function of the
+    * data — reproducible across engines/runs/cluster sizes) and taken
+    * while the running cost BEFORE the row stays under the group's
+    * budget — so the crossing document is included and the realized
+    * take overshoots by at most one document per source.
+    *
+    * Same scale note as [[mixtureSample]]: the running sum is a
+    * per-group window (one shuffle keyed on the group). Groups beyond
+    * tens of millions of rows should pre-aggregate the cost prefix per
+    * hash bucket (the [[graft.llm.SeqPack]] two-phase prefix-sum
+    * shape) before the cut.
+    */
+  def mixtureSampleByBudget(df: DataFrame, groupCol: String,
+      keyCol: String, costCol: String,
+      budgets: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(budgets.nonEmpty, "empty budget mixture")
+    require(budgets.values.forall(_ >= 0), s"negative budget: $budgets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = budgets.toSeq.toDF("__group", "__budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.join(broadcast(t), col(groupCol) === col("__group"))
+      .withColumn("__cum_before",
+        coalesce(sum(col(costCol)).over(w), lit(0L)))
+      .filter(col("__cum_before") < col("__budget"))
+      .drop("__group", "__budget", "__cum_before")
+  }
+
   /** Fraction-based mixture sampling with NO per-group sort: a row
     * survives iff the top 60 bits of md5(key) fall below its group's
     * fraction — embarrassingly parallel (a map-side filter after a

@@ -188,4 +188,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L).forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("qualityCascade flags each rule independently and keep = none fired") {
+    // alternate stopwords with UNIQUE words: long, swr ≈ 0.5, sane word
+    // lengths, and every bigram distinct (no repetition)
+    val longGood = (0 until 20)
+      .map(i => Seq("the", "and", "of", "to", "in")(i % 5) + s" word$i")
+      .mkString(" ")
+    val repetitive = ("spam ham " * 30).trim // bigram dup fraction ~1
+    val df = Seq(
+      (1L, longGood),            // long, quality ok, not repetitive
+      (2L, "too short"),         // dies on length only
+      (3L, repetitive)           // long enough but repeats
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityCascade(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6), r.getBoolean(7)))
+      .toMap
+    // (too_short, low_quality, repetitive, keep)
+    assert(!out(1L)._1 && !out(1L)._3, s"doc1 flags: ${out(1L)}")
+    assert(out(1L)._4 == (!out(1L)._1 && !out(1L)._2 && !out(1L)._3))
+    assert(out(2L)._1 && !out(2L)._4, s"doc2 flags: ${out(2L)}")
+    assert(out(3L)._3 && !out(3L)._4, s"doc3 flags: ${out(3L)}")
+  }
+
 }

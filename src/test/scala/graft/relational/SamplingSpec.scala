@@ -73,6 +73,40 @@ class SamplingSpec extends SparkSpec {
       "selection changed with partition count — not a pure function of the data")
   }
 
+  test("mixtureSampleByBudget: budget cut with at-most-one overshoot per group") {
+    import org.apache.spark.sql.functions._
+    // costs 1..40 over 2 groups
+    val df = (0 until 40).map(i => (i.toLong, s"g${i % 2}", (i % 7 + 1).toLong))
+      .toDF("k", "g", "cost")
+    val budgets = Map("g0" -> 20L, "g1" -> 9L)
+    val out = Sampling.mixtureSampleByBudget(df, "g", "k", "cost", budgets)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    // replicate locally: md5-rank within group, take while cum_before < budget
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(k: Long) = md.digest(k.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val local = df.collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).flatMap { case (g, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (h(r._2), r._2)).toSeq.takeWhile { r =>
+          val keep = cum < budgets(g); cum += r._3; keep
+        }
+      }.toSet
+    assert(out.toSet == local, s"got ${out.toSet} expected $local")
+    // realized cost overshoots by at most the crossing row
+    val byGroup = out.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    byGroup.foreach { case (g, tot) =>
+      val maxCost = 7L
+      assert(tot < budgets(g) + maxCost,
+        s"group $g realized $tot vs budget ${budgets(g)}")
+    }
+    // a group with budget 0 takes nothing
+    val none = Sampling.mixtureSampleByBudget(df, "g", "k", "cost",
+      Map("g0" -> 0L))
+    assert(none.count() == 0)
+  }
+
   test("mixtureSampleApprox: fraction accuracy, determinism, no sort") {
     import org.apache.spark.sql.functions._
     val df = (0 until 20000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
