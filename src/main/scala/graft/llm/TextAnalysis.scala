@@ -175,6 +175,36 @@ object TextAnalysis {
       .withColumn("keep",
         !col("too_short") && !col("low_quality") && !col("repetitive"))
 
+  /** ADAPTIVE per-source length filter: keep documents whose token
+    * count sits within [p_low, p_high] of their OWN source's length
+    * distribution — fixed global cutoffs misfire whenever domains have
+    * different length regimes (code vs chat vs web), which they always
+    * do. `percentile_disc` bounds (exact order statistics — integers
+    * from the data, no interpolation, no cross-engine float risk).
+    *
+    * Scale shape: bounds are ONE aggregation over slim
+    * (source, n_tok) rows — source cardinality is tiny, so the bounds
+    * frame broadcasts and the corpus filters MAP-SIDE; document text
+    * never shuffles.
+    */
+  def adaptiveLengthFilter(df: org.apache.spark.sql.DataFrame,
+      idCol: String, srcCol: String, textCol: String,
+      pLow: Double = 0.05, pHigh: Double = 0.95)
+      : org.apache.spark.sql.DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow <= pHigh,
+      s"need 0 <= pLow <= pHigh <= 1, got ($pLow, $pHigh)")
+    val counted = df.select(col(srcCol).as("source"), col(idCol).as("id"),
+      tokenCount(col(textCol)).as("n_tok"))
+    val bounds = counted.groupBy(col("source")).agg(
+      expr(s"percentile_disc($pLow) WITHIN GROUP (ORDER BY n_tok)")
+        .as("lo"),
+      expr(s"percentile_disc($pHigh) WITHIN GROUP (ORDER BY n_tok)")
+        .as("hi"))
+    counted.join(broadcast(bounds), Seq("source"))
+      .filter(col("n_tok") >= col("lo") && col("n_tok") <= col("hi"))
+      .select(col("source"), col("id"), col("n_tok"))
+  }
+
   def fingerprint(text: Column): Column = xxhash64(normalized(text))
 
   /** MD5 fingerprint variant (hex string) — portable to any engine with

@@ -5391,6 +5391,34 @@ object Catalog {
       WHERE rn <= 3 + (CAST(substr(source, 4) AS INTEGER) % 5)
       ORDER BY source, doc_id"""))
 
+  /** Adaptive per-source length filter: documents kept iff their token
+    * count lies within the [p05, p95] `percentile_disc` bounds of
+    * their OWN source — domain-aware outlier trimming. Exact order
+    * statistics, so the oracle replays the bounds and the cut with
+    * zero float risk.
+    */
+  val filterAdaptiveLength = RegisteredQuery(
+    "filter_adaptive_length",
+    (s, d) =>
+      graft.llm.TextAnalysis.adaptiveLengthFilter(
+          Tables.documents(s, d), "doc_id", "source", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("source"), col("doc_id")),
+    Some("""WITH t AS (
+        SELECT source, doc_id,
+          CAST(len(regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ')) AS INTEGER) AS n_tok
+        FROM documents),
+      b AS (
+        SELECT source,
+          percentile_disc(0.05) WITHIN GROUP (ORDER BY n_tok) AS lo,
+          percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tok) AS hi
+        FROM t GROUP BY source)
+      SELECT t.source, t.doc_id, t.n_tok
+      FROM t JOIN b ON t.source = b.source
+      WHERE t.n_tok >= b.lo AND t.n_tok <= b.hi
+      ORDER BY t.source, t.doc_id"""))
+
   /** Token-budget mixture sampling: per-source token budgets (the unit
     * training actually consumes) rather than document counts. Budgets
     * derive from the source name so the oracle recomputes them; the
@@ -6887,7 +6915,7 @@ object Catalog {
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin, simKnnJoinAnn,
     mixtureSample, mixtureSampleApproxQ, mixtureSampleBudget,
-    qualityCascade,
+    qualityCascade, filterAdaptiveLength,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
     multimodalResize, multimodalAudio, multimodalVideo, multimodalFrames,
     multimodalFeatures, multimodalAudioFeatures)

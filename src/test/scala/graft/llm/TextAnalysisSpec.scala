@@ -188,6 +188,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L).forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("adaptiveLengthFilter trims per-source outliers by exact order stats") {
+    // source A: lengths 1..20 (one doc each); source B: all length 5
+    val docs =
+      (1 to 20).map(i => (i.toLong, "a", Seq.fill(i)("w").mkString(" "))) ++
+      (21 to 30).map(i => (i.toLong, "b", "v v v v v"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val out = TextAnalysis
+      .adaptiveLengthFilter(df, "doc_id", "source", "text",
+        pLow = 0.1, pHigh = 0.9)
+      .collect().map(r => r.getLong(1)).toSet
+    // source A: percentile_disc(0.1) of 1..20 = 2, disc(0.9) = 18
+    val expectA = (1 to 20).filter(i => i >= 2 && i <= 18).map(_.toLong).toSet
+    // source B: degenerate distribution — everything survives
+    val expectB = (21 to 30).map(_.toLong).toSet
+    assert(out == expectA ++ expectB,
+      s"missing=${(expectA ++ expectB) -- out} extra=${out -- (expectA ++ expectB)}")
+  }
+
   test("qualityCascade flags each rule independently and keep = none fired") {
     // alternate stopwords with UNIQUE words: long, swr ≈ 0.5, sane word
     // lengths, and every bigram distinct (no repetition)
