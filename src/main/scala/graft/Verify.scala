@@ -32,7 +32,10 @@ object Verify {
     "sim_neardup_lsh", "dedup_minhash_sig", "q5_local_supplier",
     "source_csv_roundtrip", "catalog_managed_table",
     "graph_pagerank", "split_leakfree", "dedup_lines", "streaming_enrich",
-    "source_custom_stream", "sink_custom_stream")
+    "source_custom_stream", "sink_custom_stream",
+    // round-9 bench additions >1.5 s at sf0.1
+    "sql_recursive_cte", "dedup_minhash", "fuzzy_join_names",
+    "streaming_dedup", "streaming_cdc", "dedup_simhash_pairs")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
