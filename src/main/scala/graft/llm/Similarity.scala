@@ -747,6 +747,61 @@ object Similarity {
         col("e.score").as("score"))
   }
 
+  /** Disk-served multi-table LSH index — the build-once/serve-many
+    * path for hyperplane ANN (the [[writeIvfIndex]] contract, for the
+    * LSH family). Layout: partitioned by `(table, grp)` where
+    * `grp = sig mod groups` — NOT by raw signature: at the b≈20 bits a
+    * 100 TB corpus needs, per-sig directories would mean 2²⁰ dirs per
+    * table (filesystem-hostile), while a fixed `groups` keeps the
+    * directory count bounded at tables·groups regardless of bit width.
+    * Files are sorted by `sig` within each partition, so the residual
+    * per-sig selection inside a probed directory rides parquet
+    * row-group min/max stats instead of a full directory scan.
+    */
+  def writeLshIndex(index: DataFrame, path: String,
+      groups: Int = 64): Unit =
+    index.select(col("table"), col("sig"), col("id"), col("vec"))
+      .withColumn("grp", pmod(col("sig"), lit(groups.toLong)))
+      .repartition(col("table"), col("grp"))
+      .sortWithinPartitions(col("sig"))
+      .write.mode("overwrite").partitionBy("table", "grp").parquet(path)
+
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.select(col("id"), col("vec"), col("sig"),
+      col("table").cast("int").as("table"),
+      col("grp").cast("long").as("grp"))
+  }
+
+  /** Serve a top-k query from a disk LSH index: the closed multiprobe
+    * list per table compiles to partition filters on `(table, grp)` —
+    * only probed directories are listed/read — plus an exact `sig IN`
+    * row filter evaluated against sorted row groups. Per-query bytes
+    * read = O(probes · groupOccupancy), independent of corpus size.
+    */
+  def topKAnnDisk(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Double], dim: Int, bits: Int, tables: Int, k: Int,
+      probeHamming: Int = 2, groups: Int = 64,
+      seedPrefix: String = "lsh"): DataFrame = {
+    val idx = readLshIndex(spark, path)
+    val probe = (0 until tables).map { t =>
+      val qSig = signatureOf(query, hyperplanes(dim, bits, s"$seedPrefix/t$t"))
+      val sigs = probeSignatures(qSig, bits, probeHamming)
+      val grps = sigs.map(sg => java.lang.Math.floorMod(sg, groups.toLong))
+        .distinct
+      col("table") === lit(t) && col("grp").isin(grps: _*) &&
+        col("sig").isin(sigs: _*)
+    }.reduce(_ || _)
+    val q = typedLit(query.toSeq)
+    idx.filter(probe)
+      .select(col("id"), col("vec"))
+      .dropDuplicates("id")
+      .select(col("id"), cosineNative(col("vec"), q).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Cell-count rule: cells ≈ n / targetCellSize (clamped ≥ 2) — cell
     * population stays constant as the corpus grows; probe cost is then
     * controlled by `nprobe` alone.

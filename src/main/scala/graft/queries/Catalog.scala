@@ -5235,6 +5235,53 @@ object Catalog {
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
+  /** The disk-SERVING path of multi-table LSH ANN — build-once/
+    * serve-many for the hyperplane family, completing the lifecycle
+    * story across all three ANN families (LSH here, IVF
+    * `sim_topk_ivf_disk`, IVF×PQ `sim_topk_ivfpq_disk`). The index is
+    * partitioned by (table, sig-mod-groups) so the closed multiprobe
+    * list prunes whole directories at ANY bit width; the exact
+    * signature selection inside a probed directory rides sorted
+    * row-group stats. Same probe math as `sim_topk_ann` ⇒ same exact
+    * top-10 oracle.
+    */
+  private val lshDiskLock = new Object
+  val simTopkAnnDisk = RegisteredQuery(
+    "sim_topk_ann_disk",
+    (s, d) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val bits = Similarity.bitsFor(emb.count())
+      val path = s"/tmp/graft_lsh_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = sourceStamp(s"$d/embeddings.parquet")
+      lshDiskLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          Similarity.writeLshIndex(
+            Similarity.multiTableIndex(emb, "embedding", "vec_id",
+              dim = query.length, bits = bits, tables = 8),
+            path, groups = 16)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      Similarity.topKAnnDisk(s, path, query, dim = query.length,
+          bits = bits, tables = 8, k = 10, groups = 16)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
   /** The disk-SERVING path of IVF×PQ — the production ANN lifecycle:
     * the Lloyd builds (IVF centroids + PQ codebooks) and the radii scan
     * are paid ONCE per corpus version (stamp-gated, like
@@ -6912,7 +6959,8 @@ object Catalog {
     docNgrams,
     dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,
     bpeEncode,
-    aggVectorMean, simTopkBrute, simTopkAnn, simTopkIvf, simTopkIvfDisk,
+    aggVectorMean, simTopkBrute, simTopkAnn, simTopkAnnDisk, simTopkIvf,
+    simTopkIvfDisk,
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin, simKnnJoinAnn,
     mixtureSample, mixtureSampleApproxQ, mixtureSampleBudget,
     qualityCascade, filterAdaptiveLength,
