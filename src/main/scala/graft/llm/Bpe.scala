@@ -89,6 +89,187 @@ object Bpe {
       .select(col("w"), enc(col("w")).as("toks"))
   }
 
+  /** Iterative BPE TRAINING (Sennrich et al. 2016 §3.2 shape): learn a
+    * merge sequence by repeatedly (a) counting adjacent symbol pairs
+    * over the word dictionary weighted by corpus word frequency,
+    * (b) taking the argmax pair (count DESC, pair ASC — deterministic
+    * tiebreak), (c) merging every left-to-right non-overlapping
+    * occurrence of that pair in every word. This is the full trainer
+    * the one-shot `mergeTable` statistic approximates.
+    *
+    * Distributed shape — the part that matters at 100 TB:
+    *   - the corpus is scanned ONCE, collapsing to the (word, count)
+    *     dictionary: the only frame the loop ever touches, orders of
+    *     magnitude smaller than the corpus and bounded by vocabulary,
+    *     not data volume;
+    *   - each round is ONE small Spark job (explode slim pair rows →
+    *     partial-agg count → TakeOrdered(1)); the driver collects
+    *     exactly ONE row per round (the argmax) — the same bounded
+    *     collect discipline as the k-means seeds in [[Similarity]];
+    *   - the merge is applied as a native `replace` Column over the
+    *     persisted base dictionary (chained T deep — codegen'd string
+    *     ops, no UDF, no re-shuffle: the dictionary never moves).
+    *
+    * Symbol-sequence representation: the word's current segmentation
+    * is the space-joined, space-framed symbol string (words are
+    * whitespace-split so symbols can never contain the separator).
+    * Merging pair "l r" is `replace(s, " l r ", " lr ")` — left-to-
+    * right and non-overlapping over the ORIGINAL string in both the
+    * JVM (`UTF8String.replace`) and DuckDB, so " a a a " merges to
+    * " aa a ", the classic BPE overlap rule, identically in engine
+    * and oracle.
+    *
+    * Returns the learned merge table: (step, pair, n) — pair counts at
+    * the moment each merge was chosen, so every round's answer depends
+    * on all previous merges having been applied correctly.
+    *
+    * DUAL LAYOUT (same pattern as connected components / PageRank):
+    * the corpus always collapses to the dictionary distributively, but
+    * when the dictionary fits the driver (≤ `localVocabThreshold`
+    * rows, probed with a limit — never an unconditional count of an
+    * unbounded frame) the T-round loop runs LOCALLY on the collected
+    * (count, syms) array: T argmax rounds over a 10⁵-word dictionary
+    * are microseconds of HashMap arithmetic, vs T scheduled Spark jobs
+    * whose fixed overhead dominates at any fixture scale. Dictionaries
+    * beyond the threshold run the identical loop distributively.
+    * BpeSpec pins local ≡ distributed merge sequences.
+    */
+  def train(spark: SparkSession, docs: DataFrame, textCol: String,
+      rounds: Int, localVocabThreshold: Int = 200000): DataFrame = {
+    import spark.implicits._
+    // Corpus → dictionary runs under the session's normal parallelism
+    // (it's the one corpus-scale shuffle). The LOOP's per-round
+    // aggregates are symbol-pair-bounded (tiny at any corpus size), so
+    // they ride an isolated session with a small shuffle fan-in — T
+    // rounds x 32 reduce tasks is pure scheduling overhead; the shared
+    // session's conf is untouched. The persisted dictionary is shared:
+    // the CacheManager is per-SparkContext, so the rebind hits the
+    // same cached plan.
+    val base = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("s", concat(lit(" "), array_join(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        " "), lit(" ")))
+      .persist()
+    try {
+      val probe = base.select(col("w")).limit(localVocabThreshold + 1)
+        .count()
+      val learned =
+        if (probe <= localVocabThreshold)
+          trainLocal(base.select(col("n"), col("s")).collect()
+            .map(r => (r.getLong(0), r.getString(1))), rounds)
+        else trainDistributed(spark, base, rounds)
+      learned.toDF("step", "pair", "n")
+    } finally { base.unpersist(); () }
+  }
+
+  /** UTF-8 byte-lexicographic order — matches Spark's UTF8String and
+    * DuckDB's binary string comparison, unlike Java's UTF-16 compareTo
+    * (they diverge on supplementary-plane characters).
+    */
+  private def ltUtf8(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The fixture-scale loop: identical count/argmax/merge semantics on
+    * the collected (count, framed-symbol-string) dictionary.
+    */
+  private[llm] def trainLocal(dict: Array[(Long, String)],
+      rounds: Int): Seq[(Int, String, Long)] = {
+    var words = dict.map { case (n, s) =>
+      (n, s.trim.split(" ").filter(_.nonEmpty)) }
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= rounds && !exhausted) {
+      val counts = new java.util.HashMap[String, Long]()
+      words.foreach { case (n, a) =>
+        var i = 0
+        while (i < a.length - 1) {
+          val k = a(i) + " " + a(i + 1)
+          counts.put(k, counts.getOrDefault(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestPair: String = null
+        var bestCnt = Long.MinValue
+        counts.forEach { (p, c) =>
+          if (c > bestCnt || (c == bestCnt && ltUtf8(p, bestPair))) {
+            bestPair = p; bestCnt = c
+          }
+        }
+        learned += ((step, bestPair, bestCnt))
+        val Array(l, r) = bestPair.split(" ", 2)
+        val merged = l + r
+        words = words.map { case (n, a) =>
+          if (a.length < 2) (n, a)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < a.length) {
+              if (i < a.length - 1 && a(i) == l && a(i + 1) == r) {
+                out += merged; i += 2
+              } else { out += a(i); i += 1 }
+            }
+            (n, out.toArray)
+          }
+        }
+        step += 1
+      }
+    }
+    learned.toSeq
+  }
+
+  /** The at-scale loop: one slim-row count job + one-row argmax
+    * collect per round; merges apply as chained codegen'd `replace`
+    * columns over the persisted dictionary. Rides an isolated session
+    * with a small shuffle fan-in (the per-round aggregate output is
+    * symbol-pair-bounded regardless of corpus size).
+    */
+  private def trainDistributed(spark: SparkSession, base: DataFrame,
+      rounds: Int): Seq[(Int, String, Long)] = {
+    val iso = graft.core.Sessions.isolated(spark,
+      Map("spark.sql.shuffle.partitions" -> "4"))
+    val vocab0 = graft.core.Sessions.rebind(iso, base)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var seg: org.apache.spark.sql.Column = col("s")
+    var step = 1
+    var exhausted = false
+    while (step <= rounds && !exhausted) {
+      val best = vocab0
+        .select(col("n"), split(trim(seg), " ").as("a"))
+        .filter(size(col("a")) > 1)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(a) - 1), " +
+            "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        learned += ((step, pair, best(0).getLong(1)))
+        seg = replace(seg, lit(s" $pair "),
+          lit(" " + pair.replace(" ", "") + " "))
+        step += 1
+      }
+    }
+    learned.toSeq
+  }
+
   /** Per-document encoding summary: total BPE token count and the md5
     * of the full space-joined token stream in word order — a sequence-
     * level signature, so a wrong merge order in ANY word of the doc

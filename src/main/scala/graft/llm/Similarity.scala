@@ -766,6 +766,31 @@ object Similarity {
       .sortWithinPartitions(col("sig"))
       .write.mode("overwrite").partitionBy("table", "grp").parquet(path)
 
+  /** INCREMENTAL maintenance of a disk LSH index — the nightly-ingest
+    * half of build-once/serve-many (the batch-ANN analogue of
+    * `dedup_incremental`'s asymmetric incoming-vs-history join). The
+    * hyperplane family is a pure function of (dim, bits, seedPrefix),
+    * so a delta computes byte-identical signatures to the base build
+    * and its rows land in the SAME (table, grp) directory layout via
+    * parquet append — which only ever writes NEW files: base files are
+    * untouched, a concurrent reader sees the old or the new listing
+    * atomically per file, and the serve path ([[topKAnnDisk]]) is
+    * unchanged — probes prune to the same directories and read
+    * base+delta rows together. Cost is O(delta), never O(corpus):
+    * exactly what a 100 TB corpus needs when 0.1% arrives nightly.
+    * Within-partition sig sort holds per file (base and delta files
+    * are each sorted), so row-group stats pruning still applies.
+    */
+  def appendLshIndex(delta: DataFrame, vecCol: String, idCol: String,
+      path: String, dim: Int, bits: Int, tables: Int = 8,
+      groups: Int = 64, seedPrefix: String = "lsh"): Unit =
+    multiTableIndex(delta, vecCol, idCol, dim, bits, tables, seedPrefix)
+      .select(col("table"), col("sig"), col("id"), col("vec"))
+      .withColumn("grp", pmod(col("sig"), lit(groups.toLong)))
+      .repartition(col("table"), col("grp"))
+      .sortWithinPartitions(col("sig"))
+      .write.mode("append").partitionBy("table", "grp").parquet(path)
+
   def readLshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val df = spark.read.parquet(path)

@@ -4850,6 +4850,66 @@ object Catalog {
       FROM wordpos JOIN dict USING (w)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Oracle for `bpe_train`: the full iterative merge loop unrolled to
+    * `rounds` CTE stages (the same fully-unrolled-SQL pattern as the
+    * `graph_pagerank` oracle) — each stage recounts pairs over the
+    * post-merge dictionary, re-derives the argmax, and re-applies the
+    * merge with the identical left-to-right `replace` rule, so round k
+    * is only right if every round before it merged correctly.
+    */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { k =>
+      s"""      p$k AS (
+        SELECT n, string_split(trim(s, ' '), ' ') AS a FROM v${k - 1}),
+      c$k AS MATERIALIZED (
+        SELECT a[CAST(u.i AS INTEGER)] || ' ' || a[CAST(u.i AS INTEGER) + 1]
+            AS pair,
+          CAST(sum(n) AS BIGINT) AS cnt
+        FROM p$k, unnest(generate_series(1, len(a) - 1)) u(i)
+        WHERE len(a) > 1
+        GROUP BY 1),
+      b$k AS MATERIALIZED (
+        SELECT pair, cnt FROM c$k ORDER BY cnt DESC, pair LIMIT 1),
+      v$k AS MATERIALIZED (
+        SELECT v.w, v.n,
+          CASE WHEN b.pair IS NULL THEN v.s
+            ELSE replace(v.s, ' ' || b.pair || ' ',
+                         ' ' || replace(b.pair, ' ', '') || ' ') END AS s
+        FROM v${k - 1} v LEFT JOIN b$k b ON TRUE)"""
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(k => s"        SELECT CAST($k AS INTEGER) AS step, pair, cnt AS n FROM b$k")
+      .mkString("\n        UNION ALL\n")
+    s"""WITH v0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS n,
+          ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+            i -> substr(w, CAST(i AS INTEGER), 1)), ' ') || ' ' AS s
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0
+        GROUP BY w),
+$stages
+      SELECT step, pair, n FROM (
+$union
+      ) ORDER BY step"""
+  }
+
+  /** Tokenizer-training stage 2 — the FULL iterative BPE merge loop
+    * ([[graft.llm.Bpe.train]]): 12 rounds of count-argmax-merge over
+    * the frequency-weighted word dictionary. Completes the tokenizer
+    * lifecycle: `bpe_pair_counts` (one round's statistic) →
+    * `bpe_train` (the learned merge sequence) → `bpe_encode` (apply).
+    * Scale shape: corpus scanned once into the (word, count)
+    * dictionary; each round is one slim-row count job plus a ONE-ROW
+    * argmax collect; merges apply as chained codegen'd `replace`
+    * columns — the dictionary never re-shuffles.
+    */
+  val bpeTrain = RegisteredQuery(
+    "bpe_train",
+    (s, d) =>
+      graft.llm.Bpe.train(s, Tables.documents(s, d), "text", rounds = 12)
+        .orderBy(col("step")),
+    Some(bpeTrainOracleSql(12)))
+
   /** Fuzzy entity matching: EXACT edit-distance-≤1 join over customer
     * names via the deletion-neighborhood scheme (FastSS) — recall 1.0
     * by construction (any one-edit pair shares a deletion signature),
@@ -5267,6 +5327,59 @@ object Catalog {
             Similarity.multiTableIndex(emb, "embedding", "vec_id",
               dim = query.length, bits = bits, tables = 8),
             path, groups = 16)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      Similarity.topKAnnDisk(s, path, query, dim = query.length,
+          bits = bits, tables = 8, k = 10, groups = 16)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
+  /** INCREMENTAL index maintenance ([[graft.llm.Similarity
+    * .appendLshIndex]]): the nightly-ingest ANN lifecycle — build the
+    * disk LSH index from the history slice (vec_id % 10 != 0), APPEND
+    * the incoming delta (vec_id % 10 == 0, ~10%) as new files in the
+    * same (table, grp) layout at O(delta) cost, then serve top-k over
+    * base+delta with the unchanged [[graft.llm.Similarity
+    * .topKAnnDisk]] path. The oracle is the exact brute-force top-10
+    * over the FULL corpus — and the query vector itself (vec_id 0)
+    * lives in the DELTA, so a lost or mis-bucketed append can't score
+    * its guaranteed top-1 self-match and breaks the hash instantly.
+    */
+  private val lshAppendLock = new Object
+  val simTopkAnnAppend = RegisteredQuery(
+    "sim_topk_ann_append",
+    (s, d) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val bits = Similarity.bitsFor(emb.count())
+      val path = s"/tmp/graft_lsh_app_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = sourceStamp(s"$d/embeddings.parquet")
+      lshAppendLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          stampFile.delete(): Unit // base overwrite + append are 2 steps
+          Similarity.writeLshIndex(
+            Similarity.multiTableIndex(
+              emb.filter(col("vec_id") % 10 =!= 0), "embedding", "vec_id",
+              dim = query.length, bits = bits, tables = 8),
+            path, groups = 16)
+          Similarity.appendLshIndex(
+            emb.filter(col("vec_id") % 10 === 0), "embedding", "vec_id",
+            path, dim = query.length, bits = bits, tables = 8, groups = 16)
           java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
         }
       }
@@ -6958,9 +7071,9 @@ object Catalog {
     sourceMixReport, docLmPpl,
     docNgrams,
     dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,
-    bpeEncode,
-    aggVectorMean, simTopkBrute, simTopkAnn, simTopkAnnDisk, simTopkIvf,
-    simTopkIvfDisk,
+    bpeEncode, bpeTrain,
+    aggVectorMean, simTopkBrute, simTopkAnn, simTopkAnnDisk,
+    simTopkAnnAppend, simTopkIvf, simTopkIvfDisk,
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin, simKnnJoinAnn,
     mixtureSample, mixtureSampleApproxQ, mixtureSampleBudget,
     qualityCascade, filterAdaptiveLength,

@@ -196,6 +196,23 @@ object ScaleProbe {
         graft.llm.Bpe.encodeCorpus(docs, "doc_id", "text", m = 40).count())
       println(f"[probe] docs x$mult bpe_encode docs=$nBpe time=$tBpe%.2fs")
 
+      // ---- BPE train: the fixture dictionary always routes to the
+      // local layout, so FORCE the keyed distributed loop
+      // (localVocabThreshold=0) — per-round cost (one slim pair-count
+      // job + a one-row argmax collect) must track the dictionary
+      // linearly, and the learned merges must equal the local mode's
+      val (mergesL, tTrainL) = timed(
+        graft.llm.Bpe.train(spark, docs, "text", rounds = 6)
+          .collect().map(_.toString).toSeq)
+      val (mergesD, tTrainD) = timed(
+        graft.llm.Bpe.train(spark, docs, "text", rounds = 6,
+            localVocabThreshold = 0)
+          .collect().map(_.toString).toSeq)
+      require(mergesD == mergesL,
+        s"keyed BPE merges $mergesD != local $mergesL")
+      println(f"[probe] docs x$mult bpe_train local=$tTrainL%.2fs " +
+        f"keyed=$tTrainD%.2fs per_round=${tTrainD / 6}%.2fs")
+
       // ---- connected components over the exact-join pair graph:
       // rounds should track graph diameter (constant for dup families),
       // NOT corpus size, and per-round plans stay constant-depth

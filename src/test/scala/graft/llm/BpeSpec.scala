@@ -48,6 +48,50 @@ class BpeSpec extends SparkSpec {
     assert(out.map(_.getString(2)).toSeq == again.map(_.getString(2)).toSeq)
   }
 
+  test("train learns merges by weighted count with deterministic tiebreak") {
+    // corpus: "aaab" x2, "ab" x1. Round 1 pairs (weighted):
+    //   a a: 2 words x 2 occurrences... "aaab" chars a,a,a,b -> pairs
+    //   (a,a) x2, (a,b) x1 per word; "ab" -> (a,b) x1.
+    //   counts: "a a" = 4, "a b" = 3 -> merge "a a" (count 4).
+    // apply to "aaab" = " a a a b ": left-to-right non-overlap ->
+    //   " aa a b " (the classic overlap rule).
+    // Round 2 pairs: "aaab"-> (aa,a) x2? no: syms [aa, a, b] -> (aa,a),
+    //   (a,b), each x2 docs; "ab" -> (a,b) x1.
+    //   counts: "a b" = 3, "aa a" = 2 -> merge "a b" (count 3).
+    // Round 3: "aaab" syms [aa, ab] -> (aa,ab) x2; "ab" single sym.
+    //   merge "aa ab" count 2.
+    // Round 4: all words single-symbol -> loop exhausts early.
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val out = Bpe.train(spark, docs, "text", rounds = 8)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)),
+      s"got $out")
+  }
+
+  test("train local and distributed layouts learn identical merges") {
+    val docs = Seq("peer peer speed speedy", "deed speed dyad peer")
+      .toDF("text")
+    val local = Bpe.train(spark, docs, "text", rounds = 6)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // threshold 0 forces the keyed distributed loop on the same corpus
+    val dist = Bpe.train(spark, docs, "text", rounds = 6,
+        localVocabThreshold = 0)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(local.nonEmpty && local == dist,
+      s"local $local vs distributed $dist")
+  }
+
+  test("train tiebreak is pair-ascending at equal counts") {
+    // "xy" and "ab" both occur twice; "a b" < "x y" lexicographically
+    val docs = Seq("xy ab", "ab xy").toDF("text")
+    val out = Bpe.train(spark, docs, "text", rounds = 1).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a b", 2L)), s"got $out")
+  }
+
   test("dictionary covers every distinct corpus word exactly once") {
     val docs = Seq("the quick the fox", "fox jumps").toDF("text")
     val dict = Bpe.dictionary(spark, docs, "text", 10)

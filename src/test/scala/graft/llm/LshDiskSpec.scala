@@ -42,6 +42,48 @@ class LshDiskSpec extends SparkSpec {
     assert(disk == mem, s"disk=$disk mem=$mem")
   }
 
+  test("append serves base+delta identically to a full rebuild, " +
+      "without touching base files") {
+    val df = corpus
+    val base = df.filter(col("id") % 10 =!= 0)
+    val delta = df.filter(col("id") % 10 === 0)
+    val dir = Files.createTempDirectory("lsh").toString + "/idx"
+    Similarity.writeLshIndex(
+      Similarity.multiTableIndex(base, "vec", "id", dim = dim, bits = bits,
+        tables = tables), dir, groups = groups)
+    def dataFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir)).map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = dataFiles
+    Similarity.appendLshIndex(delta, "vec", "id", dir, dim = dim,
+      bits = bits, tables = tables, groups = groups)
+    val after = dataFiles
+    // append only ADDS files: every base file survives byte-identical
+    assert(before.toSet.subsetOf(after.toSet),
+      "append rewrote or removed base files")
+    assert(after.size > before.size, "append wrote no new files")
+
+    val full = Files.createTempDirectory("lsh").toString + "/idx"
+    Similarity.writeLshIndex(
+      Similarity.multiTableIndex(df, "vec", "id", dim = dim, bits = bits,
+        tables = tables), full, groups = groups)
+    val query = Array.tabulate(dim)(j => if (j == 2) 1.0 else 0.05)
+    def key(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getLong(0), math.round(x.getDouble(1) * 1e9))).toSeq
+    val appended = key(Similarity.topKAnnDisk(spark, dir, query, dim = dim,
+      bits = bits, tables = tables, k = 5, groups = groups))
+    val rebuilt = key(Similarity.topKAnnDisk(spark, full, query, dim = dim,
+      bits = bits, tables = tables, k = 5, groups = groups))
+    assert(appended == rebuilt, s"appended=$appended rebuilt=$rebuilt")
+    // the delta is genuinely served: delta ids appear in the index read
+    val served = Similarity.readLshIndex(spark, dir)
+      .filter(col("id") % 10 === 0).count()
+    assert(served > 0, "no delta rows served from the appended index")
+  }
+
   test("probe list prunes (table, grp) directories at file level") {
     val df = corpus
     val dir = Files.createTempDirectory("lsh").toString + "/idx"
