@@ -5395,6 +5395,48 @@ $union
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
+  /** STREAMING index maintenance ([[graft.streaming.Streams
+    * .appendIndexAvailableNow]]): the embeddings corpus arrives as a
+    * 2-micro-batch file stream and each batch APPENDS into a fresh
+    * disk LSH index via foreachBatch — new files per epoch in the
+    * (table, grp) layout, O(batch) per epoch — then the UNCHANGED
+    * serve path answers top-10 over everything ingested. Oracle =
+    * exact brute-force top-10 over the full corpus: if either
+    * micro-batch's append were lost the hash breaks (half the corpus,
+    * including or excluding the query vector's self-match, would be
+    * missing). The streaming twin of `sim_topk_ann_append`.
+    */
+  val streamingIndexAppend = RegisteredQuery(
+    "streaming_index_append",
+    (s, d) => {
+      import graft.llm.Similarity
+      import graft.streaming.Streams
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val bits = Similarity.bitsFor(emb.count())
+      val path = s"/tmp/graft_lsh_stream_${math.abs(d.hashCode)}_" +
+        s"${System.nanoTime()}"
+      val stream = Streams.embeddingsStreamBatches(s,
+        s"$d/embeddings.parquet")
+      val nBatches = Streams.appendIndexAvailableNow(s, stream,
+        "embedding", "vec_id", path, dim = query.length, bits = bits,
+        tables = 8, groups = 16)
+      require(nBatches >= 2,
+        s"expected >=2 micro-batches through the index, got $nBatches")
+      Similarity.topKAnnDisk(s, path, query, dim = query.length,
+          bits = bits, tables = 8, k = 10, groups = 16)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
   /** The disk-SERVING path of IVF×PQ — the production ANN lifecycle:
     * the Lloyd builds (IVF centroids + PQ codebooks) and the radii scan
     * are paid ONCE per corpus version (stamp-gated, like
@@ -7058,6 +7100,7 @@ $union
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll, streamingRunningTotals, streamingJoinOuter,
     streamingJoinFull, streamingJoinSemi, streamingCdc,
+    streamingIndexAppend,
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,

@@ -145,6 +145,70 @@ object Streams {
       .parquet(dir)
   }
 
+  // staged per (file, halves) once per process — several queries over
+  // the same staged stream pay the restage once
+  private val vecTwoBatchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage an embeddings parquet into `halves` files split by id
+    * parity and open it as a file stream paced at one file per
+    * micro-batch — the ingest shape for streaming index maintenance.
+    */
+  def embeddingsStreamBatches(spark: SparkSession, parquetFile: String,
+      idCol: String = "vec_id", halves: Int = 2): DataFrame = {
+    val dir = vecTwoBatchCache.computeIfAbsent(s"$parquetFile/$halves", _ => {
+      val d = java.nio.file.Files.createTempDirectory("emb_stream")
+      val full = spark.read.parquet(parquetFile)
+      (0 until halves).foreach { h =>
+        val tmp = d.resolve(s"h${h}_tmp")
+        full.filter(pmod(col(idCol), lit(halves)) === h)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          d.resolve(s"part-$h.parquet")): Unit
+      }
+      d.toString
+    })
+    spark.readStream
+      .schema(spark.read.parquet(s"$dir/part-0.parquet").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+  }
+
+  /** STREAMING ANN index maintenance: each micro-batch of arriving
+    * vectors appends into the disk LSH index via
+    * [[graft.llm.Similarity.appendLshIndex]] — new files only, in the
+    * same (table, grp) layout, O(batch) per epoch — and the serve path
+    * is completely unchanged. foreachBatch gives at-least-once batch
+    * delivery; the serve path's `dropDuplicates(id)` makes a replayed
+    * append harmless for top-k (idempotent SERVING rather than
+    * idempotent output — the right trade for an index whose reader
+    * dedups anyway). Returns the number of micro-batches run so
+    * callers can assert the ingest was actually incremental.
+    */
+  def appendIndexAvailableNow(spark: SparkSession, vecStream: DataFrame,
+      vecCol: String, idCol: String, path: String, dim: Int, bits: Int,
+      tables: Int = 8, groups: Int = 64,
+      seedPrefix: String = "lsh"): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("idx_append_ckpt").toString
+    val q = vecStream.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.llm.Similarity.appendLshIndex(batch, vecCol, idCol, path,
+          dim = dim, bits = bits, tables = tables, groups = groups,
+          seedPrefix = seedPrefix)
+        batches.incrementAndGet(): Unit
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
   /** Tumbling-window hourly aggregate with a watermark — the streaming
     * twin of the batch `events_hourly` catalog query.
     */

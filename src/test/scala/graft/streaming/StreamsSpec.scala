@@ -245,6 +245,41 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming index append ingests per micro-batch and serves the full corpus") {
+    import graft.llm.Similarity
+    val dim = 8; val bits = 4; val tables = 4; val groups = 8
+    val corpus = (0 until 120).map { i =>
+      val a = i % 3
+      (i.toLong, Array.tabulate(dim)(j =>
+        if (j == a) 1.0 else 0.01 * ((i + j) % 4)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val src = java.nio.file.Files.createTempDirectory("emb_src").toString
+    corpus.write.mode("overwrite").parquet(src + "/embeddings.parquet")
+    val stream = Streams.embeddingsStreamBatches(spark,
+      src + "/embeddings.parquet", halves = 3)
+    val path = java.nio.file.Files.createTempDirectory("idx_stream")
+      .toString + "/idx"
+    val n = Streams.appendIndexAvailableNow(spark, stream, "embedding",
+      "vec_id", path, dim = dim, bits = bits, tables = tables,
+      groups = groups)
+    assert(n == 3, s"expected 3 micro-batches (one per staged file), got $n")
+    // the streamed index serves exactly like a one-shot batch build
+    val full = java.nio.file.Files.createTempDirectory("idx_full")
+      .toString + "/idx"
+    Similarity.writeLshIndex(
+      Similarity.multiTableIndex(
+        corpus.withColumnRenamed("vec_id", "id_"), "embedding", "id_",
+        dim = dim, bits = bits, tables = tables), full, groups = groups)
+    val query = Array.tabulate(dim)(j => if (j == 1) 1.0 else 0.02)
+    def key(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getLong(0), math.round(x.getDouble(1) * 1e9))).toSeq
+    val streamed = key(Similarity.topKAnnDisk(spark, path, query,
+      dim = dim, bits = bits, tables = tables, k = 5, groups = groups))
+    val batch = key(Similarity.topKAnnDisk(spark, full, query,
+      dim = dim, bits = bits, tables = tables, k = 5, groups = groups))
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("CDC fold keeps the latest version across batches; tombstones beat older updates") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
