@@ -5621,6 +5621,34 @@ $union
       WHERE t.n_tok >= b.lo AND t.n_tok <= b.hi
       ORDER BY t.source, t.doc_id"""))
 
+  /** Temperature-flattened mixture sampling
+    * ([[graft.relational.Sampling.mixtureSampleTemperature]]): source
+    * shares ∝ floor(sqrt(count)) — the integerized α=1/2 multilingual
+    * up/down-sampling rule — with pure-integer target allocation and
+    * md5-rank selection, so the oracle replays allocation AND picks
+    * exactly. Output includes the per-source target so the allocation
+    * arithmetic itself is hash-checked, not just the row picks.
+    */
+  val mixtureSampleTemperature = RegisteredQuery(
+    "mixture_sample_temperature",
+    (s, d) =>
+      graft.relational.Sampling.mixtureSampleTemperature(
+          Tables.documents(s, d), "source", "doc_id", totalN = 400L)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id")),
+    Some("""WITH c AS (SELECT source AS g, count(*) AS c
+        FROM documents GROUP BY 1),
+      w AS (SELECT g, c, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
+      t AS (SELECT g, least(c,
+          (400 * w) // (SELECT CAST(sum(w) AS BIGINT) FROM w)) AS tgt
+        FROM w),
+      r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      SELECT r.source, r.doc_id FROM r JOIN t ON r.source = t.g
+      WHERE r.rn <= t.tgt
+      ORDER BY r.source, r.doc_id"""))
+
   /** Token-budget mixture sampling: per-source token budgets (the unit
     * training actually consumes) rather than document counts. Budgets
     * derive from the source name so the oracle recomputes them; the
@@ -7119,6 +7147,7 @@ $union
     simTopkAnnAppend, simTopkIvf, simTopkIvfDisk,
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin, simKnnJoinAnn,
     mixtureSample, mixtureSampleApproxQ, mixtureSampleBudget,
+    mixtureSampleTemperature,
     qualityCascade, filterAdaptiveLength,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
     multimodalResize, multimodalAudio, multimodalVideo, multimodalFrames,

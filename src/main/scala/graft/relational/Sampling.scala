@@ -103,6 +103,43 @@ object Sampling {
       .drop("__group", "__budget", "__cum_before")
   }
 
+  /** TEMPERATURE-flattened mixture sampling — the multilingual
+    * up/down-sampling rule (mT5 / XLM-R): source i's share of the
+    * sample is proportional to `count_i^α` with α < 1, boosting
+    * low-resource sources relative to their raw share. Realized here
+    * with α = 1/2 INTEGERIZED — the flattened weight is
+    * `floor(sqrt(count))`, exact in both engines for counts < 2²⁶
+    * per the IEEE correctly-rounded sqrt, and the target allocation
+    * `totalN · w_i DIV Σw` is pure integer arithmetic — so the whole
+    * allocation is replayable byte-for-byte by the oracle (a float
+    * `c^α / Σc^α` would hinge on summation order). Targets cap at the
+    * source's own count; selection is the same md5-of-key rank as
+    * [[mixtureSample]] (pure function of the data). Plan shape: the
+    * per-group count aggregate and the 1-row total both broadcast —
+    * the corpus pays one window shuffle keyed on the group, nothing
+    * else.
+    */
+  def mixtureSampleTemperature(df: DataFrame, groupCol: String,
+      keyCol: String, totalN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(totalN >= 0, s"negative total: $totalN")
+    val counts = df.groupBy(col(groupCol).as("__group"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__w", floor(sqrt(col("__c"))).cast("long"))
+    val tot = counts.agg(sum(col("__w")).as("__tw"))
+    val targets = counts.crossJoin(broadcast(tot))
+      .withColumn("__target",
+        least(col("__c"), expr(s"(${totalN}L * __w) DIV __tw")))
+      .select(col("__group"), col("__target"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.join(broadcast(targets), col(groupCol) === col("__group"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__target"))
+      .drop("__group", "__target", "__rn")
+  }
+
   /** Fraction-based mixture sampling with NO per-group sort: a row
     * survives iff the top 60 bits of md5(key) fall below its group's
     * fraction — embarrassingly parallel (a map-side filter after a

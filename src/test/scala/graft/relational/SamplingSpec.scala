@@ -55,6 +55,23 @@ class SamplingSpec extends SparkSpec {
     assert(!counts.contains("g2"))
   }
 
+  test("mixtureSampleTemperature flattens shares by integer sqrt weight") {
+    import org.apache.spark.sql.functions._
+    // sources sized 100 and 4: raw shares 96%/4%; sqrt weights 10/2 →
+    // flattened targets at totalN=6: (6*10) DIV 12 = 5, (6*2) DIV 12 = 1
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 104).map(i => (i.toLong, "small"))).toDF("k", "g")
+    val counts = Sampling.mixtureSampleTemperature(df, "g", "k", 6L)
+      .groupBy(col("g")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 5L, "small" -> 1L), s"$counts")
+    // target caps at the group's own size: tiny groups can't upsample
+    val capped = Sampling.mixtureSampleTemperature(df, "g", "k", 600L)
+      .groupBy(col("g")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("small") == 4L, s"$capped")
+  }
+
   test("mixtureSample caps at group size when the target exceeds it") {
     import org.apache.spark.sql.functions._
     val df = (0 until 10).map(i => (i.toLong, "only")).toDF("k", "g")
