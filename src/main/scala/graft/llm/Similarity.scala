@@ -586,6 +586,22 @@ object Similarity {
   def writeIvfIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** INCREMENTAL maintenance of a disk IVF index — the IVF-family twin
+    * of [[appendLshIndex]]: delta rows are assigned to the EXISTING
+    * (history-trained) centroids — arrival never retrains — and append
+    * as new files inside the same `cell=` directories at O(delta)
+    * cost; base files are never rewritten. Exactness of the
+    * branch-and-bound serve survives the append BY CONSTRUCTION:
+    * [[cellRadii]] recomputed over base+delta reflects every member's
+    * actual assignment, so the cell upper bounds remain sound no
+    * matter how off-distribution the delta is (a drifted delta only
+    * widens radii, costing probes, never answers).
+    */
+  def appendIvfIndex(delta: DataFrame, vecCol: String, idCol: String,
+      path: String, centroids: Array[Array[Double]]): Unit =
+    ivfIndex(delta, vecCol, idCol, centroids)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Read a disk IVF index back; `cell` returns as a partition column,
     * so cell filters prune directories (verify via PartitionFilters in
     * the scan node).

@@ -5142,6 +5142,7 @@ $union
     exactPairsCache.clear()
     centroidCache.clear()
     pqModelCache.clear()
+    histCentroidCache.clear()
   }
   private def pqModelFor(s: SparkSession, d: String,
       dim: Int): graft.llm.Pq.PqModel =
@@ -5214,6 +5215,63 @@ $union
       val radii = Similarity.cellRadii(disk, cents)
       Similarity.topKIvfExact(disk, query, cents, radii, k = 10,
           nprobe = math.max(2, cells / 4))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
+  /** INCREMENTAL IVF index maintenance ([[graft.llm.Similarity
+    * .appendIvfIndex]]): centroids train on the HISTORY slice only —
+    * arrival never retrains — the delta (vec_id % 10 == 0, incl. the
+    * query vector) is assigned to those fixed cells and appended as
+    * new files in the same cell= layout at O(delta) cost. The
+    * branch-and-bound serve stays EXACT by construction because the
+    * radii recompute over base+delta (a drifted delta widens radii —
+    * costs probes, never answers), so the brute-force oracle is an
+    * algorithmic guarantee. History centroids are re-derived on cache
+    * miss (deterministic k-means ⇒ identical across processes).
+    */
+  private val histCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private val ivfAppendLock = new Object
+  val simTopkIvfAppend = RegisteredQuery(
+    "sim_topk_ivf_append",
+    (s, d) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val hist = emb.filter(col("vec_id") % 10 =!= 0)
+      val cents = histCentroidCache.computeIfAbsent(d, _ =>
+        Similarity.kmeansCentroids(hist, "embedding", "vec_id",
+          k = Similarity.cellsFor(hist.count()), iters = 2))
+      val path = s"/tmp/graft_ivf_app_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = sourceStamp(s"$d/embeddings.parquet")
+      ivfAppendLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          stampFile.delete(): Unit
+          Similarity.writeIvfIndex(
+            Similarity.ivfIndex(hist, "embedding", "vec_id", cents), path)
+          Similarity.appendIvfIndex(
+            emb.filter(col("vec_id") % 10 === 0), "embedding", "vec_id",
+            path, cents)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      val disk = Similarity.readIvfIndex(s, path)
+      val radii = Similarity.cellRadii(disk, cents)
+      Similarity.topKIvfExact(disk, query, cents, radii, k = 10,
+          nprobe = math.max(2, cents.length / 4))
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
     },
     Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -7144,7 +7202,7 @@ $union
     dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,
     bpeEncode, bpeTrain,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkAnnDisk,
-    simTopkAnnAppend, simTopkIvf, simTopkIvfDisk,
+    simTopkAnnAppend, simTopkIvf, simTopkIvfDisk, simTopkIvfAppend,
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin, simKnnJoinAnn,
     mixtureSample, mixtureSampleApproxQ, mixtureSampleBudget,
     mixtureSampleTemperature,

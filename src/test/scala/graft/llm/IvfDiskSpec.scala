@@ -34,6 +34,42 @@ class IvfDiskSpec extends SparkSpec {
     mem.unpersist(): Unit
   }
 
+  test("append to history-trained cells serves exactly, base files untouched") {
+    val df = corpus
+    val hist = df.filter(col("id") % 10 =!= 0)
+    val delta = df.filter(col("id") % 10 === 0)
+    // centroids from HISTORY only — arrival never retrains
+    val cents = Similarity.kmeansCentroids(hist, "vec", "id", k = 3, iters = 2)
+    val dir = Files.createTempDirectory("ivf").toString + "/idx"
+    Similarity.writeIvfIndex(
+      Similarity.ivfIndex(hist, "vec", "id", cents), dir)
+    def dataFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir)).map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = dataFiles
+    Similarity.appendIvfIndex(delta, "vec", "id", dir, cents)
+    val after = dataFiles
+    assert(before.toSet.subsetOf(after.toSet),
+      "append rewrote or removed base files")
+    assert(after.size > before.size, "append wrote no new files")
+    // radii over base+delta keep branch-and-bound EXACT: equals brute
+    // force over the full corpus
+    val disk = Similarity.readIvfIndex(spark, dir)
+    val radii = Similarity.cellRadii(disk, cents)
+    val query = Array.tabulate(8)(j => if (j == 2) 1.0 else 0.07)
+    val served = Similarity.topKIvfExact(disk, query, cents, radii,
+        k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+      .toSeq
+    val brute = Similarity.topKBrute(df, "vec", "id", query, k = 5)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+      .toSeq
+    assert(served == brute, s"served=$served brute=$brute")
+  }
+
   test("cell filter on the disk index is partition-pruned at file level") {
     val df = corpus
     val cents = Similarity.kmeansCentroids(df, "vec", "id", k = 3, iters = 2)
