@@ -5476,15 +5476,27 @@ $union
       val bits = Similarity.bitsFor(emb.count())
       val path = s"/tmp/graft_lsh_stream_${math.abs(d.hashCode)}_" +
         s"${System.nanoTime()}"
-      val stream = Streams.embeddingsStreamBatches(s,
+      // 8 shuffle partitions on an ISOLATED session: each epoch's
+      // append repartitions by (table, grp) before the partitioned
+      // write — at micro-batch volumes 32 reduce tasks is pure
+      // scheduling+small-file overhead (same right-sizing as the
+      // other streaming runners; the shared session is untouched)
+      val iso = graft.core.Sessions.isolated(s,
+        Map("spark.sql.shuffle.partitions" -> "8"))
+      val stream = Streams.embeddingsStreamBatches(iso,
         s"$d/embeddings.parquet")
-      val nBatches = Streams.appendIndexAvailableNow(s, stream,
+      // groups=4 at fixture occupancy: 32 partition dirs per epoch
+      // instead of 128 — the dominant cost of a tiny-batch append is
+      // parquet writer open/close per directory, and group count is
+      // an occupancy knob (bounded dirs at any bit width), not a
+      // recall parameter
+      val nBatches = Streams.appendIndexAvailableNow(iso, stream,
         "embedding", "vec_id", path, dim = query.length, bits = bits,
-        tables = 8, groups = 16)
+        tables = 8, groups = 4)
       require(nBatches >= 2,
         s"expected >=2 micro-batches through the index, got $nBatches")
       Similarity.topKAnnDisk(s, path, query, dim = query.length,
-          bits = bits, tables = 8, k = 10, groups = 16)
+          bits = bits, tables = 8, k = 10, groups = 4)
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
     },
     Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
