@@ -807,6 +807,41 @@ object Similarity {
       .sortWithinPartitions(col("sig"))
       .write.mode("append").partitionBy("table", "grp").parquet(path)
 
+  /** COMPACTION of an appended index — the third maintenance verb of
+    * the lifecycle (build → append× → compact): every append leaves
+    * one more small file per touched partition directory, and probe
+    * cost is paid per FILE opened, so a nightly-append index degrades
+    * toward open-file overhead until compacted. Rewrites the index
+    * with one file per (table, grp) directory (re-sorted by sig, so
+    * row-group pruning recovers the freshly-built layout), builds the
+    * result in a sibling `<path>.compact` directory, then swaps it in
+    * with two atomic renames — a reader holds either the old or the
+    * new complete index, never a mix. Content is byte-equal by
+    * construction (pure re-layout); LshDiskSpec pins serve equality
+    * and the file-count drop.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val tmp = s"$path.compact"
+    val old = s"$path.old"
+    readLshIndex(spark, path)
+      .select(col("table"), col("sig"), col("id"), col("vec"),
+        col("grp"))
+      .repartition(col("table"), col("grp"))
+      .sortWithinPartitions(col("sig"))
+      .write.mode("overwrite").partitionBy("table", "grp").parquet(tmp)
+    val fs = java.nio.file.Paths.get(path)
+    java.nio.file.Files.move(fs, java.nio.file.Paths.get(old),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), fs,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(old))
+  }
+
   def readLshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val df = spark.read.parquet(path)

@@ -5225,6 +5225,61 @@ $union
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
+  /** Index COMPACTION ([[graft.llm.Similarity.compactLshIndex]]) — the
+    * third maintenance verb (build → append× → compact): three
+    * appended deltas fragment every (table, grp) directory, compaction
+    * rewrites to one sig-sorted file per directory behind an
+    * atomic-rename swap, and serving is unchanged. Oracle = the same
+    * exact brute-force top-10: a compaction that drops/duplicates rows
+    * or breaks the layout fails hash equality. The fragmentation and
+    * file-count collapse themselves are pinned in LshDiskSpec.
+    */
+  private val lshCompactLock = new Object
+  val simTopkAnnCompact = RegisteredQuery(
+    "sim_topk_ann_compact",
+    (s, d) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val bits = Similarity.bitsFor(emb.count())
+      val path = s"/tmp/graft_lsh_cpt_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = sourceStamp(s"$d/embeddings.parquet")
+      lshCompactLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          stampFile.delete(): Unit
+          Similarity.writeLshIndex(
+            Similarity.multiTableIndex(
+              emb.filter(col("vec_id") % 3 === 0), "embedding", "vec_id",
+              dim = query.length, bits = bits, tables = 8),
+            path, groups = 16)
+          (1 until 3).foreach { r =>
+            Similarity.appendLshIndex(
+              emb.filter(col("vec_id") % 3 === r), "embedding", "vec_id",
+              path, dim = query.length, bits = bits, tables = 8,
+              groups = 16)
+          }
+          Similarity.compactLshIndex(s, path)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      Similarity.topKAnnDisk(s, path, query, dim = query.length,
+          bits = bits, tables = 8, k = 10, groups = 16)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
   /** INCREMENTAL IVF index maintenance ([[graft.llm.Similarity
     * .appendIvfIndex]]): centroids train on the HISTORY slice only —
     * arrival never retrains — the delta (vec_id % 10 == 0, incl. the
@@ -7214,7 +7269,8 @@ $union
     dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,
     bpeEncode, bpeTrain,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkAnnDisk,
-    simTopkAnnAppend, simTopkIvf, simTopkIvfDisk, simTopkIvfAppend,
+    simTopkAnnAppend, simTopkAnnCompact, simTopkIvf, simTopkIvfDisk,
+    simTopkIvfAppend,
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin, simKnnJoinAnn,
     mixtureSample, mixtureSampleApproxQ, mixtureSampleBudget,
     mixtureSampleTemperature,

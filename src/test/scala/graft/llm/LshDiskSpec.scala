@@ -84,6 +84,46 @@ class LshDiskSpec extends SparkSpec {
     assert(served > 0, "no delta rows served from the appended index")
   }
 
+  test("compaction collapses appended files to one per directory, " +
+      "serving unchanged") {
+    val df = corpus
+    val dir = Files.createTempDirectory("lsh").toString + "/idx"
+    Similarity.writeLshIndex(
+      Similarity.multiTableIndex(df.filter(col("id") % 4 === 0), "vec",
+        "id", dim = dim, bits = bits, tables = tables), dir,
+      groups = groups)
+    (1 until 4).foreach { r =>
+      Similarity.appendLshIndex(df.filter(col("id") % 4 === r), "vec",
+        "id", dir, dim = dim, bits = bits, tables = tables,
+        groups = groups)
+    }
+    def files = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+    }
+    def dirsOf(fs: Seq[java.io.File]) = fs.map(_.getParent).distinct
+    val query = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.03)
+    def key(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getLong(0), math.round(x.getDouble(1) * 1e9))).toSeq
+    val before = files
+    val servedBefore = key(Similarity.topKAnnDisk(spark, dir, query,
+      dim = dim, bits = bits, tables = tables, k = 5, groups = groups))
+    assert(before.size > dirsOf(before).size,
+      "appends did not fragment (test premise)")
+    Similarity.compactLshIndex(spark, dir)
+    val after = files
+    assert(after.size == dirsOf(after).size,
+      s"expected one file per directory, got ${after.size} files in " +
+        s"${dirsOf(after).size} dirs")
+    assert(after.size < before.size, "compaction did not shrink files")
+    val servedAfter = key(Similarity.topKAnnDisk(spark, dir, query,
+      dim = dim, bits = bits, tables = tables, k = 5, groups = groups))
+    assert(servedAfter == servedBefore,
+      s"before=$servedBefore after=$servedAfter")
+  }
+
   test("probe list prunes (table, grp) directories at file level") {
     val df = corpus
     val dir = Files.createTempDirectory("lsh").toString + "/idx"
