@@ -5225,6 +5225,117 @@ $union
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
+  /** END-TO-END LLM DATA-PREP PIPELINE — the five stages a training
+    * corpus actually passes through, COMPOSED in one dataflow: exact
+    * dedup (canonical copy per md5) → integer-exact quality gate
+    * (≥10 tokens, punctuation ≤ 1/4 of chars) → decontamination
+    * against the benchmark slice (any shared 4-gram) → per-source
+    * token-budget mixture sampling → 512-token sequence packing. The
+    * output is the per-chunk packing report, which is a function of
+    * EVERY upstream decision — a single wrongly-kept/dropped/mis-
+    * counted document anywhere shifts all later chunk boundaries and
+    * breaks the hash. The oracle replays all five stages in one CTE
+    * chain from the per-stage oracle idioms already proven green
+    * individually (`dedup_exact`, `text_stats`, `decontaminate`,
+    * `mixture_sample_budget`, `seq_pack`).
+    *
+    * Scale shape: stages compose WITHOUT materialization barriers —
+    * dedup is one md5-keyed aggregate; quality is a map-side filter;
+    * decontamination broadcasts the slim contaminated-id frame back as
+    * an anti join (the corpus never re-shuffles for it); sampling is
+    * the one per-source window; packing is the two-phase prefix sum.
+    */
+  val pipelineDataE2e = RegisteredQuery(
+    "pipeline_data_e2e",
+    (s, d) => {
+      import graft.llm.{Decontaminate, SeqPack, TextAnalysis}
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val canon = corpus.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val deduped = corpus.join(canon, Seq("doc_id"), "left_semi")
+      val nPunct = length(
+        regexp_replace(col("text"), "[\\p{L}\\p{Nd}\\s]", ""))
+      val cleaned = deduped
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text"))
+          .cast("long"))
+        .filter(col("n_tok") >= 10 &&
+          nPunct * lit(4) <= length(col("text")))
+      val bad = Decontaminate.contaminationReport(cleaned, bench,
+          "doc_id", "text", k = 4)
+        .select(col("id").as("doc_id"))
+      val decon = cleaned.join(broadcast(bad), Seq("doc_id"), "left_anti")
+      val budgets = (0 until 20).map(i => s"src$i" -> 600L).toMap
+      val sampled = graft.relational.Sampling.mixtureSampleByBudget(
+        decon.select(col("source"), col("doc_id"), col("n_tok")),
+        "source", "doc_id", "n_tok", budgets)
+      SeqPack.packChunks(sampled, "doc_id", "n_tok",
+          (col("doc_id") / 500).cast("long"), chunkLen = 512L)
+        .orderBy(col("chunk"))
+    },
+    Some("""WITH corp AS (
+        SELECT * FROM documents WHERE doc_id % 20 <> 0),
+      canon AS (
+        SELECT min(doc_id) AS doc_id FROM corp GROUP BY md5(text)),
+      dd AS (SELECT c.* FROM corp c JOIN canon USING (doc_id)),
+      tok AS (
+        SELECT doc_id, source, text,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks,
+          length(regexp_replace(text, '[\p{L}\p{Nd}\s]', '', 'g'))
+            AS n_punct
+        FROM dd),
+      clean AS (
+        SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n_tok
+        FROM tok
+        WHERE len(toks) >= 10 AND 4 * n_punct <= length(text)),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 2),
+              i -> array_to_string(toks[i:i+3], ' '))) END AS sh
+        FROM clean),
+      bt AS (
+        SELECT regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents WHERE doc_id % 20 = 0),
+      bg AS (
+        SELECT DISTINCT unnest(
+          CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 2),
+              i -> array_to_string(toks[i:i+3], ' '))) END) AS g
+        FROM bt),
+      cg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+      keep AS (
+        SELECT c.doc_id, c.source, c.n_tok FROM clean c
+        LEFT JOIN bad b ON c.doc_id = b.doc_id WHERE b.doc_id IS NULL),
+      samp AS (
+        SELECT source, doc_id, n_tok,
+          coalesce(sum(n_tok) OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before
+        FROM keep),
+      sel AS (
+        SELECT doc_id, n_tok FROM samp WHERE cum_before < 600),
+      st AS (
+        SELECT doc_id, n_tok,
+          CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start
+        FROM sel WHERE n_tok > 0),
+      x AS (
+        SELECT doc_id, n_tok, start,
+          unnest(generate_series(start // 512, (start + n_tok - 1) // 512))
+            AS chunk
+        FROM st)
+      SELECT chunk, CAST(count(*) AS INTEGER) AS n_docs,
+        CAST(sum(least(start + n_tok, (chunk + 1) * 512)
+          - greatest(start, chunk * 512)) AS BIGINT) AS n_tokens
+      FROM x GROUP BY chunk ORDER BY chunk"""))
+
   /** Index COMPACTION ([[graft.llm.Similarity.compactLshIndex]]) — the
     * third maintenance verb (build → append× → compact): three
     * appended deltas fragment every (table, grp) directory, compaction
@@ -7274,7 +7385,7 @@ $union
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin, simKnnJoinAnn,
     mixtureSample, mixtureSampleApproxQ, mixtureSampleBudget,
     mixtureSampleTemperature,
-    qualityCascade, filterAdaptiveLength,
+    qualityCascade, filterAdaptiveLength, pipelineDataE2e,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
     multimodalResize, multimodalAudio, multimodalVideo, multimodalFrames,
     multimodalFeatures, multimodalAudioFeatures)
