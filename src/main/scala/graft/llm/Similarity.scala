@@ -763,6 +763,65 @@ object Similarity {
         col("e.score").as("score"))
   }
 
+  /** Batch ANN k-NN join served from the DISK index — [[knnJoinAnn]]
+    * with the corpus side replaced by the persisted (table, grp)-
+    * partitioned LSH index, so a retrieval batch touches only probed
+    * DIRECTORIES. The probe frame carries the partition columns
+    * (table, grp = sig mod groups) as join keys, which is exactly the
+    * shape Spark's DYNAMIC PARTITION PRUNING exists for: the broadcast
+    * probe side's (table, grp) values become a runtime
+    * DynamicPruningSubquery filter on the partitioned scan — no
+    * driver-side probe-list compilation (contrast [[topKAnnDisk]],
+    * whose single-query probe list is static), the engine prunes
+    * directories from the JOIN itself. KnnJoinSpec pins the
+    * `dynamicpruning` expression in the scan's PartitionFilters.
+    *
+    * At 100 TB: per-batch bytes read = probed directories only
+    * (q·tables·probes signatures land in ≤ tables·groups dirs), scored
+    * candidates ≈ q·tables·probes·bucketSize — both independent of
+    * corpus row count; the full-corpus scan of [[knnJoinBrute]] never
+    * happens.
+    */
+  def knnJoinAnnDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, dim: Int, bits: Int, tables: Int = 8,
+      probeHamming: Int = 2, groups: Int = 64,
+      seedPrefix: String = "lsh"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val idx = readLshIndex(spark, path)
+    val qSigCols = (0 until tables).map { t =>
+      val planes = hyperplanes(dim, bits, s"$seedPrefix/t$t")
+      struct(lit(t).as("table"), signature(v, planes).as("sig")).as(s"s$t")
+    }
+    val qSlim = queries.select(col(idCol).as("query_id"),
+        explode(array(qSigCols: _*)).as("ts"))
+      .select(col("query_id"), col("ts.table").as("table"),
+        col("ts.sig").as("sig"))
+    val flips = scala.collection.mutable.ArrayBuffer[Column](col("sig"))
+    if (probeHamming >= 1) (0 until bits).foreach(i =>
+      flips += col("sig").bitwiseXOR(lit(1L << i)))
+    if (probeHamming >= 2) for (i <- 0 until bits; j <- (i + 1) until bits)
+      flips += col("sig").bitwiseXOR(lit((1L << i) | (1L << j)))
+    val qProbes = qSlim.select(col("table"),
+        explode(array(flips.toSeq: _*)).as("sig"), col("query_id"))
+      .withColumn("grp", pmod(col("sig"), lit(groups.toLong)))
+    val qVecs = broadcast(queries.select(col(idCol).as("query_id"),
+      v.as("graft_knn_qv")))
+    idx.join(broadcast(qProbes), Seq("table", "grp", "sig"))
+      .select(col("query_id"), col("id"), col("vec"))
+      .dropDuplicates("query_id", "id")
+      .join(qVecs, Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        cosineNative(col("vec"), col("graft_knn_qv")).as("score"))
+      .filter(col("score").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKMaxByScore(k)(col("score"), col("id"))
+        .as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"),
+        col("e.score").as("score"))
+  }
+
   /** Disk-served multi-table LSH index — the build-once/serve-many
     * path for hyperplane ANN (the [[writeIvfIndex]] contract, for the
     * LSH family). Layout: partitioned by `(table, grp)` where

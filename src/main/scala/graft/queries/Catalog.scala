@@ -5530,6 +5530,34 @@ $union
     * top-10 oracle.
     */
   private val lshDiskLock = new Object
+
+  /** Stamp-gated build-once of the shared disk LSH index over the full
+    * embeddings fixture (tables=8, groups=16) — serves every
+    * disk-LSH-reading query (`sim_topk_ann_disk`,
+    * `sim_knn_join_ann_disk`). Returns the index path.
+    */
+  private def ensureLshDiskIndex(s: SparkSession, d: String, dim: Int,
+      bits: Int): String = {
+    import graft.llm.Similarity
+    val path = s"/tmp/graft_lsh_${dirTag(d)}"
+    val stampFile = new java.io.File(s"$path.stamp")
+    val stamp = sourceStamp(s"$d/embeddings.parquet")
+    lshDiskLock.synchronized {
+      val fresh = stampFile.exists() &&
+        scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+          .toOption.contains(stamp)
+      if (!fresh) {
+        stampFile.delete(): Unit
+        Similarity.writeLshIndex(
+          Similarity.multiTableIndex(Tables.embeddings(s, d), "embedding",
+            "vec_id", dim = dim, bits = bits, tables = 8),
+          path, groups = 16)
+        java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+      }
+    }
+    path
+  }
+
   val simTopkAnnDisk = RegisteredQuery(
     "sim_topk_ann_disk",
     (s, d) => {
@@ -5539,21 +5567,7 @@ $union
         .select(col("embedding").cast("array<double>"))
         .collect().head.getSeq[Double](0).toArray
       val bits = Similarity.bitsFor(emb.count())
-      val path = s"/tmp/graft_lsh_${dirTag(d)}"
-      val stampFile = new java.io.File(s"$path.stamp")
-      val stamp = sourceStamp(s"$d/embeddings.parquet")
-      lshDiskLock.synchronized {
-        val fresh = stampFile.exists() &&
-          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp)
-        if (!fresh) {
-          Similarity.writeLshIndex(
-            Similarity.multiTableIndex(emb, "embedding", "vec_id",
-              dim = query.length, bits = bits, tables = 8),
-            path, groups = 16)
-          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
-        }
-      }
+      val path = ensureLshDiskIndex(s, d, query.length, bits)
       Similarity.topKAnnDisk(s, path, query, dim = query.length,
           bits = bits, tables = 8, k = 10, groups = 16)
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
@@ -5786,6 +5800,49 @@ $union
       Similarity.knnJoinAnn(
           emb.filter(col("vec_id") < 8), emb, "embedding", "vec_id",
           k = 5, dim = 64, bits = bits, tables = 8, probeHamming = 2)
+        .select(col("query_id"), col("id").as("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT query_id, e.vec_id AS vec_id,
+          list_cosine_similarity(e.embedding::DOUBLE[], qv::DOUBLE[])
+            AS score
+        FROM embeddings e, q),
+      ranked AS (
+        SELECT query_id, vec_id, score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id) AS rn
+        FROM scored)
+      SELECT query_id, vec_id, round(score, 6) AS score
+      FROM ranked WHERE rn <= 5
+      ORDER BY query_id, score DESC, vec_id"""))
+
+  /** Batch ANN retrieval from the DISK index ([[graft.llm.Similarity
+    * .knnJoinAnnDisk]]): the probe frame carries the (table, grp)
+    * PARTITION columns as join keys, so Spark's DYNAMIC PARTITION
+    * PRUNING turns the broadcast probe set into a runtime directory
+    * filter on the partitioned scan — the engine prunes the index from
+    * the join itself, no driver-compiled probe list. The at-scale
+    * serving shape for a retrieval batch: bytes read = probed
+    * directories only, candidates independent of corpus row count.
+    * Same exact top-k oracle as `sim_knn_join_ann` (recall 1.0 at
+    * 3 SFs); KnnJoinSpec pins the dynamicpruning PartitionFilter.
+    */
+  val simKnnJoinAnnDisk = RegisteredQuery(
+    "sim_knn_join_ann_disk",
+    (s, d) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, d)
+      val bits = Similarity.bitsFor(emb.count())
+      val path = ensureLshDiskIndex(s, d, 64, bits)
+      Similarity.knnJoinAnnDisk(s, path,
+          emb.filter(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, dim = 64, bits = bits, tables = 8, probeHamming = 2,
+          groups = 16)
         .select(col("query_id"), col("id").as("vec_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
@@ -7383,6 +7440,7 @@ $union
     simTopkAnnAppend, simTopkAnnCompact, simTopkIvf, simTopkIvfDisk,
     simTopkIvfAppend,
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin, simKnnJoinAnn,
+    simKnnJoinAnnDisk,
     mixtureSample, mixtureSampleApproxQ, mixtureSampleBudget,
     mixtureSampleTemperature,
     qualityCascade, filterAdaptiveLength, pipelineDataE2e,

@@ -82,6 +82,43 @@ class KnnJoinSpec extends SparkSpec {
       "ANN k-NN join planned a window sort")
   }
 
+  test("disk ANN knn join equals brute and prunes partitions dynamically") {
+    val df = corpus
+    val dim = 6; val bits = 4; val tables = 4; val groups = 8
+    val dir = java.nio.file.Files.createTempDirectory("lsh").toString + "/idx"
+    Similarity.writeLshIndex(
+      Similarity.multiTableIndex(df, "vec", "id", dim = dim, bits = bits,
+        tables = tables), dir, groups = groups)
+    // the query side must be a REAL scan with a surviving selective
+    // filter: a LocalRelation query side constant-folds its filter
+    // away and DPP's hasSelectivePredicate check then vetoes pruning
+    val qDir = java.nio.file.Files.createTempDirectory("knnq").toString
+    df.write.mode("overwrite").parquet(qDir)
+    val queries = spark.read.parquet(qDir).filter(col("id") < 6)
+    val served = Similarity.knnJoinAnnDisk(spark, dir, queries, "vec",
+      "id", k = 4, dim = dim, bits = bits, tables = tables,
+      probeHamming = 2, groups = groups)
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    val brute = Similarity.knnJoinBrute(queries, df, "vec", "id", k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    assert(got == brute, s"disk ANN missed neighbors: ${brute -- got}")
+    // the probe join prunes the partitioned scan at RUNTIME: the scan's
+    // PartitionFilters must carry a dynamicpruning expression
+    val scans = walkExecutedPlan(served.queryExecution.executedPlan)
+      .collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scans.nonEmpty, "no file scan of the disk index found")
+    val dpp = scans.exists(_.partitionFilters.exists(
+      _.toString.contains("dynamicpruning")))
+    assert(dpp, "no dynamicpruning PartitionFilter on the index scan:\n" +
+      scans.map(_.partitionFilters.mkString(", ")).mkString("\n"))
+  }
+
   test("aggregator buffer stays bounded at k and orders deterministically") {
     val agg = new graft.functions.TopKMaxByScore(3)
     var buf = agg.zero
