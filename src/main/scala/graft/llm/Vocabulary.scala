@@ -90,6 +90,81 @@ object Vocabulary {
       .limit(topK)
   }
 
+  /** Term → bucket for the disk inverted index: low 60 bits of md5,
+    * mod buckets — md5 so the SAME bucket is computable driver-side
+    * (query-term routing) and engine-side (build partitioning) with
+    * zero hash-implementation coupling.
+    */
+  def termBucket(term: String, buckets: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Math.floorMod(java.lang.Long.parseLong(hex, 16),
+      buckets.toLong)
+  }
+
+  private def termBucketCol(term: org.apache.spark.sql.Column,
+      buckets: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(term), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** DISK INVERTED INDEX for BM25 — the sparse-retrieval twin of the
+    * ANN index lifecycle: postings (term, id, tf, dl) are partitioned
+    * by `bkt = md5(term) mod buckets`, so ALL postings of a term live
+    * in exactly one directory; a query's terms compile to a closed
+    * bucket list (partition pruning) plus a `term IN` row filter that
+    * rides the within-partition term sort. Corpus stats (n_docs,
+    * avgdl) land in a 1-row sidecar. Per-query bytes read =
+    * O(query-term posting lists), independent of corpus size — no
+    * corpus scan, no full tokenization at serve time (both were paid
+    * once at build).
+    */
+  def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int = 64): Unit = {
+    val docs = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("dl"))
+    docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path.stats")
+    docs.select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", termBucketCol(col("term"), buckets))
+      .repartition(col("bkt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(path)
+  }
+
+  /** Serve BM25 top-k from the disk inverted index. Identical scoring
+    * arithmetic to [[bm25]] (df derived from the term's own posting
+    * list — complete by the bucket invariant), so the two share an
+    * oracle.
+    */
+  def bm25Disk(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: Seq[String], k1: Double = 1.5, b: Double = 0.75,
+      topK: Int = 20, buckets: Int = 64): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val stats = spark.read.parquet(s"$path.stats")
+    val bkts = queryTerms.map(termBucket(_, buckets)).distinct
+    val postings = spark.read.parquet(path)
+      .filter(col("bkt").isin(bkts: _*) &&
+        col("term").isin(queryTerms: _*))
+    val docFreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    postings.join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Top-k distinctive terms per document, ranked by `(tf desc, df asc,
     * term asc)` — the integer-portable tf-idf-flavored order (idf is
     * strictly decreasing in df, so within a tf tie this IS the tf-idf

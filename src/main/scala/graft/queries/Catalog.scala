@@ -4072,6 +4072,62 @@ object Catalog {
       SELECT doc_id, score FROM sc
       ORDER BY score DESC, doc_id LIMIT 20"""))
 
+  /** BM25 served from the DISK inverted index ([[graft.llm.Vocabulary
+    * .writeBm25Index]]/[[graft.llm.Vocabulary.bm25Disk]]): postings
+    * partitioned by md5-term bucket, query terms compile to a closed
+    * bucket list (partition pruning) + a term IN row filter riding the
+    * within-partition term sort; corpus stats in a 1-row sidecar.
+    * Per-query bytes = the query terms' posting lists, no corpus scan
+    * or re-tokenization at serve time. Identical scoring arithmetic to
+    * `doc_bm25` ⇒ shares its oracle.
+    */
+  private val bm25DiskLock = new Object
+  val docBm25Disk = RegisteredQuery(
+    "doc_bm25_disk",
+    (s, d) => {
+      import graft.llm.Vocabulary
+      val path = s"/tmp/graft_bm25_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = sourceStamp(s"$d/documents.parquet")
+      bm25DiskLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          stampFile.delete(): Unit
+          Vocabulary.writeBm25Index(Tables.documents(s, d), "doc_id",
+            "text", path, buckets = 16)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      Vocabulary.bm25Disk(s, path,
+          queryTerms = Seq("dup", "spark", "join"), topK = 20,
+          buckets = 16)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      hit AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf FROM hit
+        WHERE term IN ('dup', 'spark', 'join') GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id,
+          round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+            (tf.tf * 2.5) /
+            (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4)
+            AS score
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id LIMIT 20"""))
+
   /** PII scrub over the corpus: plant a per-doc email, redact, verify
     * byte-exact output via md5. The oracle runs the IDENTICAL regex —
     * the pattern is kept to the Java/RE2-shared subset by construction
@@ -7427,7 +7483,7 @@ $union
     pipelineE2e, dedupExact,
     textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
     charEntropy, docRepetition,
-    vocabTopk, docTopTerms, docBm25, piiRedact,
+    vocabTopk, docTopTerms, docBm25, docBm25Disk, piiRedact,
     decontaminate, decontaminateBloom, dedupSemantic,
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
     dedupComponents, seqPack, graphPagerank, graphDegrees, aggCountmin,

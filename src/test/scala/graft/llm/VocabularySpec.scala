@@ -72,6 +72,41 @@ class VocabularySpec extends SparkSpec {
     assert(out(3L) > out(1L))
   }
 
+  test("disk inverted index serves bm25 identically with bucket pruning") {
+    import org.apache.spark.sql.functions._
+    val corpus = (0 until 90).map { i =>
+      (i.toLong, s"w$i apple shared${i % 5} " +
+        (if (i % 3 == 0) "banana" else "cherry"))
+    }.toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bm25")
+      .toString + "/idx"
+    val buckets = 8
+    Vocabulary.writeBm25Index(corpus, "doc_id", "text", path,
+      buckets = buckets)
+    val terms = Seq("apple", "banana")
+    val mem = Vocabulary.bm25(corpus, "doc_id", "text", terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val disk = Vocabulary.bm25Disk(spark, path, terms, topK = 10,
+      buckets = buckets)
+    val got = disk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == mem, s"disk=$got mem=$mem")
+    // bucket routing prunes partitions: only the query terms' buckets
+    // are listed
+    val scans = walkExecutedPlan(disk.queryExecution.executedPlan)
+      .collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+      "bucket filter did not reach partition pruning")
+    val allowed = terms.map(Vocabulary.termBucket(_, buckets)).toSet
+    // partition values infer as the narrowest integral type (int)
+    val listed = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, Nil)
+      .map(_.values.getInt(0).toLong).toSet
+    assert(listed.nonEmpty && listed.subsetOf(allowed),
+      s"listed buckets $listed outside query-term set $allowed")
+  }
+
   test("bigram perplexity matches the hand-computed add-one LM") {
     // corpus: "a b a b" + "a b". V = 2. bigrams: (a,b)x3, (b,a)x1.
     // c(a,b)=3, c(b,a)=1; c(a)=3, c(b)=1.
