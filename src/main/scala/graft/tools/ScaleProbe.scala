@@ -177,6 +177,43 @@ object ScaleProbe {
           tables = 8, probeHamming = 2).count())
       println(f"[probe] emb x$mult knn_join_ann rows=$nKnnA time=$tKnnA%.2fs")
 
+      // ---- disk ANN knn join: the DPP-pruned serve path against a
+      // persisted index — per-batch wall must track probed-directory
+      // bytes (bucket occupancy rides bitsFor), never the corpus scan.
+      // Query side reads from the fixture parquet so the selective
+      // filter survives and DPP actually fires (LocalRelation queries
+      // constant-fold it away).
+      {
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("probe_lshidx").toString + "/idx"
+        Similarity.writeLshIndex(
+          Similarity.multiTableIndex(emb, "embedding", "vec_id",
+            dim = 64, bits = bits, tables = 8), idxDir, groups = 16)
+        val qSide = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") < 8)
+        val (nKnnD, tKnnD) = timed(
+          Similarity.knnJoinAnnDisk(spark, idxDir, qSide, "embedding",
+            "vec_id", k = 5, dim = 64, bits = bits, tables = 8,
+            probeHamming = 2, groups = 16).count())
+        println(f"[probe] emb x$mult knn_join_ann_disk rows=$nKnnD " +
+          f"time=$tKnnD%.2fs")
+      }
+
+      // ---- disk BM25: serve wall must track the query terms' posting
+      // lists (they grow with corpus term frequency), never the corpus
+      // text bytes — build is the only full-tokenization pass
+      {
+        import graft.llm.Vocabulary
+        val bmDir = java.nio.file.Files
+          .createTempDirectory("probe_bm25").toString + "/idx"
+        val (_, tBuild) = timed(Vocabulary.writeBm25Index(
+          docs, "doc_id", "text", bmDir, buckets = 16))
+        val (nBm, tServe) = timed(Vocabulary.bm25Disk(spark, bmDir,
+          Seq("dup", "spark", "join"), topK = 20, buckets = 16).count())
+        println(f"[probe] docs x$mult bm25_disk build=$tBuild%.2fs " +
+          f"serve=$tServe%.2fs rows=$nBm")
+      }
+
       // ---- semantic dedup: k scales with n so cluster population is
       // ~constant — the pair search must stay n·clusterSize, not n².
       // (The ×N copies are identical vectors: every family collapses to
