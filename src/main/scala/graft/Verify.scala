@@ -35,7 +35,12 @@ object Verify {
     "source_custom_stream", "sink_custom_stream",
     // round-9 bench additions >1.5 s at sf0.1
     "sql_recursive_cte", "dedup_minhash", "fuzzy_join_names",
-    "streaming_dedup", "streaming_cdc", "dedup_simhash_pairs")
+    "streaming_dedup", "streaming_cdc", "dedup_simhash_pairs",
+    // round-9-late: streaming epoch machinery + stamp-gated index
+    // builds + the composed pipeline's corpus shingle pass
+    "streaming_index_append", "pipeline_data_e2e", "bpe_train",
+    "sim_topk_ann_compact", "sim_knn_join_ann_disk", "dedup_semantic",
+    "decontaminate_bloom")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
