@@ -1173,6 +1173,70 @@ object Catalog {
       FROM t WHERE l_returnflag <> 'R'
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** TIME TRAVEL on the custom V2 catalog: every commit (CTAS, INSERT,
+    * DELETE) appends an immutable snapshot, and `VERSION AS OF v`
+    * resolves through the `loadTable(ident, version)` overload to the
+    * pinned row set — the Iceberg-style read surface on the
+    * lakehouse-catalog extension point. The query reads THREE versions
+    * of the same table (post-CTAS, post-INSERT, post-DELETE) plus the
+    * current state and aggregates each; the oracle replays the
+    * version states by set algebra over lineitem. A version that
+    * leaked later writes, or a DELETE that mutated history in place,
+    * breaks the per-version counts.
+    */
+  val catalogTimeTravel = RegisteredQuery(
+    "catalog_time_travel",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_tt_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_tt")
+      s.sql("""CREATE TABLE graft_cat.ns.li_tt AS
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM li_tt_src WHERE l_orderkey <= 1000""")
+      s.sql("""INSERT INTO graft_cat.ns.li_tt
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM li_tt_src WHERE l_orderkey > 1000 AND l_orderkey <= 1600""")
+      s.sql("DELETE FROM graft_cat.ns.li_tt WHERE l_returnflag = 'R'")
+      def agg(v: Int, from: String) =
+        s"""SELECT CAST($v AS INTEGER) AS version,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_qty
+        FROM $from"""
+      s.sql(Seq(
+          agg(0, "graft_cat.ns.li_tt VERSION AS OF 0"),
+          agg(1, "graft_cat.ns.li_tt VERSION AS OF 1"),
+          agg(2, "graft_cat.ns.li_tt VERSION AS OF 2"),
+          agg(3, "graft_cat.ns.li_tt VERSION AS OF 3"),
+          agg(4, "graft_cat.ns.li_tt")).mkString("\nUNION ALL\n") +
+        "\nORDER BY version")
+    },
+    Some("""WITH a AS (
+        SELECT l_quantity, l_returnflag FROM lineitem
+        WHERE l_orderkey <= 1000),
+      ab AS (
+        SELECT l_quantity, l_returnflag FROM lineitem
+        WHERE l_orderkey <= 1600),
+      abd AS (SELECT * FROM ab WHERE l_returnflag <> 'R'),
+      v AS (
+        SELECT 0 AS version, CAST(0 AS BIGINT) AS n_rows,
+          CAST(NULL AS DOUBLE) AS sum_qty
+        UNION ALL
+        SELECT 1, count(*), CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+          AS DOUBLE) FROM a
+        UNION ALL
+        SELECT 2, count(*), CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+          AS DOUBLE) FROM ab
+        UNION ALL
+        SELECT 3, count(*), CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+          AS DOUBLE) FROM abd
+        UNION ALL
+        SELECT 4, count(*), CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+          AS DOUBLE) FROM abd)
+      SELECT CAST(version AS INTEGER) AS version, n_rows, sum_qty
+      FROM v ORDER BY version"""))
+
   /** DSv2 RUNTIME filtering (dynamic pruning): a filtered dim joins
     * the 100k-row fact on id — the connector reports honest post-
     * pushdown statistics (SupportsReportStatistics), so the dim
@@ -7462,7 +7526,7 @@ $union
     chunkOverlap, catalogManagedTable, sinkPartitionOverwrite,
     sinkInsertOverwrite, catalogIntrospect, sourceCustomV2,
     sourcePushdownAgg, sourcePushdownLimit, sourceRuntimeFilter,
-    catalogV2Dml, sinkCustomV2,
+    catalogV2Dml, catalogTimeTravel, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,
     joinShuffleHash, nestedPruning,

@@ -51,6 +51,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Option(GraftCatalog.tables.get(key(ident)))
       .getOrElse(throw new NoSuchTableException(ident))
 
+  /** TIME TRAVEL: `SELECT … FROM t VERSION AS OF v` resolves through
+    * this overload — serve the immutable snapshot the table recorded
+    * at commit v (v0 = empty at creation; each INSERT/OVERWRITE/
+    * DELETE/TRUNCATE appended one). Non-numeric or out-of-range
+    * versions fail the statement up front.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = loadTable(ident) match {
+      case m: GraftMemTable => m
+      case other => throw new UnsupportedOperationException(
+        s"time travel unsupported for ${other.name()}")
+    }
+    val v = try version.toInt
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"non-numeric version '$version' for ${key(ident)}")
+    }
+    t.pinnedAt(v)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val t = new GraftMemTable(key(ident), schema)
@@ -116,17 +137,55 @@ final class GraftMemTable(fullName: String, schema0: StructType)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
 
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+  /** Immutable row-set per committed version; v0 = the empty table at
+    * creation. Every commit (INSERT/CTAS/OVERWRITE), DELETE, and
+    * TRUNCATE appends one snapshot — the Iceberg-style history that
+    * `VERSION AS OF` serves. Driver-memory table ⇒ snapshots are
+    * cheap Seq references (rows are immutable).
+    */
+  private val history =
+    scala.collection.mutable.ArrayBuffer[Seq[Row]](Seq.empty)
+  private def record(): Unit = history += buf.toSeq
   private def snapshot(): Seq[Row] = synchronized(buf.toSeq)
+  private[catalog] def currentVersion: Int = synchronized(history.size - 1)
+  private[catalog] def versionRows(v: Int): Seq[Row] = synchronized {
+    if (v < 0 || v >= history.size)
+      throw new IllegalArgumentException(
+        s"no version $v of $fullName (latest: ${history.size - 1})")
+    history(v)
+  }
   private[catalog] def publish(rows: Seq[Row], replace: Boolean): Unit =
     synchronized {
       if (replace) buf.clear()
       buf ++= rows
+      record()
     }
 
   private[catalog] def renamed(newName: String): GraftMemTable = {
     val t = new GraftMemTable(newName, schema0)
-    t.publish(snapshot(), replace = true)
+    synchronized {
+      t.buf ++= buf
+      t.history.clear()
+      t.history ++= history
+    }
     t
+  }
+
+  /** Read-only view of this table pinned at `version` — what
+    * `SELECT … FROM t VERSION AS OF v` resolves to.
+    */
+  private[catalog] def pinnedAt(version: Int): Table = {
+    val rows = versionRows(version) // validate eagerly: bad version fails the query up front
+    val outer = this
+    new Table with SupportsRead {
+      override def name(): String = s"${outer.name()}@v$version"
+      override def schema(): StructType = schema0
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(
+          options: CaseInsensitiveStringMap): ScanBuilder =
+        outer.scanBuilderFor(rows)
+    }
   }
 
   override def name(): String = s"graft_cat_table($fullName)"
@@ -137,9 +196,12 @@ final class GraftMemTable(fullName: String, schema0: StructType)
 
   // ------------------------------------------------------------- read
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    scanBuilderFor(snapshot())
+
+  private[catalog] def scanBuilderFor(rowsAt: Seq[Row]): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan with Batch {
-        private val rows = snapshot()
+        private val rows = rowsAt
         override def readSchema(): StructType = schema0
         override def description(): String =
           s"graft-cat-scan $fullName rows=${rows.length}"
@@ -205,10 +267,11 @@ final class GraftMemTable(fullName: String, schema0: StructType)
       val keep = buf.filterNot(r =>
         predicates.forall(p => PredicateEval.eval(p, r, schema0)))
       buf.clear()
-      buf ++= keep: Unit
+      buf ++= keep
+      record()
     }
   override def truncateTable(): Boolean = {
-    synchronized(buf.clear())
+    synchronized { buf.clear(); record() }
     true
   }
 }

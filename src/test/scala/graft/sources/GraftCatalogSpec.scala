@@ -62,6 +62,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN graft_cat.ns").collect().isEmpty)
   }
 
+  test("VERSION AS OF serves immutable per-commit snapshots") {
+    GraftCatalog.reset()
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("id", "v").createOrReplaceTempView("tt_src")
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.tt AS SELECT * FROM tt_src WHERE id = 1")
+    spark.sql("INSERT INTO graft_cat.ns.tt SELECT * FROM tt_src WHERE id > 1")
+    spark.sql("DELETE FROM graft_cat.ns.tt WHERE id = 2")
+    def ids(q: String) = spark.sql(q).collect().map(_.getLong(0)).sorted.toSeq
+    // v0 = empty at creation; v1 = CTAS; v2 = +insert; v3 = post-delete
+    assert(ids("SELECT id FROM graft_cat.ns.tt VERSION AS OF 0").isEmpty)
+    assert(ids("SELECT id FROM graft_cat.ns.tt VERSION AS OF 1") == Seq(1L))
+    assert(ids("SELECT id FROM graft_cat.ns.tt VERSION AS OF 2") ==
+      Seq(1L, 2L, 3L))
+    assert(ids("SELECT id FROM graft_cat.ns.tt VERSION AS OF 3") ==
+      Seq(1L, 3L))
+    assert(ids("SELECT id FROM graft_cat.ns.tt") == Seq(1L, 3L))
+    // old versions are immutable: the DELETE did not rewrite history
+    assert(ids("SELECT id FROM graft_cat.ns.tt VERSION AS OF 2") ==
+      Seq(1L, 2L, 3L))
+    // out-of-range / non-numeric versions fail the statement up front
+    intercept[Exception] {
+      spark.sql("SELECT id FROM graft_cat.ns.tt VERSION AS OF 9").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT id FROM graft_cat.ns.tt VERSION AS OF 'x'").collect()
+    }
+  }
+
   test("unsupported DELETE predicate fails up front, deletes nothing") {
     GraftCatalog.reset()
     Seq((1L, "ab"), (2L, "cd")).toDF("id", "s")
