@@ -72,6 +72,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     t.pinnedAt(v)
   }
 
+  /** `TIMESTAMP AS OF` overload: Spark hands the timestamp in
+    * MICROseconds; serve the latest snapshot committed at or before
+    * it.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = loadTable(ident) match {
+      case m: GraftMemTable => m
+      case other => throw new UnsupportedOperationException(
+        s"time travel unsupported for ${other.name()}")
+    }
+    t.pinnedAt(t.versionAt(timestampMicros))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val t = new GraftMemTable(key(ident), schema)
@@ -145,7 +158,28 @@ final class GraftMemTable(fullName: String, schema0: StructType)
     */
   private val history =
     scala.collection.mutable.ArrayBuffer[Seq[Row]](Seq.empty)
-  private def record(): Unit = history += buf.toSeq
+  /** Commit timestamps (µs), strictly increasing even when commits
+    * land inside one clock tick — what `TIMESTAMP AS OF` binds to.
+    */
+  private val commitTsMicros =
+    scala.collection.mutable.ArrayBuffer[Long](
+      System.currentTimeMillis() * 1000L)
+  private def record(): Unit = {
+    history += buf.toSeq
+    commitTsMicros += math.max(System.currentTimeMillis() * 1000L,
+      commitTsMicros.last + 1)
+  }
+  /** Latest version whose commit time is ≤ ts (µs) — the
+    * `TIMESTAMP AS OF` resolution rule. Fails up front for a
+    * timestamp before the table existed.
+    */
+  private[catalog] def versionAt(tsMicros: Long): Int = synchronized {
+    val v = commitTsMicros.lastIndexWhere(_ <= tsMicros)
+    if (v < 0)
+      throw new IllegalArgumentException(
+        s"$fullName did not exist at timestamp $tsMicros")
+    v
+  }
   private def snapshot(): Seq[Row] = synchronized(buf.toSeq)
   private[catalog] def currentVersion: Int = synchronized(history.size - 1)
   private[catalog] def versionRows(v: Int): Seq[Row] = synchronized {
@@ -167,6 +201,8 @@ final class GraftMemTable(fullName: String, schema0: StructType)
       t.buf ++= buf
       t.history.clear()
       t.history ++= history
+      t.commitTsMicros.clear()
+      t.commitTsMicros ++= commitTsMicros
     }
     t
   }

@@ -91,6 +91,33 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF binds to the latest commit at or before it") {
+    GraftCatalog.reset()
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      .createOrReplaceTempView("ts_src")
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.ts AS SELECT * FROM ts_src WHERE id = 1")
+    Thread.sleep(5) // commit clock is ms-resolution
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft_cat.ns.ts SELECT * FROM ts_src WHERE id = 2")
+    def ids(q: String) = spark.sql(q).collect().map(_.getLong(0)).sorted.toSeq
+    val at = new java.sql.Timestamp(betweenMs).toString
+    // between CTAS and INSERT → sees only the CTAS row
+    assert(ids(s"SELECT id FROM graft_cat.ns.ts TIMESTAMP AS OF '$at'") ==
+      Seq(1L))
+    // now → both
+    val now = new java.sql.Timestamp(System.currentTimeMillis() + 1000)
+      .toString
+    assert(ids(s"SELECT id FROM graft_cat.ns.ts TIMESTAMP AS OF '$now'") ==
+      Seq(1L, 2L))
+    // before the table existed → fails up front
+    intercept[Exception] {
+      spark.sql("SELECT id FROM graft_cat.ns.ts " +
+        "TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+  }
+
   test("unsupported DELETE predicate fails up front, deletes nothing") {
     GraftCatalog.reset()
     Seq((1L, "ab"), (2L, "cd")).toDF("id", "s")
