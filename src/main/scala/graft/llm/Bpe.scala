@@ -113,11 +113,18 @@ object Bpe {
     * Symbol-sequence representation: the word's current segmentation
     * is the space-joined, space-framed symbol string (words are
     * whitespace-split so symbols can never contain the separator).
-    * Merging pair "l r" is `replace(s, " l r ", " lr ")` — left-to-
-    * right and non-overlapping over the ORIGINAL string in both the
-    * JVM (`UTF8String.replace`) and DuckDB, so " a a a " merges to
-    * " aa a ", the classic BPE overlap rule, identically in engine
-    * and oracle.
+    * Merging pair "l r" is `replace(s, " l r ", " lr ")` — a SINGLE
+    * left-to-right non-overlapping pass over the ORIGINAL string,
+    * with identical semantics in `java.lang.String.replace` (local
+    * layout), `UTF8String.replace` (distributed layout) and DuckDB's
+    * `replace` (oracle). So " a a a " merges to " aa a " (the classic
+    * overlap rule for same-symbol runs), and back-to-back DISTINCT
+    * occurrences share their separator space, merging only the first
+    * per round: " p a p a " → " pa p a ", with the second occurrence
+    * picked up by the next round that elects "p a". This separator-
+    * framed replace rule — not the symbol-array rule — is the
+    * operator's defined merge semantics, applied byte-identically in
+    * all three layouts (BpeSpec pins the reduplicated-word case).
     *
     * Returns the learned merge table: (step, pair, n) — pair counts at
     * the moment each merge was chosen, so every round's answer depends
@@ -182,18 +189,25 @@ object Bpe {
   }
 
   /** The fixture-scale loop: identical count/argmax/merge semantics on
-    * the collected (count, framed-symbol-string) dictionary.
+    * the collected (count, framed-symbol-string) dictionary. The merge
+    * step is the SAME single-pass framed-string replace as the
+    * distributed layout and the oracle (`java.lang.String.replace` ≡
+    * `UTF8String.replace` ≡ DuckDB `replace` on literal needles) — NOT
+    * a symbol-array scan, which would diverge on back-to-back distinct
+    * occurrences ("papa": array scan yields [pa,pa] in one round, the
+    * string rule yields [pa,p,a] because the shared separator is
+    * consumed by the first match).
     */
   private[llm] def trainLocal(dict: Array[(Long, String)],
       rounds: Int): Seq[(Int, String, Long)] = {
-    var words = dict.map { case (n, s) =>
-      (n, s.trim.split(" ").filter(_.nonEmpty)) }
+    var words = dict
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= rounds && !exhausted) {
       val counts = new java.util.HashMap[String, Long]()
-      words.foreach { case (n, a) =>
+      words.foreach { case (n, s) =>
+        val a = s.trim.split(" ").filter(_.nonEmpty)
         var i = 0
         while (i < a.length - 1) {
           val k = a(i) + " " + a(i + 1)
@@ -211,21 +225,9 @@ object Bpe {
           }
         }
         learned += ((step, bestPair, bestCnt))
-        val Array(l, r) = bestPair.split(" ", 2)
-        val merged = l + r
-        words = words.map { case (n, a) =>
-          if (a.length < 2) (n, a)
-          else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < a.length) {
-              if (i < a.length - 1 && a(i) == l && a(i + 1) == r) {
-                out += merged; i += 2
-              } else { out += a(i); i += 1 }
-            }
-            (n, out.toArray)
-          }
-        }
+        val target = " " + bestPair + " "
+        val repl = " " + bestPair.replace(" ", "") + " "
+        words = words.map { case (n, s) => (n, s.replace(target, repl)) }
         step += 1
       }
     }

@@ -84,6 +84,27 @@ class BpeSpec extends SparkSpec {
       s"local $local vs distributed $dist")
   }
 
+  test("train merges reduplicated words via the framed-string rule in " +
+      "both layouts") {
+    // "papa": round 1 elects "p a" (count 2). The single-pass framed
+    // replace on " p a p a " consumes the shared separator: only the
+    // FIRST occurrence merges -> " pa p a " (NOT [pa, pa] — that's the
+    // symbol-array rule the oracle does not implement). Round 2 pairs
+    // over [pa, p, a]: "pa p"=1, "p a"=1 -> byte-order tiebreak picks
+    // "p a" (' ' < 'a') -> " pa pa ". Round 3 merges "pa pa" -> done.
+    val docs = Seq("papa").toDF("text")
+    val expect = Seq((1, "p a", 2L), (2, "p a", 1L), (3, "pa pa", 1L))
+    val local = Bpe.train(spark, docs, "text", rounds = 6)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(local == expect, s"local layout got $local")
+    val dist = Bpe.train(spark, docs, "text", rounds = 6,
+        localVocabThreshold = 0)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(dist == expect, s"distributed layout got $dist")
+  }
+
   test("train tiebreak is pair-ascending at equal counts") {
     // "xy" and "ab" both occur twice; "a b" < "x y" lexicographically
     val docs = Seq("xy ab", "ab xy").toDF("text")
