@@ -1237,6 +1237,163 @@ object Catalog {
       SELECT CAST(version AS INTEGER) AS version, n_rows, sum_qty
       FROM v ORDER BY version"""))
 
+  /** SCHEMA EVOLUTION through the V2 catalog: `ALTER TABLE ADD/RENAME/
+    * DROP COLUMN` routes to `TableCatalog.alterTable` as
+    * [[org.apache.spark.sql.connector.catalog.TableChange]]s, with
+    * snapshot-consistent semantics — each ALTER commits a NEW version
+    * carrying the new schema; prior snapshots keep their own schema
+    * and rows. The query drives the full lifecycle: CTAS (era 1) →
+    * ADD COLUMN → INSERT era 2 (with the new column) → RENAME COLUMN
+    * → DROP COLUMN, then reads THREE eras: the pre-ALTER snapshot
+    * (v1, original shape), the post-ADD snapshot (v3 — era-1 rows
+    * null-fill the added column, so count(l_disc) only sees era 2),
+    * and the current table grouped by the RENAMED column with the
+    * dropped column gone. Oracle replays all three states by set
+    * algebra over lineitem. A catalog that rewrote history on ALTER,
+    * forgot to null-fill, or misapplied rename/drop positions breaks
+    * a stage.
+    */
+  val catalogSchemaEvolution = RegisteredQuery(
+    "catalog_schema_evolution",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_evo_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_evo")
+      // v0 = empty at creation; v1 = the CTAS rows (era 1)
+      s.sql("""CREATE TABLE graft_cat.ns.li_evo AS
+        SELECT l_orderkey, l_quantity, l_returnflag
+        FROM li_evo_src WHERE l_orderkey <= 800""")
+      // v2 = same rows, schema widened (era-1 rows null-fill l_disc)
+      s.sql("ALTER TABLE graft_cat.ns.li_evo ADD COLUMN l_disc DOUBLE")
+      // v3 = era 2 lands with the new column populated
+      s.sql("""INSERT INTO graft_cat.ns.li_evo
+        SELECT l_orderkey, l_quantity, l_returnflag, l_discount
+        FROM li_evo_src WHERE l_orderkey > 800 AND l_orderkey <= 1600""")
+      // v4 = rename; v5 = drop — values stay put, shape changes
+      s.sql("ALTER TABLE graft_cat.ns.li_evo RENAME COLUMN l_returnflag TO rflag")
+      s.sql("ALTER TABLE graft_cat.ns.li_evo DROP COLUMN l_quantity")
+      s.sql("""SELECT CAST(1 AS INT) AS stage, CAST(NULL AS STRING) AS rflag,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS metric
+        FROM graft_cat.ns.li_evo VERSION AS OF 1
+        UNION ALL
+        SELECT CAST(2 AS INT), CAST(NULL AS STRING),
+          CAST(count(*) AS BIGINT), CAST(count(l_disc) AS BIGINT),
+          CAST(sum(CAST(l_disc AS DECIMAL(18,2))) AS DOUBLE)
+        FROM graft_cat.ns.li_evo VERSION AS OF 3
+        UNION ALL
+        SELECT CAST(3 AS INT), rflag,
+          CAST(count(*) AS BIGINT), CAST(count(l_disc) AS BIGINT),
+          CAST(sum(CAST(l_disc AS DECIMAL(18,2))) AS DOUBLE)
+        FROM graft_cat.ns.li_evo GROUP BY rflag
+        ORDER BY stage, rflag NULLS FIRST""")
+    },
+    Some("""WITH era1 AS (
+        SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+        WHERE l_orderkey <= 800),
+      era2 AS (
+        SELECT l_orderkey, l_quantity, l_returnflag, l_discount
+        FROM lineitem WHERE l_orderkey > 800 AND l_orderkey <= 1600),
+      cur AS (
+        SELECT l_returnflag AS rflag, CAST(NULL AS DOUBLE) AS l_disc
+        FROM era1
+        UNION ALL
+        SELECT l_returnflag, l_discount FROM era2),
+      v AS (
+        SELECT 1 AS stage, CAST(NULL AS VARCHAR) AS rflag,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_nonnull,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS metric
+        FROM era1
+        UNION ALL
+        SELECT 2, NULL,
+          (SELECT CAST(count(*) AS BIGINT) FROM era1)
+            + (SELECT CAST(count(*) AS BIGINT) FROM era2),
+          (SELECT CAST(count(*) AS BIGINT) FROM era2),
+          (SELECT CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           FROM era2)
+        UNION ALL
+        SELECT 3, rflag, CAST(count(*) AS BIGINT),
+          CAST(count(l_disc) AS BIGINT),
+          CAST(sum(CAST(l_disc AS DECIMAL(18,2))) AS DOUBLE)
+        FROM cur GROUP BY rflag)
+      SELECT CAST(stage AS INTEGER) AS stage, rflag, n_rows, n_nonnull,
+        metric
+      FROM v ORDER BY stage, rflag NULLS FIRST"""))
+
+  /** SQL `MERGE INTO` through the V2 catalog — the DSv2 row-level-
+    * operations path (`SupportsRowLevelOperations`, group-based
+    * copy-on-write): Spark rewrites the statement to read the target
+    * through the operation's scan, apply matched-delete /
+    * matched-update / not-matched-insert row math, and write the
+    * surviving rows back replacing the scanned group. One statement
+    * exercises all three WHEN branches (clause order matters: the
+    * R-flag DELETE must win over the UPDATE for matched R rows);
+    * the oracle replays the merge by set algebra over lineitem.
+    * The synthetic fixture's (l_orderkey, l_linenumber) is NOT
+    * unique, so the source pre-aggregates per key (sum qty, min
+    * flag): the rewrite's multiple-SOURCE-match cardinality check
+    * passes by construction, while duplicate TARGET rows sharing a
+    * key are each updated/deleted (allowed by MERGE semantics and
+    * replayed by the oracle's join). Quantities are integral doubles
+    * in the fixture, so the pre-aggregate sum is order-exact.
+    */
+  val catalogMergeInto = RegisteredQuery(
+    "catalog_merge_into",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_m_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_m")
+      s.sql("""CREATE TABLE graft_cat.ns.li_m AS
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM li_m_src WHERE l_orderkey <= 1000""")
+      s.sql("""MERGE INTO graft_cat.ns.li_m t
+        USING (SELECT l_orderkey, l_linenumber,
+                 sum(l_quantity) AS l_quantity,
+                 min(l_returnflag) AS l_returnflag
+               FROM li_m_src
+               WHERE l_orderkey > 600 AND l_orderkey <= 1600
+               GROUP BY l_orderkey, l_linenumber) s
+        ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+        WHEN MATCHED AND s.l_returnflag = 'R' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET l_quantity = t.l_quantity + s.l_quantity
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+          CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        FROM graft_cat.ns.li_m GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    },
+    Some("""WITH src AS (
+        SELECT l_orderkey, l_linenumber,
+          sum(l_quantity) AS s_qty, min(l_returnflag) AS s_rf
+        FROM lineitem
+        WHERE l_orderkey > 600 AND l_orderkey <= 1600
+        GROUP BY l_orderkey, l_linenumber),
+      tgt AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem WHERE l_orderkey <= 1000),
+      merged AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM tgt WHERE l_orderkey <= 600
+        UNION ALL
+        SELECT t.l_orderkey, t.l_linenumber,
+          t.l_quantity + s.s_qty, t.l_returnflag
+        FROM tgt t JOIN src s USING (l_orderkey, l_linenumber)
+        WHERE s.s_rf <> 'R'
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, s_qty, s_rf
+        FROM src WHERE l_orderkey > 1000)
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        CAST(max(l_orderkey) AS BIGINT) AS max_ok
+      FROM merged GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** DSv2 RUNTIME filtering (dynamic pruning): a filtered dim joins
     * the 100k-row fact on id — the connector reports honest post-
     * pushdown statistics (SupportsReportStatistics), so the dim
@@ -7526,7 +7683,8 @@ $union
     chunkOverlap, catalogManagedTable, sinkPartitionOverwrite,
     sinkInsertOverwrite, catalogIntrospect, sourceCustomV2,
     sourcePushdownAgg, sourcePushdownLimit, sourceRuntimeFilter,
-    catalogV2Dml, catalogTimeTravel, sinkCustomV2,
+    catalogV2Dml, catalogTimeTravel, catalogSchemaEvolution,
+    catalogMergeInto, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,
     joinShuffleHash, nestedPruning,

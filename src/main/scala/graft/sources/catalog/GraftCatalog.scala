@@ -93,8 +93,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     t
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** SCHEMA EVOLUTION: `ALTER TABLE … ADD/RENAME/DROP COLUMN` routes
+    * here as [[TableChange]]s. Snapshot-consistent semantics: the
+    * change commits a NEW version carrying the new schema (rows
+    * conformed — added columns null-fill, dropped columns project
+    * away); every PRIOR version keeps its own schema and rows, so
+    * `VERSION AS OF` reads of pre-ALTER snapshots still serve the
+    * pre-ALTER shape. Mirrors the parquet `schema_evolution` read
+    * path, where old files null-fill under a widened schema.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = loadTable(ident) match {
+      case m: GraftMemTable => m
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE unsupported for ${other.name()}")
+    }
+    t.applyChanges(changes)
+    t
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     GraftCatalog.tables.remove(key(ident)) != null
@@ -143,21 +159,34 @@ object GraftCatalog {
 }
 
 /** A catalog-managed driver-memory table: batch read, two-phase-commit
-  * batch write (append + truncate-backed overwrite), and filter-based
-  * row-level DELETE. Row payloads live behind a lock; scans snapshot.
+  * batch write (append + truncate-backed overwrite), filter-based
+  * row-level DELETE, and group-based row-level operations (SQL
+  * `MERGE INTO` / `UPDATE` rewrites). Row payloads live behind a
+  * lock; scans snapshot.
   */
 final class GraftMemTable(fullName: String, schema0: StructType)
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations {
 
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+  /** Current schema; starts at the creation schema and advances only
+    * via [[applyChanges]] (ALTER TABLE).
+    */
+  private var curSchema: StructType = schema0
   /** Immutable row-set per committed version; v0 = the empty table at
-    * creation. Every commit (INSERT/CTAS/OVERWRITE), DELETE, and
-    * TRUNCATE appends one snapshot — the Iceberg-style history that
-    * `VERSION AS OF` serves. Driver-memory table ⇒ snapshots are
-    * cheap Seq references (rows are immutable).
+    * creation. Every commit (INSERT/CTAS/OVERWRITE), DELETE,
+    * TRUNCATE, and ALTER appends one snapshot — the Iceberg-style
+    * history that `VERSION AS OF` serves. Driver-memory table ⇒
+    * snapshots are cheap Seq references (rows are immutable).
     */
   private val history =
     scala.collection.mutable.ArrayBuffer[Seq[Row]](Seq.empty)
+  /** Schema per committed version, parallel to [[history]] — old
+    * snapshots keep the schema they were committed under, so time
+    * travel across an ALTER serves each era in its own shape.
+    */
+  private val schemaHistory =
+    scala.collection.mutable.ArrayBuffer[StructType](schema0)
   /** Commit timestamps (µs), strictly increasing even when commits
     * land inside one clock tick — what `TIMESTAMP AS OF` binds to.
     */
@@ -166,6 +195,7 @@ final class GraftMemTable(fullName: String, schema0: StructType)
       System.currentTimeMillis() * 1000L)
   private def record(): Unit = {
     history += buf.toSeq
+    schemaHistory += curSchema
     commitTsMicros += math.max(System.currentTimeMillis() * 1000L,
       commitTsMicros.last + 1)
   }
@@ -180,14 +210,16 @@ final class GraftMemTable(fullName: String, schema0: StructType)
         s"$fullName did not exist at timestamp $tsMicros")
     v
   }
-  private def snapshot(): Seq[Row] = synchronized(buf.toSeq)
+  private def snapshot(): (Seq[Row], StructType) =
+    synchronized((buf.toSeq, curSchema))
   private[catalog] def currentVersion: Int = synchronized(history.size - 1)
-  private[catalog] def versionRows(v: Int): Seq[Row] = synchronized {
-    if (v < 0 || v >= history.size)
-      throw new IllegalArgumentException(
-        s"no version $v of $fullName (latest: ${history.size - 1})")
-    history(v)
-  }
+  private[catalog] def versionRows(v: Int): (Seq[Row], StructType) =
+    synchronized {
+      if (v < 0 || v >= history.size)
+        throw new IllegalArgumentException(
+          s"no version $v of $fullName (latest: ${history.size - 1})")
+      (history(v), schemaHistory(v))
+    }
   private[catalog] def publish(rows: Seq[Row], replace: Boolean): Unit =
     synchronized {
       if (replace) buf.clear()
@@ -195,12 +227,73 @@ final class GraftMemTable(fullName: String, schema0: StructType)
       record()
     }
 
+  /** Apply ALTER TABLE changes: ADD COLUMN (appended, existing rows
+    * null-fill), RENAME COLUMN (positional values untouched), DROP
+    * COLUMN (values projected away). All changes in the statement
+    * apply atomically, then ONE new version commits with the new
+    * schema — prior snapshots are untouched. Unsupported change kinds
+    * (type updates, positioned adds, nested fields) fail the statement
+    * up front with nothing mutated: changes are staged on copies and
+    * only installed after every change validated.
+    */
+  private[catalog] def applyChanges(changes: Seq[TableChange]): Unit =
+    synchronized {
+      var fields = curSchema.fields.toVector
+      var rows = buf.toVector
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          if (add.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              s"nested ADD COLUMN unsupported: ${add.fieldNames().mkString(".")}")
+          if (add.position() != null)
+            throw new UnsupportedOperationException(
+              "positioned ADD COLUMN unsupported (columns append)")
+          val nm = add.fieldNames().head
+          if (fields.exists(_.name == nm))
+            throw new IllegalArgumentException(s"column $nm already exists")
+          fields :+= org.apache.spark.sql.types
+            .StructField(nm, add.dataType(), nullable = true)
+          rows = rows.map(r => Row.fromSeq(r.toSeq :+ null))
+        case ren: TableChange.RenameColumn =>
+          if (ren.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              s"nested RENAME COLUMN unsupported: ${ren.fieldNames().mkString(".")}")
+          val i = fields.indexWhere(_.name == ren.fieldNames().head)
+          if (i < 0) throw new IllegalArgumentException(
+            s"no column ${ren.fieldNames().head} in $fullName")
+          fields = fields.updated(i, fields(i).copy(name = ren.newName()))
+        case del: TableChange.DeleteColumn =>
+          if (del.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              s"nested DROP COLUMN unsupported: ${del.fieldNames().mkString(".")}")
+          val i = fields.indexWhere(_.name == del.fieldNames().head)
+          if (i < 0) {
+            if (!del.ifExists()) throw new IllegalArgumentException(
+              s"no column ${del.fieldNames().head} in $fullName")
+          } else {
+            fields = fields.patch(i, Nil, 1)
+            rows = rows.map(r => Row.fromSeq(
+              r.toSeq.patch(i, Nil, 1)))
+          }
+        case other =>
+          throw new UnsupportedOperationException(
+            s"unsupported table change: $other")
+      }
+      curSchema = StructType(fields)
+      buf.clear()
+      buf ++= rows
+      record()
+    }
+
   private[catalog] def renamed(newName: String): GraftMemTable = {
     val t = new GraftMemTable(newName, schema0)
     synchronized {
+      t.curSchema = curSchema
       t.buf ++= buf
       t.history.clear()
       t.history ++= history
+      t.schemaHistory.clear()
+      t.schemaHistory ++= schemaHistory
       t.commitTsMicros.clear()
       t.commitTsMicros ++= commitTsMicros
     }
@@ -211,39 +304,46 @@ final class GraftMemTable(fullName: String, schema0: StructType)
     * `SELECT … FROM t VERSION AS OF v` resolves to.
     */
   private[catalog] def pinnedAt(version: Int): Table = {
-    val rows = versionRows(version) // validate eagerly: bad version fails the query up front
+    // validate eagerly: bad version fails the query up front; the
+    // snapshot carries ITS OWN schema — reads across an ALTER serve
+    // each era in the shape it was committed under
+    val (rows, schemaAt) = versionRows(version)
+    val pinnedV = version
     val outer = this
     new Table with SupportsRead {
-      override def name(): String = s"${outer.name()}@v$version"
-      override def schema(): StructType = schema0
+      override def name(): String = s"${outer.name()}@v$pinnedV"
+      override def schema(): StructType = schemaAt
       override def capabilities(): java.util.Set[TableCapability] =
         java.util.EnumSet.of(TableCapability.BATCH_READ)
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
-        outer.scanBuilderFor(rows)
+        outer.scanBuilderFor(rows, schemaAt)
     }
   }
 
   override def name(): String = s"graft_cat_table($fullName)"
-  override def schema(): StructType = schema0
+  override def schema(): StructType = synchronized(curSchema)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   // ------------------------------------------------------------- read
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    scanBuilderFor(snapshot())
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val (rows, schemaAt) = snapshot()
+    scanBuilderFor(rows, schemaAt)
+  }
 
-  private[catalog] def scanBuilderFor(rowsAt: Seq[Row]): ScanBuilder =
+  private[catalog] def scanBuilderFor(rowsAt: Seq[Row],
+      schemaAt: StructType): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan with Batch {
         private val rows = rowsAt
-        override def readSchema(): StructType = schema0
+        override def readSchema(): StructType = schemaAt
         override def description(): String =
           s"graft-cat-scan $fullName rows=${rows.length}"
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] =
-          Array(CatRows(rows, schema0))
+          Array(CatRows(rows, schemaAt))
         override def createReaderFactory(): PartitionReaderFactory =
           new PartitionReaderFactory {
             override def createReader(p: InputPartition)
@@ -297,11 +397,11 @@ final class GraftMemTable(fullName: String, schema0: StructType)
     * fails the statement up front instead of half-deleting.
     */
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
-    predicates.forall(p => PredicateEval.supported(p, schema0))
+    predicates.forall(p => PredicateEval.supported(p, schema()))
   override def deleteWhere(predicates: Array[Predicate]): Unit =
     synchronized {
       val keep = buf.filterNot(r =>
-        predicates.forall(p => PredicateEval.eval(p, r, schema0)))
+        predicates.forall(p => PredicateEval.eval(p, r, curSchema)))
       buf.clear()
       buf ++= keep
       record()
@@ -310,6 +410,54 @@ final class GraftMemTable(fullName: String, schema0: StructType)
     synchronized { buf.clear(); record() }
     true
   }
+
+  // ------------------------------------------- row-level ops (MERGE)
+  /** GROUP-BASED (copy-on-write) row-level operations — the DSv2
+    * contract SQL `MERGE INTO` / `UPDATE` rewrite to
+    * (`RewriteMergeIntoTable`): Spark reads the target through the
+    * operation's scan, computes the surviving row set (carried-over +
+    * updated + inserted; multiple-match cardinality check included in
+    * the rewritten plan), and writes it back through the operation's
+    * write, REPLACING the scanned groups. This driver-memory table
+    * has one group — the whole table — so the replacing commit is a
+    * truncate-and-publish: exactly how a file-based lakehouse format
+    * rewrites whole files under copy-on-write, collapsed to one
+    * buffer. Rewrites commit one new snapshot, so MERGE lands in the
+    * time-travel history like any other DML.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        override def description(): String =
+          s"graft-cat-cow ${info.command()} $fullName"
+        override def newScanBuilder(
+            options: CaseInsensitiveStringMap): ScanBuilder = {
+          val (rows, schemaAt) = snapshot()
+          scanBuilderFor(rows, schemaAt)
+        }
+        override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder = {
+          new WriteBuilder {
+            override def build(): Write = new Write {
+              override def toBatch: BatchWrite = new BatchWrite {
+                override def createBatchWriterFactory(
+                    pinfo: PhysicalWriteInfo): DataWriterFactory =
+                  new CowWriterFactory(winfo.schema())
+                override def commit(
+                    messages: Array[WriterCommitMessage]): Unit =
+                  publish(messages
+                    .map(_.asInstanceOf[graft.sources.synth.MemRows])
+                    .sortBy(_.partitionId).flatMap(_.rows).toSeq,
+                    replace = true)
+                override def abort(
+                    messages: Array[WriterCommitMessage]): Unit = ()
+              }
+            }
+          }
+        }
+      }
+    }
 }
 
 /** One partition carrying the snapshot (driver-memory table: the rows
@@ -317,6 +465,47 @@ final class GraftMemTable(fullName: String, schema0: StructType)
   */
 final case class CatRows(rows: Seq[Row], schema: StructType)
   extends InputPartition
+
+/** Writer for the copy-on-write (ReplaceData) commit of a row-level
+  * operation. `LogicalWriteInfo.schema()` carries the DATA schema, but
+  * for a connector with NO metadata columns Spark's `ReplaceDataExec`
+  * picks the plain writing task, which hands rows through UNPROJECTED
+  * — each record is the raw `MergeRows` output: a leading
+  * `__row_operation` int (`RowDeltaUtils.{WRITE,WRITE_WITH_METADATA}
+  * _OPERATION`, both meaning "this row survives") followed by the
+  * data columns. (With metadata columns — Iceberg's `_file`/`_pos` —
+  * Spark itself projects via `DataAndMetadataWritingSparkTask`.) The
+  * writer detects the wider layout by field count and strips the
+  * operation column; plain data-width rows pass through unchanged,
+  * so the factory stays correct if Spark ever projects this path.
+  */
+final class CowWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      private val opSchema = StructType(
+        org.apache.spark.sql.types.StructField(
+          org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN,
+          org.apache.spark.sql.types.IntegerType, nullable = false)
+          +: schema.fields)
+      private def deserFor(s: StructType) =
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder(org.apache.spark.sql.catalyst.encoders
+            .RowEncoder.encoderFor(s))
+          .resolveAndBind().createDeserializer()
+      private lazy val deserData = deserFor(schema)
+      private lazy val deserOp = deserFor(opSchema)
+      override def write(record: InternalRow): Unit =
+        buf += (
+          if (record.numFields == schema.length) deserData(record.copy())
+          else Row.fromSeq(deserOp(record.copy()).toSeq.tail))
+      override def commit(): WriterCommitMessage =
+        graft.sources.synth.MemRows(partitionId, buf.toSeq)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}
 
 /** Tiny driver-side evaluator for connector [[Predicate]]s over
   * external Rows — enough for the DELETE surface (comparisons,

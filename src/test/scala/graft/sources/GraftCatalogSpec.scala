@@ -118,16 +118,96 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
-  test("unsupported DELETE predicate fails up front, deletes nothing") {
+  test("ALTER TABLE evolves the schema; old snapshots keep theirs") {
+    GraftCatalog.reset()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .createOrReplaceTempView("evo_src")
+    spark.sql("CREATE TABLE graft_cat.ns.evo AS SELECT * FROM evo_src")
+    spark.sql("ALTER TABLE graft_cat.ns.evo ADD COLUMN score DOUBLE")
+    // existing rows null-fill the added column
+    val filled = spark.sql("SELECT id, score FROM graft_cat.ns.evo")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1))).sortBy(_._1).toSeq
+    assert(filled == Seq((1L, true), (2L, true)))
+    // new era inserts carry the column
+    spark.sql("INSERT INTO graft_cat.ns.evo VALUES (3, 'c', 0.5)")
+    spark.sql("ALTER TABLE graft_cat.ns.evo RENAME COLUMN tag TO label")
+    spark.sql("ALTER TABLE graft_cat.ns.evo DROP COLUMN id")
+    assert(spark.table("graft_cat.ns.evo").columns.toSeq ==
+      Seq("label", "score"))
+    val cur = spark.sql(
+      "SELECT label, score FROM graft_cat.ns.evo ORDER BY label")
+      .collect().map(r =>
+        (r.getString(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toSeq
+    assert(cur == Seq(("a", -1.0), ("b", -1.0), ("c", 0.5)), s"got $cur")
+    // v1 (pre-ALTER CTAS snapshot) is immutable: original shape + rows
+    val v1 = spark.sql("SELECT id, tag FROM graft_cat.ns.evo VERSION AS OF 1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(v1 == Seq((1L, "a"), (2L, "b")))
+    // the old snapshot does NOT have the added column
+    intercept[Exception] {
+      spark.sql("SELECT score FROM graft_cat.ns.evo VERSION AS OF 1")
+        .collect()
+    }
+    // and the current table no longer has the dropped one
+    intercept[Exception] {
+      spark.sql("SELECT id FROM graft_cat.ns.evo").collect()
+    }
+    // unsupported change kinds fail without committing anything
+    val vBefore = spark.sql("DESCRIBE TABLE graft_cat.ns.evo").collect()
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ns.evo ALTER COLUMN score TYPE STRING")
+    }
+    assert(spark.sql("DESCRIBE TABLE graft_cat.ns.evo").collect()
+      .map(_.toString).toSeq == vBefore.map(_.toString).toSeq)
+  }
+
+  test("MERGE INTO rewrites through the copy-on-write row-level path") {
+    GraftCatalog.reset()
+    Seq((1L, 10.0, "N"), (2L, 20.0, "R"), (3L, 30.0, "N"))
+      .toDF("k", "q", "f").createOrReplaceTempView("mrg_t")
+    Seq((2L, 5.0, "N"), (3L, 7.0, "R"), (4L, 9.0, "A"))
+      .toDF("k", "q", "f").createOrReplaceTempView("mrg_s")
+    spark.sql("CREATE TABLE graft_cat.ns.mg AS SELECT * FROM mrg_t")
+    spark.sql("""MERGE INTO graft_cat.ns.mg t USING mrg_s s ON t.k = s.k
+      WHEN MATCHED AND s.f = 'R' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET q = t.q + s.q
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql("SELECT k, q, f FROM graft_cat.ns.mg ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSeq
+    // k=1 untouched, k=2 updated (DELETE clause didn't fire: s.f='N'),
+    // k=3 deleted (s.f='R'), k=4 inserted
+    assert(got == Seq((1L, 10.0, "N"), (2L, 25.0, "R"), (4L, 9.0, "A")),
+      s"got $got")
+    // the merge committed ONE new snapshot on top of CTAS
+    val v1 = spark.sql("SELECT k FROM graft_cat.ns.mg VERSION AS OF 1")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(v1 == Seq(1L, 2L, 3L))
+  }
+
+  test("UPDATE rewrites through the same row-level path") {
+    GraftCatalog.reset()
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "q")
+      .createOrReplaceTempView("upd_src")
+    spark.sql("CREATE TABLE graft_cat.ns.up AS SELECT * FROM upd_src")
+    spark.sql("UPDATE graft_cat.ns.up SET q = q * 2 WHERE k >= 2")
+    val got = spark.sql("SELECT k, q FROM graft_cat.ns.up ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 40.0), (3L, 60.0)), s"got $got")
+  }
+
+  test("unsupported DELETE predicate falls back to the row-level rewrite") {
     GraftCatalog.reset()
     Seq((1L, "ab"), (2L, "cd")).toDF("id", "s")
       .createOrReplaceTempView("cat_src4")
     spark.sql("CREATE TABLE graft_cat.ns.t4 AS SELECT * FROM cat_src4")
-    // LIKE does not translate to a supported connector predicate
-    intercept[Exception] {
-      spark.sql("DELETE FROM graft_cat.ns.t4 WHERE s LIKE 'a%'")
-    }
-    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.t4")
-      .collect().head.getLong(0) == 2L)
+    // LIKE does not translate to a supported connector predicate, so
+    // canDeleteWhere rejects it — but with SupportsRowLevelOperations
+    // Spark now rewrites the DELETE as a copy-on-write ReplaceData
+    // instead of failing the statement: the delete executes with full
+    // expression power, Spark-side
+    spark.sql("DELETE FROM graft_cat.ns.t4 WHERE s LIKE 'a%'")
+    assert(spark.sql("SELECT id FROM graft_cat.ns.t4")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 }
