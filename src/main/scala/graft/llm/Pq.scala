@@ -388,6 +388,85 @@ object Pq {
     IvfPqDiskIndex(codes, PqModel(dim, m, k, books), centroids, radii)
   }
 
+  /** INCREMENTAL maintenance of a disk IVF×PQ index — the last index
+    * family to gain the append verb ([[Similarity.appendLshIndex]] /
+    * [[Similarity.appendIvfIndex]] are the siblings). The delta is
+    * encoded against the FROZEN codebooks and centroids read from the
+    * index's own sidecars (arrival never retrains — codes stay
+    * comparable across eras by construction) and appended as new
+    * files inside the same `cell=` directories at O(delta) cost; base
+    * code files are never rewritten (pinned in IvfPqDiskSpec).
+    *
+    * Exactness of the serve's cell pruning survives because the radii
+    * sidecar WIDENS: per cell touched by the delta, the new radius is
+    * max(old, delta members' max angle) — max is associative, so the
+    * widened radius equals a full recompute over base+delta exactly
+    * (same argument as `sim_topk_ivf_append`, but against persisted
+    * radii: the codes frame has no vectors to recompute from, which
+    * is the point of PQ). A drifted delta only widens radii — costs
+    * probes, never answers. Cells untouched by the delta keep their
+    * old radius (the sparse [[Similarity.cellMaxAngles]] merge — a
+    * π default here would destroy pruning).
+    */
+  def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, vecCol: String, idCol: String,
+      path: String): Unit = {
+    val idx = readIvfPqIndex(spark, path)
+    val assigned = normalized(delta, vecCol, idCol, idx.model.dim)
+      .select(col("id"),
+        GraftFunctions.nearestCentroid(col("nv"), idx.centroids)
+          .cast("int").as("cell"),
+        col("nv"))
+      .persist()
+    try {
+      assigned
+        .select(col("id"),
+          GraftFunctions.pqPack(
+            GraftFunctions.pqEncode(col("nv"), idx.model.codebooks))
+            .as("codes"),
+          col("cell"))
+        .filter(col("codes").isNotNull)
+        .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      // angles over the RAW delta vectors — the same expression and
+      // inputs as the build path's cellRadii(index ⋈ raw vecs), so the
+      // widened radius is BIT-identical to a full recompute, not just
+      // mathematically equal (cosine is scale-invariant; its float
+      // evaluation is not)
+      val deltaMax = Similarity.cellMaxAngles(
+        assigned.select(col("id"), col("cell"))
+          .join(delta.select(col(idCol).as("id"),
+            col(vecCol).cast("array<double>").as("vec")), "id")
+          .select(col("cell"), col("vec")),
+        idx.centroids)
+      val widened = idx.radii.zipWithIndex.map { case (r, c) =>
+        math.max(r, deltaMax.getOrElse(c, r)) }
+      import spark.implicits._
+      idx.centroids.indices.map(i =>
+          (i, idx.centroids(i).toSeq, widened(i)))
+        .toDF("cell", "centroid", "radius")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    } finally { assigned.unpersist(blocking = false); () }
+  }
+
+  /** COMPACTION of an appended IVF×PQ index: rewrites `path/codes` to
+    * one file per `cell=` directory behind the same two-rename swap as
+    * [[Similarity.compactLshIndex]] (and with the same caveats —
+    * callers serialize with readers; local-filesystem renames). The
+    * driver-sized sidecars (codebooks/centroids/params) are already
+    * single-file and are untouched — only the corpus-scale codes tree
+    * fragments under appends.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val codesPath = s"$path/codes"
+    spark.read.parquet(codesPath)
+      .select(col("id"), col("codes"), col("cell").cast("int").as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$codesPath.compact")
+    Similarity.swapCompacted(codesPath)
+  }
+
   /** PQ shortlist → exact re-rank: ADC picks `shortlist` candidate ids
     * from codes alone, then the candidates join back to the RAW
     * vectors (broadcast — a shortlist is O(k'), never corpus-sized)

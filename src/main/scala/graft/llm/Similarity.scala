@@ -874,31 +874,95 @@ object Similarity {
     * with one file per (table, grp) directory (re-sorted by sig, so
     * row-group pruning recovers the freshly-built layout), builds the
     * result in a sibling `<path>.compact` directory, then swaps it in
-    * with two atomic renames — a reader holds either the old or the
-    * new complete index, never a mix. Content is byte-equal by
-    * construction (pure re-layout); LshDiskSpec pins serve equality
-    * and the file-count drop.
+    * via [[swapCompacted]] (see its concurrency/filesystem caveats —
+    * callers serialize compaction with readers, as the registered
+    * queries' locks do). Tombstoned ids ([[deleteFromLshIndex]]) are
+    * FOLDED: compaction drops their rows and clears the tombstone
+    * set, so post-compaction serves pay no anti-join. Surviving
+    * content is byte-equal by construction; LshDiskSpec pins serve
+    * equality and the file-count drop.
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val tmp = s"$path.compact"
-    val old = s"$path.old"
-    readLshIndex(spark, path)
+    val dead = readTombstones(spark, path)
+    val base = readLshIndex(spark, path)
+    (dead match {
+      case Some(ids) => base.join(broadcast(ids),
+        base("id") === ids("graft_dead_id"), "left_anti")
+      case None => base
+    })
       .select(col("table"), col("sig"), col("id"), col("vec"),
         col("grp"))
       .repartition(col("table"), col("grp"))
       .sortWithinPartitions(col("sig"))
       .write.mode("overwrite").partitionBy("table", "grp").parquet(tmp)
+    swapCompacted(path)
+    rmTree(new java.io.File(tombstonePath(path)))
+  }
+
+  /** Swap a freshly-built `<path>.compact` tree into `<path>` with two
+    * renames, then delete the displaced tree. Each rename is atomic,
+    * but the PAIR is not: between them `<path>` does not exist, and a
+    * query planned against the old tree (cached file listing) fails
+    * once `.old` is deleted — so compaction must be SERIALIZED with
+    * readers by the caller (the registered queries hold a lock across
+    * build/append/compact/serve). The java.nio moves also assume a
+    * local/posix-rename filesystem, unlike the Spark-written index
+    * data itself; an object-store deployment would swap a manifest
+    * pointer instead (the Iceberg commit shape).
+    */
+  private[llm] def swapCompacted(path: String): Unit = {
     val fs = java.nio.file.Paths.get(path)
+    val old = s"$path.old"
     java.nio.file.Files.move(fs, java.nio.file.Paths.get(old),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), fs,
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$path.compact"), fs,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(old))
+    rmTree(new java.io.File(old))
+  }
+
+  private[llm] def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  private def tombstonePath(path: String): String = s"$path.tombstones"
+
+  /** Drop any pending tombstone set (used by rebuilds: a fresh index
+    * must not inherit a prior corpus version's takedowns).
+    */
+  def clearTombstones(path: String): Unit =
+    rmTree(new java.io.File(tombstonePath(path)))
+
+  /** DELETE from a disk LSH index — the removal verb of the lifecycle
+    * (GDPR-style takedown): deleted ids append as a TOMBSTONE parquet
+    * sidecar at O(delta-ids) cost; index data files are untouched (a
+    * row's bytes disappear at the next [[compactLshIndex]], which
+    * folds tombstones and clears the set). Serving anti-joins the
+    * tombstone set (broadcast — takedown sets are small relative to
+    * the corpus), so a deleted id is unservable IMMEDIATELY after this
+    * returns, before any rewrite happens — the same
+    * logical-delete/physical-rewrite split as the V2 catalog's
+    * copy-on-write DML, applied to the index world.
+    */
+  def deleteFromLshIndex(ids: DataFrame, idCol: String,
+      path: String): Unit =
+    ids.select(col(idCol).as("graft_dead_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(tombstonePath(path))
+
+  /** The tombstone set, if any deletions are pending (None ⇒ serve
+    * pays zero anti-join cost — the common case and the post-compact
+    * steady state).
+    */
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val dir = new java.io.File(tombstonePath(path))
+    if (dir.isDirectory &&
+        dir.listFiles().exists(_.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(tombstonePath(path)))
+    else None
   }
 
   def readLshIndex(spark: org.apache.spark.sql.SparkSession,
@@ -929,9 +993,17 @@ object Similarity {
         col("sig").isin(sigs: _*)
     }.reduce(_ || _)
     val q = typedLit(query.toSeq)
-    idx.filter(probe)
+    val hits = idx.filter(probe)
       .select(col("id"), col("vec"))
       .dropDuplicates("id")
+    // pending tombstones anti-join away (deleted ids are unservable
+    // before any physical rewrite); post-compaction this is a no-op
+    val alive = readTombstones(spark, path) match {
+      case Some(ids) => hits.join(broadcast(ids),
+        hits("id") === ids("graft_dead_id"), "left_anti")
+      case None => hits
+    }
+    alive
       .select(col("id"), cosineNative(col("vec"), q).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
@@ -956,6 +1028,18 @@ object Similarity {
     * `cos(max(0, θ_qc − r_c))` upper-bounds every score in the cell.
     */
   def cellRadii(index: DataFrame, centroids: Array[Array[Double]]): Array[Double] = {
+    val got = cellMaxAngles(index, centroids)
+    Array.tabulate(centroids.length)(c => got.getOrElse(c, math.Pi))
+  }
+
+  /** Per-cell max member angle as a sparse map (only cells with
+    * members appear) — the shared kernel of [[cellRadii]] and the
+    * radii-WIDENING step of incremental index appends
+    * ([[graft.llm.Pq.appendIvfPqIndex]]), where absent cells must keep
+    * their old radius rather than collapse to the π default.
+    */
+  private[llm] def cellMaxAngles(index: DataFrame,
+      centroids: Array[Array[Double]]): Map[Int, Double] = {
     // fused own-centroid cosine: the composable element_at(array(k
     // cosines), cell+1) form planned k cosine expressions per row and
     // its codegen COMPILATION dominated the radii job at k≈30
@@ -964,11 +1048,10 @@ object Similarity {
       col("vec"), col("cell").cast("int"), centroids)
     val angle = when(ccos.isNull, lit(math.Pi))
       .otherwise(acos(least(greatest(ccos, lit(-1.0)), lit(1.0))))
-    val got = index
+    index
       .select(col("cell"), angle.as("angle"))
       .groupBy(col("cell")).agg(max(col("angle")).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    Array.tabulate(centroids.length)(c => got.getOrElse(c, math.Pi))
   }
 
   /** EXACT top-k over an IVF index via cell-bound pruning (the

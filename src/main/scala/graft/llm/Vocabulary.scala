@@ -124,7 +124,12 @@ object Vocabulary {
     val docs = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).as("dl"))
-    docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // sum_dl rides along for the APPEND verb: integer token counts
+    // sum exactly, so a merged avgdl (sum/count over eras) is
+    // bit-identical to a full-rebuild avg — double accumulation of
+    // integers below 2^53 is exact, so avg(dl) == sum_dl/n_docs here
+    docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+        sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$path.stats")
     docs.select(col("id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("id"), col("dl"), col("term"))
@@ -133,6 +138,53 @@ object Vocabulary {
       .repartition(col("bkt"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("bkt").parquet(path)
+  }
+
+  /** INCREMENTAL maintenance of the disk inverted index — nightly
+    * corpus appends without a rebuild. Delta documents tokenize once
+    * and their postings append as new files into the SAME
+    * `bkt = md5(term) mod buckets` layout (the bucket function is a
+    * pure term hash, so a term's base and delta postings land in one
+    * directory and the serve path's closed bucket list is unchanged);
+    * the 1-row stats sidecar merges associatively — n_docs adds,
+    * avgdl recombines from the count-weighted sums. Cost is O(delta)
+    * tokenization + a 1-row sidecar rewrite, never a corpus re-scan.
+    *
+    * Contract: delta doc ids must be NEW (append, not upsert) — df at
+    * serve time counts posting rows per term, which is exact precisely
+    * because ids never repeat across eras. Serve path unchanged
+    * (`doc_bm25_append` shares `doc_bm25`'s oracle).
+    */
+  def appendBm25Index(delta: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int = 64): Unit = {
+    val spark = delta.sparkSession
+    val docs = delta.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("dl"))
+      .persist()
+    try {
+      docs.select(col("id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bkt", termBucketCol(col("term"), buckets))
+        .repartition(col("bkt"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("append").partitionBy("bkt").parquet(path)
+      val old = spark.read.parquet(s"$path.stats")
+        .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
+        .collect().head
+      val add = docs
+        .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
+        .collect().head
+      val n = old.getLong(0) + add.getLong(0)
+      val s = old.getLong(1) + (if (add.isNullAt(1)) 0L else add.getLong(1))
+      // exact integer sums ⇒ merged avgdl is bit-identical to a full
+      // rebuild's avg(dl), not a float recombination of two averages
+      val merged = Seq((n, if (n == 0) 0.0 else s.toDouble / n, s))
+      import spark.implicits._
+      merged.toDF("n_docs", "avgdl", "sum_dl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path.stats")
+    } finally { docs.unpersist(blocking = false); () }
   }
 
   /** Serve BM25 top-k from the disk inverted index. Identical scoring

@@ -4349,6 +4349,69 @@ object Catalog {
       SELECT doc_id, score FROM sc
       ORDER BY score DESC, doc_id LIMIT 20"""))
 
+  /** INCREMENTAL BM25 index maintenance ([[graft.llm.Vocabulary
+    * .appendBm25Index]]): the base inverted index builds from the
+    * history slice (doc_id % 3 != 0), the delta (doc_id % 3 == 0)
+    * appends postings into the SAME md5-term-bucket layout at
+    * O(delta) tokenization cost, and the 1-row stats sidecar merges
+    * associatively from exact integer length sums (bit-identical to a
+    * full rebuild — see the module doc). The serve path is the
+    * unchanged `doc_bm25_disk` read, and because df at serve time
+    * counts base+delta posting rows per term, a lost or double-
+    * applied append shifts idf for EVERY query hit — so sharing
+    * `doc_bm25`'s full-corpus oracle checks the merge, not just the
+    * appended rows.
+    */
+  private val bm25AppendLock = new Object
+  val docBm25Append = RegisteredQuery(
+    "doc_bm25_append",
+    (s, d) => {
+      import graft.llm.Vocabulary
+      val path = s"/tmp/graft_bm25_app_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = sourceStamp(s"$d/documents.parquet")
+      bm25AppendLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          stampFile.delete(): Unit
+          val docs = Tables.documents(s, d)
+          Vocabulary.writeBm25Index(docs.filter(col("doc_id") % 3 =!= 0),
+            "doc_id", "text", path, buckets = 16)
+          Vocabulary.appendBm25Index(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", path, buckets = 16)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      Vocabulary.bm25Disk(s, path,
+          queryTerms = Seq("dup", "spark", "join"), topK = 20,
+          buckets = 16)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      hit AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf FROM hit
+        WHERE term IN ('dup', 'spark', 'join') GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id,
+          round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+            (tf.tf * 2.5) /
+            (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4)
+            AS score
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id LIMIT 20"""))
+
   /** PII scrub over the corpus: plant a per-doc email, redact, verify
     * byte-exact output via md5. The oracle runs the IDENTICAL regex —
     * the pattern is kept to the Java/RE2-shared subset by construction
@@ -5668,6 +5731,60 @@ $union
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
+  /** Index DELETION ([[graft.llm.Similarity.deleteFromLshIndex]]) —
+    * the removal verb completing the lifecycle (build → append →
+    * compact → DELETE, the GDPR-takedown shape): deleted ids land in
+    * a tombstone sidecar at O(ids) cost with index data untouched,
+    * and the serve path anti-joins them out IMMEDIATELY — this query
+    * serves with tombstones still pending, the hard case. Every 50th
+    * vector (vec_id % 50 == 7) is taken down; the oracle is brute
+    * force over the SURVIVING corpus, so a tombstone that leaks a
+    * deleted id into the top-k, or one that suppresses a survivor,
+    * breaks hash equality. Physical folding at compaction is pinned
+    * in LshDiskSpec.
+    */
+  private val lshDeleteLock = new Object
+  val simTopkAnnDelete = RegisteredQuery(
+    "sim_topk_ann_delete",
+    (s, d) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val bits = Similarity.bitsFor(emb.count())
+      val path = s"/tmp/graft_lsh_del_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = sourceStamp(s"$d/embeddings.parquet")
+      lshDeleteLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          stampFile.delete(): Unit
+          Similarity.clearTombstones(path)
+          Similarity.writeLshIndex(
+            Similarity.multiTableIndex(emb, "embedding", "vec_id",
+              dim = query.length, bits = bits, tables = 8),
+            path, groups = 16)
+          Similarity.deleteFromLshIndex(
+            emb.filter(col("vec_id") % 50 === 7), "vec_id", path)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      Similarity.topKAnnDisk(s, path, query, dim = query.length,
+          bits = bits, tables = 8, k = 10, groups = 16)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      WHERE vec_id % 50 <> 7
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
   /** INCREMENTAL IVF index maintenance ([[graft.llm.Similarity
     * .appendIvfIndex]]): centroids train on the HISTORY slice only —
     * arrival never retrains — the delta (vec_id % 10 == 0, incl. the
@@ -6021,6 +6138,71 @@ $union
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
+  /** INCREMENTAL IVF×PQ index maintenance ([[graft.llm.Pq
+    * .appendIvfPqIndex]]) — the last index family to gain the append
+    * verb. Codebooks and centroids train on the HISTORY slice only
+    * (vec_id % 10 != 0) and freeze into the sidecars; the delta —
+    * including the query vector itself (vec_id 0), so a lost append
+    * can't score its guaranteed top-1 self-match — is encoded against
+    * those frozen artifacts and appended as new files in the same
+    * cell= layout at O(delta) cost, with the radii sidecar WIDENED
+    * per touched cell (max is associative ⇒ identical to a full
+    * recompute, see the module doc). Serve is the unchanged
+    * `sim_topk_ivfpq_disk` path over base+delta; base-file
+    * immutability is pinned in IvfPqDiskSpec. Exact-cell-bound + ADC
+    * shortlist + exact rerank ⇒ the brute oracle applies on the same
+    * recall-1.0-with-margin grounds as the disk variant.
+    */
+  private val ivfPqAppendLock = new Object
+  val simTopkIvfPqAppend = RegisteredQuery(
+    "sim_topk_ivfpq_append",
+    (s, d) => {
+      import graft.llm.{Pq, Similarity}
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val path = s"/tmp/graft_ivfpq_app_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = sourceStamp(s"$d/embeddings.parquet")
+      ivfPqAppendLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          stampFile.delete(): Unit
+          val hist = emb.filter(col("vec_id") % 10 =!= 0)
+          val model = Pq.trainCodebooks(hist, "embedding", "vec_id",
+            dim = query.length, m = 16, k = 64, iters = 2)
+          val cents = Similarity.kmeansCentroids(hist, "embedding",
+            "vec_id", k = Similarity.cellsFor(hist.count()), iters = 2)
+          val index = Pq.ivfPqIndex(hist, "embedding", "vec_id", cents,
+            model).persist()
+          val radii = Similarity.cellRadii(
+            index.join(hist.select(col("vec_id").as("id"),
+              col("embedding").cast("array<double>").as("vec")), "id"),
+            cents)
+          Pq.writeIvfPqIndex(index, path, model, cents, radii)
+          index.unpersist(blocking = false)
+          Pq.appendIvfPqIndex(s, emb.filter(col("vec_id") % 10 === 0),
+            "embedding", "vec_id", path)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      val idx = Pq.readIvfPqIndex(s, path)
+      Pq.topKIvfPq(idx.codes, emb, "embedding", "vec_id", query, idx.model,
+          idx.centroids, idx.radii, k = 10,
+          nprobe = math.max(2, idx.centroids.length / 4), shortlist = 100)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
   /** Batch k-NN JOIN (the retrieval-serving shape: top-k corpus
     * neighbors PER ROW of a query table, not per single vector): 8
     * query vectors broadcast, corpus scanned once, candidates folded
@@ -6115,10 +6297,14 @@ $union
       import graft.llm.Similarity
       val emb = Tables.embeddings(s, d)
       val bits = Similarity.bitsFor(emb.count())
-      val path = ensureLshDiskIndex(s, d, 64, bits)
+      // derive dim from the data (as sim_topk_ann_disk does) so both
+      // users of the SHARED index path agree on the hyperplane family
+      // by construction if the fixture's embedding dim ever changes
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val path = ensureLshDiskIndex(s, d, dim, bits)
       Similarity.knnJoinAnnDisk(s, path,
           emb.filter(col("vec_id") < 8), "embedding", "vec_id",
-          k = 5, dim = 64, bits = bits, tables = 8, probeHamming = 2,
+          k = 5, dim = dim, bits = bits, tables = 8, probeHamming = 2,
           groups = 16)
         .select(col("query_id"), col("id").as("vec_id"),
           round(col("score"), 6).as("score"))
@@ -7705,7 +7891,8 @@ $union
     pipelineE2e, dedupExact,
     textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
     charEntropy, docRepetition,
-    vocabTopk, docTopTerms, docBm25, docBm25Disk, piiRedact,
+    vocabTopk, docTopTerms, docBm25, docBm25Disk, docBm25Append,
+    piiRedact,
     decontaminate, decontaminateBloom, dedupSemantic,
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
     dedupComponents, seqPack, graphPagerank, graphDegrees, aggCountmin,
@@ -7715,9 +7902,10 @@ $union
     dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,
     bpeEncode, bpeTrain,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkAnnDisk,
-    simTopkAnnAppend, simTopkAnnCompact, simTopkIvf, simTopkIvfDisk,
-    simTopkIvfAppend,
-    simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simKnnJoin, simKnnJoinAnn,
+    simTopkAnnAppend, simTopkAnnCompact, simTopkAnnDelete,
+    simTopkIvf, simTopkIvfDisk, simTopkIvfAppend,
+    simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simTopkIvfPqAppend,
+    simKnnJoin, simKnnJoinAnn,
     simKnnJoinAnnDisk,
     mixtureSample, mixtureSampleApproxQ, mixtureSampleBudget,
     mixtureSampleTemperature,

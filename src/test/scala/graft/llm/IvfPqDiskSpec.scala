@@ -52,6 +52,71 @@ class IvfPqDiskSpec extends SparkSpec {
     index.unpersist(): Unit
   }
 
+  test("append encodes against frozen artifacts, widens radii exactly, " +
+      "leaves base files untouched; compact collapses files") {
+    val df = corpus
+    val hist = df.filter(col("id") < 200)
+    val delta = df.filter(col("id") >= 200)
+    // history-trained, frozen artifacts
+    val cents = Similarity.kmeansCentroids(hist, "vec", "id", k = 3,
+      iters = 2)
+    val model = Pq.trainCodebooks(hist, "vec", "id", dim = 8, m = 4,
+      k = 16, iters = 2)
+    val histIdx = Pq.ivfPqIndex(hist, "vec", "id", cents, model).persist()
+    val histRadii = Similarity.cellRadii(
+      histIdx.join(hist.select(col("id"),
+        col("vec").cast("array<double>").as("vec")), "id"), cents)
+    val dir = Files.createTempDirectory("ivfpq").toString + "/idx"
+    Pq.writeIvfPqIndex(histIdx, dir, model, cents, histRadii)
+    histIdx.unpersist()
+
+    def dataFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$dir/codes"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = dataFiles
+    Pq.appendIvfPqIndex(spark, delta, "vec", "id", dir)
+    val after = dataFiles
+    // append only ADDS code files: every base file survives untouched
+    assert(before.toSet.subsetOf(after.toSet),
+      "append rewrote or removed base code files")
+    assert(after.size > before.size, "append wrote no new code files")
+
+    val disk = Pq.readIvfPqIndex(spark, dir)
+    // appended codes are byte-identical to encoding the full corpus
+    // against the SAME frozen artifacts (arrival never retrains)
+    val expectIdx = Pq.ivfPqIndex(df, "vec", "id", cents, model)
+    def codesKey(f: org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("codes").toSeq,
+        r.getAs[Number]("cell").intValue)).sortBy(_._1).toSeq
+    assert(codesKey(disk.codes) == codesKey(expectIdx))
+    // widened radii == full recompute over base+delta (max-merge is
+    // exact, untouched cells keep their old radius)
+    val expectRadii = Similarity.cellRadii(
+      expectIdx.join(df.select(col("id"),
+        col("vec").cast("array<double>").as("vec")), "id"), cents)
+    assert(disk.radii.toSeq == expectRadii.toSeq,
+      s"radii ${disk.radii.toSeq} != recompute ${expectRadii.toSeq}")
+    assert(disk.radii.zip(histRadii).forall { case (r2, r1) => r2 >= r1 })
+
+    // serve equality across compaction + file-count collapse
+    val query = Array.tabulate(8)(j => if (j == 1) 1.0 else 0.1)
+    def serve(idx: Pq.IvfPqDiskIndex) =
+      Pq.topKIvfPq(idx.codes, df, "vec", "id", query, idx.model,
+          idx.centroids, idx.radii, k = 5, nprobe = 1, shortlist = 40)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+        .toSeq
+    val servedBefore = serve(disk)
+    Pq.compactIvfPqIndex(spark, dir)
+    val compacted = Pq.readIvfPqIndex(spark, dir)
+    assert(dataFiles.size < after.size, "compaction did not shrink files")
+    assert(codesKey(compacted.codes) == codesKey(expectIdx))
+    assert(serve(compacted) == servedBefore)
+  }
+
   test("cell filter on the disk codes is partition-pruned at file level") {
     val (_, cents, model, index, radii) = build()
     val dir = Files.createTempDirectory("ivfpq").toString + "/idx"

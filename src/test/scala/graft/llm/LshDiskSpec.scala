@@ -124,6 +124,48 @@ class LshDiskSpec extends SparkSpec {
       s"before=$servedBefore after=$servedAfter")
   }
 
+  test("delete tombstones serve immediately and fold at compaction") {
+    val df = corpus
+    val dir = Files.createTempDirectory("lsh").toString + "/idx"
+    Similarity.writeLshIndex(
+      Similarity.multiTableIndex(df, "vec", "id", dim = dim, bits = bits,
+        tables = tables), dir, groups = groups)
+    val query = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.05)
+    def key(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getLong(0), math.round(x.getDouble(1) * 1e9))).toSeq
+    val full = key(Similarity.topKAnnDisk(spark, dir, query, dim = dim,
+      bits = bits, tables = tables, k = 5, groups = groups))
+    // take down the top hit plus a mid-ranked one
+    val dead = Set(full.head._1, full(2)._1)
+    Similarity.deleteFromLshIndex(
+      df.filter(col("id").isin(dead.toSeq: _*)), "id", dir)
+    // LSH signatures are pure per-row functions, so an index built
+    // WITHOUT the deleted rows is the exact expectation for the
+    // tombstoned serve
+    val fresh = Files.createTempDirectory("lsh").toString + "/idx"
+    Similarity.writeLshIndex(
+      Similarity.multiTableIndex(df.filter(!col("id").isin(
+        dead.toSeq: _*)), "vec", "id", dim = dim, bits = bits,
+        tables = tables), fresh, groups = groups)
+    val expect = key(Similarity.topKAnnDisk(spark, fresh, query, dim = dim,
+      bits = bits, tables = tables, k = 5, groups = groups))
+    val served = key(Similarity.topKAnnDisk(spark, dir, query, dim = dim,
+      bits = bits, tables = tables, k = 5, groups = groups))
+    assert(served == expect, s"served=$served expect=$expect")
+    assert(served.map(_._1).toSet.intersect(dead).isEmpty)
+    // compaction folds: rows physically gone, tombstone set cleared,
+    // serve unchanged
+    Similarity.compactLshIndex(spark, dir)
+    assert(!new java.io.File(s"$dir.tombstones").exists(),
+      "compaction left the tombstone set behind")
+    assert(Similarity.readLshIndex(spark, dir)
+      .filter(col("id").isin(dead.toSeq: _*)).count() == 0,
+      "compaction kept tombstoned rows")
+    val afterCompact = key(Similarity.topKAnnDisk(spark, dir, query,
+      dim = dim, bits = bits, tables = tables, k = 5, groups = groups))
+    assert(afterCompact == expect, s"post-compact=$afterCompact")
+  }
+
   test("probe list prunes (table, grp) directories at file level") {
     val df = corpus
     val dir = Files.createTempDirectory("lsh").toString + "/idx"

@@ -107,6 +107,41 @@ class VocabularySpec extends SparkSpec {
       s"listed buckets $listed outside query-term set $allowed")
   }
 
+  test("bm25 index append serves identically to a full rebuild") {
+    import org.apache.spark.sql.functions._
+    val corpus = (0 until 90).map { i =>
+      (i.toLong, s"w$i apple shared${i % 5} " +
+        (if (i % 3 == 0) "banana" else "cherry"))
+    }.toDF("doc_id", "text")
+    val buckets = 8
+    val full = java.nio.file.Files.createTempDirectory("bm25")
+      .toString + "/idx"
+    Vocabulary.writeBm25Index(corpus, "doc_id", "text", full,
+      buckets = buckets)
+    val inc = java.nio.file.Files.createTempDirectory("bm25")
+      .toString + "/idx"
+    Vocabulary.writeBm25Index(corpus.filter(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", inc, buckets = buckets)
+    Vocabulary.appendBm25Index(corpus.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", inc, buckets = buckets)
+    // merged stats sidecar is bit-identical to the full build's
+    // (exact integer length sums, not a float avg recombination)
+    def stats(p: String) = spark.read.parquet(s"$p.stats")
+      .select(col("n_docs").cast("long"), col("avgdl").cast("double"),
+        col("sum_dl").cast("long"))
+      .collect().head
+    assert(stats(inc) == stats(full),
+      s"stats ${stats(inc)} != ${stats(full)}")
+    // idf depends on base+delta df per term, so score equality checks
+    // the posting merge corpus-wide, not just the appended rows
+    val terms = Seq("apple", "banana")
+    def serve(p: String) = Vocabulary.bm25Disk(spark, p, terms,
+        topK = 10, buckets = buckets)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(serve(inc) == serve(full),
+      s"appended=${serve(inc)} full=${serve(full)}")
+  }
+
   test("bigram perplexity matches the hand-computed add-one LM") {
     // corpus: "a b a b" + "a b". V = 2. bigrams: (a,b)x3, (b,a)x1.
     // c(a,b)=3, c(b,a)=1; c(a)=3, c(b)=1.
