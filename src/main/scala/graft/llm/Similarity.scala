@@ -922,7 +922,7 @@ object Similarity {
     rmTree(new java.io.File(old))
   }
 
-  private[llm] def rmTree(f: java.io.File): Unit = {
+  private[graft] def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
     f.delete(): Unit
   }

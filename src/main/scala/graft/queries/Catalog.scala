@@ -6048,8 +6048,13 @@ $union
         .select(col("embedding").cast("array<double>"))
         .collect().head.getSeq[Double](0).toArray
       val bits = Similarity.bitsFor(emb.count())
-      val path = s"/tmp/graft_lsh_stream_${math.abs(d.hashCode)}_" +
-        s"${System.nanoTime()}"
+      // per-run unique index dir; stale siblings from earlier runs are
+      // swept first so repeated bench/verify runs don't grow /tmp
+      val prefix = s"graft_lsh_stream_${math.abs(d.hashCode)}_"
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix))
+        .foreach(Similarity.rmTree)
+      val path = s"/tmp/$prefix${System.nanoTime()}"
       // 8 shuffle partitions on an ISOLATED session: each epoch's
       // append repartitions by (table, grp) before the partitioned
       // write — at micro-batch volumes 32 reduce tasks is pure
@@ -6069,9 +6074,15 @@ $union
         tables = 8, groups = 4)
       require(nBatches >= 2,
         s"expected >=2 micro-batches through the index, got $nBatches")
-      Similarity.topKAnnDisk(s, path, query, dim = query.length,
-          bits = bits, tables = 8, k = 10, groups = 4)
+      val served = Similarity.topKAnnDisk(s, path, query,
+          dim = query.length, bits = bits, tables = 8, k = 10, groups = 4)
         .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+      // materialize the k rows, then drop the per-run index: the
+      // returned frame must not lazily re-read files this run deletes
+      val rows = served.collect().toIndexedSeq
+      Similarity.rmTree(new java.io.File(path))
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), served.schema)
     },
     Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
       SELECT vec_id,

@@ -114,15 +114,26 @@ object Streams {
     * applied at staging time, so the restaged files carry real
     * timestamps.
     */
+  /** Size+mtime stamp of a source file — staged-stream cache keys
+    * include it so an in-place fixture regeneration within one JVM
+    * invalidates the staging instead of serving a stale corpus (the
+    * same invalidation discipline as the stamp-gated index builds).
+    */
+  private def fileStamp(p: String): String = {
+    val f = new java.io.File(p)
+    s"${f.length}:${f.lastModified}"
+  }
+
   // staged (file, split) dirs are immutable once written — memoize per
-  // process so the several stream-join queries over the same source
-  // pay the restage once, not once each
+  // process (stamp-keyed) so the several stream-join queries over the
+  // same source pay the restage once, not once each
   private val twoBatchCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def eventsStreamTwoBatches(spark: SparkSession, parquetFile: String,
       splitTs: String): DataFrame = {
-    val dir = twoBatchCache.computeIfAbsent((parquetFile, splitTs), _ => {
+    val dir = twoBatchCache.computeIfAbsent(
+      s"$parquetFile|$splitTs|${fileStamp(parquetFile)}", _ => {
       val d = java.nio.file.Files.createTempDirectory("events_2b")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val full = graft.sources.Tables.normalizeEventsTs(spark,
@@ -145,8 +156,9 @@ object Streams {
       .parquet(dir)
   }
 
-  // staged per (file, halves) once per process — several queries over
-  // the same staged stream pay the restage once
+  // staged per (file, halves, stamp) once per process — several
+  // queries over the same staged stream pay the restage once, and a
+  // regenerated fixture re-stages instead of serving stale rows
   private val vecTwoBatchCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -156,7 +168,8 @@ object Streams {
     */
   def embeddingsStreamBatches(spark: SparkSession, parquetFile: String,
       idCol: String = "vec_id", halves: Int = 2): DataFrame = {
-    val dir = vecTwoBatchCache.computeIfAbsent(s"$parquetFile/$halves", _ => {
+    val dir = vecTwoBatchCache.computeIfAbsent(
+      s"$parquetFile/$halves/${fileStamp(parquetFile)}", _ => {
       val d = java.nio.file.Files.createTempDirectory("emb_stream")
       val full = spark.read.parquet(parquetFile)
       (0 until halves).foreach { h =>
@@ -205,7 +218,13 @@ object Streams {
         batches.incrementAndGet(): Unit
       }
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally
+      // one-shot AvailableNow run: the checkpoint's only job was this
+      // invocation's offset tracking — drop it so repeated runs don't
+      // grow the temp space (a resumable deployment would pass a
+      // durable location instead, as runAvailableNowToParquet does)
+      graft.llm.Similarity.rmTree(new java.io.File(ckpt))
     batches.get()
   }
 
@@ -447,9 +466,33 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** LATE-DATA ACCOUNTING: rows a stateful operator dropped because
+    * they arrived behind the watermark, per runner invocation (keyed
+    * by query name, latest run wins). Batch candidate generators all
+    * carry observe() drop metrics; this is the streaming twin — fed
+    * from the engine's own `numRowsDroppedByWatermark` state-operator
+    * metric rather than a hand-rolled observe() expression, because
+    * only the engine sees the runtime watermark a row was judged
+    * against (an input-side observe() cannot). Every
+    * [[runAvailableNow]]-family run records here, so the streaming
+    * join/window queries get drop accounting for free; StreamsSpec
+    * pins the counter against a planted late event.
+    */
+  val lateDrops =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def recordLateDrops(queryName: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val dropped = q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator.map(_.numRowsDroppedByWatermark))
+      .sum
+    lateDrops.put(queryName, dropped): Unit
+  }
+
   /** Run a streaming frame over the full available input once
     * (`availableNow`) into an in-memory table and return the result —
     * the batch-equivalence harness used by specs and the catalog.
+    * Watermark-dropped row counts land in [[lateDrops]].
     */
   def runAvailableNow(spark: SparkSession, streamed: DataFrame,
       queryName: String, outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
@@ -460,6 +503,7 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordLateDrops(queryName, q)
     spark.table(queryName)
   }
 

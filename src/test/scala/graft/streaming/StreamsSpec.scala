@@ -154,6 +154,68 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("planted late rows are dropped by the watermark and counted in " +
+      "lateDrops") {
+    // two staged files, one per micro-batch: batch 1 advances the
+    // watermark to 11:50; batch 2 plants an event BEHIND it — the
+    // stateful aggregation must drop the row (no 07:00 window ever
+    // appears) and the shared runner must account for the drop.
+    // (Stream-stream INNER joins never drop late inputs — an in-state
+    // partner may still match them — so the engine's
+    // numRowsDroppedByWatermark lives on aggregation/dedup state ops;
+    // the runner-level accounting covers every streaming query
+    // uniformly, joins included, counting whatever the engine drops.)
+    val dir = java.nio.file.Files.createTempDirectory("late_events")
+    def ts(s: String) = Timestamp.valueOf(s)
+    def stage(name: String, mtime: Long,
+        rows: Seq[(Long, Long, Timestamp, String)]): Unit = {
+      val tmp = dir.resolve(name + "_tmp")
+      rows.toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    stage("part-0.parquet", 1000000L, Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, 20L, ts("2024-01-01 10:30:00"), "click"),
+      (2L, 11L, ts("2024-01-01 12:00:00"), "click")))
+    stage("part-1.parquet", 2000000L, Seq(
+      (4L, 13L, ts("2024-01-01 12:30:00"), "click")))
+    // late-event filtering uses the watermark as of the END of the
+    // batch BEFORE the previous one (eviction uses the current one) —
+    // so the planted 07:00 row needs two prior batches to be judged
+    // against 11:50 (batch 0's closing watermark) and dropped; the
+    // 12:40 row rides the same batch on time
+    stage("part-2.parquet", 3000000L, Seq(
+      (3L, 12L, ts("2024-01-01 07:00:00"), "click"),
+      (4L, 14L, ts("2024-01-01 12:40:00"), "click")))
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$dir/part-0.parquet").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val agg = raw.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+    val updates = Streams.runAvailableNow(spark, agg,
+        "late_agg_test", OutputMode.Update())
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    // the late event's window never materializes...
+    assert(!updates.exists(_._1 == ts("2024-01-01 07:00:00")),
+      s"late row leaked into a window: ${updates.toSeq}")
+    // ...the on-time events do: [12:00,13:00) re-emits per batch,
+    // ending at n=3 (12:00 + 12:30 + 12:40) — so the same batch that
+    // dropped the late row aggregated its on-time companion
+    assert(updates.contains((ts("2024-01-01 12:00:00"), 3L)),
+      s"on-time row missing: ${updates.toSeq}")
+    // and the drop is accounted
+    assert(Streams.lateDrops.get("late_agg_test") == 1L,
+      s"expected 1 dropped row, got ${Streams.lateDrops.get("late_agg_test")}")
+  }
+
   test("open-session snapshot tracks in-progress sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.SessionEvent]
