@@ -197,6 +197,73 @@ object ScaleProbe {
             probeHamming = 2, groups = 16).count())
         println(f"[probe] emb x$mult knn_join_ann_disk rows=$nKnnD " +
           f"time=$tKnnD%.2fs")
+
+        // ---- tombstone DELETE + pending-tombstone serve + folding
+        // compaction on the same index: the takedown write is O(ids),
+        // the tombstoned serve adds one broadcast anti-join to the
+        // probe-pruned read (wall must track probed bytes, not corpus),
+        // and compaction — the only corpus-scale pass — folds the set
+        val query0 = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .collect().head.getSeq[Double](0).toArray
+        val (_, tDel) = timed(Similarity.deleteFromLshIndex(
+          emb.filter(col("vec_id") % 997 === 3), "vec_id", idxDir))
+        val (nDelServe, tDelServe) = timed(
+          Similarity.topKAnnDisk(spark, idxDir, query0, dim = 64,
+            bits = bits, tables = 8, k = 10, groups = 16).count())
+        val (_, tFold) = timed(Similarity.compactLshIndex(spark, idxDir))
+        println(f"[probe] emb x$mult ann_delete write=$tDel%.2fs " +
+          f"tombstoned_serve=$tDelServe%.2fs (rows=$nDelServe) " +
+          f"fold_compact=$tFold%.2fs")
+      }
+
+      // ---- IVF×PQ disk APPEND: a FIXED-size delta against the ×N
+      // base — encode+write must stay O(delta) (flat wall as the base
+      // grows); the radii-widen job scans only the delta
+      {
+        import graft.llm.Pq
+        val dir = java.nio.file.Files
+          .createTempDirectory("probe_ivfpq").toString + "/idx"
+        val cents = Similarity.kmeansCentroids(emb, "embedding",
+          "vec_id", k = Similarity.cellsFor(nVecs), iters = 1)
+        val model = Pq.trainCodebooks(emb, "embedding", "vec_id",
+          dim = 64, m = 16, k = 64, iters = 1)
+        val baseIdx = Pq.ivfPqIndex(emb, "embedding", "vec_id", cents,
+          model).persist()
+        val radii = Similarity.cellRadii(
+          baseIdx.join(emb.select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("vec")), "id"),
+          cents)
+        Pq.writeIvfPqIndex(baseIdx, dir, model, cents, radii)
+        baseIdx.unpersist(blocking = false)
+        val fixedDelta = Tables.embeddings(spark, sfDir)
+          .select((col("vec_id") + lit(10L) * nVecs).as("vec_id"),
+            col("embedding"))
+        val (_, tApp) = timed(Pq.appendIvfPqIndex(spark, fixedDelta,
+          "embedding", "vec_id", dir))
+        println(f"[probe] emb x$mult ivfpq_append " +
+          f"delta=${fixedDelta.count()} time=$tApp%.2fs")
+      }
+
+      // ---- BM25 disk APPEND: fixed-size delta postings into the ×N
+      // base layout — O(delta) tokenization + a 1-row sidecar merge
+      {
+        import graft.llm.Vocabulary
+        val dir = java.nio.file.Files
+          .createTempDirectory("probe_bm25app").toString + "/idx"
+        Vocabulary.writeBm25Index(docs, "doc_id", "text", dir,
+          buckets = 16)
+        val fixedDelta = Tables.documents(spark, sfDir)
+          .select((col("doc_id") + lit(10L) * nDocs).as("doc_id"),
+            col("text"))
+        val (_, tApp) = timed(Vocabulary.appendBm25Index(fixedDelta,
+          "doc_id", "text", dir, buckets = 16))
+        val (nServe, tServe) = timed(Vocabulary.bm25Disk(spark, dir,
+          Seq("dup", "spark", "join"), topK = 20, buckets = 16).count())
+        println(f"[probe] docs x$mult bm25_append " +
+          f"delta=${fixedDelta.count()} time=$tApp%.2fs " +
+          f"serve_after=$tServe%.2fs rows=$nServe")
       }
 
       // ---- disk BM25: serve wall must track the query terms' posting
@@ -344,6 +411,85 @@ object ScaleProbe {
           (col("doc_id") / 500).cast("long"), 2048L).count())
       println(f"[probe] docs x$mult seqpack chunks=$nChunks " +
         f"time=$tPack%.2fs")
+
+      // ---- composed 5-stage data-prep pipeline (pipeline_data_e2e
+      // shape): dedup → quality → decontaminate → budget-sample →
+      // pack. Two questions: does the COMPOSITION add barriers beyond
+      // its stages (total ≈ Σ stage walls), and which stage dominates
+      // at ×N? Intermediates are persisted between stage timings so
+      // each wall is that stage's own cost, not a recompute of its
+      // ancestors; the final `total` runs the un-staged composed flow.
+      {
+        import graft.llm.{Decontaminate, SeqPack, TextAnalysis}
+        val corpus0 = Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("source"), col("text"))
+        val bench = Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 20 === 0)
+        val corpus = (if (mult == 1) corpus0
+          else corpus0
+            .select(col("doc_id"), col("source"), col("text"),
+              explode(sequence(lit(0), lit(mult - 1))).as("copy"))
+            .select((col("doc_id") * mult + col("copy")).as("doc_id"),
+              col("source"),
+              concat(col("text"), lit(" variant marker "),
+                col("copy").cast("string")).as("text")))
+          .persist()
+        corpus.count()
+        def staged(df: DataFrame): (DataFrame, Double) = {
+          val (f, t) = timed { val p = df.persist(); p.count(); p }
+          (f, t)
+        }
+        val canon = corpus.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+        val (deduped, tDedup) = staged(
+          corpus.join(canon, Seq("doc_id"), "left_semi"))
+        val nPunctP = length(
+          regexp_replace(col("text"), "[\\p{L}\\p{Nd}\\s]", ""))
+        val (cleaned, tClean) = staged(deduped
+          .withColumn("n_tok", TextAnalysis.tokenCount(col("text"))
+            .cast("long"))
+          .filter(col("n_tok") >= 10 &&
+            nPunctP * lit(4) <= length(col("text"))))
+        val (bad, tDecon) = staged(
+          Decontaminate.contaminationReport(cleaned, bench,
+            "doc_id", "text", k = 4).select(col("id").as("doc_id")))
+        val budgets = (0 until 20).map(i => s"src$i" -> 600L * mult).toMap
+        val (sampled, tSample) = staged(
+          graft.relational.Sampling.mixtureSampleByBudget(
+            cleaned.join(broadcast(bad), Seq("doc_id"), "left_anti")
+              .select(col("source"), col("doc_id"), col("n_tok")),
+            "source", "doc_id", "n_tok", budgets))
+        val (nPack, tPack5) = timed(
+          SeqPack.packChunks(sampled, "doc_id", "n_tok",
+            (col("doc_id") / 500).cast("long"), 512L).count())
+        // the un-staged composed flow, end to end (no intermediate
+        // caching beyond the shared corpus)
+        val (nTotal, tTotal) = timed {
+          val canon2 = corpus.groupBy(md5(col("text")).as("h"))
+            .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+          val dd = corpus.join(canon2, Seq("doc_id"), "left_semi")
+            .withColumn("n_tok", TextAnalysis.tokenCount(col("text"))
+              .cast("long"))
+            .filter(col("n_tok") >= 10 &&
+              nPunctP * lit(4) <= length(col("text")))
+          val bad2 = Decontaminate.contaminationReport(dd, bench,
+            "doc_id", "text", k = 4).select(col("id").as("doc_id"))
+          SeqPack.packChunks(
+            graft.relational.Sampling.mixtureSampleByBudget(
+              dd.join(broadcast(bad2), Seq("doc_id"), "left_anti")
+                .select(col("source"), col("doc_id"), col("n_tok")),
+              "source", "doc_id", "n_tok", budgets),
+            "doc_id", "n_tok", (col("doc_id") / 500).cast("long"),
+            512L).count()
+        }
+        println(f"[probe] docs x$mult pipeline_e2e total=$tTotal%.2fs " +
+          f"(dedup=$tDedup%.2fs quality=$tClean%.2fs " +
+          f"decontaminate=$tDecon%.2fs sample=$tSample%.2fs " +
+          f"pack=$tPack5%.2fs) chunks_staged=$nPack chunks_total=$nTotal")
+        Seq(deduped, cleaned, bad, sampled, corpus)
+          .foreach(_.unpersist(blocking = false))
+      }
 
       docs.unpersist(); emb.unpersist(); cust.unpersist()
     }
