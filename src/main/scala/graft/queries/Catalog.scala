@@ -1394,6 +1394,41 @@ object Catalog {
         CAST(max(l_orderkey) AS BIGINT) AS max_ok
       FROM merged GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** SQL `UPDATE` through the V2 catalog — the second statement the
+    * row-level-operations contract unlocks (same group-based
+    * copy-on-write rewrite as `catalog_merge_into`, via
+    * `RewriteUpdateTable`): Spark scans the target once, applies the
+    * SET arithmetic to matching rows, carries the rest unchanged, and
+    * writes the survivors back replacing the scanned group. The
+    * oracle replays the update by set algebra over lineitem.
+    */
+  val catalogUpdate = RegisteredQuery(
+    "catalog_update",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_u_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_u")
+      s.sql("""CREATE TABLE graft_cat.ns.li_u AS
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM li_u_src WHERE l_orderkey <= 1200""")
+      s.sql("""UPDATE graft_cat.ns.li_u
+        SET l_quantity = l_quantity * 2
+        WHERE l_returnflag = 'R' AND l_orderkey > 300""")
+      s.sql("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_cat.ns.li_u GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    },
+    Some("""WITH t AS (
+        SELECT l_returnflag,
+          CASE WHEN l_returnflag = 'R' AND l_orderkey > 300
+            THEN l_quantity * 2 ELSE l_quantity END AS l_quantity
+        FROM lineitem WHERE l_orderkey <= 1200)
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM t GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** DSv2 RUNTIME filtering (dynamic pruning): a filtered dim joins
     * the 100k-row fact on id — the connector reports honest post-
     * pushdown statistics (SupportsReportStatistics), so the dim
@@ -4411,6 +4446,77 @@ object Catalog {
         GROUP BY tf.doc_id)
       SELECT doc_id, score FROM sc
       ORDER BY score DESC, doc_id LIMIT 20"""))
+
+  /** HYBRID sparse+dense retrieval with Reciprocal Rank Fusion
+    * ([[graft.llm.Retrieval.hybridRrf]]) — the RAG serving shape: a
+    * BM25 top-50 (exact-term evidence) and an exact-cosine top-50
+    * (semantic evidence) fuse by rank only, rrf = Σ 1/(60+rank),
+    * because the two score scales are incomparable. Each list comes
+    * from its own scale path; the fusion itself touches ≤100 rows.
+    * Ranks are integers both engines agree on (rounded-score +
+    * id tiebreaks), so the oracle replays BM25, the dense ranking,
+    * and the fused sum byte-for-byte. doc_id and vec_id are aligned
+    * in the fixture (same 0..n−1 key space).
+    */
+  val retrievalHybridRrf = RegisteredQuery(
+    "retrieval_hybrid_rrf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queryVec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      graft.llm.Retrieval.hybridRrf(
+        Tables.documents(s, d), "doc_id", "text",
+        emb, "vec_id", "embedding",
+        queryTerms = Seq("dup", "spark", "join"), queryVec = queryVec,
+        nPerList = 50, k = 10)
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      hit AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf FROM hit
+        WHERE term IN ('dup', 'spark', 'join') GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id,
+          round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+            (tf.tf * 2.5) /
+            (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4)
+            AS score
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id),
+      sparse AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+            AS INTEGER) AS sparse_rank
+        FROM (SELECT doc_id, score FROM sc
+              ORDER BY score DESC, doc_id LIMIT 50)),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      dsc AS (
+        SELECT vec_id AS doc_id,
+          round(list_cosine_similarity(embedding::DOUBLE[],
+            qv::DOUBLE[]), 6) AS ds
+        FROM embeddings, q),
+      dense AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY ds DESC, doc_id)
+            AS INTEGER) AS dense_rank
+        FROM (SELECT doc_id, ds FROM dsc
+              ORDER BY ds DESC, doc_id LIMIT 50)),
+      fused AS (
+        SELECT doc_id,
+          coalesce(1.0 / (60 + sparse_rank), 0)
+            + coalesce(1.0 / (60 + dense_rank), 0) AS rrf0,
+          sparse_rank, dense_rank
+        FROM sparse FULL JOIN dense USING (doc_id))
+      SELECT doc_id, round(rrf0, 6) AS rrf, sparse_rank, dense_rank
+      FROM fused ORDER BY rrf0 DESC, doc_id LIMIT 10"""))
 
   /** PII scrub over the corpus: plant a per-doc email, redact, verify
     * byte-exact output via md5. The oracle runs the IDENTICAL regex —
@@ -7881,7 +7987,7 @@ $union
     sinkInsertOverwrite, catalogIntrospect, sourceCustomV2,
     sourcePushdownAgg, sourcePushdownLimit, sourceRuntimeFilter,
     catalogV2Dml, catalogTimeTravel, catalogSchemaEvolution,
-    catalogMergeInto, sinkCustomV2,
+    catalogMergeInto, catalogUpdate, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,
     joinShuffleHash, nestedPruning,
@@ -7905,6 +8011,7 @@ $union
     vocabTopk, docTopTerms, docBm25, docBm25Disk, docBm25Append,
     piiRedact,
     decontaminate, decontaminateBloom, dedupSemantic,
+    retrievalHybridRrf,
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
     dedupComponents, seqPack, graphPagerank, graphDegrees, aggCountmin,
     splitLeakfree, dedupLines, dedupSubstring, bpePairCounts,

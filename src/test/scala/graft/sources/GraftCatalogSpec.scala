@@ -196,6 +196,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0), (2L, 40.0), (3L, 60.0)), s"got $got")
   }
 
+  test("TRUNCATE TABLE empties via the connector and commits a version") {
+    GraftCatalog.reset()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .createOrReplaceTempView("tr_src")
+    spark.sql("CREATE TABLE graft_cat.ns.tr AS SELECT * FROM tr_src")
+    spark.sql("TRUNCATE TABLE graft_cat.ns.tr")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.tr")
+      .collect().head.getLong(0) == 0L)
+    // the truncate is a commit, not a history rewrite
+    assert(spark.sql("SELECT id FROM graft_cat.ns.tr VERSION AS OF 1")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("unsupported DELETE predicate falls back to the row-level rewrite") {
     GraftCatalog.reset()
     Seq((1L, "ab"), (2L, "cd")).toDF("id", "s")
