@@ -6198,6 +6198,70 @@ $union
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
+  /** STREAMING BM25 index maintenance ([[graft.streaming.Streams
+    * .appendBm25AvailableNow]]) — the sparse twin of
+    * `streaming_index_append`, completing maintenance symmetry across
+    * both index families: the corpus arrives as a paced file stream
+    * (one file per micro-batch), the first epoch bulk-builds the
+    * inverted index, every later epoch appends postings into the same
+    * md5-term-bucket layout and merges the stats sidecar from exact
+    * integer sums. Serve path unchanged ⇒ shares `doc_bm25`'s
+    * full-corpus oracle — a lost epoch drops half the postings AND
+    * shifts idf corpus-wide, breaking the hash. The served rows are
+    * materialized eagerly and the per-run index deleted (same /tmp
+    * hygiene as the ANN twin).
+    */
+  val streamingBm25Append = RegisteredQuery(
+    "streaming_bm25_append",
+    (s, d) => {
+      import graft.llm.{Similarity, Vocabulary}
+      import graft.streaming.Streams
+      val prefix = s"graft_bm25_stream_${math.abs(d.hashCode)}_"
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix))
+        .foreach(Similarity.rmTree)
+      val path = s"/tmp/$prefix${System.nanoTime()}"
+      val iso = graft.core.Sessions.isolated(s,
+        Map("spark.sql.shuffle.partitions" -> "8"))
+      val stream = Streams.documentsStreamBatches(iso,
+        s"$d/documents.parquet")
+      val nBatches = Streams.appendBm25AvailableNow(iso, stream,
+        "doc_id", "text", path, buckets = 16)
+      require(nBatches >= 2,
+        s"expected >=2 micro-batches through the index, got $nBatches")
+      val served = Vocabulary.bm25Disk(s, path,
+          queryTerms = Seq("dup", "spark", "join"), topK = 20,
+          buckets = 16)
+        .withColumnRenamed("id", "doc_id")
+      val rows = served.collect().toIndexedSeq
+      Similarity.rmTree(new java.io.File(path))
+      Similarity.rmTree(new java.io.File(s"$path.stats"))
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), served.schema)
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      hit AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf FROM hit
+        WHERE term IN ('dup', 'spark', 'join') GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id,
+          round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+            (tf.tf * 2.5) /
+            (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4)
+            AS score
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id LIMIT 20"""))
+
   /** The disk-SERVING path of IVF×PQ — the production ANN lifecycle:
     * the Lloyd builds (IVF centroids + PQ codebooks) and the radii scan
     * are paid ONCE per corpus version (stamp-gated, like
@@ -8002,7 +8066,7 @@ $union
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll, streamingRunningTotals, streamingJoinOuter,
     streamingJoinFull, streamingJoinSemi, streamingCdc,
-    streamingIndexAppend,
+    streamingIndexAppend, streamingBm25Append,
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,

@@ -228,6 +228,73 @@ object Streams {
     batches.get()
   }
 
+  /** Stage a documents parquet into `halves` id-parity files and open
+    * it as a paced file stream — the ingest shape for streaming SPARSE
+    * index maintenance (the documents twin of
+    * [[embeddingsStreamBatches]]; shares the stamp-keyed cache
+    * discipline).
+    */
+  private val docTwoBatchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def documentsStreamBatches(spark: SparkSession, parquetFile: String,
+      idCol: String = "doc_id", halves: Int = 2): DataFrame = {
+    val dir = docTwoBatchCache.computeIfAbsent(
+      s"$parquetFile/$halves/${fileStamp(parquetFile)}", _ => {
+      val d = java.nio.file.Files.createTempDirectory("doc_stream")
+      val full = spark.read.parquet(parquetFile)
+      (0 until halves).foreach { h =>
+        val tmp = d.resolve(s"h${h}_tmp")
+        full.filter(pmod(col(idCol), lit(halves)) === h)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          d.resolve(s"part-$h.parquet")): Unit
+      }
+      d.toString
+    })
+    spark.readStream
+      .schema(spark.read.parquet(s"$dir/part-0.parquet").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+  }
+
+  /** STREAMING BM25 index maintenance — the sparse-retrieval twin of
+    * [[appendIndexAvailableNow]]: the FIRST micro-batch builds the
+    * inverted index (postings + stats sidecar), every later batch
+    * appends via [[graft.llm.Vocabulary.appendBm25Index]] — postings
+    * land in the same md5-term-bucket layout, the stats sidecar merges
+    * associatively from exact integer sums, O(batch) per epoch. The
+    * serve path is completely unchanged. The first-batch/append split
+    * matters: append needs an existing stats sidecar to merge into,
+    * and a real deployment bootstraps the same way (initial bulk
+    * build, then nightly stream). Returns the number of micro-batches.
+    */
+  def appendBm25AvailableNow(spark: SparkSession, docStream: DataFrame,
+      idCol: String, textCol: String, path: String,
+      buckets: Int = 64): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("bm25_append_ckpt").toString
+    val q = docStream.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (batches.getAndIncrement() == 0L)
+          graft.llm.Vocabulary.writeBm25Index(batch, idCol, textCol,
+            path, buckets = buckets)
+        else
+          graft.llm.Vocabulary.appendBm25Index(batch, idCol, textCol,
+            path, buckets = buckets)
+      }
+      .start()
+    try q.awaitTermination()
+    finally graft.llm.Similarity.rmTree(new java.io.File(ckpt))
+    batches.get()
+  }
+
   /** Tumbling-window hourly aggregate with a watermark — the streaming
     * twin of the batch `events_hourly` catalog query.
     */

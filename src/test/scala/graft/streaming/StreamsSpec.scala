@@ -342,6 +342,34 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("streaming bm25 append builds per micro-batch and serves like " +
+      "a one-shot build") {
+    import graft.llm.Vocabulary
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, s"w$i apple shared${i % 5} " +
+        (if (i % 3 == 0) "banana" else "cherry"))
+    }.toDF("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("bm25_stream_src")
+    corpus.coalesce(1).write.mode("overwrite")
+      .parquet(src.resolve("tbl").toString)
+    val file = new java.io.File(src.resolve("tbl").toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getPath
+    val stream = Streams.documentsStreamBatches(spark, file, halves = 3)
+    val inc = java.nio.file.Files.createTempDirectory("bm25_stream")
+      .toString + "/idx"
+    val n = Streams.appendBm25AvailableNow(spark, stream, "doc_id",
+      "text", inc, buckets = 8)
+    assert(n == 3, s"expected 3 micro-batches, got $n")
+    val full = java.nio.file.Files.createTempDirectory("bm25_full")
+      .toString + "/idx"
+    Vocabulary.writeBm25Index(corpus, "doc_id", "text", full, buckets = 8)
+    def serve(p: String) = Vocabulary.bm25Disk(spark, p,
+        Seq("apple", "banana"), topK = 10, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(serve(inc) == serve(full),
+      s"streamed=${serve(inc)} full=${serve(full)}")
+  }
+
   test("CDC fold keeps the latest version across batches; tombstones beat older updates") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
