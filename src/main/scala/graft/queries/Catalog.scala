@@ -3423,6 +3423,60 @@ object Catalog {
     * z + sorted write ⇒ disjoint per-file envelopes on both columns)
     * is asserted in ZOrderSpec.
     */
+  /** Per-file BLOOM file-skipping index
+    * ([[graft.relational.BloomSkipIndex]]) — the point-lookup
+    * complement of `zorder_index`'s range story: the table is laid
+    * out by a column UNCORRELATED with the lookup key (16 files
+    * hash-partitioned on l_suppkey), so min/max stats cannot prune an
+    * l_orderkey point predicate; the bloom sidecar (one filter per
+    * file, built in one scan with map-side-merged partials) answers
+    * "might this file hold the key" and the lookup scans only
+    * candidate files — Delta bloom-index / Iceberg puffin semantics
+    * from public Spark pieces. The looked-up key is max(l_orderkey),
+    * derived from the data identically by the oracle. File-skip
+    * evidence (candidates ≪ files) is pinned in BloomSkipIndexSpec —
+    * a hash-partitioned layout isn't SQL-replayable, but the returned
+    * ROWS are layout-independent, so the oracle checks them exactly.
+    */
+  private val bloomSkipLock = new Object
+  val lookupBloomSkip = RegisteredQuery(
+    "lookup_bloom_skip",
+    (s, d) => {
+      import graft.relational.BloomSkipIndex
+      val tbl = s"/tmp/graft_bloom_tbl_${dirTag(d)}"
+      val idx = s"/tmp/graft_bloom_idx_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$idx.stamp")
+      val stamp = sourceStamp(s"$d/lineitem.parquet")
+      bloomSkipLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          stampFile.delete(): Unit
+          val li = Tables.lineitem(s, d)
+          li.repartition(16, col("l_suppkey"))
+            .write.mode("overwrite").parquet(tbl)
+          BloomSkipIndex.build(s, tbl, "l_orderkey", idx,
+            expectedPerFile = math.max(li.count() / 8, 64L))
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      val key = Tables.lineitem(s, d)
+        .agg(max(col("l_orderkey"))).collect().head.getLong(0)
+      val (res, nCand, nFiles) = BloomSkipIndex.lookup(s, tbl, idx,
+        "l_orderkey", key)
+      require(nCand >= 1 && nCand <= nFiles,
+        s"bloom candidates $nCand out of $nFiles files")
+      res.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      FROM lineitem
+      WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"""))
+
   val zorderIndex = RegisteredQuery(
     "zorder_index",
     (s, d) =>
@@ -8061,7 +8115,7 @@ $union
     aggStats,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, funnelConversion,
-    incrementalAgg, incrementalHll, zorderIndex, cohortRetention, dqChecks,
+    incrementalAgg, incrementalHll, zorderIndex, lookupBloomSkip, cohortRetention, dqChecks,
     streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll, streamingRunningTotals, streamingJoinOuter,
