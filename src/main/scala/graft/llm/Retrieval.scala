@@ -36,6 +36,53 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** k-NN LABEL CLASSIFICATION over an embedding corpus — the
+    * supervised application of the batch k-NN join (label propagation,
+    * weak-label bootstrapping, embedding-space QA of labeled data):
+    * each query row's predicted label is the MAJORITY vote of its k
+    * nearest non-self neighbors (votes desc, label asc tiebreak).
+    *
+    * Self-exclusion without rank corruption: the join fetches k+1
+    * neighbors, drops self-matches, and re-cuts to k — if self is in
+    * the k+1 list (it ranks at/near the top: cos(q,q)=1) the remaining
+    * top-k equals the top-k over the self-free corpus; if it is not,
+    * the list already was self-free. Either way the result is exactly
+    * "top-k excluding self", with no second corpus scan.
+    *
+    * Scale shape = [[Similarity.knnJoinBrute]] (one corpus scan,
+    * bounded O(k) map-side partials); the vote aggregation and rank
+    * windows run on q·(k+1) rows. Deterministic: ranks from
+    * (score desc, id), votes argmax by (votes desc, label asc) via a
+    * single max_by struct ordering.
+    */
+  def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryFilter: Column, k: Int): DataFrame = {
+    val queries = emb.filter(queryFilter)
+    val neighbors = Similarity.knnJoinBrute(queries, emb, vecCol, idCol,
+        k = k + 1)
+      .filter(col("id") =!= col("query_id"))
+    val recut = neighbors
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= k)
+    val labels = emb.select(col(idCol).as("id"),
+      col(labelCol).as("nbr_label"))
+    val votes = recut.join(labels, Seq("id"))
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes.groupBy(col("query_id"))
+      .agg(max_by(col("nbr_label"),
+        struct(col("votes"), negate(col("nbr_label").cast("long"))))
+        .as("pred_label"))
+    pred.join(
+        queries.select(col(idCol).as("query_id"),
+          col(labelCol).as("true_label")),
+        Seq("query_id"))
+      .select(col("query_id").as(idCol), col("pred_label"),
+        col("true_label"))
+  }
+
   /** Top-k fusion of BM25 and exact-cosine rankings over an aligned
     * (docs.idCol == emb.embIdCol) corpus. Returns
     * (idCol, rrf, sparse_rank, dense_rank) — ranks are null for a doc

@@ -4572,6 +4572,45 @@ object Catalog {
       SELECT doc_id, round(rrf0, 6) AS rrf, sparse_rank, dense_rank
       FROM fused ORDER BY rrf0 DESC, doc_id LIMIT 10"""))
 
+  /** k-NN LABEL CLASSIFICATION ([[graft.llm.Retrieval.knnClassify]]):
+    * the supervised application of the batch k-NN join — each of 50
+    * query vectors takes the majority label of its 5 nearest non-self
+    * neighbors (label-propagation / weak-label QA shape). Exact by
+    * construction (brute k-NN + deterministic vote tiebreaks), so the
+    * DuckDB all-pairs + row_number + argmax oracle must hash-match.
+    */
+  val simKnnClassify = RegisteredQuery(
+    "sim_knn_classify",
+    (s, d) =>
+      graft.llm.Retrieval.knnClassify(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label",
+          queryFilter = col("vec_id") < 50, k = 5)
+        .orderBy(col("vec_id")),
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS truth
+        FROM embeddings WHERE vec_id < 50),
+      sc AS (
+        SELECT query_id, e.vec_id AS id, e.label AS nbr_label,
+          list_cosine_similarity(e.embedding::DOUBLE[], qv::DOUBLE[]) AS s
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      r AS (
+        SELECT query_id, nbr_label,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY s DESC, id) AS rn
+        FROM sc),
+      v AS (
+        SELECT query_id, nbr_label, count(*) AS votes
+        FROM r WHERE rn <= 5 GROUP BY query_id, nbr_label),
+      p AS (
+        SELECT query_id, nbr_label AS pred_label,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY votes DESC, nbr_label) AS pr
+        FROM v)
+      SELECT q.query_id AS vec_id, p.pred_label,
+        q.truth AS true_label
+      FROM p JOIN q USING (query_id) WHERE p.pr = 1
+      ORDER BY vec_id"""))
+
   /** PII scrub over the corpus: plant a per-doc email, redact, verify
     * byte-exact output via md5. The oracle runs the IDENTICAL regex —
     * the pattern is kept to the Java/RE2-shared subset by construction
@@ -8129,7 +8168,7 @@ $union
     vocabTopk, docTopTerms, docBm25, docBm25Disk, docBm25Append,
     piiRedact,
     decontaminate, decontaminateBloom, dedupSemantic,
-    retrievalHybridRrf,
+    retrievalHybridRrf, simKnnClassify,
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
     dedupComponents, seqPack, graphPagerank, graphDegrees, aggCountmin,
     splitLeakfree, dedupLines, dedupSubstring, bpePairCounts,

@@ -47,6 +47,37 @@ class RetrievalSpec extends SparkSpec {
     assert(!out.exists(_._1 == 4L))
   }
 
+  test("knnClassify majority-votes non-self neighbors with " +
+      "deterministic tiebreaks") {
+    // two tight clusters on the axes; query vec 0 sits in cluster A.
+    // k=3 neighbors of vec 0 (excluding itself): vecs 1, 2 (label 7)
+    // and the nearest B vector — majority label 7.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), 7),
+      (1L, Seq(0.99, 0.01), 7),
+      (2L, Seq(0.98, 0.02), 7),
+      (3L, Seq(0.0, 1.0), 9),
+      (4L, Seq(0.01, 0.99), 9),
+      (5L, Seq(0.02, 0.98), 9)).toDF("vec_id", "embedding", "label")
+    val out = Retrieval.knnClassify(emb, "vec_id", "embedding", "label",
+        queryFilter = col("vec_id").isin(0L, 3L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((0L, 7, 7), (3L, 9, 9)), s"got $out")
+    // self-exclusion matters: with k=5 each query sees 2 same-cluster
+    // + 3 cross-cluster neighbors — NOT itself padding the majority
+    val out5 = Retrieval.knnClassify(emb, "vec_id", "embedding", "label",
+        queryFilter = col("vec_id") === 0L, k = 5)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).head
+    // votes: label 7 ×2, label 9 ×3 → majority flips to 9
+    assert(out5 == ((9, 7)), s"got $out5")
+    // vote tie at k=4 (2 vs 2) → smaller label wins
+    val out4 = Retrieval.knnClassify(emb, "vec_id", "embedding", "label",
+        queryFilter = col("vec_id") === 0L, k = 4)
+      .collect().map(_.getInt(1)).head
+    assert(out4 == 7, s"tie should pick the smaller label, got $out4")
+  }
+
   test("hybridRrf is deterministic and bounded by k") {
     val docs = (0 until 40).map(i =>
       (i.toLong, s"term$i needle shared")).toDF("doc_id", "text")
