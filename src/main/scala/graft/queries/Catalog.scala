@@ -882,6 +882,51 @@ object Catalog {
         ts_us AS last_ts
       FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id"""))
 
+  /** STREAMING CDC UPSERT INTO THE LAKEHOUSE ([[graft.streaming
+    * .Streams.cdcMergeAvailableNow]]) — the pattern the V2 catalog's
+    * row-level-operations surface exists FOR: the changelog arrives as
+    * two time-ordered micro-batches, each collapses to its latest
+    * version per key and executes one SQL MERGE INTO against the
+    * catalog table (matched-D deletes, matched-U updates, unmatched-U
+    * inserts, unmatched-D no-ops). The final table state must equal
+    * the global latest-version fold — intermediate per-batch merges
+    * that lose a version, apply a stale one, or let a tombstone
+    * resurrect break the oracle (cdc_apply's, minus the version
+    * count, which a delete legitimately resets). Composes three
+    * engine features end-to-end: streaming ingestion, the
+    * copy-on-write MERGE rewrite, and catalog snapshots.
+    */
+  val streamingMergeUpsert = RegisteredQuery(
+    "streaming_merge_upsert",
+    (s, d) => {
+      import graft.streaming.Streams
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.cdc_tgt")
+      s.sql("""CREATE TABLE graft_cat.ns.cdc_tgt
+        (user_id BIGINT, value DOUBLE, ts TIMESTAMP, event_id BIGINT)""")
+      val raw = Streams
+        .eventsStreamTwoBatches(s, s"$d/events.parquet", "2024-01-16")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "error", lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("value"))
+      val nBatches = Streams.cdcMergeAvailableNow(raw,
+        "graft_cat.ns.cdc_tgt")
+      require(nBatches >= 2,
+        s"expected >=2 micro-batches through the merge, got $nBatches")
+      s.sql("""SELECT user_id, value AS last_value, ts AS last_ts
+        FROM graft_cat.ns.cdc_tgt ORDER BY user_id""")
+    },
+    Some("""WITH ranked AS (
+        SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts_us,
+          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, value AS last_value, ts_us AS last_ts
+      FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY user_id"""))
+
   /** RAG-style overlapping text chunking (fixed window 128 chars,
     * stride 96): per document, `sequence(0, len-1, stride)` generates
     * the start offsets and `posexplode` emits one row per chunk — one
@@ -8159,7 +8204,7 @@ $union
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll, streamingRunningTotals, streamingJoinOuter,
     streamingJoinFull, streamingJoinSemi, streamingCdc,
-    streamingIndexAppend, streamingBm25Append,
+    streamingIndexAppend, streamingBm25Append, streamingMergeUpsert,
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,

@@ -295,6 +295,62 @@ object Streams {
     batches.get()
   }
 
+  /** STREAMING CDC UPSERT INTO A LAKEHOUSE TABLE — the canonical
+    * stream-to-lakehouse pattern: each micro-batch of changelog rows
+    * (op ∈ {U, D}, versioned by (ts, event_id)) first COLLAPSES to
+    * its latest version per key (mandatory: MERGE's cardinality check
+    * rejects multi-matching sources, and applying stale intra-batch
+    * versions would be wasted writes anyway), then executes one SQL
+    * `MERGE INTO` against the target table on the V2 catalog —
+    * matched tombstones delete, matched updates overwrite, unmatched
+    * non-tombstones insert (an unmatched tombstone is a no-op by
+    * falling through the WHEN list). Batches staged in event-time
+    * order make the unconditional UPDATE correct here; an
+    * out-of-order deployment adds `AND (s.ts, s.event_id) >
+    * (t.ts, t.event_id)` to the update clause — same plan shape.
+    *
+    * Each batch costs one copy-on-write MERGE (scan target + join
+    * batch + rewrite group); at 100 TB on a file-format catalog this
+    * is the standard foreachBatch-MERGE idiom, with per-file pruning
+    * doing what the whole-table rewrite does here. Returns the
+    * micro-batch count.
+    */
+  def cdcMergeAvailableNow(stream: DataFrame, targetTable: String): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cdc_merge_ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bs = batch.sparkSession
+        bs.conf.set("spark.sql.catalog.graft_cat",
+          classOf[graft.sources.catalog.GraftCatalog].getName)
+        batch.groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("op"), col("value"), col("ts"), col("event_id")),
+            struct(col("ts"), col("event_id"))).as("l"))
+          .select(col("user_id"), col("l.op").as("op"),
+            col("l.value").as("value"), col("l.ts").as("ts"),
+            col("l.event_id").as("event_id"))
+          .createOrReplaceTempView("graft_cdc_batch")
+        bs.sql(s"""MERGE INTO $targetTable t USING graft_cdc_batch s
+          ON t.user_id = s.user_id
+          WHEN MATCHED AND s.op = 'D' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET value = s.value, ts = s.ts,
+            event_id = s.event_id
+          WHEN NOT MATCHED AND s.op <> 'D' THEN
+            INSERT (user_id, value, ts, event_id)
+            VALUES (s.user_id, s.value, s.ts, s.event_id)""")
+        batches.incrementAndGet(): Unit
+      }
+      .start()
+    try q.awaitTermination()
+    finally graft.llm.Similarity.rmTree(new java.io.File(ckpt))
+    batches.get()
+  }
+
   /** Tumbling-window hourly aggregate with a watermark — the streaming
     * twin of the batch `events_hourly` catalog query.
     */
