@@ -1439,6 +1439,64 @@ object Catalog {
         CAST(max(l_orderkey) AS BIGINT) AS max_ok
       FROM merged GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Commit-log HISTORY + snapshot EXPIRY on the V2 catalog — the
+    * DESCRIBE HISTORY / VACUUM pair completing the time-travel
+    * lifecycle: every DML commit is listed with its row count, and
+    * expiry retains the last `keepLast` snapshots while version
+    * NUMBERS never shift (an expired `VERSION AS OF` fails by id —
+    * pinned in GraftCatalogSpec — it never silently rebinds). The
+    * query emits the listing BEFORE and AFTER expire-keep-2: stage 1
+    * shows every commit's count, stage 2 shows the two retained
+    * counts with expired versions' counts nulled. Commit timestamps
+    * are wall-clock and excluded; counts replay by set algebra.
+    */
+  val catalogHistory = RegisteredQuery(
+    "catalog_history",
+    (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_h_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_h")
+      s.sql("""CREATE TABLE graft_cat.ns.li_h AS
+        SELECT l_orderkey, l_quantity, l_returnflag
+        FROM li_h_src WHERE l_orderkey <= 800""")
+      s.sql("""INSERT INTO graft_cat.ns.li_h
+        SELECT l_orderkey, l_quantity, l_returnflag
+        FROM li_h_src WHERE l_orderkey > 800 AND l_orderkey <= 1600""")
+      s.sql("DELETE FROM graft_cat.ns.li_h WHERE l_returnflag = 'R'")
+      def listing(stage: Int) =
+        graft.sources.catalog.GraftCatalog.history("ns.li_h")
+          .map { case (v, _, n, expired) =>
+            (stage, v, if (expired) None else Some(n)) }
+      val before = listing(1)
+      val nExpired = graft.sources.catalog.GraftCatalog
+        .expireSnapshots("ns.li_h", keepLast = 2)
+      require(nExpired == 2, s"expected 2 expired snapshots, $nExpired")
+      (before ++ listing(2)).toDF("stage", "version", "n_rows")
+        .select(col("stage"), col("version"),
+          col("n_rows").cast("long").as("n_rows"))
+        .orderBy(col("stage"), col("version"))
+    },
+    Some("""WITH c AS (
+        SELECT
+          (SELECT count(*) FROM lineitem WHERE l_orderkey <= 800) AS c1,
+          (SELECT count(*) FROM lineitem WHERE l_orderkey <= 1600) AS c2,
+          (SELECT count(*) FROM lineitem
+           WHERE l_orderkey <= 1600 AND l_returnflag <> 'R') AS c3),
+      v AS (
+        SELECT 1 AS stage, 0 AS version, CAST(0 AS BIGINT) AS n_rows FROM c
+        UNION ALL SELECT 1, 1, c1 FROM c
+        UNION ALL SELECT 1, 2, c2 FROM c
+        UNION ALL SELECT 1, 3, c3 FROM c
+        UNION ALL SELECT 2, 0, NULL FROM c
+        UNION ALL SELECT 2, 1, NULL FROM c
+        UNION ALL SELECT 2, 2, c2 FROM c
+        UNION ALL SELECT 2, 3, c3 FROM c)
+      SELECT CAST(stage AS INTEGER) AS stage,
+        CAST(version AS INTEGER) AS version, CAST(n_rows AS BIGINT) AS n_rows
+      FROM v ORDER BY stage, version"""))
+
   /** SQL `UPDATE` through the V2 catalog — the second statement the
     * row-level-operations contract unlocks (same group-based
     * copy-on-write rewrite as `catalog_merge_into`, via
@@ -8189,7 +8247,7 @@ $union
     sinkInsertOverwrite, catalogIntrospect, sourceCustomV2,
     sourcePushdownAgg, sourcePushdownLimit, sourceRuntimeFilter,
     catalogV2Dml, catalogTimeTravel, catalogSchemaEvolution,
-    catalogMergeInto, catalogUpdate, sinkCustomV2,
+    catalogMergeInto, catalogUpdate, catalogHistory, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,
     joinShuffleHash, nestedPruning,

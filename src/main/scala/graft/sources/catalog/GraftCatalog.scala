@@ -156,6 +156,24 @@ object GraftCatalog {
   private[catalog] val tables = new ConcurrentHashMap[String, GraftMemTable]()
   /** Test/verify hygiene: drop everything. */
   def reset(): Unit = tables.clear()
+
+  private def memTable(fullName: String): GraftMemTable =
+    Option(tables.get(fullName)).getOrElse(
+      throw new NoSuchElementException(s"no catalog table $fullName"))
+
+  /** Commit-log listing for `ns.table` — (version, commit µs,
+    * row count | -1 if expired, expired flag). The DESCRIBE HISTORY
+    * surface (an API, not SQL: Spark has no HISTORY statement for
+    * third-party catalogs).
+    */
+  def history(fullName: String): Seq[(Int, Long, Long, Boolean)] =
+    memTable(fullName).historyList
+
+  /** VACUUM: expire all but the last `keepLast` snapshots of
+    * `ns.table`. Returns how many this call expired.
+    */
+  def expireSnapshots(fullName: String, keepLast: Int): Int =
+    memTable(fullName).expireSnapshots(keepLast)
 }
 
 /** A catalog-managed driver-memory table: batch read, two-phase-commit
@@ -213,12 +231,46 @@ final class GraftMemTable(fullName: String, schema0: StructType)
   private def snapshot(): (Seq[Row], StructType) =
     synchronized((buf.toSeq, curSchema))
   private[catalog] def currentVersion: Int = synchronized(history.size - 1)
+  /** First version still readable; everything below was expired by
+    * [[expireSnapshots]] (version NUMBERS never shift — an expired
+    * read fails by id, it doesn't silently rebind).
+    */
+  private var expiredBelow = 0
   private[catalog] def versionRows(v: Int): (Seq[Row], StructType) =
     synchronized {
       if (v < 0 || v >= history.size)
         throw new IllegalArgumentException(
           s"no version $v of $fullName (latest: ${history.size - 1})")
+      if (v < expiredBelow)
+        throw new IllegalArgumentException(
+          s"version $v of $fullName is expired " +
+            s"(earliest retained: $expiredBelow)")
       (history(v), schemaHistory(v))
+    }
+  /** VACUUM semantics: retain the last `keepLast` versions, release
+    * the rest (row seqs cleared — on a file-based catalog this is the
+    * data-file delete; here it frees driver memory). Time travel to an
+    * expired version fails by id; the CURRENT table is never affected.
+    * Returns the number of versions expired by this call.
+    */
+  private[catalog] def expireSnapshots(keepLast: Int): Int = synchronized {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val cut = math.max(0, history.size - keepLast)
+    val n = math.max(0, cut - expiredBelow)
+    (expiredBelow until cut).foreach(v => history(v) = Seq.empty)
+    expiredBelow = math.max(expiredBelow, cut)
+    n
+  }
+  /** Commit log listing: (version, commit µs, row count | -1 if
+    * expired, expired flag) — the DESCRIBE HISTORY surface.
+    */
+  private[catalog] def historyList: Seq[(Int, Long, Long, Boolean)] =
+    synchronized {
+      history.indices.map { v =>
+        val exp = v < expiredBelow
+        (v, commitTsMicros(v),
+          if (exp) -1L else history(v).size.toLong, exp)
+      }.toSeq
     }
   private[catalog] def publish(rows: Seq[Row], replace: Boolean): Unit =
     synchronized {
@@ -296,6 +348,7 @@ final class GraftMemTable(fullName: String, schema0: StructType)
       t.schemaHistory ++= schemaHistory
       t.commitTsMicros.clear()
       t.commitTsMicros ++= commitTsMicros
+      t.expiredBelow = expiredBelow
     }
     t
   }

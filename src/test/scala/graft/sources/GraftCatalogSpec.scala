@@ -196,6 +196,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0), (2L, 40.0), (3L, 60.0)), s"got $got")
   }
 
+  test("snapshot expiry keeps version ids stable; expired reads fail") {
+    GraftCatalog.reset()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .createOrReplaceTempView("exp_src")
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.ex AS SELECT * FROM exp_src WHERE id = 1")
+    spark.sql("INSERT INTO graft_cat.ns.ex SELECT * FROM exp_src WHERE id = 2")
+    spark.sql("INSERT INTO graft_cat.ns.ex SELECT * FROM exp_src WHERE id = 3")
+    // versions: 0 empty, 1 = {1}, 2 = {1,2}, 3 = {1,2,3}
+    assert(GraftCatalog.history("ns.ex").map(h => (h._1, h._3)) ==
+      Seq((0, 0L), (1, 1L), (2, 2L), (3, 3L)))
+    assert(GraftCatalog.expireSnapshots("ns.ex", keepLast = 2) == 2)
+    // retained versions keep their ORIGINAL ids and contents
+    assert(spark.sql("SELECT id FROM graft_cat.ns.ex VERSION AS OF 2")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(spark.sql("SELECT id FROM graft_cat.ns.ex")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // expired reads fail by id — no silent rebinding
+    intercept[Exception] {
+      spark.sql("SELECT id FROM graft_cat.ns.ex VERSION AS OF 1").collect()
+    }
+    // expiry is idempotent at the same retention
+    assert(GraftCatalog.expireSnapshots("ns.ex", keepLast = 2) == 0)
+    // history flags the expired entries with nulled counts
+    assert(GraftCatalog.history("ns.ex").map(h => (h._1, h._3, h._4)) ==
+      Seq((0, -1L, true), (1, -1L, true), (2, 2L, false),
+        (3, 3L, false)))
+  }
+
   test("TRUNCATE TABLE empties via the connector and commits a version") {
     GraftCatalog.reset()
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")
