@@ -1439,6 +1439,64 @@ object Catalog {
         CAST(max(l_orderkey) AS BIGINT) AS max_ok
       FROM merged GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** PARTITIONED tables on the V2 catalog
+    * (`SupportsPartitionManagement` + `SupportsPushDownV2Filters`):
+    * `PARTITIONED BY (identity col)` DDL, partition-col predicates
+    * fully pushed and pruning whole partitions at plan time (the
+    * memtable analogue of directory pruning — planned-partition count
+    * pinned in GraftCatalogSpec), `SHOW PARTITIONS` listing both
+    * data-defined and explicitly-registered partitions, and
+    * `ALTER TABLE DROP PARTITION` deleting a partition's rows as one
+    * commit. The query drives the lifecycle: partitioned CTAS-shape
+    * create + insert → SHOW PARTITIONS → pruned aggregate of one
+    * flag → DROP PARTITION ('R') → full aggregate proving the
+    * partition's rows are gone; set-algebra replay.
+    */
+  val catalogPartitioned = RegisteredQuery(
+    "catalog_partitioned",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_p_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_p")
+      s.sql("""CREATE TABLE graft_cat.ns.li_p
+        (l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING)
+        PARTITIONED BY (l_returnflag)""")
+      s.sql("""INSERT INTO graft_cat.ns.li_p
+        SELECT l_orderkey, l_quantity, l_returnflag
+        FROM li_p_src WHERE l_orderkey <= 1600""")
+      val shown = s.sql("SHOW PARTITIONS graft_cat.ns.li_p")
+        .selectExpr("CAST(1 AS INT) AS stage", "partition AS k",
+          "CAST(NULL AS DOUBLE) AS v")
+      val pruned = s.sql("""SELECT CAST(2 AS INT) AS stage,
+          'N' AS k,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM graft_cat.ns.li_p WHERE l_returnflag = 'N'""")
+      s.sql("ALTER TABLE graft_cat.ns.li_p DROP PARTITION " +
+        "(l_returnflag = 'R')")
+      val after = s.sql("""SELECT CAST(3 AS INT) AS stage,
+          l_returnflag AS k, CAST(count(*) AS DOUBLE) AS v
+        FROM graft_cat.ns.li_p GROUP BY l_returnflag""")
+      shown.unionByName(pruned).unionByName(after)
+        .orderBy(col("stage"), col("k"))
+    },
+    Some("""WITH t AS (
+        SELECT l_quantity, l_returnflag FROM lineitem
+        WHERE l_orderkey <= 1600),
+      v AS (
+        SELECT 1 AS stage, 'l_returnflag=' || l_returnflag AS k,
+          CAST(NULL AS DOUBLE) AS v
+        FROM (SELECT DISTINCT l_returnflag FROM t)
+        UNION ALL
+        SELECT 2, 'N',
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        FROM t WHERE l_returnflag = 'N'
+        UNION ALL
+        SELECT 3, l_returnflag, CAST(count(*) AS DOUBLE)
+        FROM t WHERE l_returnflag <> 'R' GROUP BY l_returnflag)
+      SELECT CAST(stage AS INTEGER) AS stage, k, v
+      FROM v ORDER BY stage, k"""))
+
   /** Commit-log HISTORY + snapshot EXPIRY on the V2 catalog — the
     * DESCRIBE HISTORY / VACUUM pair completing the time-travel
     * lifecycle: every DML commit is listed with its row count, and
@@ -8247,7 +8305,8 @@ $union
     sinkInsertOverwrite, catalogIntrospect, sourceCustomV2,
     sourcePushdownAgg, sourcePushdownLimit, sourceRuntimeFilter,
     catalogV2Dml, catalogTimeTravel, catalogSchemaEvolution,
-    catalogMergeInto, catalogUpdate, catalogHistory, sinkCustomV2,
+    catalogMergeInto, catalogUpdate, catalogHistory,
+    catalogPartitioned, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,
     joinShuffleHash, nestedPruning,

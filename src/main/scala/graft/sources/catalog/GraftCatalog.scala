@@ -87,7 +87,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    val t = new GraftMemTable(key(ident), schema)
+    // identity partitioning only (PARTITIONED BY (col)): the memtable
+    // has no files, so bucket/temporal transforms would promise a
+    // layout it cannot deliver — fail the DDL up front instead
+    val partCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() == "identity" && refs.length == 1 &&
+          refs(0).fieldNames().length == 1) refs(0).fieldNames().head
+      else throw new UnsupportedOperationException(
+        s"unsupported partition transform: $t (identity only)")
+    }
+    val t = new GraftMemTable(key(ident), schema, partCols)
     if (GraftCatalog.tables.putIfAbsent(key(ident), t) != null)
       throw new TableAlreadyExistsException(ident)
     t
@@ -182,9 +192,12 @@ object GraftCatalog {
   * `MERGE INTO` / `UPDATE` rewrites). Row payloads live behind a
   * lock; scans snapshot.
   */
-final class GraftMemTable(fullName: String, schema0: StructType)
+final class GraftMemTable(fullName: String, schema0: StructType,
+    partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsPartitionManagement {
+  require(partCols.forall(c => schema0.fieldNames.contains(c)),
+    s"partition columns $partCols must exist in the schema")
 
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
   /** Current schema; starts at the creation schema and advances only
@@ -306,6 +319,10 @@ final class GraftMemTable(fullName: String, schema0: StructType)
           fields :+= org.apache.spark.sql.types
             .StructField(nm, add.dataType(), nullable = true)
           rows = rows.map(r => Row.fromSeq(r.toSeq :+ null))
+        case ren: TableChange.RenameColumn
+            if partCols.contains(ren.fieldNames().mkString(".")) =>
+          throw new UnsupportedOperationException(
+            s"cannot rename partition column ${ren.fieldNames().head}")
         case ren: TableChange.RenameColumn =>
           if (ren.fieldNames().length != 1)
             throw new UnsupportedOperationException(
@@ -314,6 +331,10 @@ final class GraftMemTable(fullName: String, schema0: StructType)
           if (i < 0) throw new IllegalArgumentException(
             s"no column ${ren.fieldNames().head} in $fullName")
           fields = fields.updated(i, fields(i).copy(name = ren.newName()))
+        case del: TableChange.DeleteColumn
+            if partCols.contains(del.fieldNames().mkString(".")) =>
+          throw new UnsupportedOperationException(
+            s"cannot drop partition column ${del.fieldNames().head}")
         case del: TableChange.DeleteColumn =>
           if (del.fieldNames().length != 1)
             throw new UnsupportedOperationException(
@@ -338,7 +359,7 @@ final class GraftMemTable(fullName: String, schema0: StructType)
     }
 
   private[catalog] def renamed(newName: String): GraftMemTable = {
-    val t = new GraftMemTable(newName, schema0)
+    val t = new GraftMemTable(newName, schema0, partCols)
     synchronized {
       t.curSchema = curSchema
       t.buf ++= buf
@@ -386,17 +407,52 @@ final class GraftMemTable(fullName: String, schema0: StructType)
     scanBuilderFor(rows, schemaAt)
   }
 
+  /** PARTITION-PRUNED scan builder: on a partitioned table, predicates
+    * referencing only partition columns push down
+    * (`SupportsPushDownV2Filters`) and are FULLY handled — every row
+    * of a partition shares its partition values, so partition-level
+    * evaluation is row-exact and Spark plans no residual filter for
+    * them. `planInputPartitions` emits one InputPartition per
+    * surviving partition value (sorted for stable planning), so a
+    * pruned partition ships zero rows — the memtable analogue of
+    * directory pruning, pinned in GraftCatalogSpec via the planned
+    * partition count.
+    */
   private[catalog] def scanBuilderFor(rowsAt: Seq[Row],
       schemaAt: StructType): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownV2Filters {
+      private var pushed: Array[Predicate] = Array.empty
+      private val partIdx = partCols.map(c => schemaAt.fieldNames.indexOf(c))
+      private def partOnly(pr: Predicate): Boolean =
+        partCols.nonEmpty &&
+          PredicateEval.supported(pr, schemaAt) &&
+          PredicateEval.references(pr).forall(partCols.contains)
+      override def pushPredicates(
+          predicates: Array[Predicate]): Array[Predicate] = {
+        val (take, rest) = predicates.partition(partOnly)
+        pushed = take
+        rest
+      }
+      override def pushedPredicates(): Array[Predicate] = pushed
       override def build(): Scan = new Scan with Batch {
+        private val parts: Seq[Seq[Row]] =
+          if (partCols.isEmpty || partIdx.exists(_ < 0)) Seq(rowsAt)
+          else rowsAt
+            .groupBy(r => partIdx.map(i => r.get(i)).toList)
+            .toSeq
+            .sortBy { case (k, _) => k.mkString("\u0000") }
+            .collect {
+              case (_, rs) if pushed.forall(pr =>
+                PredicateEval.eval(pr, rs.head, schemaAt)) => rs.toSeq
+            }
         private val rows = rowsAt
         override def readSchema(): StructType = schemaAt
         override def description(): String =
-          s"graft-cat-scan $fullName rows=${rows.length}"
+          s"graft-cat-scan $fullName rows=${rows.length} " +
+            s"parts=${parts.length} pushed=[${pushed.mkString(",")}]"
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] =
-          Array(CatRows(rows, schemaAt))
+          parts.map(rs => CatRows(rs, schemaAt)).toArray
         override def createReaderFactory(): PartitionReaderFactory =
           new PartitionReaderFactory {
             override def createReader(p: InputPartition)
@@ -422,6 +478,92 @@ final class GraftMemTable(fullName: String, schema0: StructType)
           }
       }
     }
+
+  // ---------------------------------------------- partition surface
+  override def partitioning(): Array[Transform] =
+    partCols.map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c)).toArray
+
+  override def partitionSchema(): StructType =
+    StructType(partCols.map(c => synchronized(curSchema)(c)))
+
+  /** Explicitly-registered (possibly empty) partitions, alongside the
+    * implicit ones the data defines — `ALTER TABLE ADD PARTITION`
+    * registers here, data-defined partitions appear without it.
+    */
+  private val registeredParts =
+    scala.collection.mutable.LinkedHashSet.empty[Seq[Any]]
+
+  private def partValuesOf(r: Row): Seq[Any] = {
+    val sch = synchronized(curSchema)
+    val idx = partCols.map(c => sch.fieldNames.indexOf(c))
+    idx.map(i => r.get(i))
+  }
+  private def externalValues(ident: InternalRow): Seq[Any] = {
+    val ps = partitionSchema()
+    ps.fields.indices.map { i =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(ident.get(i, ps.fields(i).dataType),
+          ps.fields(i).dataType)
+    }
+  }
+  private def internalRowOf(values: Seq[Any]): InternalRow = {
+    val ps = partitionSchema()
+    InternalRow.fromSeq(values.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(v) match {
+        case x => x
+      }
+    })
+  }
+
+  override def createPartition(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit = synchronized {
+    val vals = externalValues(ident)
+    if (registeredParts.contains(vals) ||
+        buf.exists(r => partValuesOf(r) == vals))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .PartitionsAlreadyExistException(fullName, ident,
+          partitionSchema())
+    registeredParts += vals: Unit
+  }
+
+  /** Drop = delete the partition's rows (a commit) + unregister. */
+  override def dropPartition(ident: InternalRow): Boolean = synchronized {
+    val vals = externalValues(ident)
+    val had = registeredParts.remove(vals)
+    val keep = buf.filterNot(r => partValuesOf(r) == vals)
+    val changed = keep.length != buf.length
+    if (changed) {
+      buf.clear()
+      buf ++= keep
+      record()
+    }
+    had || changed
+  }
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit = ()
+  override def loadPartitionMetadata(ident: InternalRow)
+      : java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = synchronized {
+    val ps = partitionSchema()
+    val nameIdx = names.map(n => ps.fieldNames.indexOf(n))
+    require(nameIdx.forall(_ >= 0),
+      s"unknown partition columns ${names.mkString(",")}")
+    val wanted = names.indices.map(i =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(ident.get(i, ps.fields(nameIdx(i)).dataType),
+          ps.fields(nameIdx(i)).dataType))
+    val all = (buf.map(partValuesOf).toSeq ++ registeredParts.toSeq)
+      .distinct.sortBy(_.mkString("\u0000"))
+    all.filter(vals => nameIdx.indices.forall(i =>
+        vals(nameIdx(i)) == wanted(i)))
+      .map(internalRowOf).toArray
+  }
 
   // ------------------------------------------------------------ write
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -589,6 +731,18 @@ private[catalog] object PredicateEval {
     case (x: String, y: String) => Some(x.compareTo(y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case _ => None
+  }
+
+  /** Top-level column names a predicate references (children first,
+    * literals contribute nothing). Used for partition-only routing.
+    */
+  def references(p: Predicate, schema: StructType = null): Set[String] = {
+    def walk(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Set[String] = e match {
+      case nr: NamedReference => Set(nr.fieldNames.mkString("."))
+      case other => other.children().toSet.flatMap(walk)
+    }
+    walk(p)
   }
 
   def supported(p: Predicate, schema: StructType): Boolean = p.name() match {

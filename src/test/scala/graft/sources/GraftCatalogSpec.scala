@@ -196,6 +196,63 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0), (2L, 40.0), (3L, 60.0)), s"got $got")
   }
 
+  test("partitioned tables prune partitions for partition-col filters") {
+    GraftCatalog.reset()
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, "c", 4.0))
+      .toDF("id", "tag", "v").createOrReplaceTempView("part_src")
+    spark.sql("""CREATE TABLE graft_cat.ns.pt (id BIGINT, tag STRING,
+      v DOUBLE) PARTITIONED BY (tag)""")
+    spark.sql("INSERT INTO graft_cat.ns.pt SELECT id, tag, v FROM part_src")
+    val q = spark.sql("SELECT id FROM graft_cat.ns.pt WHERE tag = 'a'")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // the partition filter is FULLY pushed and prunes to 1 of 3
+    // partitions — visible in the scan description
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("parts=1"),
+      s"expected a 1-partition pruned scan:\n$plan")
+    // unpartitioned predicates don't push; all partitions plan
+    val q2 = spark.sql("SELECT id FROM graft_cat.ns.pt WHERE v > 1.5")
+    assert(q2.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L))
+    assert(q2.queryExecution.executedPlan.toString.contains("parts=3"))
+  }
+
+  test("SHOW PARTITIONS and ALTER ADD/DROP PARTITION route through " +
+      "partition management") {
+    GraftCatalog.reset()
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "tag")
+      .createOrReplaceTempView("pm_src")
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.pm (id BIGINT, tag STRING) PARTITIONED BY (tag)")
+    spark.sql("INSERT INTO graft_cat.ns.pm SELECT * FROM pm_src")
+    def parts = spark.sql("SHOW PARTITIONS graft_cat.ns.pm")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("tag=a", "tag=b"), s"got $parts")
+    // ADD PARTITION registers an (empty) partition
+    spark.sql("ALTER TABLE graft_cat.ns.pm ADD PARTITION (tag='z')")
+    assert(parts == Seq("tag=a", "tag=b", "tag=z"), s"got $parts")
+    // duplicate registration fails
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ns.pm ADD PARTITION (tag='a')")
+    }
+    // DROP PARTITION deletes the partition's rows as a commit
+    spark.sql("ALTER TABLE graft_cat.ns.pm DROP PARTITION (tag='a')")
+    assert(parts == Seq("tag=b", "tag=z"), s"got $parts")
+    assert(spark.sql("SELECT id FROM graft_cat.ns.pm")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // partition columns are protected from ALTER rename/drop
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ns.pm RENAME COLUMN tag TO label")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ns.pm DROP COLUMN tag")
+    }
+    // non-identity partition transforms fail the DDL up front
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE graft_cat.ns.pm2 (id BIGINT, ts TIMESTAMP)
+        PARTITIONED BY (days(ts))""")
+    }
+  }
+
   test("snapshot expiry keeps version ids stable; expired reads fail") {
     GraftCatalog.reset()
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
