@@ -566,11 +566,33 @@ final class GraftMemTable(fullName: String, schema0: StructType,
   }
 
   // ------------------------------------------------------------ write
+  /** Partitioned tables additionally DEMAND a write distribution
+    * (`RequiresDistributionAndOrdering`): rows cluster by the
+    * partition columns before the write, so each task holds whole
+    * partitions — on a file-based format this is what keeps a
+    * partitioned insert from writing tasks×partitions small files
+    * (the planner inserts the hash Exchange; spec-pinned on the
+    * INSERT plan). Unpartitioned tables leave it unspecified.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with RequiresDistributionAndOrdering {
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          if (partCols.isEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions
+              .unspecified()
+          else org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(partCols.map(c =>
+              org.apache.spark.sql.connector.expressions.Expressions
+                .identity(c): org.apache.spark.sql.connector.expressions
+                .Expression).toArray)
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
               info2: PhysicalWriteInfo): DataWriterFactory =

@@ -216,6 +216,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(q2.queryExecution.executedPlan.toString.contains("parts=3"))
   }
 
+  test("partitioned inserts cluster rows by partition columns") {
+    GraftCatalog.reset()
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.wd (id BIGINT, tag STRING) PARTITIONED BY (tag)")
+    // the connector's RequiresDistributionAndOrdering makes the
+    // planner insert a hash Exchange on the partition column — the
+    // anti-small-files clustering a file-based format relies on
+    val plan = spark.sql("""EXPLAIN INSERT INTO graft_cat.ns.wd
+      SELECT CAST(id AS BIGINT), CAST(id % 3 AS STRING) FROM range(100)""")
+      .collect().head.getString(0)
+    assert(plan.contains("hashpartitioning(tag"),
+      s"expected a clustered write exchange on tag:\n$plan")
+    // and the write itself lands correctly
+    spark.sql("""INSERT INTO graft_cat.ns.wd
+      SELECT CAST(id AS BIGINT), CAST(id % 3 AS STRING) FROM range(100)""")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.wd")
+      .collect().head.getLong(0) == 100L)
+  }
+
   test("SHOW PARTITIONS and ALTER ADD/DROP PARTITION route through " +
       "partition management") {
     GraftCatalog.reset()
