@@ -217,6 +217,50 @@ object Vocabulary {
       .limit(topK)
   }
 
+  /** Vocabulary COVERAGE CURVE — the tokenizer-design statistic: what
+    * fraction of all corpus token OCCURRENCES do the top-k terms
+    * cover? (Zipf makes this the vocab-size/OOV-rate trade study: the
+    * k where the curve flattens is the natural vocabulary cut.)
+    *
+    * Scale shape: one corpus scan collapses to the vocabulary count
+    * frame; the curve itself needs only the TOP max(k) terms
+    * (TakeOrdered — no vocabulary-wide window) plus the 1-row total,
+    * so the windowed cumulative sum runs over a k-bounded frame and
+    * the result is k rows. At 100 TB the vocabulary frame is the only
+    * shuffle; nothing else scales with the corpus.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counted = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      val total = counted.agg(sum(col("n"))).collect().head.getLong(0)
+      val kMax = ks.max
+      val cum = counted.orderBy(col("n").desc, col("term")).limit(kMax)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("term"))))
+        .withColumn("cum", sum(col("n")).over(
+          Window.orderBy(col("rank"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("rank"), col("cum"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      ks.distinct.sorted.map { k =>
+        val r = math.min(k, cum.size)
+        val covered = if (r == 0) 0L else cum(r)
+        (k, covered,
+          if (total == 0) 0.0 else covered.toDouble / total)
+      }.toDF("k", "covered_tokens", "coverage")
+        .select(col("k"), col("covered_tokens"),
+          round(col("coverage"), 6).as("coverage"))
+    } finally { counted.unpersist(blocking = false); () }
+  }
+
   /** Top-k distinctive terms per document, ranked by `(tf desc, df asc,
     * term asc)` — the integer-portable tf-idf-flavored order (idf is
     * strictly decreasing in df, so within a tf tie this IS the tf-idf

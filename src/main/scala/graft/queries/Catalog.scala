@@ -4473,6 +4473,40 @@ object Catalog {
       FROM t WHERE length(term) > 0
       GROUP BY term ORDER BY df DESC, term LIMIT 100"""))
 
+  /** Vocabulary COVERAGE CURVE ([[graft.llm.Vocabulary
+    * .vocabCoverage]]) — the tokenizer-design statistic: token-
+    * occurrence coverage of the top-{10,100,1000} terms. One corpus
+    * scan to the vocab frame, then a k-BOUNDED TakeOrdered + window
+    * (never a vocabulary-wide sort). coverage = covered/total in one
+    * double division, identical bits both engines.
+    */
+  val vocabCoverageQ = RegisteredQuery(
+    "vocab_coverage",
+    (s, d) =>
+      graft.llm.Vocabulary.vocabCoverage(Tables.documents(s, d),
+          "doc_id", "text", ks = Seq(10, 100, 1000))
+        .orderBy(col("k")),
+    Some("""WITH t AS (
+        SELECT unnest(regexp_split_to_array(trim(regexp_replace(
+          lower(text), '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ')) AS term
+        FROM documents),
+      tc AS (
+        SELECT term, count(*) AS n FROM t
+        WHERE length(term) > 0 GROUP BY term),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tc),
+      r AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank
+        FROM tc),
+      c AS (SELECT rank, sum(n) OVER (ORDER BY rank) AS cum FROM r),
+      ks AS (SELECT unnest([10, 100, 1000]) AS k)
+      SELECT CAST(k AS INTEGER) AS k,
+        CAST(cum AS BIGINT) AS covered_tokens,
+        round(CAST(cum AS BIGINT) / total, 6) AS coverage
+      FROM ks
+      JOIN c ON c.rank = least(k, (SELECT count(*) FROM tc))
+      CROSS JOIN tot
+      ORDER BY k"""))
+
   /** Top-3 distinctive terms per document (keyword extraction): tf-df
     * ranking with an integer-portable key (see
     * [[graft.llm.Vocabulary.topTermsPerDoc]] — float tf-idf ties are
@@ -8327,7 +8361,8 @@ $union
     pipelineE2e, dedupExact,
     textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
     charEntropy, docRepetition,
-    vocabTopk, docTopTerms, docBm25, docBm25Disk, docBm25Append,
+    vocabTopk, vocabCoverageQ, docTopTerms, docBm25, docBm25Disk,
+    docBm25Append,
     piiRedact,
     decontaminate, decontaminateBloom, dedupSemantic,
     retrievalHybridRrf, simKnnClassify,

@@ -107,6 +107,20 @@ class VocabularySpec extends SparkSpec {
       s"listed buckets $listed outside query-term set $allowed")
   }
 
+  test("vocabCoverage matches hand-computed cumulative fractions") {
+    import org.apache.spark.sql.functions.col
+    // counts: a=4, b=3, c=2, d=1 → total 10
+    val docs = Seq((1L, "a a b c"), (2L, "a b d"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = Vocabulary.vocabCoverage(docs, "doc_id", "text",
+        ks = Seq(1, 2, 10))
+      .orderBy(col("k")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    // top-1 = a (4/10); top-2 = a,b (7/10); k=10 > vocab ⇒ all 10/10
+    assert(got == Seq((1, 4L, 0.4), (2, 7L, 0.7), (10, 10L, 1.0)),
+      s"got $got")
+  }
+
   test("bm25 index append serves identically to a full rebuild") {
     import org.apache.spark.sql.functions._
     val corpus = (0 until 90).map { i =>
