@@ -72,4 +72,48 @@ object SeqPack {
       .agg(count(lit(1)).cast("int").as("n_docs"),
         sum(col("_contrib")).cast("long").as("n_tokens"))
   }
+
+  /** PADDING-WASTE REPORT for length-bucketed batching — the
+    * training-efficiency twin of [[packChunks]]: when examples must
+    * stay document-aligned (no cross-document packing — SFT,
+    * preference pairs, eval suites), a batch pads every sequence to
+    * its longest member, and batching in ARRIVAL order pays for the
+    * length variance inside every batch. Sorting by length first
+    * makes batches length-homogeneous, collapsing the waste — this
+    * operator quantifies both strategies on the real corpus:
+    * per strategy, rows are ranked (by id = arrival, by (n, id) =
+    * length-sorted), cut into batches of `batchSize`, and each batch
+    * pays `batchSize·max(n) − sum(n)` padding (the final short batch
+    * pads to its own max over its actual rows).
+    *
+    * Scale shape: two rank windows — at 100 TB replace the global
+    * rank with the [[withStartOffsets]] two-phase scan keyed by a
+    * range-partition id (the ranks only need to be batch-stable, not
+    * literal); the per-batch aggregate is one shuffle on batch id.
+    * Pure integer arithmetic ⇒ externally replayable.
+    */
+  def paddingReport(df: DataFrame, idCol: String, nCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val base = df.select(col(idCol).as("id"),
+        col(nCol).cast("long").as("n"))
+      .filter(col("n") > 0)
+    def strat(name: String, order: Seq[Column]): DataFrame =
+      base
+        .withColumn("rk", row_number().over(Window.orderBy(order: _*)))
+        .withColumn("batch", ((col("rk") - 1) / batchSize).cast("long"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("rows"), max(col("n")).as("mx"),
+          sum(col("n")).as("tok"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("tok")).as("real_tokens"),
+          sum(col("rows") * col("mx") - col("tok")).as("padding_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padding_tokens"),
+          round(col("padding_tokens").cast("double") /
+            (col("real_tokens") + col("padding_tokens")).cast("double"),
+            6).as("waste_frac"))
+    strat("arrival", Seq(col("id")))
+      .unionByName(strat("length_sorted", Seq(col("n"), col("id"))))
+  }
 }

@@ -4473,6 +4473,53 @@ object Catalog {
       FROM t WHERE length(term) > 0
       GROUP BY term ORDER BY df DESC, term LIMIT 100"""))
 
+  /** Length-bucketed batching PADDING report ([[graft.llm.SeqPack
+    * .paddingReport]]): for document-aligned batches (SFT/eval — no
+    * cross-doc packing), quantify the padding a batch of 32 pays in
+    * arrival order vs length-sorted order. Pure integer arithmetic;
+    * the oracle replays both strategies' rank→batch→max/sum math.
+    */
+  val seqPaddingReport = RegisteredQuery(
+    "seq_padding_report",
+    (s, d) =>
+      graft.llm.SeqPack.paddingReport(
+        Tables.documents(s, d).select(col("doc_id"),
+          graft.llm.TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", batchSize = 32)
+        .orderBy(col("strategy")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          len(regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ')) AS n
+        FROM documents),
+      base AS (SELECT doc_id, CAST(n AS BIGINT) AS n FROM t WHERE n > 0),
+      a AS (
+        SELECT (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch, n
+        FROM base),
+      ab AS (
+        SELECT batch, count(*) AS rows, max(n) AS mx, sum(n) AS tok
+        FROM a GROUP BY batch),
+      l AS (
+        SELECT (row_number() OVER (ORDER BY n, doc_id) - 1) // 32 AS batch,
+          n
+        FROM base),
+      lb AS (
+        SELECT batch, count(*) AS rows, max(n) AS mx, sum(n) AS tok
+        FROM l GROUP BY batch),
+      u AS (
+        SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+          CAST(sum(tok) AS BIGINT) AS real_tokens,
+          CAST(sum(rows * mx - tok) AS BIGINT) AS padding_tokens
+        FROM ab
+        UNION ALL
+        SELECT 'length_sorted', CAST(count(*) AS BIGINT),
+          CAST(sum(tok) AS BIGINT), CAST(sum(rows * mx - tok) AS BIGINT)
+        FROM lb)
+      SELECT strategy, n_batches, real_tokens, padding_tokens,
+        round(CAST(padding_tokens AS DOUBLE) /
+          (real_tokens + padding_tokens), 6) AS waste_frac
+      FROM u ORDER BY strategy"""))
+
   /** Vocabulary COVERAGE CURVE ([[graft.llm.Vocabulary
     * .vocabCoverage]]) — the tokenizer-design statistic: token-
     * occurrence coverage of the top-{10,100,1000} terms. One corpus
@@ -8367,7 +8414,7 @@ $union
     decontaminate, decontaminateBloom, dedupSemantic,
     retrievalHybridRrf, simKnnClassify,
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
-    dedupComponents, seqPack, graphPagerank, graphDegrees, aggCountmin,
+    dedupComponents, seqPack, seqPaddingReport, graphPagerank, graphDegrees, aggCountmin,
     splitLeakfree, dedupLines, dedupSubstring, bpePairCounts,
     sourceMixReport, docLmPpl,
     docNgrams,

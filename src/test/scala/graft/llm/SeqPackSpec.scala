@@ -34,4 +34,20 @@ class SeqPackSpec extends SparkSpec {
     assert(chunks.map(_._1) == chunks.indices.map(_.toLong),
       "chunk ids must be dense from 0")
   }
+
+  test("paddingReport: length-sorting collapses batch padding") {
+    import org.apache.spark.sql.functions.col
+    // arrival order alternates short/long → every batch of 2 pads the
+    // short row to the long one; length-sorted pairs like with like
+    val rows = Seq((1L, 10L), (2L, 100L), (3L, 10L), (4L, 100L))
+      .toDF("id", "n")
+    val got = SeqPack.paddingReport(rows, "id", "n", batchSize = 2)
+      .orderBy(col("strategy"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // arrival: batches {10,100} ×2 → padding (2·100−110)·2 = 180
+    // sorted: {10,10} and {100,100} → padding 0
+    assert(got == Seq(("arrival", 2L, 220L, 180L),
+      ("length_sorted", 2L, 220L, 0L)), s"got $got")
+  }
 }
