@@ -1555,6 +1555,118 @@ object Catalog {
         CAST(version AS INTEGER) AS version, CAST(n_rows AS BIGINT) AS n_rows
       FROM v ORDER BY stage, version"""))
 
+  /** RESTORE TO VERSION — the recovery verb completing the
+    * time-travel lifecycle (commit log `catalog_history`, VACUUM
+    * expiry, VERSION/TIMESTAMP AS OF reads, and now rollback): a bad
+    * write is undone by COMMITTING the old snapshot as the new
+    * current version — append-only history, nothing rewritten, so the
+    * "bad" era stays readable for audit and a restore is itself
+    * auditable in DESCRIBE HISTORY (Delta `RESTORE TABLE` semantics).
+    * The query stages CTAS → DELETE → INSERT, restores to v1, then
+    * aggregates the restored current table AND the still-readable
+    * post-INSERT v3; the oracle replays both eras by set algebra over
+    * lineitem. Schema-restore across an ALTER and expired-version
+    * failure are pinned in GraftCatalogSpec.
+    */
+  val catalogRestore = RegisteredQuery(
+    "catalog_restore",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_rst_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_rst")
+      s.sql("""CREATE TABLE graft_cat.ns.li_rst AS
+        SELECT l_orderkey, l_quantity, l_returnflag
+        FROM li_rst_src WHERE l_orderkey <= 800""") // v1
+      s.sql("DELETE FROM graft_cat.ns.li_rst WHERE l_returnflag = 'R'") // v2
+      s.sql("""INSERT INTO graft_cat.ns.li_rst
+        SELECT l_orderkey, l_quantity, l_returnflag
+        FROM li_rst_src WHERE l_orderkey > 800 AND l_orderkey <= 1600""") // v3
+      graft.sources.catalog.GraftCatalog.restore("ns.li_rst", 1) // v4
+      val hist = graft.sources.catalog.GraftCatalog.history("ns.li_rst")
+      require(hist.size == 5,
+        s"restore must COMMIT (versions 0..4), got ${hist.size}")
+      def agg(src: String, stage: String) =
+        s.sql(s"""SELECT '$stage' AS stage, count(*) AS n_rows,
+          round(sum(l_quantity), 2) AS sum_qty FROM $src""")
+      agg("graft_cat.ns.li_rst", "restored_current")
+        .unionByName(
+          agg("graft_cat.ns.li_rst VERSION AS OF 3", "pre_restore_v3"))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH era1 AS (
+        SELECT l_quantity FROM lineitem WHERE l_orderkey <= 800),
+      v3 AS (
+        SELECT l_quantity FROM lineitem
+        WHERE l_orderkey <= 800 AND l_returnflag <> 'R'
+        UNION ALL
+        SELECT l_quantity FROM lineitem
+        WHERE l_orderkey > 800 AND l_orderkey <= 1600)
+      SELECT * FROM (
+        SELECT 'restored_current' AS stage, count(*) AS n_rows,
+          round(sum(l_quantity), 2) AS sum_qty FROM era1
+        UNION ALL
+        SELECT 'pre_restore_v3', count(*), round(sum(l_quantity), 2)
+        FROM v3)
+      ORDER BY stage"""))
+
+  /** Shallow CLONE — the dev/test-branch verb lakehouse formats pair
+    * with time travel: the clone's first snapshot IS the source's
+    * current snapshot by reference (zero data copied — on a file
+    * format, a metadata-only commit pointing at the source's files;
+    * here the immutable row seq is shared), after which the two
+    * tables have independent histories. The query clones, then writes
+    * to BOTH sides (INSERT into the clone, DELETE on the source) and
+    * aggregates three eras: source current, clone current, and the
+    * clone's v1 birth snapshot — proving divergence without
+    * interference in either direction. Set-algebra oracle.
+    */
+  val catalogClone = RegisteredQuery(
+    "catalog_clone",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_cln_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_cls")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_clc")
+      s.sql("""CREATE TABLE graft_cat.ns.li_cls AS
+        SELECT l_orderkey, l_quantity, l_returnflag
+        FROM li_cln_src WHERE l_orderkey <= 800""") // src v1
+      graft.sources.catalog.GraftCatalog.cloneTable("ns.li_cls", "ns.li_clc")
+      s.sql("""INSERT INTO graft_cat.ns.li_clc
+        SELECT l_orderkey, l_quantity, l_returnflag
+        FROM li_cln_src
+        WHERE l_orderkey > 800 AND l_orderkey <= 1200""") // clone v2
+      s.sql("DELETE FROM graft_cat.ns.li_cls WHERE l_returnflag = 'R'") // src v2
+      def agg(src: String, stage: String) =
+        s.sql(s"""SELECT '$stage' AS stage, count(*) AS n_rows,
+          round(sum(l_quantity), 2) AS sum_qty FROM $src""")
+      agg("graft_cat.ns.li_cls", "source_current")
+        .unionByName(agg("graft_cat.ns.li_clc", "clone_current"))
+        .unionByName(
+          agg("graft_cat.ns.li_clc VERSION AS OF 1", "clone_birth"))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH base AS (
+        SELECT l_quantity, l_returnflag FROM lineitem
+        WHERE l_orderkey <= 800),
+      src_cur AS (SELECT l_quantity FROM base WHERE l_returnflag <> 'R'),
+      clone_cur AS (
+        SELECT l_quantity FROM base
+        UNION ALL
+        SELECT l_quantity FROM lineitem
+        WHERE l_orderkey > 800 AND l_orderkey <= 1200)
+      SELECT * FROM (
+        SELECT 'source_current' AS stage, count(*) AS n_rows,
+          round(sum(l_quantity), 2) AS sum_qty FROM src_cur
+        UNION ALL
+        SELECT 'clone_current', count(*), round(sum(l_quantity), 2)
+        FROM clone_cur
+        UNION ALL
+        SELECT 'clone_birth', count(*), round(sum(l_quantity), 2)
+        FROM base)
+      ORDER BY stage"""))
+
   /** SQL `UPDATE` through the V2 catalog — the second statement the
     * row-level-operations contract unlocks (same group-based
     * copy-on-write rewrite as `catalog_merge_into`, via
@@ -8387,6 +8499,7 @@ $union
     sourcePushdownAgg, sourcePushdownLimit, sourceRuntimeFilter,
     catalogV2Dml, catalogTimeTravel, catalogSchemaEvolution,
     catalogMergeInto, catalogUpdate, catalogHistory,
+    catalogRestore, catalogClone,
     catalogPartitioned, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,

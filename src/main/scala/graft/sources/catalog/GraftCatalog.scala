@@ -184,6 +184,31 @@ object GraftCatalog {
     */
   def expireSnapshots(fullName: String, keepLast: Int): Int =
     memTable(fullName).expireSnapshots(keepLast)
+
+  /** RESTORE `ns.table` TO VERSION AS OF `version` — commits a new
+    * snapshot whose rows and schema are those of `version` (history is
+    * append-only; see [[GraftMemTable.restoreVersion]]). An API verb,
+    * not SQL: Spark has no RESTORE statement for third-party catalogs.
+    */
+  def restore(fullName: String, version: Int): Unit =
+    memTable(fullName).restoreVersion(version)
+
+  /** Shallow CLONE: create `dstFullName` whose v1 snapshot IS the
+    * current snapshot of `srcFullName` (zero-copy — the immutable row
+    * seq is shared by reference, the memtable analogue of a clone
+    * referencing the source's data files). The clone starts its own
+    * history (v0 empty, v1 = cloned state); subsequent writes to
+    * either table never touch the other. Fails if the destination
+    * already exists or the source does not.
+    */
+  def cloneTable(srcFullName: String, dstFullName: String): Unit = {
+    val (rows, schemaAt, partCols) = memTable(srcFullName).cloneState
+    val dst = new GraftMemTable(dstFullName, schemaAt, partCols)
+    if (tables.putIfAbsent(dstFullName, dst) != null)
+      throw new IllegalArgumentException(
+        s"catalog table $dstFullName already exists")
+    dst.publish(rows, replace = false)
+  }
 }
 
 /** A catalog-managed driver-memory table: batch read, two-phase-commit
@@ -291,6 +316,31 @@ final class GraftMemTable(fullName: String, schema0: StructType,
       buf ++= rows
       record()
     }
+
+  /** RESTORE TO VERSION v (Delta `RESTORE TABLE` semantics): rebind
+    * the CURRENT table state — rows AND schema — to snapshot `v` by
+    * committing a NEW version. History is append-only: the restore is
+    * itself a commit, versions after `v` stay readable (time travel
+    * "forward" across a restore works), and nothing is rewritten.
+    * Restoring across an ALTER brings the old schema back as the
+    * current schema. Fails up front on an expired or out-of-range
+    * version with nothing mutated.
+    */
+  private[catalog] def restoreVersion(v: Int): Unit = synchronized {
+    val (rows, schemaAt) = versionRows(v)
+    buf.clear()
+    buf ++= rows
+    curSchema = schemaAt
+    record()
+  }
+
+  /** Zero-copy snapshot of current (rows, schema, partition columns)
+    * for CLONE — rows are immutable, so handing the Seq reference to
+    * the clone is the memtable analogue of a shallow clone's
+    * file-reference copy (no data is rewritten).
+    */
+  private[catalog] def cloneState: (Seq[Row], StructType, Seq[String]) =
+    synchronized((buf.toSeq, curSchema, partCols))
 
   /** Apply ALTER TABLE changes: ADD COLUMN (appended, existing rows
     * null-fill), RENAME COLUMN (positional values untouched), DROP

@@ -328,4 +328,90 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM graft_cat.ns.t4")
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("RESTORE commits the old snapshot; later versions stay readable") {
+    GraftCatalog.reset()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .createOrReplaceTempView("rst_src")
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.rs AS SELECT * FROM rst_src WHERE id = 1")
+    spark.sql("INSERT INTO graft_cat.ns.rs SELECT * FROM rst_src WHERE id > 1")
+    // versions: 0 empty, 1 = {1}, 2 = {1,2,3}
+    GraftCatalog.restore("ns.rs", 1)
+    // the restore is a COMMIT (v3), not a history rewrite
+    assert(GraftCatalog.history("ns.rs").map(h => (h._1, h._3)) ==
+      Seq((0, 0L), (1, 1L), (2, 3L), (3, 1L)))
+    assert(spark.sql("SELECT id FROM graft_cat.ns.rs")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // time travel FORWARD across the restore still serves the bad era
+    assert(spark.sql("SELECT id FROM graft_cat.ns.rs VERSION AS OF 2")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("RESTORE across an ALTER brings the old schema back") {
+    GraftCatalog.reset()
+    Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("rst_src2")
+    spark.sql("CREATE TABLE graft_cat.ns.rs2 AS SELECT * FROM rst_src2")
+    spark.sql("ALTER TABLE graft_cat.ns.rs2 ADD COLUMN score DOUBLE")
+    assert(spark.table("graft_cat.ns.rs2").columns.toSeq ==
+      Seq("id", "s", "score"))
+    GraftCatalog.restore("ns.rs2", 1)
+    // current schema is the pre-ALTER one again…
+    assert(spark.table("graft_cat.ns.rs2").columns.toSeq == Seq("id", "s"))
+    // …while the post-ALTER snapshot keeps the widened shape
+    assert(spark.sql("SELECT * FROM graft_cat.ns.rs2 VERSION AS OF 2")
+      .columns.toSeq == Seq("id", "s", "score"))
+  }
+
+  test("RESTORE of an expired version fails with nothing mutated") {
+    GraftCatalog.reset()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .createOrReplaceTempView("rst_src3")
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.rs3 AS SELECT * FROM rst_src3 WHERE id = 1")
+    spark.sql(
+      "INSERT INTO graft_cat.ns.rs3 SELECT * FROM rst_src3 WHERE id = 2")
+    assert(GraftCatalog.expireSnapshots("ns.rs3", keepLast = 1) == 2)
+    intercept[IllegalArgumentException] { GraftCatalog.restore("ns.rs3", 1) }
+    // no commit happened and the current rows are untouched
+    assert(GraftCatalog.history("ns.rs3").size == 3)
+    assert(spark.sql("SELECT id FROM graft_cat.ns.rs3")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("CLONE shares the birth snapshot then diverges independently") {
+    GraftCatalog.reset()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .createOrReplaceTempView("cln_src")
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.cs AS SELECT * FROM cln_src WHERE id <= 2")
+    GraftCatalog.cloneTable("ns.cs", "ns.cc")
+    // clone history starts fresh: v0 empty, v1 = the cloned state
+    assert(GraftCatalog.history("ns.cc").map(h => (h._1, h._3)) ==
+      Seq((0, 0L), (1, 2L)))
+    // write to the SOURCE: the clone must not move
+    spark.sql("DELETE FROM graft_cat.ns.cs WHERE id = 1")
+    assert(spark.sql("SELECT id FROM graft_cat.ns.cc")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // write to the CLONE: the source must not move
+    spark.sql("INSERT INTO graft_cat.ns.cc SELECT * FROM cln_src WHERE id = 3")
+    assert(spark.sql("SELECT id FROM graft_cat.ns.cs")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // the clone's birth snapshot stays pinned under both writes
+    assert(spark.sql("SELECT id FROM graft_cat.ns.cc VERSION AS OF 1")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("CLONE fails on an existing destination or a missing source") {
+    GraftCatalog.reset()
+    Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("cln_src2")
+    spark.sql("CREATE TABLE graft_cat.ns.cf1 AS SELECT * FROM cln_src2")
+    spark.sql("CREATE TABLE graft_cat.ns.cf2 AS SELECT * FROM cln_src2")
+    intercept[IllegalArgumentException] {
+      GraftCatalog.cloneTable("ns.cf1", "ns.cf2")
+    }
+    intercept[NoSuchElementException] {
+      GraftCatalog.cloneTable("ns.missing", "ns.cf3")
+    }
+  }
 }
