@@ -3750,6 +3750,63 @@ object Catalog {
       WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
       ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"""))
 
+  /** Per-file MIN/MAX zone-map sidecar
+    * ([[graft.relational.MinMaxSkipIndex]]) — the RANGE complement of
+    * `lookup_bloom_skip`'s point story, and the explicit form of
+    * Delta/Iceberg per-file data-skipping stats: the table is laid
+    * out range-clustered on the key (`repartitionByRange` + sorted
+    * write ⇒ disjoint per-file envelopes), the sidecar records each
+    * file's [min, max, count] in one scan, and a 10%-of-domain range
+    * lookup plans a scan over only the overlapping files. The range
+    * bounds derive from the data (max//2 .. max//2 + max//10) with
+    * the identical integer arithmetic in the oracle. File-skip
+    * evidence (candidates ≪ files) plus the no-skip honesty of a
+    * random layout are pinned in MinMaxSkipIndexSpec; the returned
+    * ROWS are layout-independent, so the oracle checks them exactly.
+    */
+  private val minmaxSkipLock = new Object
+  val lookupMinmaxSkip = RegisteredQuery(
+    "lookup_minmax_skip",
+    (s, d) => {
+      import graft.relational.MinMaxSkipIndex
+      val tbl = s"/tmp/graft_minmax_tbl_${dirTag(d)}"
+      val idx = s"/tmp/graft_minmax_idx_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$idx.stamp")
+      val stamp = sourceStamp(s"$d/lineitem.parquet")
+      minmaxSkipLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          stampFile.delete(): Unit
+          Tables.lineitem(s, d)
+            .repartitionByRange(16, col("l_orderkey"))
+            .sortWithinPartitions(col("l_orderkey"))
+            .write.mode("overwrite").parquet(tbl)
+          MinMaxSkipIndex.build(s, tbl, "l_orderkey", idx)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      val maxOk = Tables.lineitem(s, d)
+        .agg(max(col("l_orderkey"))).collect().head.getLong(0)
+      val (lo, hi) = (maxOk / 2, maxOk / 2 + maxOk / 10)
+      val (res, nCand, nFiles) = MinMaxSkipIndex.lookupRange(s, tbl, idx,
+        "l_orderkey", lo, hi)
+      require(nCand >= 1 && nCand < nFiles,
+        s"zone map skipped nothing: $nCand of $nFiles files")
+      res.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+    },
+    Some("""WITH r AS (
+        SELECT max(l_orderkey) // 2 AS lo,
+          max(l_orderkey) // 2 + max(l_orderkey) // 10 AS hi
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      FROM lineitem, r WHERE l_orderkey BETWEEN lo AND hi
+      ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"""))
+
   val zorderIndex = RegisteredQuery(
     "zorder_index",
     (s, d) =>
@@ -8510,7 +8567,8 @@ $union
     aggStats,
     subqueryCorrelated, arrayFunctions,
     scalarFunctions, jsonExtract, eventsHourly, funnelConversion,
-    incrementalAgg, incrementalHll, zorderIndex, lookupBloomSkip, cohortRetention, dqChecks,
+    incrementalAgg, incrementalHll, zorderIndex, lookupBloomSkip,
+    lookupMinmaxSkip, cohortRetention, dqChecks,
     streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll, streamingRunningTotals, streamingJoinOuter,
