@@ -412,7 +412,26 @@ object Dedup {
     */
   def minhashClustersPortable(df: DataFrame, idCol: String,
       textCol: String, numHashes: Int = 8, bands: Int = 4,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3): DataFrame =
+    bandKeysPortable(df, idCol, textCol, numHashes, bands, shingleK)
+      .withColumn("band_min", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+      .groupBy(col("id"))
+      .agg(min(col("band_min")).as("cluster_id"))
+
+  /** The portable (id, band) LSH bucket keys of
+    * [[minhashClustersPortable]], exposed on their own: band `b` of a
+    * document is `"b|slot[b·r]|…|slot[(b+1)·r−1]"` over the md5
+    * signature's slots (r = numHashes/bands). This is the artifact a
+    * persistent dedup SIGNATURE STORE holds — two documents are
+    * near-dup candidates iff they share a band key, so an incremental
+    * or streaming consumer can test arriving documents against stored
+    * keys without recomputing history
+    * ([[graft.streaming.Streams]]' streaming dedup). Slim rows:
+    * bands × (id, ~50 B key) per document.
+    */
+  def bandKeysPortable(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 4, shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
@@ -424,10 +443,6 @@ object Dedup {
     }
     minhashSignaturePortable(df, idCol, textCol, numHashes, shingleK)
       .select(col("id"), explode(array(bandKeys: _*)).as("band"))
-      .withColumn("band_min", min(col("id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
-      .groupBy(col("id"))
-      .agg(min(col("band_min")).as("cluster_id"))
   }
 
   /** MinHash signature in a PORTABLE hash family: slot `i` of the

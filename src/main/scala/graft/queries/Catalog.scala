@@ -6766,6 +6766,80 @@ $union
       SELECT doc_id, score FROM sc
       ORDER BY score DESC, doc_id LIMIT 20"""))
 
+  /** STREAMING first-seen-wins near-dup dedup
+    * ([[graft.streaming.Streams.dedupMinhashAvailableNow]]) — the
+    * ONLINE member of the dedup family: documents arrive as a paced
+    * file stream (two id-parity epochs), each epoch's docs are
+    * checked against a persistent band-signature store (content seen
+    * in earlier epochs) and against smaller-id docs in the same
+    * epoch, survivors and the epoch's keys land in idempotent
+    * batch=<id> dirs. "Seen content" semantics: dropped documents'
+    * keys stay in the store, so a near-dup of a dropped doc is also
+    * dropped. The oracle replays the exact first-wins rule in the
+    * staged arrival order — (doc_id % 2, doc_id) lexicographic — over
+    * the same portable md5 band keys as `dedup_minhash`, so a doc
+    * surviving that shares a band with ANY earlier-arrived doc breaks
+    * the hash. Store hygiene mirrors the other streaming index
+    * queries (materialize, then delete the per-run dirs).
+    */
+  val streamingDedupMinhash = RegisteredQuery(
+    "streaming_dedup_minhash",
+    (s, d) => {
+      import graft.llm.Similarity
+      import graft.streaming.Streams
+      val prefix = s"graft_dedup_stream_${math.abs(d.hashCode)}_"
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix))
+        .foreach(Similarity.rmTree)
+      val base = s"/tmp/$prefix${System.nanoTime()}"
+      val iso = graft.core.Sessions.isolated(s,
+        Map("spark.sql.shuffle.partitions" -> "8"))
+      val stream = Streams.documentsStreamBatches(iso,
+        s"$d/documents.parquet")
+      val nBatches = Streams.dedupMinhashAvailableNow(iso, stream,
+        "doc_id", "text", s"$base/store", s"$base/out")
+      require(nBatches >= 2,
+        s"expected >=2 micro-batches through the dedup, got $nBatches")
+      val out = s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("n_chars"))
+      val rows = out.collect().toIndexedSeq
+        .sortBy(_.getLong(0))
+      Similarity.rmTree(new java.io.File(base))
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), out.schema)
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        FROM t),
+      e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      h AS (
+        SELECT doc_id, i,
+          min(substr(md5(CAST(i AS VARCHAR) || '|' || s), 17, 16)) AS m
+        FROM e, unnest(generate_series(0, 7)) AS u(i)
+        GROUP BY doc_id, i),
+      bands AS (
+        SELECT doc_id,
+          CAST(i // 2 AS VARCHAR) || '|' || string_agg(m, '|' ORDER BY i)
+            AS bk
+        FROM h GROUP BY doc_id, i // 2),
+      dup AS (
+        SELECT DISTINCT a.doc_id
+        FROM bands a JOIN bands b ON a.bk = b.bk
+        WHERE (b.doc_id % 2 < a.doc_id % 2)
+          OR (b.doc_id % 2 = a.doc_id % 2 AND b.doc_id < a.doc_id))
+      SELECT d.doc_id, d.n_chars
+      FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+      WHERE dup.doc_id IS NULL
+      ORDER BY d.doc_id"""))
+
   /** The disk-SERVING path of IVF×PQ — the production ANN lifecycle:
     * the Lloyd builds (IVF centroids + PQ codebooks) and the radii scan
     * are paid ONCE per corpus version (stamp-gated, like
@@ -8573,7 +8647,8 @@ $union
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
     streamingHll, streamingRunningTotals, streamingJoinOuter,
     streamingJoinFull, streamingJoinSemi, streamingCdc,
-    streamingIndexAppend, streamingBm25Append, streamingMergeUpsert,
+    streamingIndexAppend, streamingBm25Append, streamingDedupMinhash,
+    streamingMergeUpsert,
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,

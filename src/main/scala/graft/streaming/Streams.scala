@@ -295,6 +295,66 @@ object Streams {
     batches.get()
   }
 
+  /** STREAMING first-seen-wins near-dup dedup against a PERSISTENT
+    * band-signature store — the online half of the MinHash-LSH dedup
+    * family: each arriving micro-batch computes its documents'
+    * portable LSH band keys ([[graft.llm.Dedup.bandKeysPortable]]),
+    * drops every document that shares a band with the STORE (content
+    * seen in any earlier epoch) or with a smaller-id document in the
+    * SAME batch, then appends the batch's distinct keys to the store
+    * and its survivors to the output — O(batch · bands) work per
+    * epoch, never a rescan of history. This is the ingest-time shape
+    * of web-crawl dedup: the store holds ~bands × 50 B per document
+    * ever seen (dropped documents' keys included — "seen content"
+    * semantics, so a near-dup of a dropped document is also dropped).
+    *
+    * At-least-once replay safety: both store and output write to
+    * idempotent `batch=<id>` subdirectories (a replayed epoch
+    * overwrites its own dirs), and the history read filters
+    * `batch < currentBatchId` — a replayed batch never collides with
+    * its own partially-appended keys. Returns the micro-batch count.
+    */
+  def dedupMinhashAvailableNow(spark: SparkSession, docStream: DataFrame,
+      idCol: String, textCol: String, storeDir: String, outDir: String,
+      numHashes: Int = 8, bands: Int = 4): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("dedup_stream_ckpt").toString
+    val q = docStream.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val s2 = batch.sparkSession
+          val keys = graft.llm.Dedup.bandKeysPortable(batch, idCol,
+            textCol, numHashes, bands).persist()
+          val dupBatch = keys
+            .join(keys.groupBy(col("band"))
+              .agg(min(col("id")).as("first_id")), "band")
+            .filter(col("id") > col("first_id")).select(col("id"))
+          val dups =
+            (if (new java.io.File(storeDir).exists())
+               keys.join(
+                 s2.read.parquet(storeDir)
+                   .filter(col("batch") < batchId).select(col("band")),
+                 Seq("band"), "left_semi").select(col("id"))
+                 .union(dupBatch)
+             else dupBatch).distinct()
+          batch.join(dups.withColumnRenamed("id", idCol), Seq(idCol),
+              "left_anti")
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          keys.select(col("band")).distinct()
+            .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+          keys.unpersist()
+          batches.incrementAndGet(): Unit
+      }
+      .start()
+    try q.awaitTermination()
+    finally graft.llm.Similarity.rmTree(new java.io.File(ckpt))
+    batches.get()
+  }
+
   /** STREAMING CDC UPSERT INTO A LAKEHOUSE TABLE — the canonical
     * stream-to-lakehouse pattern: each micro-batch of changelog rows
     * (op ∈ {U, D}, versioned by (ts, event_id)) first COLLAPSES to

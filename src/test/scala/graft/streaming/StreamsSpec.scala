@@ -370,6 +370,41 @@ class StreamsSpec extends SparkSpec {
       s"streamed=${serve(inc)} full=${serve(full)}")
   }
 
+  test("streaming minhash dedup: first arrival wins within and across epochs") {
+    // planted duplicate groups {0,1,3} and {2,5}; texts across groups
+    // share no tokens, so only exact twins collide. Parity staging
+    // arrives evens (0,2,4,6) then odds (1,3,5).
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "unique prose about streaming watermark state stores"),
+      (5L, "one two three four five six seven eight nine"),
+      (6L, "different words describing catalyst physical planning")
+    ).toDF("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("doc_src").toString
+    docs.write.mode("overwrite").parquet(src + "/docs.parquet")
+    val stream = Streams.documentsStreamBatches(spark,
+      src + "/docs.parquet", halves = 2)
+    val base = java.nio.file.Files.createTempDirectory("dedup_stream")
+      .toString
+    val n = Streams.dedupMinhashAvailableNow(spark, stream, "doc_id",
+      "text", s"$base/store", s"$base/out")
+    assert(n == 2, s"expected 2 micro-batches, got $n")
+    val survivors = spark.read.parquet(s"$base/out")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    // epoch 0 (evens): all distinct texts → 0,2,4,6 survive.
+    // epoch 1 (odds): 1 collides with stored 0; 5 with stored 2; 3
+    // with stored 0 (and with dropped 1's keys) → none survive.
+    assert(survivors == Seq(0L, 2L, 4L, 6L), survivors.toString)
+    // the store accumulated both epochs' keys in batch=<id> dirs
+    val storeBatches = spark.read.parquet(s"$base/store")
+      .select(col("batch")).distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(storeBatches == Seq(0, 1), storeBatches.toString)
+  }
+
   test("CDC fold keeps the latest version across batches; tombstones beat older updates") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
