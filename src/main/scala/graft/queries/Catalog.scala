@@ -1667,6 +1667,61 @@ object Catalog {
         FROM base)
       ORDER BY stage"""))
 
+  /** ANSI CHECK CONSTRAINTS through the V2 catalog (the Spark 4
+    * constraints SPIP): the table DECLARES `CHECK (…) ENFORCED` and
+    * Spark's write planning compiles it into a CheckInvariant guard
+    * over every incoming row — a batch with one violating row fails
+    * the WHOLE statement before commit, so the table never holds a
+    * snapshot violating its invariants (the write-side quality gate a
+    * lakehouse pairs with read-side `dq_checks`). The query proves
+    * the full lifecycle: a conforming INSERT lands, a violating
+    * INSERT is rejected atomically (count unchanged — required
+    * in-code), and after `ALTER TABLE … DROP CONSTRAINT` the same
+    * rows land. Oracle replays both eras by set algebra.
+    */
+  val catalogConstraints = RegisteredQuery(
+    "catalog_constraints",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_ck_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_ck")
+      s.sql("""CREATE TABLE graft_cat.ns.li_ck (
+        l_quantity DOUBLE, l_returnflag STRING,
+        CONSTRAINT qty_cap CHECK (l_quantity <= 30) ENFORCED)""")
+      s.sql("""INSERT INTO graft_cat.ns.li_ck
+        SELECT l_quantity, l_returnflag FROM li_ck_src
+        WHERE l_quantity <= 30""")
+      val nAfterInsert = s.table("graft_cat.ns.li_ck").count()
+      // the violating batch must fail BEFORE commit: nothing lands
+      val rejected = scala.util.Try(s.sql(
+        """INSERT INTO graft_cat.ns.li_ck
+          SELECT l_quantity, l_returnflag FROM li_ck_src""")).isFailure
+      require(rejected, "violating INSERT must be rejected")
+      require(s.table("graft_cat.ns.li_ck").count() == nAfterInsert,
+        "rejected INSERT must not commit any rows")
+      s.sql("ALTER TABLE graft_cat.ns.li_ck DROP CONSTRAINT qty_cap")
+      s.sql("""INSERT INTO graft_cat.ns.li_ck
+        SELECT l_quantity, l_returnflag FROM li_ck_src
+        WHERE l_quantity > 30""")
+      def agg(stage: String, pred: String) =
+        s.sql(s"""SELECT '$stage' AS stage, l_returnflag,
+          count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+          FROM graft_cat.ns.li_ck $pred GROUP BY l_returnflag""")
+      agg("enforced", "WHERE l_quantity <= 30")
+        .unionByName(agg("final", ""))
+        .orderBy(col("stage"), col("l_returnflag"))
+    },
+    Some("""SELECT * FROM (
+        SELECT 'enforced' AS stage, l_returnflag,
+          count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem WHERE l_quantity <= 30 GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'final', l_returnflag,
+          count(*), round(sum(l_quantity), 2)
+        FROM lineitem GROUP BY l_returnflag)
+      ORDER BY stage, l_returnflag"""))
+
   /** SQL `UPDATE` through the V2 catalog — the second statement the
     * row-level-operations contract unlocks (same group-based
     * copy-on-write rewrite as `catalog_merge_into`, via
@@ -8630,7 +8685,7 @@ $union
     sourcePushdownAgg, sourcePushdownLimit, sourceRuntimeFilter,
     catalogV2Dml, catalogTimeTravel, catalogSchemaEvolution,
     catalogMergeInto, catalogUpdate, catalogHistory,
-    catalogRestore, catalogClone,
+    catalogRestore, catalogClone, catalogConstraints,
     catalogPartitioned, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,

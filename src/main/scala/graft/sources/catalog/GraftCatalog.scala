@@ -42,6 +42,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def key(ident: Identifier): String =
     (ident.namespace :+ ident.name).mkString(".")
 
+  /** Opt in to ANSI table constraints (`CREATE TABLE … CHECK (…)
+    * ENFORCED`, `ALTER TABLE … ADD/DROP CONSTRAINT`) — without this
+    * capability Spark rejects constraint DDL against the catalog up
+    * front.
+    */
+  override def capabilities()
+      : java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** The TableInfo overload is the path `CREATE TABLE` with
+    * constraints arrives on — capture them on the memtable so Spark's
+    * write planning sees them (it compiles ENFORCED CHECKs into
+    * CheckInvariant guards over every INSERT/MERGE/UPDATE).
+    */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val t = createTable(ident, info.schema(), info.partitions(),
+        info.properties())
+      .asInstanceOf[GraftMemTable]
+    t.setConstraints(info.constraints().toIndexedSeq)
+    t
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     GraftCatalog.tables.keySet.asScala
       .map(_.split('.')).filter(_.init.sameElements(namespace))
@@ -229,6 +251,21 @@ final class GraftMemTable(fullName: String, schema0: StructType,
     * via [[applyChanges]] (ALTER TABLE).
     */
   private var curSchema: StructType = schema0
+  /** ANSI table constraints (CHECK …). Reporting them from
+    * [[constraints]] is what makes Spark ENFORCE them: write planning
+    * compiles every enforced CHECK into a CheckInvariant guard over
+    * the incoming rows, failing the whole statement before commit —
+    * the table never sees a violating snapshot.
+    */
+  private var tableConstraints
+      : Seq[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    Nil
+  private[catalog] def setConstraints(
+      cs: Seq[org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : Unit = synchronized { tableConstraints = cs }
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    synchronized(tableConstraints.toArray)
   /** Immutable row-set per committed version; v0 = the empty table at
     * creation. Every commit (INSERT/CTAS/OVERWRITE), DELETE,
     * TRUNCATE, and ALTER appends one snapshot — the Iceberg-style
@@ -355,7 +392,21 @@ final class GraftMemTable(fullName: String, schema0: StructType,
     synchronized {
       var fields = curSchema.fields.toVector
       var rows = buf.toVector
+      var cons = tableConstraints
       changes.foreach {
+        case add: TableChange.AddConstraint =>
+          val c = add.constraint()
+          if (cons.exists(_.name().equalsIgnoreCase(c.name())))
+            throw new IllegalArgumentException(
+              s"constraint ${c.name()} already exists on $fullName")
+          cons :+= c
+        case drop: TableChange.DropConstraint =>
+          val i = cons.indexWhere(_.name().equalsIgnoreCase(drop.name()))
+          if (i < 0) {
+            if (!drop.ifExists())
+              throw new IllegalArgumentException(
+                s"no constraint ${drop.name()} on $fullName")
+          } else cons = cons.patch(i, Nil, 1)
         case add: TableChange.AddColumn =>
           if (add.fieldNames().length != 1)
             throw new UnsupportedOperationException(
@@ -403,6 +454,7 @@ final class GraftMemTable(fullName: String, schema0: StructType,
             s"unsupported table change: $other")
       }
       curSchema = StructType(fields)
+      tableConstraints = cons
       buf.clear()
       buf ++= rows
       record()
@@ -412,6 +464,7 @@ final class GraftMemTable(fullName: String, schema0: StructType,
     val t = new GraftMemTable(newName, schema0, partCols)
     synchronized {
       t.curSchema = curSchema
+      t.tableConstraints = tableConstraints
       t.buf ++= buf
       t.history.clear()
       t.history ++= history

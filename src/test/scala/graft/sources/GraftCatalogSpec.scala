@@ -402,6 +402,37 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("ENFORCED CHECK constraint rejects violating inserts atomically") {
+    GraftCatalog.reset()
+    spark.sql("""CREATE TABLE graft_cat.ns.ck (id BIGINT, q DOUBLE,
+      CONSTRAINT q_pos CHECK (q > 0) ENFORCED)""")
+    spark.sql("INSERT INTO graft_cat.ns.ck VALUES (1, 2.5), (2, 0.5)")
+    // a batch with ONE violating row fails the WHOLE statement before
+    // commit: nothing from the batch lands
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft_cat.ns.ck VALUES (3, 1.0), (4, -1.0)")
+    }
+    assert(e.getMessage.toLowerCase.contains("q_pos") ||
+      e.getMessage.toLowerCase.contains("check"), e.getMessage)
+    assert(spark.sql("SELECT id FROM graft_cat.ns.ck ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT route through the connector") {
+    GraftCatalog.reset()
+    Seq((1L, 5.0)).toDF("id", "q").createOrReplaceTempView("ck_src")
+    spark.sql("CREATE TABLE graft_cat.ns.ck2 AS SELECT * FROM ck_src")
+    spark.sql(
+      "ALTER TABLE graft_cat.ns.ck2 ADD CONSTRAINT q_cap CHECK (q < 100) ENFORCED")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft_cat.ns.ck2 VALUES (2, 500.0)")
+    }
+    spark.sql("ALTER TABLE graft_cat.ns.ck2 DROP CONSTRAINT q_cap")
+    spark.sql("INSERT INTO graft_cat.ns.ck2 VALUES (2, 500.0)")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.ck2")
+      .collect().head.getLong(0) == 2L)
+  }
+
   test("CLONE fails on an existing destination or a missing source") {
     GraftCatalog.reset()
     Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("cln_src2")
