@@ -1667,6 +1667,35 @@ object Catalog {
         FROM base)
       ORDER BY stage"""))
 
+  /** CATALOG-RESOLVED V2 FUNCTIONS
+    * ([[graft.sources.catalog.GraftFunctions]]) — the FunctionCatalog
+    * quadrant of DSv2, how a connector ships compute alongside its
+    * tables (Iceberg's `system.bucket` shape): `graft_cat.ns.gcd` is
+    * a ScalarFunction whose magic `invoke` method the analyzer binds
+    * for codegen'd per-row calls, and `graft_cat.ns.bor` is an
+    * AggregateFunction with the partial/merge state contract, so the
+    * catalog aggregate shuffles one state per group exactly like a
+    * builtin. Both are exact integer functions, replayed
+    * bit-identically by DuckDB's `gcd` / `bit_or`.
+    */
+  val catalogFunctions = RegisteredQuery(
+    "catalog_functions",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_fn_src")
+      s.sql("""SELECT l_returnflag,
+        sum(graft_cat.ns.gcd(l_partkey, l_suppkey)) AS sum_gcd,
+        graft_cat.ns.bor(l_linenumber) AS bor_ln,
+        count(*) AS n_rows
+        FROM li_fn_src GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+      CAST(sum(gcd(l_partkey, l_suppkey)) AS BIGINT) AS sum_gcd,
+      CAST(bit_or(l_linenumber) AS BIGINT) AS bor_ln,
+      count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** ANSI CHECK CONSTRAINTS through the V2 catalog (the Spark 4
     * constraints SPIP): the table DECLARES `CHECK (…) ENFORCED` and
     * Spark's write planning compiles it into a CheckInvariant guard
@@ -8685,7 +8714,7 @@ $union
     sourcePushdownAgg, sourcePushdownLimit, sourceRuntimeFilter,
     catalogV2Dml, catalogTimeTravel, catalogSchemaEvolution,
     catalogMergeInto, catalogUpdate, catalogHistory,
-    catalogRestore, catalogClone, catalogConstraints,
+    catalogRestore, catalogClone, catalogConstraints, catalogFunctions,
     catalogPartitioned, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,

@@ -33,7 +33,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * classOf[GraftCatalog].getName)` — catalogs resolve on first
   * reference, so no session-construction hook is needed.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
   private var catalogName = "graft_cat"
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = catalogName = name
@@ -154,6 +155,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         t.renamed(key(newIdent))) != null)
       throw new TableAlreadyExistsException(newIdent)
   }
+
+  // -- FunctionCatalog: catalog-resolved SQL functions
+  // (`SELECT graft_cat.ns.gcd(a, b)`) — the connector-ships-compute
+  // quadrant; the set lives in [[GraftFunctions]]
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespaceExists(namespace))
+      GraftFunctions.names.map(n => Identifier.of(namespace, n)).toArray
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 
   // -- SupportsNamespaces: flat, implicit namespaces (any single-level
   // namespace exists; listing reflects the tables present)

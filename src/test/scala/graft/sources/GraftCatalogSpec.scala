@@ -433,6 +433,38 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().head.getLong(0) == 2L)
   }
 
+  test("catalog-resolved V2 functions: scalar gcd and aggregate bor") {
+    GraftCatalog.reset()
+    Seq((12L, 18L, 1L), (7L, 21L, 2L), (5L, 10L, 4L)).toDF("a", "b", "x")
+      .createOrReplaceTempView("fn_src")
+    val got = spark.sql(
+      "SELECT graft_cat.ns.gcd(a, b) AS g FROM fn_src ORDER BY g")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(5L, 6L, 7L), got.toString)
+    // aggregate with partial/merge states, grouped
+    val agg = spark.sql(
+      "SELECT graft_cat.ns.bor(x) AS o FROM fn_src")
+      .collect().head.getLong(0)
+    assert(agg == 7L, agg.toString)
+    // the scalar call binds to the magic method (an Invoke expression
+    // — codegen'd, and constant-foldable: over this literal fixture
+    // the optimizer folds it to a LocalRelation), not the boxed
+    // produceResult fallback (ApplyFunctionExpression)
+    val plan = spark.sql("SELECT graft_cat.ns.gcd(a, b) AS g FROM fn_src")
+      .queryExecution.analyzed.toString.toLowerCase
+    assert(plan.contains("invoke") &&
+      !plan.contains("applyfunctionexpression"), plan)
+    // SHOW FUNCTIONS surfaces the catalog's set
+    val shown = spark.sql("SHOW FUNCTIONS IN graft_cat.ns")
+      .collect().map(_.getString(0)).toSet
+    assert(shown.exists(_.endsWith("gcd")) && shown.exists(_.endsWith("bor")),
+      shown.toString)
+    // unknown function fails analysis, not execution
+    intercept[Exception] {
+      spark.sql("SELECT graft_cat.ns.nope(a) FROM fn_src").collect()
+    }
+  }
+
   test("CLONE fails on an existing destination or a missing source") {
     GraftCatalog.reset()
     Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("cln_src2")
