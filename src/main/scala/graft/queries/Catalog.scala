@@ -1696,6 +1696,49 @@ object Catalog {
       count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** COLUMN DEFAULT VALUES through the V2 catalog
+    * (SUPPORT_COLUMN_DEFAULT_VALUE): `DEFAULT` lives in column
+    * metadata (CURRENT_DEFAULT) and the ANALYZER substitutes it into
+    * writes that omit the column — the connector only carries the
+    * metadata, which is how every file-format catalog implements
+    * defaults without rewriting data. The query proves the lifecycle
+    * that matters operationally: rows inserted before an `ALTER
+    * COLUMN … SET DEFAULT` keep the OLD default (defaults are
+    * write-time substitutions, not read-time), rows after get the new
+    * one. Set-algebra oracle; the DEFAULT-keyword and per-row mix are
+    * spec-pinned.
+    */
+  val catalogDefaults = RegisteredQuery(
+    "catalog_defaults",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_dv_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_dv")
+      s.sql("""CREATE TABLE graft_cat.ns.li_dv (
+        l_orderkey BIGINT, l_quantity DOUBLE,
+        batch_tag STRING DEFAULT 'base')""")
+      s.sql("""INSERT INTO graft_cat.ns.li_dv (l_orderkey, l_quantity)
+        SELECT l_orderkey, l_quantity FROM li_dv_src
+        WHERE l_orderkey <= 800""")
+      s.sql("""ALTER TABLE graft_cat.ns.li_dv
+        ALTER COLUMN batch_tag SET DEFAULT 'delta'""")
+      s.sql("""INSERT INTO graft_cat.ns.li_dv (l_orderkey, l_quantity)
+        SELECT l_orderkey, l_quantity FROM li_dv_src
+        WHERE l_orderkey > 800 AND l_orderkey <= 1600""")
+      s.sql("""SELECT batch_tag, count(*) AS n_rows,
+        round(sum(l_quantity), 2) AS sum_qty
+        FROM graft_cat.ns.li_dv GROUP BY batch_tag ORDER BY batch_tag""")
+    },
+    Some("""SELECT * FROM (
+        SELECT 'base' AS batch_tag, count(*) AS n_rows,
+          round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem WHERE l_orderkey <= 800
+        UNION ALL
+        SELECT 'delta', count(*), round(sum(l_quantity), 2)
+        FROM lineitem WHERE l_orderkey > 800 AND l_orderkey <= 1600)
+      ORDER BY batch_tag"""))
+
   /** ANSI CHECK CONSTRAINTS through the V2 catalog (the Spark 4
     * constraints SPIP): the table DECLARES `CHECK (…) ENFORCED` and
     * Spark's write planning compiles it into a CheckInvariant guard
@@ -8715,6 +8758,7 @@ $union
     catalogV2Dml, catalogTimeTravel, catalogSchemaEvolution,
     catalogMergeInto, catalogUpdate, catalogHistory,
     catalogRestore, catalogClone, catalogConstraints, catalogFunctions,
+    catalogDefaults,
     catalogPartitioned, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,

@@ -44,13 +44,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (ident.namespace :+ ident.name).mkString(".")
 
   /** Opt in to ANSI table constraints (`CREATE TABLE … CHECK (…)
-    * ENFORCED`, `ALTER TABLE … ADD/DROP CONSTRAINT`) — without this
-    * capability Spark rejects constraint DDL against the catalog up
-    * front.
+    * ENFORCED`, `ALTER TABLE … ADD/DROP CONSTRAINT`) and COLUMN
+    * DEFAULT VALUES (`v DOUBLE DEFAULT 1.5`, the `DEFAULT` keyword in
+    * INSERT, `ALTER COLUMN … SET DEFAULT`) — without these
+    * capabilities Spark rejects the DDL against the catalog up front.
+    * Defaults need no connector-side evaluation: Spark records them
+    * in the column metadata (CURRENT_DEFAULT / EXISTS_DEFAULT) and
+    * the analyzer substitutes them into writes, so the connector only
+    * has to carry the metadata through its schema.
     */
   override def capabilities()
       : java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** The TableInfo overload is the path `CREATE TABLE` with
     * constraints arrives on — capture them on the memtable so Spark's
@@ -465,6 +471,26 @@ final class GraftMemTable(fullName: String, schema0: StructType,
             rows = rows.map(r => Row.fromSeq(
               r.toSeq.patch(i, Nil, 1)))
           }
+        case upd: TableChange.UpdateColumnDefaultValue =>
+          // ALTER COLUMN … SET/DROP DEFAULT: the default lives in the
+          // column metadata (CURRENT_DEFAULT — what the analyzer
+          // substitutes into FUTURE writes); existing rows are
+          // materialized, so no EXISTS_DEFAULT rewrite applies
+          if (upd.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              s"nested ALTER COLUMN DEFAULT unsupported: " +
+                upd.fieldNames().mkString("."))
+          val i = fields.indexWhere(_.name == upd.fieldNames().head)
+          if (i < 0) throw new IllegalArgumentException(
+            s"no column ${upd.fieldNames().head} in $fullName")
+          val f = fields(i)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          val sqlTxt = upd.newDefaultValue()
+          if (sqlTxt == null || sqlTxt.isEmpty)
+            mb.remove("CURRENT_DEFAULT"): Unit
+          else mb.putString("CURRENT_DEFAULT", sqlTxt): Unit
+          fields = fields.updated(i, f.copy(metadata = mb.build()))
         case other =>
           throw new UnsupportedOperationException(
             s"unsupported table change: $other")

@@ -465,6 +465,28 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("column DEFAULT values fill omitted columns and the DEFAULT keyword") {
+    GraftCatalog.reset()
+    spark.sql("""CREATE TABLE graft_cat.ns.dv (
+      id BIGINT, v DOUBLE DEFAULT 1.5, tag STRING DEFAULT 'none')""")
+    spark.sql("INSERT INTO graft_cat.ns.dv (id) VALUES (1)")
+    spark.sql("INSERT INTO graft_cat.ns.dv VALUES (2, DEFAULT, 'set')")
+    spark.sql("INSERT INTO graft_cat.ns.dv VALUES (3, 9.0, DEFAULT)")
+    val got = spark.sql("SELECT id, v, tag FROM graft_cat.ns.dv ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 1.5, "none"), (2L, 1.5, "set"),
+      (3L, 9.0, "none")), got.toSeq.toString)
+    // ALTER COLUMN SET DEFAULT changes only FUTURE writes
+    spark.sql("ALTER TABLE graft_cat.ns.dv ALTER COLUMN v SET DEFAULT 2.5")
+    spark.sql("INSERT INTO graft_cat.ns.dv (id) VALUES (4)")
+    val v4 = spark.sql("SELECT v FROM graft_cat.ns.dv WHERE id = 4")
+      .collect().head.getDouble(0)
+    assert(v4 == 2.5, v4.toString)
+    val v1 = spark.sql("SELECT v FROM graft_cat.ns.dv WHERE id = 1")
+      .collect().head.getDouble(0)
+    assert(v1 == 1.5, v1.toString)
+  }
+
   test("CLONE fails on an existing destination or a missing source") {
     GraftCatalog.reset()
     Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("cln_src2")
