@@ -1739,6 +1739,40 @@ object Catalog {
         FROM lineitem WHERE l_orderkey > 800 AND l_orderkey <= 1600)
       ORDER BY batch_tag"""))
 
+  /** AUTO-BROADCAST FROM HONEST CATALOG STATISTICS: the memtable scan
+    * reports exact post-pruning row counts and a schema-width byte
+    * estimate (`SupportsReportStatistics`), so the planner broadcasts
+    * a small catalog dimension with NO hint — the contract that makes
+    * dim-table joins cheap at 100 TB (unknown stats = assumed huge =
+    * shuffle join on both sides). The query joins customer to a
+    * 25-row catalog-managed nation dim hint-free and REQUIRES the
+    * broadcast in-plan; the oracle replays the plain join.
+    */
+  val catalogBroadcastJoin = RegisteredQuery(
+    "catalog_broadcast_join",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.nation(s, d).createOrReplaceTempView("nat_bc_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.nat_dim")
+      s.sql("""CREATE TABLE graft_cat.ns.nat_dim AS
+        SELECT n_nationkey, n_name FROM nat_bc_src""")
+      val joined = Tables.customer(s, d)
+        .join(s.table("graft_cat.ns.nat_dim"),
+          col("c_nationkey") === col("n_nationkey"))
+      require(joined.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "small catalog dim must auto-broadcast from reported stats")
+      joined.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name, count(*) AS n_cust,
+        round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
   /** ANSI CHECK CONSTRAINTS through the V2 catalog (the Spark 4
     * constraints SPIP): the table DECLARES `CHECK (…) ENFORCED` and
     * Spark's write planning compiles it into a CheckInvariant guard
@@ -8758,7 +8792,7 @@ $union
     catalogV2Dml, catalogTimeTravel, catalogSchemaEvolution,
     catalogMergeInto, catalogUpdate, catalogHistory,
     catalogRestore, catalogClone, catalogConstraints, catalogFunctions,
-    catalogDefaults,
+    catalogDefaults, catalogBroadcastJoin,
     catalogPartitioned, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,

@@ -579,7 +579,8 @@ final class GraftMemTable(fullName: String, schema0: StructType,
         rest
       }
       override def pushedPredicates(): Array[Predicate] = pushed
-      override def build(): Scan = new Scan with Batch {
+      override def build(): Scan = new Scan with Batch
+          with SupportsReportStatistics {
         private val parts: Seq[Seq[Row]] =
           if (partCols.isEmpty || partIdx.exists(_ < 0)) Seq(rowsAt)
           else rowsAt
@@ -596,6 +597,23 @@ final class GraftMemTable(fullName: String, schema0: StructType,
           s"graft-cat-scan $fullName rows=${rows.length} " +
             s"parts=${parts.length} pushed=[${pushed.mkString(",")}]"
         override def toBatch: Batch = this
+        /** HONEST post-pruning statistics — what lets the planner
+          * AUTO-BROADCAST a small catalog dimension in a join with no
+          * hint (the same contract SynthSource honors): numRows is
+          * the exact surviving row count, sizeInBytes a schema-width
+          * estimate. Without this Spark assumes "unknown = huge" and
+          * plans a shuffle join for a 25-row dim table.
+          */
+        override def estimateStatistics(): Statistics = {
+          val n = parts.map(_.length.toLong).sum
+          new Statistics {
+            override def sizeInBytes(): java.util.OptionalLong =
+              java.util.OptionalLong.of(
+                math.max(n * math.max(schemaAt.defaultSize, 1), 1L))
+            override def numRows(): java.util.OptionalLong =
+              java.util.OptionalLong.of(n)
+          }
+        }
         override def planInputPartitions(): Array[InputPartition] =
           parts.map(rs => CatRows(rs, schemaAt)).toArray
         override def createReaderFactory(): PartitionReaderFactory =

@@ -487,6 +487,22 @@ class GraftCatalogSpec extends SparkSpec {
     assert(v1 == 1.5, v1.toString)
   }
 
+  test("honest scan statistics auto-broadcast a small catalog dimension") {
+    GraftCatalog.reset()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "nm")
+      .createOrReplaceTempView("st_src")
+    spark.sql("CREATE TABLE graft_cat.ns.dim AS SELECT * FROM st_src")
+    val fact = spark.range(0, 10000)
+      .selectExpr("id % 3 + 1 AS k", "id AS payload")
+    // no broadcast hint: the planner must choose broadcast from the
+    // scan's reported statistics (unknown stats would mean
+    // defaultSizeInBytes = huge -> shuffle join)
+    val joined = fact.join(spark.table("graft_cat.ns.dim"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.count() == 10000L)
+  }
+
   test("CLONE fails on an existing destination or a missing source") {
     GraftCatalog.reset()
     Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("cln_src2")
