@@ -40,7 +40,10 @@ object Verify {
     // builds + the composed pipeline's corpus shingle pass
     "streaming_index_append", "pipeline_data_e2e", "bpe_train",
     "sim_topk_ann_compact", "sim_knn_join_ann_disk", "dedup_semantic",
-    "decontaminate_bloom")
+    "decontaminate_bloom",
+    // round-10: streaming epoch machinery
+    "streaming_bm25_append", "streaming_merge_upsert",
+    "streaming_dedup_minhash")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

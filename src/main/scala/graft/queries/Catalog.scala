@@ -1739,6 +1739,75 @@ object Catalog {
         FROM lineitem WHERE l_orderkey > 800 AND l_orderkey <= 1600)
       ORDER BY batch_tag"""))
 
+  /** CHANGE DATA FEED on the V2 catalog (Delta `table_changes`
+    * semantics): every DML verb reduces to `insert`/`delete` rows
+    * tagged with their commit version — the uniform diff stream an
+    * incremental consumer tails instead of re-reading snapshots. The
+    * feed is reconstructed by per-commit MULTISET difference over the
+    * immutable history, so a copy-on-write UPDATE surfaces as exactly
+    * its delete+insert pair while the rewrite's untouched rows cancel
+    * — the feed shows REAL changes, not physical rewrites (q+100
+    * keeps updated rows disjoint from the 1..50 fixture domain, so
+    * nothing cancels spuriously). The query stages CTAS → DELETE →
+    * INSERT → UPDATE and aggregates the (0,4] feed per
+    * (commit_version, change_type); the oracle replays all four
+    * commits by set algebra.
+    */
+  val catalogChangeFeed = RegisteredQuery(
+    "catalog_change_feed",
+    (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_cdf_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_cdf")
+      s.sql("""CREATE TABLE graft_cat.ns.li_cdf AS
+        SELECT l_orderkey, l_quantity, l_returnflag
+        FROM li_cdf_src WHERE l_orderkey <= 800""") // v1
+      s.sql("DELETE FROM graft_cat.ns.li_cdf WHERE l_returnflag = 'R'") // v2
+      s.sql("""INSERT INTO graft_cat.ns.li_cdf
+        SELECT l_orderkey, l_quantity, l_returnflag
+        FROM li_cdf_src
+        WHERE l_orderkey > 800 AND l_orderkey <= 1200""") // v3
+      s.sql("""UPDATE graft_cat.ns.li_cdf
+        SET l_quantity = l_quantity + 100
+        WHERE l_returnflag = 'A'""") // v4
+      val (feed, sch) =
+        graft.sources.catalog.GraftCatalog.changeFeed("ns.li_cdf", 0, 4)
+      val qi = sch.fieldIndex("l_quantity")
+      feed.map { case (v, t, r) => (v, t, r.getDouble(qi)) }
+        .toDF("commit_version", "change_type", "q")
+        .groupBy(col("commit_version"), col("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("q")), 2).as("sum_qty"))
+        .orderBy(col("commit_version"), col("change_type"))
+    },
+    Some("""WITH base AS (
+        SELECT l_quantity, l_returnflag FROM lineitem
+        WHERE l_orderkey <= 800),
+      ins3 AS (
+        SELECT l_quantity, l_returnflag FROM lineitem
+        WHERE l_orderkey > 800 AND l_orderkey <= 1200),
+      dels AS (SELECT l_quantity FROM base WHERE l_returnflag = 'R'),
+      upd AS (
+        SELECT l_quantity FROM base WHERE l_returnflag = 'A'
+        UNION ALL
+        SELECT l_quantity FROM ins3 WHERE l_returnflag = 'A')
+      SELECT * FROM (
+        SELECT 1 AS commit_version, 'insert' AS change_type,
+          count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        FROM base
+        UNION ALL
+        SELECT 2, 'delete', count(*), round(sum(l_quantity), 2) FROM dels
+        UNION ALL
+        SELECT 3, 'insert', count(*), round(sum(l_quantity), 2) FROM ins3
+        UNION ALL
+        SELECT 4, 'delete', count(*), round(sum(l_quantity), 2) FROM upd
+        UNION ALL
+        SELECT 4, 'insert', count(*),
+          round(sum(l_quantity) + 100 * count(*), 2) FROM upd)
+      ORDER BY commit_version, change_type"""))
+
   /** AUTO-BROADCAST FROM HONEST CATALOG STATISTICS: the memtable scan
     * reports exact post-pruning row counts and a schema-width byte
     * estimate (`SupportsReportStatistics`), so the planner broadcasts
@@ -8792,7 +8861,7 @@ $union
     catalogV2Dml, catalogTimeTravel, catalogSchemaEvolution,
     catalogMergeInto, catalogUpdate, catalogHistory,
     catalogRestore, catalogClone, catalogConstraints, catalogFunctions,
-    catalogDefaults, catalogBroadcastJoin,
+    catalogDefaults, catalogBroadcastJoin, catalogChangeFeed,
     catalogPartitioned, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,

@@ -237,6 +237,18 @@ object GraftCatalog {
   def restore(fullName: String, version: Int): Unit =
     memTable(fullName).restoreVersion(version)
 
+  /** CHANGE DATA FEED over `(fromV, toV]` — the per-commit row-level
+    * diff (Delta `table_changes` semantics without row tracking):
+    * every DML verb reduces to `insert`/`delete` rows tagged with
+    * their commit version, an UPDATE appearing as its delete+insert
+    * pair. Returns (commitVersion, changeType, row) triples plus the
+    * era's schema; see [[GraftMemTable.changesBetween]] for the
+    * multiset-diff contract.
+    */
+  def changeFeed(fullName: String, fromV: Int, toV: Int)
+      : (Seq[(Int, String, Row)], org.apache.spark.sql.types.StructType) =
+    memTable(fullName).changesBetween(fromV, toV)
+
   /** Shallow CLONE: create `dstFullName` whose v1 snapshot IS the
     * current snapshot of `srcFullName` (zero-copy — the immutable row
     * seq is shared by reference, the memtable analogue of a clone
@@ -401,6 +413,50 @@ final class GraftMemTable(fullName: String, schema0: StructType,
   private[catalog] def cloneState: (Seq[Row], StructType, Seq[String]) =
     synchronized((buf.toSeq, curSchema, partCols))
 
+  /** CHANGE DATA FEED: the row-level diff between consecutive
+    * snapshots over `(fromV, toV]`, reconstructed from the immutable
+    * history by MULTISET difference — rows present more times in v
+    * than v−1 emit `insert` (per extra occurrence), fewer emit
+    * `delete`. Because every DML verb (INSERT / DELETE / OVERWRITE /
+    * MERGE / UPDATE / TRUNCATE / RESTORE) commits a snapshot, they
+    * all reduce to the same uniform feed an incremental consumer
+    * tails; an UPDATE appears as its delete+insert pair (standard CDF
+    * without row tracking), and a copy-on-write rewrite's untouched
+    * rows cancel in the diff — only real changes surface. Requires a
+    * schema-constant range (diffing across an ALTER is ill-defined
+    * row-wise) and fails on expired versions; a file-format catalog
+    * would read per-commit change files instead of diffing, same
+    * output contract.
+    */
+  private[catalog] def changesBetween(fromV: Int, toV: Int)
+      : (Seq[(Int, String, Row)], StructType) = synchronized {
+    require(fromV >= 0 && fromV < toV && toV <= currentVersion,
+      s"bad change-feed range ($fromV, $toV] for $fullName " +
+        s"(latest: $currentVersion)")
+    val (_, schema0At) = versionRows(fromV)
+    val out = Seq.newBuilder[(Int, String, Row)]
+    (fromV + 1 to toV).foreach { v =>
+      val (prev, _) = versionRows(v - 1)
+      val (cur, schV) = versionRows(v)
+      require(schV == schema0At,
+        s"change feed across a schema change is unsupported " +
+          s"(version $v of $fullName)")
+      val prevCounts = prev.groupBy(identity).map { case (r, rs) =>
+        r -> rs.size
+      }
+      val curCounts = cur.groupBy(identity).map { case (r, rs) =>
+        r -> rs.size
+      }
+      (prevCounts.keySet ++ curCounts.keySet).foreach { r =>
+        val delta = curCounts.getOrElse(r, 0) - prevCounts.getOrElse(r, 0)
+        if (delta > 0) (1 to delta).foreach(_ => out += ((v, "insert", r)))
+        else if (delta < 0)
+          (1 to -delta).foreach(_ => out += ((v, "delete", r)))
+      }
+    }
+    (out.result(), schema0At)
+  }
+
   /** Apply ALTER TABLE changes: ADD COLUMN (appended, existing rows
     * null-fill), RENAME COLUMN (positional values untouched), DROP
     * COLUMN (values projected away). All changes in the statement
@@ -486,7 +542,8 @@ final class GraftMemTable(fullName: String, schema0: StructType,
           val f = fields(i)
           val mb = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
-          val sqlTxt = upd.newDefaultValue()
+          val sqlTxt =
+            Option(upd.newCurrentDefault()).map(_.getSql).orNull
           if (sqlTxt == null || sqlTxt.isEmpty)
             mb.remove("CURRENT_DEFAULT"): Unit
           else mb.putString("CURRENT_DEFAULT", sqlTxt): Unit

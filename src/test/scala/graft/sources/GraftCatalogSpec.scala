@@ -503,6 +503,56 @@ class GraftCatalogSpec extends SparkSpec {
     assert(joined.count() == 10000L)
   }
 
+  test("change feed: every DML verb reduces to tagged insert/delete rows") {
+    GraftCatalog.reset()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .createOrReplaceTempView("cdf_src")
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.cdf AS SELECT * FROM cdf_src WHERE id <= 2")
+    spark.sql("DELETE FROM graft_cat.ns.cdf WHERE id = 1")
+    spark.sql(
+      "INSERT INTO graft_cat.ns.cdf SELECT * FROM cdf_src WHERE id = 3")
+    spark.sql("UPDATE graft_cat.ns.cdf SET s = 'zz' WHERE id = 2")
+    val (feed, sch) = GraftCatalog.changeFeed("ns.cdf", 0, 4)
+    assert(sch.fieldNames.toSeq == Seq("id", "s"))
+    val got = feed.map { case (v, t, r) => (v, t, r.getLong(0),
+      r.getString(1)) }.sortBy(x => (x._1, x._2, x._3)).toList
+    assert(got == List(
+      (1, "insert", 1L, "a"), (1, "insert", 2L, "b"),
+      (2, "delete", 1L, "a"),
+      (3, "insert", 3L, "c"),
+      // the UPDATE's copy-on-write rewrote the whole group, but only
+      // the REAL change surfaces: untouched row 3 cancels in the diff
+      (4, "delete", 2L, "b"), (4, "insert", 2L, "zz")), got.toString)
+    // a RESTORE is just another commit: restoring to v2 re-inserts
+    // what was deleted since and deletes what was added
+    GraftCatalog.restore("ns.cdf", 2)
+    val (feed2, _) = GraftCatalog.changeFeed("ns.cdf", 4, 5)
+    val got2 = feed2.map { case (v, t, r) => (v, t, r.getLong(0),
+      r.getString(1)) }.sortBy(x => (x._1, x._2, x._3)).toList
+    assert(got2 == List((5, "delete", 2L, "zz"), (5, "delete", 3L, "c"),
+      (5, "insert", 2L, "b")), got2.toString)
+    // bad ranges fail up front
+    intercept[IllegalArgumentException] {
+      GraftCatalog.changeFeed("ns.cdf", 3, 3)
+    }
+    intercept[IllegalArgumentException] {
+      GraftCatalog.changeFeed("ns.cdf", 0, 99)
+    }
+  }
+
+  test("change feed across a schema change fails up front") {
+    GraftCatalog.reset()
+    Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("cdf_src2")
+    spark.sql("CREATE TABLE graft_cat.ns.cdf2 AS SELECT * FROM cdf_src2")
+    spark.sql("ALTER TABLE graft_cat.ns.cdf2 ADD COLUMN x DOUBLE")
+    intercept[IllegalArgumentException] {
+      GraftCatalog.changeFeed("ns.cdf2", 0, 2)
+    }
+    // a range inside one schema era still works
+    assert(GraftCatalog.changeFeed("ns.cdf2", 0, 1)._1.size == 1)
+  }
+
   test("CLONE fails on an existing destination or a missing source") {
     GraftCatalog.reset()
     Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("cln_src2")
