@@ -491,6 +491,65 @@ object ScaleProbe {
           .foreach(_.unpersist(blocking = false))
       }
 
+      // ---- streaming minhash dedup's per-epoch primitive: band keys
+      // for a HALF-corpus batch, anti-joined against the other half's
+      // stored keys + within-batch min election. The epoch machinery
+      // is fixed-cost; this is the part that must stay O(batch·bands)
+      // as the corpus (and therefore the store) grows.
+      {
+        val history = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 =!= 0)
+        val storeKeys = Dedup.bandKeysPortable(history, "doc_id", "text")
+          .select(col("band")).distinct().persist()
+        storeKeys.count()
+        val (nSurv, tEpoch) = timed {
+          val keys = Dedup.bandKeysPortable(batch, "doc_id", "text")
+            .persist()
+          val dupHist = keys.join(storeKeys, Seq("band"), "left_semi")
+            .select(col("id"))
+          val dupBatch = keys
+            .join(keys.groupBy(col("band"))
+              .agg(min(col("id")).as("first_id")), "band")
+            .filter(col("id") > col("first_id")).select(col("id"))
+          val n = batch.join(dupHist.union(dupBatch).distinct()
+              .withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+              "left_anti").count()
+          keys.unpersist()
+          n
+        }
+        println(f"[probe] docs x$mult stream_dedup_epoch " +
+          f"survivors=$nSurv time=$tEpoch%.2fs")
+        storeKeys.unpersist()
+      }
+
+      // ---- min/max zone-map sidecar: build is one scan + one slim
+      // shuffle; serve cost is the driver-side envelope intersection
+      // (O(files)) plus a scan of only the overlapping files — the
+      // candidate fraction should track range selectivity on a
+      // range-clustered layout at any corpus size
+      {
+        import graft.relational.MinMaxSkipIndex
+        val n = nDocs * 100
+        val tbl = java.nio.file.Files
+          .createTempDirectory("probe_mm").toString + "/tbl"
+        val idx = tbl + ".idx"
+        spark.range(0, n)
+          .select(col("id").as("k"), (col("id") % 7).as("payload"))
+          .repartitionByRange(16, col("k")).sortWithinPartitions(col("k"))
+          .write.mode("overwrite").parquet(tbl)
+        val (_, tBuild) = timed(MinMaxSkipIndex.build(spark, tbl, "k", idx))
+        val (res, tServe) = timed {
+          val (r, cand, total) = MinMaxSkipIndex.lookupRange(spark, tbl,
+            idx, "k", n / 2, n / 2 + n / 20)
+          (r.count(), cand, total)
+        }
+        println(f"[probe] mm x$mult rows=$n build=$tBuild%.2fs " +
+          f"serve=$tServe%.2fs rows_out=${res._1} " +
+          f"cand=${res._2}/${res._3}")
+        Similarity.rmTree(new java.io.File(
+          new java.io.File(tbl).getParent))
+      }
+
       docs.unpersist(); emb.unpersist(); cust.unpersist()
     }
     spark.stop()
