@@ -229,6 +229,24 @@ object GraftCatalog {
   def expireSnapshots(fullName: String, keepLast: Int): Int =
     memTable(fullName).expireSnapshots(keepLast)
 
+  /** Current committed version of `ns.table` — the base a
+    * transactional replace should capture before it reads.
+    */
+  def currentVersion(fullName: String): Int =
+    memTable(fullName).currentVersion
+
+  /** Transactional whole-table replace: commit `rows` as the new
+    * table contents ONLY IF the table is still at `baseVersion` —
+    * the optimistic-concurrency verb behind OVERWRITE and the
+    * copy-on-write rewrites (see
+    * [[GraftMemTable.publishReplaceIfBase]]). Throws
+    * `ConcurrentModificationException` on a moved base; the caller
+    * re-reads and retries.
+    */
+  def overwriteIfBase(fullName: String, rows: Seq[Row],
+      baseVersion: Int): Unit =
+    memTable(fullName).publishReplaceIfBase(rows, baseVersion)
+
   /** RESTORE `ns.table` TO VERSION AS OF `version` — commits a new
     * snapshot whose rows and schema are those of `version` (history is
     * append-only; see [[GraftMemTable.restoreVersion]]). An API verb,
@@ -387,6 +405,26 @@ final class GraftMemTable(fullName: String, schema0: StructType,
       buf ++= rows
       record()
     }
+
+  /** OPTIMISTIC CONCURRENCY for replace commits: publish `rows` as
+    * the whole table ONLY IF no other commit landed since
+    * `baseVersion` (the version the replacing transaction read its
+    * snapshot at). Blind APPENDs never conflict — they commute, the
+    * Delta ConcurrentAppend allowance — but a replace (OVERWRITE, or
+    * a copy-on-write MERGE/UPDATE/DELETE rewrite) that committed over
+    * a moved base would silently erase the interleaved writer's rows,
+    * so it fails with a snapshot-conflict instead and the caller
+    * retries against the new base. Nothing is mutated on conflict.
+    */
+  private[catalog] def publishReplaceIfBase(rows: Seq[Row],
+      baseVersion: Int): Unit = synchronized {
+    if (currentVersion != baseVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot conflict on $fullName: replace based on version " +
+          s"$baseVersion but current is $currentVersion — " +
+          "retry against the new base")
+    publish(rows, replace = true)
+  }
 
   /** RESTORE TO VERSION v (Delta `RESTORE TABLE` semantics): rebind
     * the CURRENT table state — rows AND schema — to snapshot `v` by
@@ -797,6 +835,10 @@ final class GraftMemTable(fullName: String, schema0: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var replace = false
+      // the version this write's transaction is based on — replace
+      // commits are rejected if another commit lands after this point
+      // (appends always commute; see publishReplaceIfBase)
+      private val baseVersion = currentVersion
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new Write
           with RequiresDistributionAndOrdering {
@@ -817,10 +859,13 @@ final class GraftMemTable(fullName: String, schema0: StructType,
           override def createBatchWriterFactory(
               info2: PhysicalWriteInfo): DataWriterFactory =
             new graft.sources.synth.MemWriterFactory(info.schema())
-          override def commit(messages: Array[WriterCommitMessage]): Unit =
-            publish(messages
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val rows = messages
               .map(_.asInstanceOf[graft.sources.synth.MemRows])
-              .sortBy(_.partitionId).flatMap(_.rows).toSeq, replace)
+              .sortBy(_.partitionId).flatMap(_.rows).toSeq
+            if (replace) publishReplaceIfBase(rows, baseVersion)
+            else publish(rows, replace = false)
+          }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
       }
@@ -866,6 +911,9 @@ final class GraftMemTable(fullName: String, schema0: StructType,
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
+        // the snapshot version this row-level rewrite reads — its
+        // ReplaceData commit conflicts if any other commit interleaves
+        private val baseVersion = currentVersion
         override def command(): RowLevelOperation.Command = info.command()
         override def description(): String =
           s"graft-cat-cow ${info.command()} $fullName"
@@ -883,10 +931,10 @@ final class GraftMemTable(fullName: String, schema0: StructType,
                   new CowWriterFactory(winfo.schema())
                 override def commit(
                     messages: Array[WriterCommitMessage]): Unit =
-                  publish(messages
+                  publishReplaceIfBase(messages
                     .map(_.asInstanceOf[graft.sources.synth.MemRows])
                     .sortBy(_.partitionId).flatMap(_.rows).toSeq,
-                    replace = true)
+                    baseVersion)
                 override def abort(
                     messages: Array[WriterCommitMessage]): Unit = ()
               }

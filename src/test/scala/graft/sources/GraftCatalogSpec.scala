@@ -553,6 +553,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(GraftCatalog.changeFeed("ns.cdf2", 0, 1)._1.size == 1)
   }
 
+  test("optimistic concurrency: a stale replace fails, appends commute") {
+    GraftCatalog.reset()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .createOrReplaceTempView("occ_src")
+    spark.sql("CREATE TABLE graft_cat.ns.occ AS SELECT * FROM occ_src")
+    val base = GraftCatalog.currentVersion("ns.occ") // 1 (post-CTAS)
+    // another writer commits an append AFTER our transaction read
+    spark.sql("INSERT INTO graft_cat.ns.occ VALUES (3, 'c')")
+    // a replace based on the stale snapshot would silently erase row
+    // 3 — it must fail instead, mutating nothing
+    val rows = Seq(org.apache.spark.sql.Row(9L, "z"))
+    intercept[java.util.ConcurrentModificationException] {
+      GraftCatalog.overwriteIfBase("ns.occ", rows, base)
+    }
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.occ")
+      .collect().head.getLong(0) == 3L)
+    // retry against the re-read base succeeds
+    GraftCatalog.overwriteIfBase("ns.occ", rows,
+      GraftCatalog.currentVersion("ns.occ"))
+    assert(spark.sql("SELECT id FROM graft_cat.ns.occ")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // appends never conflict — they commute (Delta ConcurrentAppend
+    // allowance); SQL single-statement paths are unaffected
+    spark.sql("INSERT INTO graft_cat.ns.occ VALUES (10, 'y')")
+    spark.sql("INSERT OVERWRITE graft_cat.ns.occ SELECT * FROM occ_src")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.occ")
+      .collect().head.getLong(0) == 2L)
+  }
+
   test("CLONE fails on an existing destination or a missing source") {
     GraftCatalog.reset()
     Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("cln_src2")
