@@ -6996,6 +6996,72 @@ $union
       SELECT doc_id, score FROM sc
       ORDER BY score DESC, doc_id LIMIT 20"""))
 
+  /** STREAMING QUALITY ROUTER with a dead-letter side output
+    * ([[graft.streaming.Streams.routeAvailableNow]]) — the DLQ shape
+    * of a production ingest: each micro-batch splits ONCE on the
+    * quality gate (the same token-count + punctuation rule as
+    * `pipeline_data_e2e`'s quality stage), accepted docs land in the
+    * main sink, rejects in the dead-letter sink with a reason column
+    * — an auditable drop, the streaming analogue of the observe()
+    * metrics on the batch candidate generators. Both sides write
+    * idempotent batch=<id> dirs, so acceptance+rejection stays a
+    * partition of the input under replay; the oracle replays the gate
+    * over the whole corpus and checks BOTH sides' aggregates — a row
+    * routed to neither (or both) sides breaks the hash.
+    */
+  val streamingQualityRouter = RegisteredQuery(
+    "streaming_quality_router",
+    (s, d) => {
+      import graft.llm.{Similarity, TextAnalysis}
+      import graft.streaming.Streams
+      val prefix = s"graft_router_${math.abs(d.hashCode)}_"
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix))
+        .foreach(Similarity.rmTree)
+      val base = s"/tmp/$prefix${System.nanoTime()}"
+      val iso = graft.core.Sessions.isolated(s,
+        Map("spark.sql.shuffle.partitions" -> "8"))
+      val stream = Streams.documentsStreamBatches(iso,
+        s"$d/documents.parquet")
+      val nPunct = length(
+        regexp_replace(col("text"), "[\\p{L}\\p{Nd}\\s]", ""))
+      val gate = TextAnalysis.tokenCount(col("text")) >= 10 &&
+        nPunct * lit(4) <= length(col("text"))
+      val nBatches = Streams.routeAvailableNow(iso, stream, gate,
+        "quality_gate", s"$base/ok", s"$base/dlq")
+      require(nBatches >= 2,
+        s"expected >=2 micro-batches through the router, got $nBatches")
+      def agg(dir: String, side: String) = s.read.parquet(dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .select(lit(side).as("side"), col("lang"), col("n_docs"),
+          col("n_chars"))
+      val out = agg(s"$base/ok", "accepted")
+        .unionByName(agg(s"$base/dlq", "dead_letter"))
+      val rows = out.collect().toIndexedSeq
+        .sortBy(r => (r.getString(0), r.getString(1)))
+      Similarity.rmTree(new java.io.File(base))
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), out.schema)
+    },
+    Some("""WITH t AS (
+        SELECT lang, n_chars,
+          len(regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ')) AS n_tok,
+          length(regexp_replace(text, '[\p{L}\p{Nd}\s]', '', 'g'))
+            AS n_punct,
+          length(text) AS n_len
+        FROM documents)
+      SELECT * FROM (
+        SELECT 'accepted' AS side, lang, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM t WHERE n_tok >= 10 AND 4 * n_punct <= n_len GROUP BY lang
+        UNION ALL
+        SELECT 'dead_letter', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+        FROM t WHERE NOT (n_tok >= 10 AND 4 * n_punct <= n_len)
+        GROUP BY lang)
+      ORDER BY side, lang"""))
+
   /** STREAMING first-seen-wins near-dup dedup
     * ([[graft.streaming.Streams.dedupMinhashAvailableNow]]) — the
     * ONLINE member of the dedup family: documents arrive as a paced
@@ -8879,7 +8945,7 @@ $union
     streamingHll, streamingRunningTotals, streamingJoinOuter,
     streamingJoinFull, streamingJoinSemi, streamingCdc,
     streamingIndexAppend, streamingBm25Append, streamingDedupMinhash,
-    streamingMergeUpsert,
+    streamingQualityRouter, streamingMergeUpsert,
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,

@@ -355,6 +355,45 @@ object Streams {
     batches.get()
   }
 
+  /** STREAMING ROUTER with a dead-letter side output — the
+    * quality-gate shape of a production ingest: each micro-batch is
+    * split ONCE by a predicate, accepted rows land in the main sink
+    * and rejected rows in the dead-letter sink WITH the batch id and
+    * a reason column (an auditable DLQ, not a silent drop — the
+    * streaming analogue of the batch observe() drop metrics this repo
+    * pins on its candidate generators). Both sinks write idempotent
+    * `batch=<id>` dirs, so an at-least-once replay overwrites its own
+    * epoch on both sides and acceptance+rejection stays a partition
+    * of the input. Returns the micro-batch count.
+    */
+  def routeAvailableNow(spark: SparkSession, stream: DataFrame,
+      accept: org.apache.spark.sql.Column, reason: String,
+      acceptDir: String, deadLetterDir: String): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("router_ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val marked = batch.withColumn("__accept", accept).persist()
+          marked.filter(col("__accept")).drop("__accept")
+            .write.mode("overwrite").parquet(s"$acceptDir/batch=$batchId")
+          marked.filter(!col("__accept")).drop("__accept")
+            .withColumn("reject_reason", lit(reason))
+            .write.mode("overwrite")
+            .parquet(s"$deadLetterDir/batch=$batchId")
+          marked.unpersist()
+          batches.incrementAndGet(): Unit
+      }
+      .start()
+    try q.awaitTermination()
+    finally graft.llm.Similarity.rmTree(new java.io.File(ckpt))
+    batches.get()
+  }
+
   /** STREAMING CDC UPSERT INTO A LAKEHOUSE TABLE — the canonical
     * stream-to-lakehouse pattern: each micro-batch of changelog rows
     * (op ∈ {U, D}, versioned by (ts, event_id)) first COLLAPSES to

@@ -405,6 +405,35 @@ class StreamsSpec extends SparkSpec {
     assert(storeBatches == Seq(0, 1), storeBatches.toString)
   }
 
+  test("streaming router partitions every row into accept XOR dead-letter") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, if (i % 3 == 0) "short" else
+        "this document easily clears the minimum token count gate " +
+          s"with content number $i")).toDF("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("router_src")
+      .toString
+    docs.write.mode("overwrite").parquet(src + "/docs.parquet")
+    val stream = Streams.documentsStreamBatches(spark,
+      src + "/docs.parquet", halves = 2)
+    val base = java.nio.file.Files.createTempDirectory("router_out")
+      .toString
+    val n = Streams.routeAvailableNow(spark, stream,
+      graft.llm.TextAnalysis.tokenCount(col("text")) >= 5, "too_short",
+      s"$base/ok", s"$base/dlq")
+    assert(n == 2, s"expected 2 micro-batches, got $n")
+    val ok = spark.read.parquet(s"$base/ok")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val dlq = spark.read.parquet(s"$base/dlq")
+    val dlqIds = dlq.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // exact partition of the input: disjoint, and jointly exhaustive
+    assert(ok.intersect(dlqIds).isEmpty)
+    assert(ok.union(dlqIds) == (0L until 40L).toSet)
+    assert(ok == (0L until 40L).filter(_ % 3 != 0).toSet)
+    // the dead letter carries its audit reason
+    assert(dlq.select(col("reject_reason")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("too_short"))
+  }
+
   test("CDC fold keeps the latest version across batches; tombstones beat older updates") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
