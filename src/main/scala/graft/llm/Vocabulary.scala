@@ -31,6 +31,68 @@ object Vocabulary {
       .agg(countDistinct(col("id")).as("df"),
         count(lit(1)).as("tf_total"))
 
+  /** MISRA-GRIES heavy hitters over the token stream: a bounded
+    * summary of at most `capacity` counters built in ONE scan with
+    * map-side partial summaries merged associatively (the mergeable-
+    * summaries result of Agarwal et al., PODS'12) — the sketch a
+    * 100 TB vocabulary pass runs when the exact `vocabulary()`
+    * aggregate's term cardinality won't fit a shuffle. Guarantees
+    * (for n total tokens, k = capacity): every term with true count
+    * > n/k IS in the summary, and each reported estimate is within
+    * [true − n/k, true]. Counts are NOT deterministic across
+    * partitionings — only the bounds are, which is what consumers
+    * (and the oracle) should check. Returns (summary, n).
+    */
+  def heavyHitters(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 64): (Map[String, Long], Long) =
+    heavyHittersKeys(explodedTerms(df, idCol, textCol), "term", capacity)
+
+  /** [[heavyHitters]] over an arbitrary string key column — the form
+    * a skewed-key diagnostic uses (which join keys carry >1/k of the
+    * rows?) without paying an exact full-cardinality aggregate.
+    */
+  def heavyHittersKeys(df: DataFrame, keyCol: String,
+      capacity: Int): (Map[String, Long], Long) = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val terms = df
+      .select(col(keyCol).cast("string")).as[String](
+        org.apache.spark.sql.Encoders.STRING)
+    type S = (scala.collection.mutable.HashMap[String, Long], Long)
+    def zero: S = (scala.collection.mutable.HashMap.empty, 0L)
+    // classic MG update: hit increments; a miss with a full table
+    // decrements every counter (evicting zeros) instead of inserting
+    def update(s: S, t: String): S = {
+      val (m, n) = s
+      if (m.contains(t)) m(t) += 1L
+      else if (m.size < capacity) m(t) = 1L
+      else {
+        val dead = m.iterator.collect { case (k, 1L) => k }.toList
+        m.mapValuesInPlace((_, v) => v - 1L)
+        dead.foreach(m.remove)
+      }
+      (m, n + 1L)
+    }
+    // merge: add counts, then trim back to capacity by subtracting
+    // the (capacity+1)-th largest count from everything (equivalent
+    // to repeated decrement; preserves the n/k bound after merge)
+    def merge(a: S, b: S): S = {
+      val (m, n) = a
+      b._1.foreach { case (k, v) => m(k) = m.getOrElse(k, 0L) + v }
+      if (m.size > capacity) {
+        val cut = m.values.toSeq.sorted(Ordering[Long].reverse)
+          .apply(capacity)
+        val trimmed = m.collect {
+          case (k, v) if v > cut => k -> (v - cut)
+        }
+        m.clear()
+        m ++= trimmed
+      }
+      (m, n + b._2)
+    }
+    val (summary, n) = terms.rdd.treeAggregate(zero)(update, merge)
+    (summary.toMap, n)
+  }
+
   /** Per-(doc, term) frequency joined with document frequency and
     * smoothed TF-IDF weight `tf * ln((N+1)/(df+1))`. `nDocs` is passed
     * in (callers usually know it; counting here would add a job).

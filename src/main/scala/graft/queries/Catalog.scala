@@ -3777,6 +3777,55 @@ object Catalog {
       FROM events GROUP BY user_id
       ORDER BY n_exact DESC, user_id LIMIT 20"""))
 
+  /** MISRA-GRIES heavy hitters
+    * ([[graft.llm.Vocabulary.heavyHittersKeys]]) — the DETERMINISTIC
+    * counter-based complement of `agg_countmin`'s hash sketch: k
+    * counters in one treeAggregate scan (map-side partials, mergeable
+    * per Agarwal et al.) guarantee, with NO probability qualifier,
+    * that every key holding > n/k of the stream is present and every
+    * estimate lies in [true − n/k, true]. The stream is the skewed
+    * join key from `join_skew_aqe` (one key carries ~90% of lineitem)
+    * — exactly the diagnostic MG exists for at 100 TB: "which keys
+    * would break my shuffle" without an exact full-cardinality
+    * aggregate. Both bounds are deterministic, so the oracle asserts
+    * them as literal TRUEs over the exact counts of the keys above
+    * threshold (estimates themselves are partitioning-dependent and
+    * stay out of the hash, like every sketch query here).
+    */
+  val aggHeavyHitters = RegisteredQuery(
+    "agg_heavy_hitters",
+    (s, d) => {
+      val capacity = 8
+      val skewed = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 100 < 90, lit(0L))
+          .otherwise(col("l_orderkey") % 100).as("sk"))
+      val (summary, n) =
+        graft.llm.Vocabulary.heavyHittersKeys(skewed, "sk", capacity)
+      val bound = n / capacity
+      // at most capacity-1 keys can exceed n/capacity — a k-bounded
+      // driver fetch like the other sketch digests
+      val rows = skewed.groupBy(col("sk"))
+        .agg(count(lit(1)).as("n_exact"))
+        .filter(col("n_exact") > bound)
+        .collect()
+        .map { r =>
+          val (k, exact) = (r.getLong(0), r.getLong(1))
+          val est = summary.getOrElse(k.toString, -1L)
+          (k, exact, est >= 0L, est <= exact && exact - est <= bound)
+        }
+        .sortBy(_._1).toIndexedSeq
+      import s.implicits._
+      rows.toDF("sk", "n_exact", "in_sketch", "bound_ok")
+    },
+    Some("""WITH k AS (
+        SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+          ELSE l_orderkey % 100 END AS sk
+        FROM lineitem),
+      c AS (SELECT sk, count(*) AS n_exact FROM k GROUP BY sk),
+      t AS (SELECT count(*) AS total FROM k)
+      SELECT sk, n_exact, TRUE AS in_sketch, TRUE AS bound_ok
+      FROM c, t WHERE n_exact > total // 8 ORDER BY sk"""))
+
   /** MERGEABLE sketches — the incremental-distinct pattern: one HLL
     * sketch per daily batch (`hll_sketch_agg`), merged with
     * `hll_union_agg`, estimated once — so "distinct users ever" is
@@ -8932,7 +8981,8 @@ $union
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,
     joinShuffleHash, nestedPruning,
-    windowRankStats, aggHistogram, timeseriesGapfill, timeseriesInterp,
+    windowRankStats, aggHistogram, aggHeavyHitters, timeseriesGapfill,
+    timeseriesInterp,
     scalarTryFunctions, streamingEnrich, windowRatio, aggMad,
     windowRollingMedian, scd2History, windowFillForward,
     aggStats,

@@ -183,4 +183,38 @@ class VocabularySpec extends SparkSpec {
     assert(out.getInt(0) == 2)
     assert(out.getString(1) == "write to [EMAIL] or [EMAIL] now")
   }
+
+  test("misra-gries: deterministic bounds hold under heavy eviction") {
+    // 41 distinct keys, one carrying 60% of a 10k stream; capacity 8
+    // forces constant eviction. Guarantees checked: (a) every key
+    // with true > n/k is present, (b) est <= true always,
+    // (c) true - est <= n/k for every reported key
+    val rows = (0 until 10000).map { i =>
+      val k = if (i % 5 < 3) "hot" else s"cold${i % 40}"
+      (i.toLong, k)
+    }.toDF("id", "k")
+    val (summary, n) = Vocabulary.heavyHittersKeys(rows, "k", capacity = 8)
+    assert(n == 10000L)
+    val bound = n / 8
+    val exact = rows.groupBy(col("k")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, cnt) =>
+      if (cnt > bound)
+        assert(summary.contains(k), s"heavy key $k (true=$cnt) missing")
+    }
+    summary.foreach { case (k, est) =>
+      val cnt = exact(k)
+      assert(est <= cnt, s"$k overestimated: est=$est true=$cnt")
+      assert(cnt - est <= bound, s"$k bound broken: est=$est true=$cnt")
+    }
+    assert(summary.size <= 8)
+  }
+
+  test("misra-gries degenerates to exact when capacity >= cardinality") {
+    val rows = (0 until 600).map(i => (i.toLong, s"k${i % 5}"))
+      .toDF("id", "k")
+    val (summary, n) = Vocabulary.heavyHittersKeys(rows, "k", capacity = 16)
+    assert(n == 600L)
+    assert(summary == (0 until 5).map(i => s"k$i" -> 120L).toMap)
+  }
 }
