@@ -249,20 +249,104 @@ object Vocabulary {
     } finally { docs.unpersist(blocking = false); () }
   }
 
+  /** GDPR-style DELETE on the disk inverted index — the sparse twin
+    * of the ANN index's tombstone verb, completing removal symmetry
+    * across both index families: deleted ids land in a `.tombstones`
+    * sidecar TOGETHER WITH their document length (captured here with
+    * one index scan — a takedown batch pays one scan, or a production
+    * deployment keeps a doc→dl sidecar; either way the index stays
+    * self-sufficient). Nothing in the posting files is rewritten —
+    * the serve path folds the tombstones: postings anti-join on id
+    * BEFORE df is counted and the stats recombine from exact integer
+    * sums, so a deletion correctly shifts idf/avgdl for every
+    * SURVIVING document, not just hides the deleted one. Ids must not
+    * be re-used after deletion (same append-only id contract as
+    * [[appendBm25Index]]).
+    */
+  def deleteBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "deleteBm25Index needs at least one id")
+    spark.read.parquet(path)
+      .filter(col("id").isin(ids.map(Long.box): _*))
+      .select(col("id"), col("dl")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path.tombstones")
+  }
+
+  /** COMPACT the disk inverted index: physically fold accumulated
+    * tombstones (postings rewritten minus deleted ids, per-bucket
+    * sorted files re-merged) and rewrite the stats sidecar to the
+    * already-adjusted integer-exact values, then swap in with the
+    * same two-rename protocol as the ANN index
+    * ([[Similarity.swapCompacted]] — caller must serialize with
+    * readers, as the registered queries' locks do). Serve results are
+    * unchanged by construction: the fold applies exactly the
+    * anti-join + stats recombination the tombstoned serve was already
+    * doing per query.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, buckets: Int = 64): Unit = {
+    val tombFile = new java.io.File(s"$path.tombstones")
+    val base = spark.read.parquet(path)
+    val (postings, removedN, removedS) =
+      if (tombFile.exists()) {
+        val tomb = spark.read.parquet(s"$path.tombstones")
+          .select(col("id"), col("dl")).distinct()
+        val agg = tomb.agg(count(lit(1)),
+          coalesce(sum(col("dl")), lit(0L))).collect().head
+        (base.join(broadcast(tomb.select(col("id"))), Seq("id"),
+          "left_anti"), agg.getLong(0), agg.getLong(1))
+      } else (base, 0L, 0L)
+    postings
+      .select(col("id"), col("dl"), col("term"), col("tf"), col("bkt"))
+      .repartition(col("bkt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$path.compact")
+    val old = spark.read.parquet(s"$path.stats")
+      .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
+      .collect().head
+    val n = old.getLong(0) - removedN
+    val sDl = old.getLong(1) - removedS
+    import spark.implicits._
+    Seq((n, if (n == 0) 0.0 else sDl.toDouble / n, sDl))
+      .toDF("n_docs", "avgdl", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.stats")
+    Similarity.swapCompacted(path)
+    Similarity.rmTree(tombFile)
+  }
+
   /** Serve BM25 top-k from the disk inverted index. Identical scoring
     * arithmetic to [[bm25]] (df derived from the term's own posting
     * list — complete by the bucket invariant), so the two share an
-    * oracle.
+    * oracle. Tombstones (see [[deleteBm25Index]]) fold here: deleted
+    * postings drop before df counts, and n_docs/avgdl recombine from
+    * the exact integer sums — serve over a deleted index is
+    * bit-identical to a rebuild over the surviving corpus.
     */
   def bm25Disk(spark: org.apache.spark.sql.SparkSession, path: String,
       queryTerms: Seq[String], k1: Double = 1.5, b: Double = 0.75,
       topK: Int = 20, buckets: Int = 64): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val stats = spark.read.parquet(s"$path.stats")
+    val stats0 = spark.read.parquet(s"$path.stats")
     val bkts = queryTerms.map(termBucket(_, buckets)).distinct
-    val postings = spark.read.parquet(path)
+    val postings0 = spark.read.parquet(path)
       .filter(col("bkt").isin(bkts: _*) &&
         col("term").isin(queryTerms: _*))
+    val (postings, stats) =
+      if (new java.io.File(s"$path.tombstones").exists()) {
+        val tomb = spark.read.parquet(s"$path.tombstones")
+          .select(col("id"), col("dl")).distinct()
+        val tombAgg = tomb.agg(count(lit(1)).as("n_t"),
+          coalesce(sum(col("dl")), lit(0L)).as("s_t"))
+        val adj = stats0.crossJoin(broadcast(tombAgg)).select(
+          (col("n_docs") - col("n_t")).as("n_docs"),
+          ((col("sum_dl") - col("s_t")).cast("double") /
+            (col("n_docs") - col("n_t"))).as("avgdl"),
+          (col("sum_dl") - col("s_t")).as("sum_dl"))
+        (postings0.join(broadcast(tomb.select(col("id"))), Seq("id"),
+          "left_anti"), adj)
+      } else (postings0, stats0)
     val docFreq = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     postings.join(broadcast(docFreq), Seq("term"))

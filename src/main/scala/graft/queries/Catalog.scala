@@ -1866,19 +1866,20 @@ object Catalog {
         CONSTRAINT qty_cap CHECK (l_quantity <= 30) ENFORCED)""")
       s.sql("""INSERT INTO graft_cat.ns.li_ck
         SELECT l_quantity, l_returnflag FROM li_ck_src
-        WHERE l_quantity <= 30""")
+        WHERE l_orderkey <= 8000 AND l_quantity <= 30""")
       val nAfterInsert = s.table("graft_cat.ns.li_ck").count()
       // the violating batch must fail BEFORE commit: nothing lands
       val rejected = scala.util.Try(s.sql(
         """INSERT INTO graft_cat.ns.li_ck
-          SELECT l_quantity, l_returnflag FROM li_ck_src""")).isFailure
+          SELECT l_quantity, l_returnflag FROM li_ck_src
+          WHERE l_orderkey <= 8000""")).isFailure
       require(rejected, "violating INSERT must be rejected")
       require(s.table("graft_cat.ns.li_ck").count() == nAfterInsert,
         "rejected INSERT must not commit any rows")
       s.sql("ALTER TABLE graft_cat.ns.li_ck DROP CONSTRAINT qty_cap")
       s.sql("""INSERT INTO graft_cat.ns.li_ck
         SELECT l_quantity, l_returnflag FROM li_ck_src
-        WHERE l_quantity > 30""")
+        WHERE l_orderkey <= 8000 AND l_quantity > 30""")
       def agg(stage: String, pred: String) =
         s.sql(s"""SELECT '$stage' AS stage, l_returnflag,
           count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
@@ -1890,11 +1891,12 @@ object Catalog {
     Some("""SELECT * FROM (
         SELECT 'enforced' AS stage, l_returnflag,
           count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
-        FROM lineitem WHERE l_quantity <= 30 GROUP BY l_returnflag
+        FROM lineitem WHERE l_orderkey <= 8000 AND l_quantity <= 30
+        GROUP BY l_returnflag
         UNION ALL
         SELECT 'final', l_returnflag,
           count(*), round(sum(l_quantity), 2)
-        FROM lineitem GROUP BY l_returnflag)
+        FROM lineitem WHERE l_orderkey <= 8000 GROUP BY l_returnflag)
       ORDER BY stage, l_returnflag"""))
 
   /** SQL `UPDATE` through the V2 catalog — the second statement the
@@ -5141,6 +5143,69 @@ object Catalog {
     * `doc_bm25`'s full-corpus oracle checks the merge, not just the
     * appended rows.
     */
+  /** DELETE on the disk inverted index
+    * ([[graft.llm.Vocabulary.deleteBm25Index]]) — removal symmetry
+    * with `sim_topk_ann_delete` across both index families: the
+    * takedown writes (id, dl) tombstones, no posting file is
+    * rewritten, and the serve path folds them BEFORE df counts while
+    * the stats recombine from exact integer sums — so the deletion
+    * shifts idf and avgdl for every surviving document exactly as a
+    * rebuild over the survivors would. The oracle IS that rebuild:
+    * the full BM25 replay over `documents` minus the deleted tenth.
+    */
+  private val bm25DeleteLock = new Object
+  val docBm25Delete = RegisteredQuery(
+    "doc_bm25_delete",
+    (s, d) => {
+      import graft.llm.{Similarity, Vocabulary}
+      val path = s"/tmp/graft_bm25_del_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = sourceStamp(s"$d/documents.parquet")
+      bm25DeleteLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          stampFile.delete(): Unit
+          // a rebuild must not inherit the previous era's tombstones
+          Similarity.rmTree(new java.io.File(s"$path.tombstones"))
+          val docs = Tables.documents(s, d)
+          Vocabulary.writeBm25Index(docs, "doc_id", "text", path,
+            buckets = 16)
+          val doomed = docs.filter(col("doc_id") % 10 === 3)
+            .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+          Vocabulary.deleteBm25Index(s, path, doomed)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      Vocabulary.bm25Disk(s, path,
+          queryTerms = Seq("dup", "spark", "join"), topK = 20,
+          buckets = 16)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents WHERE doc_id % 10 <> 3),
+      d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      hit AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf FROM hit
+        WHERE term IN ('dup', 'spark', 'join') GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id,
+          round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+            (tf.tf * 2.5) /
+            (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4)
+            AS score
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id LIMIT 20"""))
+
   private val bm25AppendLock = new Object
   val docBm25Append = RegisteredQuery(
     "doc_bm25_append",
@@ -9002,7 +9067,7 @@ $union
     textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
     charEntropy, docRepetition,
     vocabTopk, vocabCoverageQ, docTopTerms, docBm25, docBm25Disk,
-    docBm25Append,
+    docBm25Append, docBm25Delete,
     piiRedact,
     decontaminate, decontaminateBloom, dedupSemantic,
     retrievalHybridRrf, simKnnClassify,

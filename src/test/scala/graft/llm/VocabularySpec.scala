@@ -184,6 +184,50 @@ class VocabularySpec extends SparkSpec {
     assert(out.getString(1) == "write to [EMAIL] or [EMAIL] now")
   }
 
+  test("bm25 delete: tombstoned serve equals a rebuild over survivors") {
+    val corpus = Seq(
+      (1L, "spark join shuffle"),
+      (2L, "spark spark filter"),
+      (3L, "join broadcast join"),
+      (4L, "spark join exchange"),
+      (5L, "window aggregate sort")
+    ).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("bm25del")
+      .toString
+    val full = s"$base/full"
+    Vocabulary.writeBm25Index(corpus, "doc_id", "text", full, buckets = 4)
+    val before = Vocabulary.bm25Disk(spark, full, Seq("spark", "join"),
+        topK = 10, buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Vocabulary.deleteBm25Index(spark, full, Seq(2L, 3L))
+    val served = Vocabulary.bm25Disk(spark, full, Seq("spark", "join"),
+        topK = 10, buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // deleted ids are gone
+    assert(!served.contains(2L) && !served.contains(3L), served.toString)
+    // bit-identical to rebuilding the index over the survivors: df,
+    // n_docs, and avgdl all shifted, not just the rows hidden
+    val rebuilt = s"$base/rebuilt"
+    Vocabulary.writeBm25Index(
+      corpus.filter(!col("doc_id").isin(2L, 3L)), "doc_id", "text",
+      rebuilt, buckets = 4)
+    val expect = Vocabulary.bm25Disk(spark, rebuilt, Seq("spark", "join"),
+        topK = 10, buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served == expect, s"served=$served rebuilt=$expect")
+    // and the deletion visibly moved a survivor's score (idf shift)
+    assert(served(1L) != before(1L),
+      s"doc 1 score unchanged (${before(1L)}) — idf did not fold")
+    // compaction physically folds the tombstones: same serve results,
+    // sidecar gone, and a second compact is a no-op rewrite
+    Vocabulary.compactBm25Index(spark, full, buckets = 4)
+    assert(!new java.io.File(s"$full.tombstones").exists())
+    val compacted = Vocabulary.bm25Disk(spark, full, Seq("spark", "join"),
+        topK = 10, buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(compacted == expect, s"compacted=$compacted rebuilt=$expect")
+  }
+
   test("misra-gries: deterministic bounds hold under heavy eviction") {
     // 41 distinct keys, one carrying 60% of a 10k stream; capacity 8
     // forces constant eviction. Guarantees checked: (a) every key
