@@ -602,16 +602,52 @@ object Similarity {
     ivfIndex(delta, vecCol, idCol, centroids)
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** DELETE from a disk IVF index — the removal verb for the IVF
+    * family, completing delete symmetry across LSH / IVF / BM25
+    * indexes: same (append-only tombstone sidecar, fold-on-read,
+    * physical removal deferred to compaction) protocol as
+    * [[deleteFromLshIndex]], and the same sidecar format, so one
+    * takedown pipeline serves every index kind. Soundness of the
+    * branch-and-bound serve is unaffected: folding happens before
+    * scoring, and radii computed over the folded frame only tighten.
+    */
+  def deleteFromIvfIndex(ids: DataFrame, idCol: String,
+      path: String): Unit =
+    deleteFromLshIndex(ids, idCol, path)
+
+  /** COMPACT a disk IVF index: rewrite the `cell=` layout minus any
+    * tombstoned ids and clear the sidecar — the same two-rename swap
+    * (and the same serialize-with-readers caveat) as
+    * [[compactLshIndex]].
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    readIvfIndex(spark, path) // tombstones fold here
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path.compact")
+    swapCompacted(path)
+    clearTombstones(path)
+  }
+
   /** Read a disk IVF index back; `cell` returns as a partition column,
     * so cell filters prune directories (verify via PartitionFilters in
-    * the scan node).
+    * the scan node). Pending tombstones fold here — a deleted id is
+    * unservable immediately, before any compaction rewrites bytes.
     */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val df = spark.read.parquet(path)
     // partition-column types infer as the narrowest integral; probes
     // compare against Int cell ids
-    df.select(col("id"), col("vec"), col("cell").cast("int").as("cell"))
+    val base =
+      df.select(col("id"), col("vec"), col("cell").cast("int").as("cell"))
+    readTombstones(spark, path) match {
+      case Some(t) => base.join(broadcast(t),
+          base("id") === t("graft_dead_id"), "left_anti")
+        .select(col("id"), col("vec"), col("cell"))
+      case None => base
+    }
   }
 
   /** The `nprobe` cells nearest to a query vector (driver-side — the

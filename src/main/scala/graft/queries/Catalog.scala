@@ -6796,6 +6796,58 @@ $union
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
+  /** DELETE on the disk IVF index
+    * ([[graft.llm.Similarity.deleteFromIvfIndex]]) — removal symmetry
+    * across all three index families (LSH `sim_topk_ann_delete`, BM25
+    * `doc_bm25_delete`, and now IVF): tombstones append at O(delta),
+    * fold on read BEFORE scoring (a deleted id is unservable
+    * immediately), physical bytes go at `compactIvfIndex`'s
+    * two-rename swap. Exactness survives by construction — radii over
+    * the folded frame only tighten — so the oracle is brute force
+    * over the surviving corpus, same contract as the other deletes.
+    */
+  private val ivfDeleteLock = new Object
+  val simTopkIvfDelete = RegisteredQuery(
+    "sim_topk_ivf_delete",
+    (s, d) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val cents = centroidsFor(s, d)
+      val path = s"/tmp/graft_ivf_del_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = sourceStamp(s"$d/embeddings.parquet")
+      ivfDeleteLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          stampFile.delete(): Unit
+          Similarity.clearTombstones(path)
+          Similarity.writeIvfIndex(
+            Similarity.ivfIndex(emb, "embedding", "vec_id", cents), path)
+          Similarity.deleteFromIvfIndex(
+            emb.filter(col("vec_id") % 50 === 7), "vec_id", path)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      val disk = Similarity.readIvfIndex(s, path)
+      val radii = Similarity.cellRadii(disk, cents)
+      Similarity.topKIvfExact(disk, query, cents, radii, k = 10,
+          nprobe = math.max(2, cents.length / 4))
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      WHERE vec_id % 50 <> 7
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
   /** Product-quantization ANN: byte-packed PQ codes (16 B/row vs
     * 256 B raw — the representation that serves a 100 TB embedding
     * corpus from memory) score an ADC shortlist with NO vector access,
@@ -9080,7 +9132,7 @@ $union
     bpeEncode, bpeTrain,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkAnnDisk,
     simTopkAnnAppend, simTopkAnnCompact, simTopkAnnDelete,
-    simTopkIvf, simTopkIvfDisk, simTopkIvfAppend,
+    simTopkIvf, simTopkIvfDisk, simTopkIvfAppend, simTopkIvfDelete,
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simTopkIvfPqAppend,
     simKnnJoin, simKnnJoinAnn,
     simKnnJoinAnnDisk,

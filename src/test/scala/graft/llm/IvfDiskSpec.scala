@@ -89,4 +89,42 @@ class IvfDiskSpec extends SparkSpec {
       .listFiles(scan.head.partitionFilters, Nil)
       .forall(_.values.getInt(0) == 1))
   }
+
+  test("delete tombstones fold on read; compaction removes the bytes") {
+    val df = corpus
+    val cents = Similarity.kmeansCentroids(df, "vec", "id", k = 3, iters = 2)
+    val dir = Files.createTempDirectory("ivfdel").toString + "/idx"
+    Similarity.writeIvfIndex(
+      Similarity.ivfIndex(df, "vec", "id", cents), dir)
+    val baseFiles = new java.io.File(dir).listFiles().map(_.getName).toSet
+    Similarity.deleteFromIvfIndex(
+      df.filter(col("id") % 5 === 0), "id", dir)
+    // data files untouched — the delete is a sidecar append
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet
+      == baseFiles)
+    val query = Array.tabulate(8)(j => if (j == 0) 1.0 else 0.1)
+    def serve() = {
+      val disk = Similarity.readIvfIndex(spark, dir)
+      val radii = Similarity.cellRadii(disk, cents)
+      Similarity.topKIvfExact(disk, query, cents, radii, k = 5,
+          nprobe = 3)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+        .toSeq
+    }
+    val served = serve()
+    // equals a from-scratch serve over the surviving corpus
+    val survivors = df.filter(col("id") % 5 =!= 0)
+    val mem = Similarity.ivfIndex(survivors, "vec", "id", cents).persist()
+    val expect = Similarity.topKIvfExact(mem, query, cents,
+        Similarity.cellRadii(mem, cents), k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+      .toSeq
+    assert(served == expect, s"served=$served expect=$expect")
+    assert(served.forall(_._1 % 5 != 0))
+    // compaction folds physically: sidecar gone, serve unchanged
+    Similarity.compactIvfIndex(spark, dir)
+    assert(!new java.io.File(s"$dir.tombstones").exists())
+    assert(serve() == expect)
+    mem.unpersist(): Unit
+  }
 }
