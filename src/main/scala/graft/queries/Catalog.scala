@@ -3227,6 +3227,52 @@ object Catalog {
     * range cross-joined to the user list (spine rows are
     * days×users — tiny next to events), left-joined to the actuals.
     */
+  /** RATE-SPIKE anomaly detection — the monitoring twin of the
+    * gapfill/interp family: per (event_type, hour) counts compared
+    * against the MEDIAN of the trailing six observed hours (rows
+    * frame, not range — both engines agg the same six rows), spike =
+    * count > 2×median. Everything is INTEGER-EXACT by design: counts
+    * are longs, the median of six longs is at worst an exact .5, and
+    * the 2× comparison stays in exactly-representable doubles — no
+    * float summation order anywhere, so the anomaly FLAGS are
+    * hash-stable cross-engine (the trap a mean/stddev z-score
+    * detector would hit at the 3σ boundary). The robustness argument
+    * is the same as production practice: medians ignore the spike
+    * itself when it enters the trailing window.
+    */
+  val timeseriesSpike = RegisteredQuery(
+    "timeseries_spike",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("hour_start")).rowsBetween(-6, -1)
+      hourly.select(col("event_type"), col("hour_start"), col("n"),
+          expr("percentile(n, 0.5)").over(w).as("med"),
+          count(lit(1)).over(w).as("n_prior"))
+        .filter(col("n_prior") === 6)
+        .select(col("event_type"), col("hour_start"), col("n"),
+          col("med"), (col("n") > col("med") * 2).as("is_spike"))
+        .orderBy(col("event_type"), col("hour_start"))
+    },
+    Some("""WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      w AS (
+        SELECT event_type, CAST(hour_start AS TIMESTAMP) AS hour_start, n,
+          quantile_cont(n, 0.5) OVER (PARTITION BY event_type
+            ORDER BY hour_start
+            ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS med,
+          count(*) OVER (PARTITION BY event_type ORDER BY hour_start
+            ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS n_prior
+        FROM h)
+      SELECT event_type, hour_start, n, med, (n > 2 * med) AS is_spike
+      FROM w WHERE n_prior = 6
+      ORDER BY event_type, hour_start"""))
+
   val timeseriesGapfill = RegisteredQuery(
     "timeseries_gapfill",
     (s, d) => {
@@ -9099,7 +9145,7 @@ $union
     schemaEvolution,
     joinShuffleHash, nestedPruning,
     windowRankStats, aggHistogram, aggHeavyHitters, timeseriesGapfill,
-    timeseriesInterp,
+    timeseriesInterp, timeseriesSpike,
     scalarTryFunctions, streamingEnrich, windowRatio, aggMad,
     windowRollingMedian, scd2History, windowFillForward,
     aggStats,
