@@ -503,6 +503,39 @@ object Catalog {
         ON e.user_id = c.user_id AND e.ts >= c.click_ts
       ORDER BY e.event_id"""))
 
+  /** NEAREST-direction as-of join
+    * ([[graft.relational.AsOf.asofJoinNearest]]) — the third
+    * `merge_asof` direction, completing backward/forward/nearest:
+    * each event matches the click CLOSEST in time for its user, ties
+    * preferring the earlier (backward) click, pandas semantics.
+    * Composed from the two proven single-shuffle as-of passes plus an
+    * equi-join on the unique event id; distances are exact integer
+    * microseconds. DuckDB has no nearest ASOF, so the oracle is the
+    * LATERAL nearest-pick with the same (distance, click_ts) order.
+    */
+  val joinAsofNearest = RegisteredQuery(
+    "join_asof_nearest",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      graft.relational.AsOf.asofJoinNearest(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        clicks, Seq("user_id"), "ts", "click_ts", Seq("click_ts"),
+        leftId = "event_id")
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH c AS (
+        SELECT user_id, ts AS click_ts FROM events
+        WHERE event_type = 'click')
+      SELECT e.event_id, e.user_id, e.ts, n.click_ts
+      FROM events e LEFT JOIN LATERAL (
+        SELECT click_ts FROM c
+        WHERE c.user_id = e.user_id
+        ORDER BY abs(epoch_us(e.ts) - epoch_us(click_ts)), click_ts
+        LIMIT 1) n ON TRUE
+      ORDER BY e.event_id"""))
+
   /** The same backward as-of join through the CUSTOM operator chain
     * (AsOfJoinPlan logical node → AsOfJoinStrategy → AsOfJoinExec
     * streaming merge pass, registered via SparkSessionExtensions) —
@@ -9112,7 +9145,8 @@ $union
     stagingProjection, filterPushdown,
     joinInnerAgg, joinMultiway, joinSemi, joinAnti,
     joinLeftOuter, joinFullOuter, joinRange, joinAsof, joinAsofNative,
-    joinAsofForward, joinAsofNativeForward, q3ShippingPriority,
+    joinAsofForward, joinAsofNativeForward, joinAsofNearest,
+    q3ShippingPriority,
     q5LocalSupplier, q7VolumeShipping, q10ReturnedItems, q18LargeVolume,
     typedDataset,
     joinBloomPruned, joinBucketed, joinNullSafe, sqlCteWindow,

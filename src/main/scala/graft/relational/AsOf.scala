@@ -73,6 +73,53 @@ object AsOf {
         rightPayload.map(f => col(s"__m.$f").as(f)): _*)
   }
 
+  /** NEAREST as-of join (pandas `merge_asof(direction='nearest')`):
+    * each left row matches the right row with equal keys whose time is
+    * CLOSEST in either direction — ties prefer the backward (earlier)
+    * match, pandas semantics. Composed from one backward and one
+    * forward [[asofJoin]] re-joined on `leftId` (a caller-supplied
+    * UNIQUE left key — an internally-generated row id would not
+    * survive lineage recomputation), with the per-row winner picked by
+    * exact integer microsecond distance. Cost: the two single-shuffle
+    * as-of passes plus one equi-join on the unique id — still no
+    * candidate-pair expansion anywhere.
+    *
+    * `rightTime` must be included in `rightPayload` (the distance is
+    * computed from the matched payload).
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      rightPayload: Seq[String], leftId: String): DataFrame = {
+    require(rightPayload.contains(rightTime),
+      s"rightPayload must include the right time column $rightTime")
+    val leftCols = left.columns.toSeq
+    def side(forward: Boolean, tag: String) =
+      asofJoin(left, right, keys, leftTime, rightTime, rightPayload,
+          forward)
+        .select(col(leftId) +:
+          rightPayload.map(c => col(c).as(s"__${tag}_$c")): _*)
+    val joined = left
+      .join(side(forward = false, "b"), Seq(leftId), "left")
+      .join(side(forward = true, "f"), Seq(leftId), "left")
+    // exact integer distance: µs for timestamps, raw value otherwise
+    def ticks(c: org.apache.spark.sql.Column,
+        dt: org.apache.spark.sql.types.DataType) = dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+    val lt = ticks(col(leftTime), left.schema(leftTime).dataType)
+    val rdt = right.schema(rightTime).dataType
+    val bt = col(s"__b_$rightTime")
+    val ft = col(s"__f_$rightTime")
+    val distB = abs(lt - ticks(bt, rdt))
+    val distF = abs(lt - ticks(ft, rdt))
+    val pickBack = ft.isNull || (bt.isNotNull && distB <= distF)
+    joined.select(
+      leftCols.map(col) ++ rightPayload.map(c =>
+        when(pickBack, col(s"__b_$c")).otherwise(col(s"__f_$c"))
+          .as(c)): _*)
+  }
+
   /** The custom-operator formulation of the backward as-of join:
     * [[graft.plans.AsOfJoinPlan]] planned by
     * [[graft.plans.AsOfJoinStrategy]] into a single streaming merge

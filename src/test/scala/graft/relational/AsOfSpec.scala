@@ -56,4 +56,37 @@ class AsOfSpec extends SparkSpec {
       .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
     assert(out == Map("x" -> 100.0, "y" -> 100.0, "z" -> 100.0))
   }
+
+  test("nearest direction picks the closer side; ties prefer backward") {
+    // rights for k=1 at t=10 and t=15:
+    //  t=11 → backward 10 (dist 1 < 4); t=14 → forward 15 (1 < 4);
+    //  t=12.5 has no integer tie here, so plant an exact tie: a left
+    //  at t=20 with rights at 15 and 25
+    val l = Seq(
+      (1L, 1L, 11L, "near-back"), (2L, 1L, 14L, "near-fwd"),
+      (3L, 1L, 3L, "before-all"), (4L, 2L, 10L, "no-right"),
+      (5L, 3L, 20L, "exact-tie")
+    ).toDF("id", "k", "t", "tag")
+    val r = Seq(
+      (1L, 10L, 100.0), (1L, 15L, 150.0),
+      (3L, 15L, 300.0), (3L, 25L, 350.0)
+    ).toDF("k", "rt", "price")
+    val out = AsOf.asofJoinNearest(l, r, Seq("k"), "t", "rt",
+        Seq("rt", "price"), leftId = "id")
+      .collect()
+      .map(x => x.getString(3) -> (Option(x.get(4)).map(_.asInstanceOf[Long]),
+        Option(x.get(5)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out("near-back") == ((Some(10L), Some(100.0))), out.toString)
+    assert(out("near-fwd") == ((Some(15L), Some(150.0))), out.toString)
+    // only a following right exists → forward match
+    assert(out("before-all") == ((Some(10L), Some(100.0))), out.toString)
+    assert(out("no-right") == ((None, None)), out.toString)
+    // dist 5 both ways → backward (earlier) wins, pandas semantics
+    assert(out("exact-tie") == ((Some(15L), Some(300.0))), out.toString)
+    // rightTime must ride in the payload (distance needs it)
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoinNearest(l, r, Seq("k"), "t", "rt", Seq("price"), "id")
+    }
+  }
 }
