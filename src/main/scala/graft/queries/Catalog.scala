@@ -1588,6 +1588,45 @@ object Catalog {
         CAST(version AS INTEGER) AS version, CAST(n_rows AS BIGINT) AS n_rows
       FROM v ORDER BY stage, version"""))
 
+  /** TYPE WIDENING through ALTER TABLE (Iceberg promotion rules):
+    * `ALTER COLUMN … TYPE BIGINT` on an INT column re-boxes existing
+    * values losslessly and widens the current schema, while prior
+    * snapshots keep their narrow era (same snapshot-consistency
+    * contract as ADD/RENAME/DROP); narrowing or cross-family casts
+    * fail up front with nothing mutated. This is the promotion every
+    * long-lived table eventually needs (int ids outgrowing 2^31). The
+    * query inserts an era under INT, widens, inserts an era under
+    * BIGINT, and aggregates across both — the oracle replays with a
+    * cast. Pre-ALTER-snapshot narrowness and the narrowing rejection
+    * are spec-pinned.
+    */
+  val catalogTypeWidening = RegisteredQuery(
+    "catalog_type_widening",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_tw_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_tw")
+      s.sql("""CREATE TABLE graft_cat.ns.li_tw
+        (l_linenumber INT, l_quantity DOUBLE)""")
+      s.sql("""INSERT INTO graft_cat.ns.li_tw
+        SELECT l_linenumber, l_quantity FROM li_tw_src
+        WHERE l_orderkey <= 800""")
+      s.sql("""ALTER TABLE graft_cat.ns.li_tw
+        ALTER COLUMN l_linenumber TYPE BIGINT""")
+      s.sql("""INSERT INTO graft_cat.ns.li_tw
+        SELECT l_linenumber, l_quantity FROM li_tw_src
+        WHERE l_orderkey > 800 AND l_orderkey <= 1600""")
+      s.sql("""SELECT l_linenumber, count(*) AS n_rows,
+        round(sum(l_quantity), 2) AS sum_qty
+        FROM graft_cat.ns.li_tw GROUP BY l_linenumber
+        ORDER BY l_linenumber""")
+    },
+    Some("""SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem WHERE l_orderkey <= 1600
+      GROUP BY l_linenumber ORDER BY l_linenumber"""))
+
   /** RESTORE TO VERSION — the recovery verb completing the
     * time-travel lifecycle (commit log `catalog_history`, VACUUM
     * expiry, VERSION/TIMESTAMP AS OF reads, and now rollback): a bad
@@ -9174,6 +9213,7 @@ $union
     catalogMergeInto, catalogUpdate, catalogHistory,
     catalogRestore, catalogClone, catalogConstraints, catalogFunctions,
     catalogDefaults, catalogBroadcastJoin, catalogChangeFeed,
+    catalogTypeWidening,
     catalogPartitioned, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,

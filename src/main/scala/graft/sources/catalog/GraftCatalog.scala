@@ -565,6 +565,40 @@ final class GraftMemTable(fullName: String, schema0: StructType,
             rows = rows.map(r => Row.fromSeq(
               r.toSeq.patch(i, Nil, 1)))
           }
+        case upd: TableChange.UpdateColumnType
+            if partCols.contains(upd.fieldNames().mkString(".")) =>
+          throw new UnsupportedOperationException(
+            s"cannot change the type of partition column " +
+              upd.fieldNames().head)
+        case upd: TableChange.UpdateColumnType =>
+          // WIDENING promotions only (Iceberg type-promotion rules):
+          // values re-box losslessly, so old snapshots can keep their
+          // narrow schema while the current era widens — a narrowing
+          // or cross-family cast would corrupt data and fails up front
+          if (upd.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              s"nested ALTER COLUMN TYPE unsupported: " +
+                upd.fieldNames().mkString("."))
+          val i = fields.indexWhere(_.name == upd.fieldNames().head)
+          if (i < 0) throw new IllegalArgumentException(
+            s"no column ${upd.fieldNames().head} in $fullName")
+          import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+          val widen: Any => Any =
+            (fields(i).dataType, upd.newDataType()) match {
+              case (IntegerType, LongType) =>
+                v => if (v == null) null else v.asInstanceOf[Int].toLong
+              case (FloatType, DoubleType) =>
+                v => if (v == null) null
+                  else v.asInstanceOf[Float].toDouble
+              case (from, to) =>
+                throw new UnsupportedOperationException(
+                  s"only widening promotions supported " +
+                    s"(int->bigint, float->double): $from -> $to")
+            }
+          rows = rows.map(r =>
+            Row.fromSeq(r.toSeq.updated(i, widen(r.get(i)))))
+          fields = fields.updated(i,
+            fields(i).copy(dataType = upd.newDataType()))
         case upd: TableChange.UpdateColumnDefaultValue =>
           // ALTER COLUMN … SET/DROP DEFAULT: the default lives in the
           // column metadata (CURRENT_DEFAULT — what the analyzer

@@ -582,6 +582,29 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().head.getLong(0) == 2L)
   }
 
+  test("type widening re-boxes rows; old snapshots stay narrow") {
+    GraftCatalog.reset()
+    spark.sql("CREATE TABLE graft_cat.ns.tw (id INT, v FLOAT)")
+    spark.sql("INSERT INTO graft_cat.ns.tw VALUES (1, CAST(1.5 AS FLOAT))")
+    spark.sql("ALTER TABLE graft_cat.ns.tw ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE graft_cat.ns.tw ALTER COLUMN v TYPE DOUBLE")
+    spark.sql("INSERT INTO graft_cat.ns.tw VALUES (2147483648, 2.5)")
+    val got = spark.sql("SELECT id, v FROM graft_cat.ns.tw ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.5), (2147483648L, 2.5)), got.toString)
+    // pre-ALTER snapshot keeps the NARROW schema
+    val v1 = spark.sql("SELECT id FROM graft_cat.ns.tw VERSION AS OF 1")
+    assert(v1.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(v1.collect().map(_.getInt(0)).toSeq == Seq(1))
+    // narrowing fails up front with nothing mutated
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ns.tw ALTER COLUMN id TYPE INT")
+    }
+    assert(spark.table("graft_cat.ns.tw").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("CLONE fails on an existing destination or a missing source") {
     GraftCatalog.reset()
     Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("cln_src2")
