@@ -1588,6 +1588,50 @@ object Catalog {
         CAST(version AS INTEGER) AS version, CAST(n_rows AS BIGINT) AS n_rows
       FROM v ORDER BY stage, version"""))
 
+  /** STREAMING READ OF THE CATALOG TABLE — the Delta streaming-source
+    * shape closing the stream↔lakehouse loop in BOTH directions
+    * (`streaming_merge_upsert` streams INTO the catalog; this streams
+    * OUT of it): offsets are commit versions, each micro-batch ships
+    * the rows a commit range APPENDED (a commit is the atomic unit,
+    * never split), and replace commits fail the stream loudly with a
+    * pointer at the change feed — append-only history is the
+    * streaming contract, exactly Delta's. The streamed aggregate over
+    * two INSERT eras must equal the batch replay of both; spec
+    * additionally pins the replace-commit poisoning.
+    */
+  val streamingCatalogSource = RegisteredQuery(
+    "streaming_catalog_source",
+    (s, d) => {
+      import graft.streaming.Streams
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_cs_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_cs")
+      s.sql("""CREATE TABLE graft_cat.ns.li_cs
+        (l_quantity DOUBLE, l_returnflag STRING)""")
+      s.sql("""INSERT INTO graft_cat.ns.li_cs
+        SELECT l_quantity, l_returnflag FROM li_cs_src
+        WHERE l_orderkey <= 800""")
+      s.sql("""INSERT INTO graft_cat.ns.li_cs
+        SELECT l_quantity, l_returnflag FROM li_cs_src
+        WHERE l_orderkey > 800 AND l_orderkey <= 1600""")
+      val iso = graft.core.Sessions.isolated(s,
+        Map("spark.sql.shuffle.partitions" -> "8"))
+      val raw = iso.readStream.table("graft_cat.ns.li_cs")
+      Streams.runAvailableNowWithPartitions(iso,
+          raw.groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n_rows"),
+              round(sum(col("l_quantity")), 2).as("sum_qty")),
+          s"graft_cat_stream_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          statePartitions = 8)
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_rows,
+        round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem WHERE l_orderkey <= 1600
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** TYPE WIDENING through ALTER TABLE (Iceberg promotion rules):
     * `ALTER COLUMN … TYPE BIGINT` on an INT column re-boxes existing
     * values losslessly and widens the current schema, while prior
@@ -9233,6 +9277,7 @@ $union
     streamingJoinFull, streamingJoinSemi, streamingCdc,
     streamingIndexAppend, streamingBm25Append, streamingDedupMinhash,
     streamingQualityRouter, streamingMergeUpsert,
+    streamingCatalogSource,
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,

@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, CompositeReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -451,6 +452,43 @@ final class GraftMemTable(fullName: String, schema0: StructType,
   private[catalog] def cloneState: (Seq[Row], StructType, Seq[String]) =
     synchronized((buf.toSeq, curSchema, partCols))
 
+  /** Rows APPENDED by commit `v` over `v−1` — defined only for
+    * append-only commits: the previous snapshot must be a PREFIX (by
+    * reference — snapshots share row objects) of the new one, which
+    * every plain INSERT satisfies and every replace commit
+    * (OVERWRITE / DELETE / ALTER / row-level rewrite) does not. The
+    * streaming source fails loudly on the latter: streaming a table
+    * requires append-only history (Delta\'s contract); DML streams
+    * belong to [[changesBetween]].
+    */
+  private[catalog] def appendedBetween(fromV: Int, toV: Int): Seq[Row] =
+    synchronized {
+      (fromV + 1 to toV).flatMap { v =>
+        val (prev, _) = versionRows(v - 1)
+        val (cur, schV) = versionRows(v)
+        require(schV == curSchema,
+          s"streaming read across a schema change is unsupported " +
+            s"(version $v of $fullName)")
+        val isAppend = cur.length >= prev.length &&
+          prev.indices.forall(i =>
+            cur(i).asInstanceOf[AnyRef] eq prev(i).asInstanceOf[AnyRef])
+        require(isAppend,
+          s"streaming read requires append-only commits; version $v " +
+            s"of $fullName replaced rows (use the change feed for DML)")
+        cur.drop(prev.length)
+      }
+    }
+
+  /** Row count appended by commit `v` (admission control sizing);
+    * exact only for append-only commits, which is all the streaming
+    * source ever reads.
+    */
+  private[catalog] def appendedCount(v: Int): Long = synchronized {
+    val (prev, _) = versionRows(v - 1)
+    val (cur, _) = versionRows(v)
+    math.max(0, cur.length - prev.length).toLong
+  }
+
   /** CHANGE DATA FEED: the row-level diff between consecutive
     * snapshots over `(fromV, toV]`, reconstructed from the immutable
     * history by MULTISET difference — rows present more times in v
@@ -673,7 +711,8 @@ final class GraftMemTable(fullName: String, schema0: StructType,
   override def schema(): StructType = synchronized(curSchema)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   // ------------------------------------------------------------- read
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -746,28 +785,18 @@ final class GraftMemTable(fullName: String, schema0: StructType,
         override def planInputPartitions(): Array[InputPartition] =
           parts.map(rs => CatRows(rs, schemaAt)).toArray
         override def createReaderFactory(): PartitionReaderFactory =
-          new PartitionReaderFactory {
-            override def createReader(p: InputPartition)
-                : PartitionReader[InternalRow] = {
-              val cp = p.asInstanceOf[CatRows]
-              new PartitionReader[InternalRow] {
-                // serializer built task-side from the serializable schema
-                private val ser = org.apache.spark.sql.catalyst.encoders
-                  .ExpressionEncoder(org.apache.spark.sql.catalyst.encoders
-                    .RowEncoder.encoderFor(cp.schema))
-                  .resolveAndBind().createSerializer()
-                private val it = cp.rows.iterator
-                private var cur: InternalRow = _
-                override def next(): Boolean = {
-                  val has = it.hasNext
-                  if (has) cur = ser(it.next()).copy()
-                  has
-                }
-                override def get(): InternalRow = cur
-                override def close(): Unit = ()
-              }
-            }
-          }
+          new CatReaderFactory
+        /** STREAMING READ of the catalog table — the Delta-source
+          * shape: offsets are COMMIT VERSIONS, each micro-batch ships
+          * the rows appended by a commit range, and replace commits
+          * (OVERWRITE/DELETE/ALTER rewrites) fail the stream with a
+          * pointer at the change feed — streaming a table requires
+          * append-only history, exactly Delta's contract without
+          * ignoreChanges.
+          */
+        override def toMicroBatchStream(
+            checkpointLocation: String): MicroBatchStream =
+          new CatMicroBatchStream(GraftMemTable.this, schemaAt)
       }
     }
 
@@ -982,6 +1011,92 @@ final class GraftMemTable(fullName: String, schema0: StructType,
 /** One partition carrying the snapshot (driver-memory table: the rows
   * ship in the task closure exactly once).
   */
+/** Task-side reader over a [[CatRows]] partition — shared by the
+  * batch scan and the streaming (commit-feed) scan.
+  */
+final class CatReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[CatRows]
+    new PartitionReader[InternalRow] {
+      // serializer built task-side from the serializable schema
+      private val ser = org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder(org.apache.spark.sql.catalyst.encoders
+          .RowEncoder.encoderFor(cp.schema))
+        .resolveAndBind().createSerializer()
+      private val it = cp.rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        val has = it.hasNext
+        if (has) cur = ser(it.next()).copy()
+        has
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Stream offset = committed version number of the catalog table. */
+final case class CatOffset(version: Int) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** STREAMING source over a catalog table\'s commit log — the Delta
+  * streaming-source shape: offsets are commit versions, each
+  * micro-batch ships the rows APPENDED over a commit range
+  * ([[GraftMemTable.appendedBetween]] — replace commits fail the
+  * stream), and admission control honors max-rows limits by walking
+  * whole commits until the budget is spent (a commit is the atomic
+  * unit — it is never split across epochs, so each epoch is a
+  * transactionally-consistent slice).
+  */
+final class CatMicroBatchStream(table: GraftMemTable, schemaAt: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  private var availableNowEnd: Int = table.currentVersion
+  override def initialOffset(): Offset = CatOffset(0)
+  override def deserializeOffset(json: String): Offset =
+    CatOffset(json.trim.toInt)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[CatOffset].version
+    val end = math.min(availableNowEnd, table.currentVersion)
+    def capOf(l: ReadLimit): Int = l match {
+      case mr: ReadMaxRows =>
+        // advance whole commits until the row budget is spent (but
+        // always at least one commit, or the stream stalls)
+        var v = s0; var budget = mr.maxRows()
+        while (v < end && (v == s0 ||
+            budget >= table.appendedCount(v + 1))) {
+          v += 1
+          budget -= table.appendedCount(v)
+        }
+        v
+      case c: CompositeReadLimit => c.getReadLimits.map(capOf).min
+      case _ => end
+    }
+    CatOffset(math.max(s0, capOf(limit)))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = table.currentVersion
+  override def reportLatestOffset(): Offset = CatOffset(availableNowEnd)
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val (s0, e0) = (start.asInstanceOf[CatOffset].version,
+      end.asInstanceOf[CatOffset].version)
+    if (e0 <= s0) Array.empty
+    else Array(CatRows(table.appendedBetween(s0, e0), schemaAt))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CatReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 final case class CatRows(rows: Seq[Row], schema: StructType)
   extends InputPartition
 

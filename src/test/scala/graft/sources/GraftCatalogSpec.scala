@@ -605,6 +605,46 @@ class GraftCatalogSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("streaming read of the commit log: appends feed epochs, replaces fail") {
+    GraftCatalog.reset()
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s")
+      .createOrReplaceTempView("cs_src")
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.cs2 AS SELECT * FROM cs_src WHERE id <= 2")
+    spark.sql(
+      "INSERT INTO graft_cat.ns.cs2 SELECT * FROM cs_src WHERE id = 3")
+    spark.sql(
+      "INSERT INTO graft_cat.ns.cs2 SELECT * FROM cs_src WHERE id = 4")
+    val ckpt = java.nio.file.Files.createTempDirectory("cs_ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = spark.readStream.table("graft_cat.ns.cs2").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          got.synchronized {
+            got += ((id, b.collect().map(_.getLong(0)).sorted.toSeq))
+          }: Unit
+      }.start()
+    q.awaitTermination()
+    // allAvailable default: one epoch carrying every committed row
+    assert(got.flatMap(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      got.toString)
+    // a replace commit poisons the stream going FORWARD
+    spark.sql("DELETE FROM graft_cat.ns.cs2 WHERE id = 1")
+    val ckpt2 = java.nio.file.Files.createTempDirectory("cs_ckpt").toString
+    val q2 = spark.readStream.table("graft_cat.ns.cs2").writeStream
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) => b.count(): Unit
+      }.start()
+    val failed = scala.util.Try(q2.awaitTermination()).isFailure
+    assert(failed, "replace commit must fail the streaming read")
+  }
+
   test("CLONE fails on an existing destination or a missing source") {
     GraftCatalog.reset()
     Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("cln_src2")
