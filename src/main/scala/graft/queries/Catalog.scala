@@ -1472,6 +1472,85 @@ object Catalog {
         CAST(max(l_orderkey) AS BIGINT) AS max_ok
       FROM merged GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** MERGE through the DELTA (merge-on-read) row-level path — the
+    * OTHER half of the DSv2 row-level contract, engaged when the
+    * table declares a unique row id (`TBLPROPERTIES
+    * ('delta.key'='l_orderkey,l_linenumber')`): Spark plans
+    * `WriteDelta` instead of the group rewrite, so the writer
+    * receives ONLY the changed rows (delete/update/insert, each with
+    * its row-id projection) and carried rows never move — the Iceberg
+    * MoR shape vs `catalog_merge_into`'s CoW. The target is
+    * pre-aggregated per key so the declared id is actually unique.
+    * Same clause semantics, same set-algebra oracle idiom; the query
+    * REQUIRES all three op kinds engaged, and the spec pins the
+    * only-changed-rows property by op count.
+    */
+  val catalogMergeDelta = RegisteredQuery(
+    "catalog_merge_delta",
+    (s, d) => {
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_md_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_md")
+      s.sql("""CREATE TABLE graft_cat.ns.li_md
+        (l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE,
+         l_returnflag STRING)
+        TBLPROPERTIES ('delta.key'='l_orderkey,l_linenumber')""")
+      s.sql("""INSERT INTO graft_cat.ns.li_md
+        SELECT l_orderkey, l_linenumber, sum(l_quantity),
+          min(l_returnflag)
+        FROM li_md_src WHERE l_orderkey <= 1000
+        GROUP BY l_orderkey, l_linenumber""")
+      s.sql("""MERGE INTO graft_cat.ns.li_md t
+        USING (SELECT l_orderkey, l_linenumber,
+                 sum(l_quantity) AS l_quantity,
+                 min(l_returnflag) AS l_returnflag
+               FROM li_md_src
+               WHERE l_orderkey > 600 AND l_orderkey <= 1600
+               GROUP BY l_orderkey, l_linenumber) s
+        ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+        WHEN MATCHED AND s.l_returnflag = 'R' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET l_quantity = t.l_quantity + s.l_quantity
+        WHEN NOT MATCHED THEN INSERT *""")
+      val (nd, nu, ni) =
+        graft.sources.catalog.GraftCatalog.lastDeltaOps("ns.li_md")
+      require(nd > 0 && nu > 0 && ni > 0,
+        s"delta MERGE must engage all three op kinds, got ($nd,$nu,$ni)")
+      s.sql("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+          CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        FROM graft_cat.ns.li_md GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    },
+    Some("""WITH tgt AS (
+        SELECT l_orderkey, l_linenumber, sum(l_quantity) AS l_quantity,
+          min(l_returnflag) AS l_returnflag
+        FROM lineitem WHERE l_orderkey <= 1000
+        GROUP BY l_orderkey, l_linenumber),
+      src AS (
+        SELECT l_orderkey, l_linenumber, sum(l_quantity) AS s_qty,
+          min(l_returnflag) AS s_rf
+        FROM lineitem
+        WHERE l_orderkey > 600 AND l_orderkey <= 1600
+        GROUP BY l_orderkey, l_linenumber),
+      merged AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM tgt WHERE l_orderkey <= 600
+        UNION ALL
+        SELECT t.l_orderkey, t.l_linenumber,
+          t.l_quantity + s.s_qty, t.l_returnflag
+        FROM tgt t JOIN src s USING (l_orderkey, l_linenumber)
+        WHERE s.s_rf <> 'R'
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, s_qty, s_rf
+        FROM src WHERE l_orderkey > 1000)
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        CAST(max(l_orderkey) AS BIGINT) AS max_ok
+      FROM merged GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** PARTITIONED tables on the V2 catalog
     * (`SupportsPartitionManagement` + `SupportsPushDownV2Filters`):
     * `PARTITIONED BY (identity col)` DDL, partition-col predicates
@@ -2865,6 +2944,47 @@ object Catalog {
       WHERE o_totalprice > 150000
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** SQL SCRIPTING (Spark 4 `BEGIN … END` compound statements) — the
+    * procedural surface above variables/parameters: DECLARE'd locals,
+    * a WHILE loop driving per-iteration scalar subqueries, and IF
+    * branching, with the script's value being its final SELECT. The
+    * accumulation adds three per-line rounded sums in fixed
+    * left-to-right order, so the float math replays exactly; the
+    * oracle unrolls the loop into the same expression tree.
+    */
+  val sqlScripting = RegisteredQuery(
+    "sql_scripting",
+    (s, d) => {
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      Tables.lineitem(s, d).createOrReplaceTempView("li_script")
+      s.sql("""BEGIN
+        DECLARE total DOUBLE DEFAULT 0.0;
+        DECLARE n_lines INT DEFAULT 0;
+        DECLARE i INT DEFAULT 1;
+        WHILE i <= 3 DO
+          SET total = total + (SELECT round(sum(l_quantity), 2)
+            FROM li_script WHERE l_linenumber = i);
+          IF (SELECT count(*) FROM li_script WHERE l_linenumber = i) > 0
+          THEN
+            SET n_lines = n_lines + 1;
+          END IF;
+          SET i = i + 1;
+        END WHILE;
+        SELECT total AS total_qty, n_lines, i AS next_i;
+      END""")
+    },
+    Some("""WITH r AS (
+        SELECT
+          (SELECT round(sum(l_quantity), 2) FROM lineitem
+           WHERE l_linenumber = 1) AS r1,
+          (SELECT round(sum(l_quantity), 2) FROM lineitem
+           WHERE l_linenumber = 2) AS r2,
+          (SELECT round(sum(l_quantity), 2) FROM lineitem
+           WHERE l_linenumber = 3) AS r3)
+      SELECT 0.0 + r1 + r2 + r3 AS total_qty,
+        CAST(3 AS INTEGER) AS n_lines, CAST(4 AS INTEGER) AS next_i
+      FROM r"""))
 
   /** SQL session variables (Spark 4 `DECLARE`/`SET VARIABLE`): typed
     * server-side state referenced from query text — the scripting
@@ -9233,7 +9353,8 @@ $union
     q5LocalSupplier, q7VolumeShipping, q10ReturnedItems, q18LargeVolume,
     typedDataset,
     joinBloomPruned, joinBucketed, joinNullSafe, sqlCteWindow,
-    sqlGroupByAll, sqlParameterized, sqlVariables, sqlPivotText,
+    sqlGroupByAll, sqlParameterized, sqlVariables, sqlScripting,
+    sqlPivotText,
     variantExtract,
     sqlRecursiveCte, joinLateral, subqueryNotIn, setopMultiset, unionByNameQ,
     regexExtractAll,
@@ -9254,7 +9375,7 @@ $union
     sinkInsertOverwrite, catalogIntrospect, sourceCustomV2,
     sourcePushdownAgg, sourcePushdownLimit, sourceRuntimeFilter,
     catalogV2Dml, catalogTimeTravel, catalogSchemaEvolution,
-    catalogMergeInto, catalogUpdate, catalogHistory,
+    catalogMergeInto, catalogMergeDelta, catalogUpdate, catalogHistory,
     catalogRestore, catalogClone, catalogConstraints, catalogFunctions,
     catalogDefaults, catalogBroadcastJoin, catalogChangeFeed,
     catalogTypeWidening,

@@ -127,7 +127,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else throw new UnsupportedOperationException(
         s"unsupported partition transform: $t (identity only)")
     }
-    val t = new GraftMemTable(key(ident), schema, partCols)
+    val t = new GraftMemTable(key(ident), schema, partCols,
+      Option(properties).map(_.asScala.toMap).getOrElse(Map.empty))
     if (GraftCatalog.tables.putIfAbsent(key(ident), t) != null)
       throw new TableAlreadyExistsException(ident)
     t
@@ -248,6 +249,13 @@ object GraftCatalog {
       baseVersion: Int): Unit =
     memTable(fullName).publishReplaceIfBase(rows, baseVersion)
 
+  /** Op counts (deletes, updates, inserts) of the last DELTA commit
+    * on `ns.table` — evidence that merge-on-read shipped only changed
+    * rows.
+    */
+  def lastDeltaOps(fullName: String): (Long, Long, Long) =
+    memTable(fullName).lastDeltaOps
+
   /** RESTORE `ns.table` TO VERSION AS OF `version` — commits a new
     * snapshot whose rows and schema are those of `version` (history is
     * append-only; see [[GraftMemTable.restoreVersion]]). An API verb,
@@ -277,8 +285,9 @@ object GraftCatalog {
     * already exists or the source does not.
     */
   def cloneTable(srcFullName: String, dstFullName: String): Unit = {
-    val (rows, schemaAt, partCols) = memTable(srcFullName).cloneState
-    val dst = new GraftMemTable(dstFullName, schemaAt, partCols)
+    val (rows, schemaAt, partCols, props) =
+      memTable(srcFullName).cloneState
+    val dst = new GraftMemTable(dstFullName, schemaAt, partCols, props)
     if (tables.putIfAbsent(dstFullName, dst) != null)
       throw new IllegalArgumentException(
         s"catalog table $dstFullName already exists")
@@ -293,17 +302,39 @@ object GraftCatalog {
   * lock; scans snapshot.
   */
 final class GraftMemTable(fullName: String, schema0: StructType,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    props: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations with SupportsPartitionManagement {
   require(partCols.forall(c => schema0.fieldNames.contains(c)),
     s"partition columns $partCols must exist in the schema")
 
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+  /** Columns declared (via TBLPROPERTIES 'delta.key') to uniquely
+    * identify rows — present ⇒ row-level operations run in DELTA
+    * (merge-on-read) mode instead of group-based copy-on-write.
+    * Protected from ALTER rename/drop like partition columns.
+    */
+  private[catalog] val deltaKeyCols: Seq[String] =
+    props.get("delta.key").map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Nil)
+  require(deltaKeyCols.forall(schema0.fieldNames.contains),
+    s"delta.key columns $deltaKeyCols must exist in the schema")
+
+  /** The table schema with delta-key fields pinned NON-NULLABLE —
+    * declaring a row id asserts the unique-id contract, and Spark's
+    * row-level rewrites require non-nullable row-id attributes.
+    */
+  private def pinDeltaKeys(st: StructType): StructType =
+    if (deltaKeyCols.isEmpty) st
+    else StructType(st.map(f =>
+      if (deltaKeyCols.contains(f.name)) f.copy(nullable = false)
+      else f))
+
   /** Current schema; starts at the creation schema and advances only
     * via [[applyChanges]] (ALTER TABLE).
     */
-  private var curSchema: StructType = schema0
+  private var curSchema: StructType = pinDeltaKeys(schema0)
   /** ANSI table constraints (CHECK …). Reporting them from
     * [[constraints]] is what makes Spark ENFORCE them: write planning
     * compiles every enforced CHECK into a CheckInvariant guard over
@@ -332,7 +363,7 @@ final class GraftMemTable(fullName: String, schema0: StructType,
     * travel across an ALTER serves each era in its own shape.
     */
   private val schemaHistory =
-    scala.collection.mutable.ArrayBuffer[StructType](schema0)
+    scala.collection.mutable.ArrayBuffer[StructType](pinDeltaKeys(schema0))
   /** Commit timestamps (µs), strictly increasing even when commits
     * land inside one clock tick — what `TIMESTAMP AS OF` binds to.
     */
@@ -449,8 +480,9 @@ final class GraftMemTable(fullName: String, schema0: StructType,
     * the clone is the memtable analogue of a shallow clone's
     * file-reference copy (no data is rewritten).
     */
-  private[catalog] def cloneState: (Seq[Row], StructType, Seq[String]) =
-    synchronized((buf.toSeq, curSchema, partCols))
+  private[catalog] def cloneState
+      : (Seq[Row], StructType, Seq[String], Map[String, String]) =
+    synchronized((buf.toSeq, curSchema, partCols, props))
 
   /** Rows APPENDED by commit `v` over `v−1` — defined only for
     * append-only commits: the previous snapshot must be a PREFIX (by
@@ -578,6 +610,10 @@ final class GraftMemTable(fullName: String, schema0: StructType,
             if partCols.contains(ren.fieldNames().mkString(".")) =>
           throw new UnsupportedOperationException(
             s"cannot rename partition column ${ren.fieldNames().head}")
+        case ren: TableChange.RenameColumn
+            if deltaKeyCols.contains(ren.fieldNames().mkString(".")) =>
+          throw new UnsupportedOperationException(
+            s"cannot rename delta.key column ${ren.fieldNames().head}")
         case ren: TableChange.RenameColumn =>
           if (ren.fieldNames().length != 1)
             throw new UnsupportedOperationException(
@@ -590,6 +626,10 @@ final class GraftMemTable(fullName: String, schema0: StructType,
             if partCols.contains(del.fieldNames().mkString(".")) =>
           throw new UnsupportedOperationException(
             s"cannot drop partition column ${del.fieldNames().head}")
+        case del: TableChange.DeleteColumn
+            if deltaKeyCols.contains(del.fieldNames().mkString(".")) =>
+          throw new UnsupportedOperationException(
+            s"cannot drop delta.key column ${del.fieldNames().head}")
         case del: TableChange.DeleteColumn =>
           if (del.fieldNames().length != 1)
             throw new UnsupportedOperationException(
@@ -670,7 +710,7 @@ final class GraftMemTable(fullName: String, schema0: StructType,
     }
 
   private[catalog] def renamed(newName: String): GraftMemTable = {
-    val t = new GraftMemTable(newName, schema0, partCols)
+    val t = new GraftMemTable(newName, schema0, partCols, props)
     synchronized {
       t.curSchema = curSchema
       t.tableConstraints = tableConstraints
@@ -708,6 +748,8 @@ final class GraftMemTable(fullName: String, schema0: StructType,
   }
 
   override def name(): String = s"graft_cat_table($fullName)"
+  override def properties(): java.util.Map[String, String] =
+    props.asJava
   override def schema(): StructType = synchronized(curSchema)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -973,7 +1015,105 @@ final class GraftMemTable(fullName: String, schema0: StructType,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation = new RowLevelOperation {
+      override def build(): RowLevelOperation =
+        if (deltaKeyCols.nonEmpty) deltaRowLevelOp(info)
+        else cowRowLevelOp(info)
+    }
+
+  /** DELTA (merge-on-read) row-level operations — the OTHER half of
+    * the DSv2 row-level contract, active when the table declares a
+    * unique row id (`TBLPROPERTIES ('delta.key'='k1,k2')`): instead
+    * of the group-based rewrite that ships every scanned row back
+    * through the writer, Spark plans `WriteDelta` and the writer
+    * receives ONLY the changed rows, each tagged delete / update /
+    * insert with its row-id projection — the Iceberg
+    * merge-on-read shape, where carried rows never move. The commit
+    * applies the ops keyed by the declared id under the same
+    * base-version conflict check as every replace commit.
+    */
+  private def deltaRowLevelOp(info: RowLevelOperationInfo)
+      : RowLevelOperation =
+    new RowLevelOperation with SupportsDelta {
+      private val baseVersion = currentVersion
+      override def command(): RowLevelOperation.Command = info.command()
+      override def description(): String =
+        s"graft-cat-delta ${info.command()} $fullName"
+      override def newScanBuilder(
+          options: CaseInsensitiveStringMap): ScanBuilder = {
+        val (rows, schemaAt) = snapshot()
+        scanBuilderFor(rows, schemaAt)
+      }
+      override def rowId(): Array[NamedReference] =
+        deltaKeyCols.map(c => org.apache.spark.sql.connector.expressions
+          .Expressions.column(c)).toArray
+      override def newWriteBuilder(
+          winfo: LogicalWriteInfo): DeltaWriteBuilder =
+        new DeltaWriteBuilder {
+          override def build(): DeltaWrite = new DeltaWrite {
+            override def toBatch(): DeltaBatchWrite = new DeltaBatchWrite {
+              override def createBatchWriterFactory(
+                  pinfo: PhysicalWriteInfo): DeltaWriterFactory =
+                new DeltaMemWriterFactory(winfo.schema(),
+                  StructType(deltaKeyCols.map(c =>
+                    synchronized(curSchema)(c))))
+              override def commit(
+                  messages: Array[WriterCommitMessage]): Unit = {
+                val ops = messages.map(_.asInstanceOf[DeltaOps])
+                  .sortBy(_.partitionId)
+                applyDelta(ops.flatMap(_.deletes).toSeq,
+                  ops.flatMap(_.updates).toSeq,
+                  ops.flatMap(_.inserts).toSeq, baseVersion)
+              }
+              override def abort(
+                  messages: Array[WriterCommitMessage]): Unit = ()
+            }
+          }
+        }
+    }
+
+  /** Op counts of the last delta commit — spec evidence that a
+    * merge-on-read commit shipped only the CHANGED rows, not the
+    * scanned group.
+    */
+  private[catalog] var lastDeltaOps: (Long, Long, Long) = (0L, 0L, 0L)
+
+  /** Apply a delta commit: deletes and updates match existing rows by
+    * the declared key, inserts append; one snapshot commits. Fails on
+    * a moved base (same optimistic-concurrency rule as any replace).
+    */
+  private[catalog] def applyDelta(deletes: Seq[Seq[Any]],
+      updates: Seq[(Seq[Any], Row)], inserts: Seq[Row],
+      baseVersion: Int): Unit = synchronized {
+    if (currentVersion != baseVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot conflict on $fullName: delta based on version " +
+          s"$baseVersion but current is $currentVersion")
+    val ki = deltaKeyCols.map(curSchema.fieldIndex)
+    def keyOf(r: Row): Seq[Any] = ki.map(r.get)
+    val delSet = deletes.toSet
+    val updMap = updates.toMap
+    require(updMap.size == updates.size,
+      s"duplicate row ids in delta update set on $fullName — " +
+        "the declared delta.key is not unique")
+    val next = buf.toVector.flatMap { r =>
+      val k = keyOf(r)
+      if (delSet.contains(k)) None
+      else updMap.get(k).orElse(Some(r))
+    }
+    lastDeltaOps = (deletes.size.toLong, updates.size.toLong,
+      inserts.size.toLong)
+    buf.clear()
+    buf ++= next
+    buf ++= inserts
+    record()
+  }
+
+  /** Group-based COPY-ON-WRITE row-level operations (the default when
+    * no delta key is declared): Spark rewrites the statement to scan
+    * the target and write every survivor back, replacing the group.
+    */
+  private def cowRowLevelOp(info: RowLevelOperationInfo)
+      : RowLevelOperation = new RowLevelOperation {
         // the snapshot version this row-level rewrite reads — its
         // ReplaceData commit conflicts if any other commit interleaves
         private val baseVersion = currentVersion
@@ -1005,12 +1145,8 @@ final class GraftMemTable(fullName: String, schema0: StructType,
           }
         }
       }
-    }
 }
 
-/** One partition carrying the snapshot (driver-memory table: the rows
-  * ship in the task closure exactly once).
-  */
 /** Task-side reader over a [[CatRows]] partition — shared by the
   * batch scan and the streaming (commit-feed) scan.
   */
@@ -1097,8 +1233,54 @@ final class CatMicroBatchStream(table: GraftMemTable, schemaAt: StructType)
   override def stop(): Unit = ()
 }
 
+/** One partition carrying the snapshot (driver-memory table: the rows
+  * ship in the task closure exactly once).
+  */
 final case class CatRows(rows: Seq[Row], schema: StructType)
   extends InputPartition
+
+/** Per-partition delta ops of a merge-on-read commit: row ids to
+  * delete, (row id → replacement row) updates, and inserted rows.
+  */
+final case class DeltaOps(partitionId: Int, deletes: Seq[Seq[Any]],
+    updates: Seq[(Seq[Any], Row)], inserts: Seq[Row])
+  extends WriterCommitMessage
+
+/** Task-side writer for the DELTA (merge-on-read) row-level path:
+  * Spark's WriteDeltaExec calls delete/update/insert per CHANGED row
+  * with the row-id projection alongside — carried rows never reach
+  * the writer, which is the whole point of the mode.
+  */
+final class DeltaMemWriterFactory(dataSchema: StructType,
+    idSchema: StructType) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val dataDeser = org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder(org.apache.spark.sql.catalyst.encoders
+          .RowEncoder.encoderFor(dataSchema))
+        .resolveAndBind().createDeserializer()
+      private val idDeser = org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder(org.apache.spark.sql.catalyst.encoders
+          .RowEncoder.encoderFor(idSchema))
+        .resolveAndBind().createDeserializer()
+      private val dels = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      private val upds =
+        scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Row)]
+      private val inss = scala.collection.mutable.ArrayBuffer.empty[Row]
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels += idDeser(id).toSeq
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit =
+        upds += ((idDeser(id).toSeq, dataDeser(row)))
+      override def insert(row: InternalRow): Unit =
+        inss += dataDeser(row)
+      override def commit(): WriterCommitMessage =
+        DeltaOps(partitionId, dels.toSeq, upds.toSeq, inss.toSeq)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
 
 /** Writer for the copy-on-write (ReplaceData) commit of a row-level
   * operation. `LogicalWriteInfo.schema()` carries the DATA schema, but

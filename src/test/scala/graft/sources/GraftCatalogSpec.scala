@@ -645,6 +645,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(failed, "replace commit must fail the streaming read")
   }
 
+  test("delta-keyed MERGE ships only the changed rows (merge-on-read)") {
+    GraftCatalog.reset()
+    spark.sql("""CREATE TABLE graft_cat.ns.dm (k BIGINT, v DOUBLE, f STRING)
+      TBLPROPERTIES ('delta.key'='k')""")
+    Seq((1L, 10.0, "N"), (2L, 20.0, "R"), (3L, 30.0, "N"),
+      (4L, 40.0, "N"), (5L, 50.0, "N")).toDF("k", "v", "f")
+      .createOrReplaceTempView("dm_src")
+    spark.sql("INSERT INTO graft_cat.ns.dm SELECT * FROM dm_src")
+    spark.sql("""MERGE INTO graft_cat.ns.dm t
+      USING (SELECT * FROM VALUES (CAST(2 AS BIGINT), 5.0, 'R'),
+        (CAST(3 AS BIGINT), 7.0, 'N'),
+        (CAST(9 AS BIGINT), 9.0, 'N') AS s(k, v, f)) s
+      ON t.k = s.k
+      WHEN MATCHED AND s.f = 'R' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql("SELECT k, v FROM graft_cat.ns.dm ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (3L, 37.0), (4L, 40.0), (5L, 50.0),
+      (9L, 9.0)), got.toString)
+    // the writer saw ONLY the 3 changed rows — a group-based CoW
+    // rewrite would have shipped all 5 target rows back
+    assert(GraftCatalog.lastDeltaOps("ns.dm") == ((1L, 1L, 1L)),
+      GraftCatalog.lastDeltaOps("ns.dm").toString)
+    // UPDATE and non-pushable DELETE ride the same delta path
+    spark.sql("UPDATE graft_cat.ns.dm SET v = v + 1 WHERE k = 4")
+    assert(GraftCatalog.lastDeltaOps("ns.dm") == ((0L, 1L, 0L)))
+    assert(spark.sql("SELECT v FROM graft_cat.ns.dm WHERE k = 4")
+      .collect().head.getDouble(0) == 41.0)
+    spark.sql(
+      "DELETE FROM graft_cat.ns.dm WHERE CAST(k AS STRING) LIKE '9%'")
+    assert(GraftCatalog.lastDeltaOps("ns.dm") == ((1L, 0L, 0L)))
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.dm")
+      .collect().head.getLong(0) == 4L)
+  }
+
   test("CLONE fails on an existing destination or a missing source") {
     GraftCatalog.reset()
     Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("cln_src2")
