@@ -759,7 +759,8 @@ final class GraftMemTable(fullName: String, schema0: StructType,
   // ------------------------------------------------------------- read
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val (rows, schemaAt) = snapshot()
-    scanBuilderFor(rows, schemaAt)
+    scanBuilderFor(rows, schemaAt,
+      Option(options.get("maxRowsPerBatch")).map(_.toLong).getOrElse(0L))
   }
 
   /** PARTITION-PRUNED scan builder: on a partitioned table, predicates
@@ -774,7 +775,7 @@ final class GraftMemTable(fullName: String, schema0: StructType,
     * partition count.
     */
   private[catalog] def scanBuilderFor(rowsAt: Seq[Row],
-      schemaAt: StructType): ScanBuilder =
+      schemaAt: StructType, maxRowsPerBatch: Long = 0L): ScanBuilder =
     new ScanBuilder with SupportsPushDownV2Filters {
       private var pushed: Array[Predicate] = Array.empty
       private val partIdx = partCols.map(c => schemaAt.fieldNames.indexOf(c))
@@ -838,7 +839,8 @@ final class GraftMemTable(fullName: String, schema0: StructType,
           */
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream =
-          new CatMicroBatchStream(GraftMemTable.this, schemaAt)
+          new CatMicroBatchStream(GraftMemTable.this, schemaAt,
+            maxRowsPerBatch)
       }
     }
 
@@ -1187,7 +1189,8 @@ final case class CatOffset(version: Int) extends Offset {
   * unit — it is never split across epochs, so each epoch is a
   * transactionally-consistent slice).
   */
-final class CatMicroBatchStream(table: GraftMemTable, schemaAt: StructType)
+final class CatMicroBatchStream(table: GraftMemTable,
+    schemaAt: StructType, maxRowsPerBatch: Long = 0L)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   private var availableNowEnd: Int = table.currentVersion
@@ -1216,7 +1219,9 @@ final class CatMicroBatchStream(table: GraftMemTable, schemaAt: StructType)
     }
     CatOffset(math.max(s0, capOf(limit)))
   }
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerBatch > 0) ReadLimit.maxRows(maxRowsPerBatch)
+    else ReadLimit.allAvailable()
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = table.currentVersion
   override def reportLatestOffset(): Offset = CatOffset(availableNowEnd)

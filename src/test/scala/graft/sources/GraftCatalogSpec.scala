@@ -645,6 +645,36 @@ class GraftCatalogSpec extends SparkSpec {
     assert(failed, "replace commit must fail the streaming read")
   }
 
+  test("streaming read honors maxRowsPerBatch by whole commits") {
+    GraftCatalog.reset()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .createOrReplaceTempView("cs3_src")
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.cs3 AS SELECT * FROM cs3_src WHERE id = 1")
+    spark.sql(
+      "INSERT INTO graft_cat.ns.cs3 SELECT * FROM cs3_src WHERE id = 2")
+    spark.sql(
+      "INSERT INTO graft_cat.ns.cs3 SELECT * FROM cs3_src WHERE id = 3")
+    val ckpt = java.nio.file.Files.createTempDirectory("cs3_ckpt").toString
+    val epochs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream.option("maxRowsPerBatch", "1")
+      .table("graft_cat.ns.cs3").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          epochs.synchronized {
+            epochs += b.collect().map(_.getLong(0)).sorted.toSeq
+          }: Unit
+      }.start()
+    q.awaitTermination()
+    // one COMMIT per epoch under the 1-row budget (commits are atomic
+    // units), three commits → three epochs in commit order
+    assert(epochs.filter(_.nonEmpty).toList ==
+      List(Seq(1L), Seq(2L), Seq(3L)), epochs.toString)
+  }
+
   test("delta-keyed MERGE ships only the changed rows (merge-on-read)") {
     GraftCatalog.reset()
     spark.sql("""CREATE TABLE graft_cat.ns.dm (k BIGINT, v DOUBLE, f STRING)
