@@ -239,6 +239,65 @@ object Graph {
 
   /** Per-node degree summary of a directed edge list: out-degree,
     * in-degree, total. One shuffle (union keyed by id). */
+  /** Fixed-iteration SYNCHRONOUS label propagation — the
+    * community-detection member of the graph family (Raghavan et al.
+    * 2007, made deterministic): every node starts labeled with its own
+    * id; each round every node adopts the most frequent label among
+    * its neighbors, ties broken by SMALLEST label, all nodes updating
+    * from the PREVIOUS round's labels (synchronous — no update-order
+    * nondeterminism, unlike the classic asynchronous sweep). A fixed
+    * iteration count keeps the result a pure function of the input,
+    * exactly replayable by an unrolled SQL oracle — the same
+    * determinism contract as [[pageRank]].
+    *
+    * The caller supplies the edge list with BOTH directions present
+    * for an undirected graph (as with [[pageRank]]).
+    *
+    * Scale shape: per round, one join of the slim edge list against
+    * the (id, lbl) frame, a (node, label) count aggregate, and a
+    * per-node window cut whose partition size is the node's DISTINCT
+    * NEIGHBOR LABEL count (≤ degree — bounded the way the minhash
+    * window is, never corpus-wide). Label state is one long per node;
+    * a run beyond a few rounds would add the per-iteration durable
+    * checkpoints of [[pageRank]]'s distributed mode (rounds here are
+    * fixed and few, so lineage stays bounded by construction).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id")))
+      .distinct().withColumn("lbl", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (1 to iters).foreach { _ =>
+      val picked = e
+        .join(labels.select(col("id").as("b"), col("lbl")), "b")
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+            .orderBy(col("n").desc, col("lbl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("a").as("id"), col("lbl").as("nl"))
+      val prev = labels
+      // persist per round: each round's frame feeds BOTH the neighbor
+      // join and the carry-over — without it the lineage doubles per
+      // iteration and the final action recomputes early rounds 2^k
+      // times (longer runs would swap in the durable rotating
+      // checkpoints of connectedComponents)
+      labels = prev.join(picked, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels.count(): Unit
+      prev.unpersist(blocking = false)
+    }
+    e.unpersist()
+    labels
+  }
+
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     edges.select(col(srcCol).cast("long").as("id"), lit(1L).as("outd"),
         lit(0L).as("ind"))

@@ -5888,6 +5888,63 @@ object Catalog {
     * node has out-edges — no dangling-mass term needed here (the engine
     * still implements it; GraphSpec pins the dangling case).
     */
+  /** Unrolled synchronous-label-propagation oracle: round k picks,
+    * per node, the most frequent neighbor label of round k−1, ties to
+    * the smallest label — exactly [[graft.llm.Graph.labelPropagation]]
+    * (deterministic counts and tie-breaks ⇒ hashable label
+    * ASSIGNMENTS, unlike float centrality scores).
+    */
+  private def labelPropOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+        SELECT e.a AS id, l.lbl,
+          row_number() OVER (PARTITION BY e.a
+            ORDER BY count(*) DESC, l.lbl) AS rn
+        FROM edges e JOIN l${k - 1} l ON l.id = e.b
+        GROUP BY e.a, l.lbl),
+      l$k AS (
+        SELECT n.id, coalesce(p.lbl, n.lbl) AS lbl
+        FROM l${k - 1} n LEFT JOIN (
+          SELECT id, lbl FROM c$k WHERE rn = 1) p ON p.id = n.id)"""
+    }.mkString(",\n      ")
+    s"""WITH raw AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (
+        SELECT c AS a, sup + 1000000 AS b FROM raw
+        UNION ALL
+        SELECT sup + 1000000 AS a, c AS b FROM raw),
+      nodes AS (SELECT DISTINCT a AS id FROM edges),
+      l0 AS (SELECT id, id AS lbl FROM nodes),
+      $steps
+      SELECT id AS node_id, lbl AS community FROM l$iters
+      ORDER BY node_id"""
+  }
+
+  /** LABEL-PROPAGATION COMMUNITIES over the purchase graph — the
+    * community-detection member of the graph family beside
+    * PageRank/degrees/components: synchronous rounds, most-frequent
+    * neighbor label, smallest-label ties (Raghavan et al. made
+    * deterministic — no update-order dependence), fixed 3 rounds so
+    * the label ASSIGNMENT itself is a pure function of the graph and
+    * the oracle unrolls the identical rounds. Integer labels ⇒ exact
+    * hash check per node, a stronger contract than the rounded float
+    * centralities.
+    */
+  val graphLabelprop = RegisteredQuery(
+    "graph_labelprop",
+    (s, d) => {
+      val raw = purchaseGraphFor(s, d)
+      val edges = raw
+        .select(col("c").as("src"), (col("sup") + 1000000L).as("dst"))
+        .union(raw
+          .select((col("sup") + 1000000L).as("src"), col("c").as("dst")))
+      graft.llm.Graph.labelPropagation(edges, "src", "dst", iters = 3)
+        .select(col("id").as("node_id"), col("lbl").as("community"))
+        .orderBy(col("node_id"))
+    },
+    Some(labelPropOracleSql(3)))
+
   private def pagerankOracleSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""p$k AS (
@@ -9410,7 +9467,8 @@ $union
     decontaminate, decontaminateBloom, dedupSemantic,
     retrievalHybridRrf, simKnnClassify,
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
-    dedupComponents, seqPack, seqPaddingReport, graphPagerank, graphDegrees, aggCountmin,
+    dedupComponents, seqPack, seqPaddingReport, graphPagerank,
+    graphLabelprop, graphDegrees, aggCountmin,
     splitLeakfree, dedupLines, dedupSubstring, bpePairCounts,
     sourceMixReport, docLmPpl,
     docNgrams,

@@ -86,4 +86,27 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(d == Set((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
   }
+
+  test("label propagation equals the synchronous reference simulation") {
+    // two cliques bridged by one edge; undirected = both directions
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    for (iters <- Seq(1, 2, 3)) {
+      val got = Graph.labelPropagation(edges, "src", "dst", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // plain-Scala reference: synchronous rounds, most frequent
+      // neighbor label, ties to the smallest label
+      val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      var ref = adj.keySet.map(v => v -> v).toMap
+      (1 to iters).foreach { _ =>
+        ref = ref.map { case (v, own) =>
+          val counts = adj(v).groupBy(ref).view.mapValues(_.size)
+          v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      assert(got == ref, s"iters=$iters got=$got ref=$ref")
+    }
+  }
 }
