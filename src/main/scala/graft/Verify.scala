@@ -41,9 +41,11 @@ object Verify {
     "streaming_index_append", "pipeline_data_e2e", "bpe_train",
     "sim_topk_ann_compact", "sim_knn_join_ann_disk", "dedup_semantic",
     "decontaminate_bloom",
-    // round-10: streaming epoch machinery
+    // round-10: streaming epoch machinery + the graph query that
+    // pays the shared purchase-graph build (alphabetical first)
     "streaming_bm25_append", "streaming_merge_upsert",
-    "streaming_dedup_minhash")
+    "streaming_dedup_minhash", "streaming_quality_router",
+    "streaming_catalog_source", "graph_labelprop")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
