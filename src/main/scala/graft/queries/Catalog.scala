@@ -2003,6 +2003,69 @@ object Catalog {
           round(sum(l_quantity) + 100 * count(*), 2) FROM upd)
       ORDER BY commit_version, change_type"""))
 
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE from the change feed —
+    * what the CDF exists FOR: a grouped count/sum aggregate is
+    * SELF-MAINTAINABLE (inserts add, deletes subtract), so the MV is
+    * maintained by folding the (1,4] feed into the v1 snapshot's
+    * aggregate — never re-scanning the base table — across DELETE,
+    * INSERT, and a copy-on-write UPDATE (whose delete+insert pair is
+    * exactly what makes subtract/add correct). l_quantity is
+    * integer-valued, so the incremental sum is bit-exact against the
+    * oracle's direct aggregation of the FINAL state; a drifted delta
+    * (missed commit, double-applied rewrite) breaks the hash. Groups
+    * folded to zero rows drop out, as IVM requires.
+    */
+  val catalogIncrementalMv = RegisteredQuery(
+    "catalog_incremental_mv",
+    (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.catalog.GraftCatalog].getName)
+      Tables.lineitem(s, d).createOrReplaceTempView("li_mv_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat.ns.li_mv")
+      s.sql("""CREATE TABLE graft_cat.ns.li_mv AS
+        SELECT l_orderkey, l_quantity, l_returnflag
+        FROM li_mv_src WHERE l_orderkey <= 800""") // v1
+      s.sql("DELETE FROM graft_cat.ns.li_mv WHERE l_returnflag = 'R'") // v2
+      s.sql("""INSERT INTO graft_cat.ns.li_mv
+        SELECT l_orderkey, l_quantity, l_returnflag
+        FROM li_mv_src
+        WHERE l_orderkey > 800 AND l_orderkey <= 1200""") // v3
+      s.sql("""UPDATE graft_cat.ns.li_mv
+        SET l_quantity = l_quantity + 100
+        WHERE l_returnflag = 'A'""") // v4
+      val (feed, sch) =
+        graft.sources.catalog.GraftCatalog.changeFeed("ns.li_mv", 1, 4)
+      val (qi, fi) =
+        (sch.fieldIndex("l_quantity"), sch.fieldIndex("l_returnflag"))
+      val deltas = feed.map { case (_, t, r) =>
+        val sign = if (t == "insert") 1 else -1
+        (r.getString(fi), sign.toLong, sign * r.getDouble(qi))
+      }.toDF("l_returnflag", "dn", "dq")
+      val base = s.sql("""SELECT l_returnflag,
+          count(*) AS dn, sum(l_quantity) AS dq
+        FROM graft_cat.ns.li_mv VERSION AS OF 1 GROUP BY l_returnflag""")
+      base.unionByName(deltas)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("dn")).as("n_rows"),
+          round(sum(col("dq")), 2).as("sum_qty"))
+        .filter(col("n_rows") > 0)
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH fin AS (
+        SELECT l_returnflag,
+          CASE WHEN l_returnflag = 'A' THEN l_quantity + 100
+            ELSE l_quantity END AS q
+        FROM (
+          SELECT l_quantity, l_returnflag FROM lineitem
+          WHERE l_orderkey <= 800 AND l_returnflag <> 'R'
+          UNION ALL
+          SELECT l_quantity, l_returnflag FROM lineitem
+          WHERE l_orderkey > 800 AND l_orderkey <= 1200))
+      SELECT l_returnflag, count(*) AS n_rows,
+        round(sum(q), 2) AS sum_qty
+      FROM fin GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** AUTO-BROADCAST FROM HONEST CATALOG STATISTICS: the memtable scan
     * reports exact post-pruning row counts and a schema-width byte
     * estimate (`SupportsReportStatistics`), so the planner broadcasts
@@ -9435,7 +9498,7 @@ $union
     catalogMergeInto, catalogMergeDelta, catalogUpdate, catalogHistory,
     catalogRestore, catalogClone, catalogConstraints, catalogFunctions,
     catalogDefaults, catalogBroadcastJoin, catalogChangeFeed,
-    catalogTypeWidening,
+    catalogIncrementalMv, catalogTypeWidening,
     catalogPartitioned, sinkCustomV2,
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,
