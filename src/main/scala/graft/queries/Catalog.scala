@@ -3008,6 +3008,26 @@ object Catalog {
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** LIMIT/OFFSET pagination — the page-N query every API backend
+    * writes (Spark 3.4+ `OFFSET`): deterministic only because the
+    * ORDER BY is total (price desc, then unique key), which is the
+    * operational lesson the query encodes — an offset over a
+    * non-total order returns different pages per run. Spark plans the
+    * global TakeOrdered with limit+offset folded together (scan keeps
+    * limit 60, the page cut happens once), not a 40-row discard after
+    * a full sort.
+    */
+  val sqlOffsetPagination = RegisteredQuery(
+    "sql_offset_pagination",
+    (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .offset(40).limit(20),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20 OFFSET 40"""))
+
   /** SQL SCRIPTING (Spark 4 `BEGIN … END` compound statements) — the
     * procedural surface above variables/parameters: DECLARE'd locals,
     * a WHILE loop driving per-iteration scalar subqueries, and IF
@@ -9474,7 +9494,7 @@ $union
     typedDataset,
     joinBloomPruned, joinBucketed, joinNullSafe, sqlCteWindow,
     sqlGroupByAll, sqlParameterized, sqlVariables, sqlScripting,
-    sqlPivotText,
+    sqlOffsetPagination, sqlPivotText,
     variantExtract,
     sqlRecursiveCte, joinLateral, subqueryNotIn, setopMultiset, unionByNameQ,
     regexExtractAll,

@@ -116,4 +116,14 @@ class PlanLintSpec extends SparkSpec {
     assert(plan.split("hashpartitioning\\(user_id").length - 1 == 1, plan)
   }
 
+  test("offset pagination folds into the top-k operator, not a full sort") {
+    val plan = Catalog.byName("sql_offset_pagination").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // limit+offset compile into ONE TakeOrderedAndProject (each task
+    // keeps 60 rows, the 40-row page cut happens once at the gather) —
+    // never a global Sort followed by a discard
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort "), s"expected no full sort: $plan")
+  }
+
 }
