@@ -6294,6 +6294,68 @@ object Catalog {
           <= 'b' THEN 'train' ELSE 'val' END AS split
       FROM comp ORDER BY doc_id"""))
 
+  /** QUALITY-BASED canonical election over the near-dup components —
+    * production dedup practice the min-id election approximates: when
+    * a near-dup family collapses to one document, keep the
+    * HIGHEST-QUALITY member (here: most characters, tie → smallest
+    * id), not an arbitrary one — a crawl usually holds a full page
+    * and several truncated mirrors, and min-id keeps whichever was
+    * crawled first. Reuses the cached component assignment
+    * (`componentsFor` — the shared index artifact) joined with the
+    * per-doc quality signal; one bounded `max_by` struct-ordering
+    * aggregate per family, no window. The oracle recomputes the same
+    * components (WITH RECURSIVE) and the same (n_chars desc, id asc)
+    * election, so every family's kept id is hash-checked.
+    */
+  val dedupElectQuality = RegisteredQuery(
+    "dedup_elect_quality",
+    (s, d) =>
+      componentsFor(s, d)
+        .select(col("id").as("doc_id"), col("component"))
+        .join(Tables.documents(s, d).select(col("doc_id"),
+          col("n_chars")), "doc_id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"),
+            struct(col("n_chars"), -col("doc_id"))).as("kept_doc_id"),
+          max(col("n_chars")).as("kept_n_chars"))
+        .orderBy(col("component")),
+    Some("""WITH RECURSIVE
+      t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        FROM t),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.7),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id AS doc_id, min(r) AS component
+        FROM reach GROUP BY id),
+      fam AS (
+        SELECT c.component, c.doc_id, d.n_chars,
+          row_number() OVER (PARTITION BY c.component
+            ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+          count(*) OVER (PARTITION BY c.component) AS n_members
+        FROM comp c JOIN documents d USING (doc_id))
+      SELECT component, n_members, doc_id AS kept_doc_id,
+        n_chars AS kept_n_chars
+      FROM fam WHERE rn = 1 ORDER BY component"""))
+
   /** C4-style cross-document LINE dedup, adapted to the fixture's
     * unpunctuated text as fixed 10-token chunks: the corpus keeps only
     * the FIRST occurrence (lowest (doc_id, position)) of every distinct
@@ -9552,7 +9614,8 @@ $union
     dedupMinhash, dedupMinhashSig, dedupPairs, dedupJaccardExact,
     dedupComponents, seqPack, seqPaddingReport, graphPagerank,
     graphLabelprop, graphDegrees, aggCountmin,
-    splitLeakfree, dedupLines, dedupSubstring, bpePairCounts,
+    splitLeakfree, dedupElectQuality, dedupLines, dedupSubstring,
+    bpePairCounts,
     sourceMixReport, docLmPpl,
     docNgrams,
     dedupSimhash, dedupSimhashPairs, dedupIncremental, fuzzyJoinNames,
