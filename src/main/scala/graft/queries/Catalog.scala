@@ -6294,6 +6294,59 @@ object Catalog {
           <= 'b' THEN 'train' ELSE 'val' END AS split
       FROM comp ORDER BY doc_id"""))
 
+  /** Per-document N-GRAM NOVELTY — the corpus-growth statistic behind
+    * "is new data still adding information": for each document (in
+    * doc_id arrival order), the fraction of its distinct 3-gram
+    * shingles whose FIRST corpus occurrence is this document. A
+    * crawl's novelty curve decaying toward zero is the signal to stop
+    * ingesting a source; near-dups show up as ~0-novelty docs.
+    * Shape: one shingle explode to slim (id, gram) rows, one min
+    * aggregate per gram (map-side partials), one join back — no
+    * all-pairs anything. The ratio is a single IEEE division of two
+    * small ints, bit-identical cross-engine.
+    */
+  val docNgramNovelty = RegisteredQuery(
+    "doc_ngram_novelty",
+    (s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(graft.llm.Dedup.shinglesOfTokens(col("toks"), 3))
+            .as("g"))
+      val first = grams.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("first_id"))
+      grams.join(first, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("first_id") === col("doc_id"), 1))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_grams"))
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+        FROM t),
+      e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      f AS (SELECT g, min(doc_id) AS first_id FROM e GROUP BY g)
+      SELECT e.doc_id, count(*) AS n_grams,
+        CAST(count(*) FILTER (WHERE f.first_id = e.doc_id) AS BIGINT)
+          AS n_novel,
+        CAST(count(*) FILTER (WHERE f.first_id = e.doc_id) AS DOUBLE)
+          / count(*) AS novelty
+      FROM e JOIN f USING (g)
+      GROUP BY e.doc_id ORDER BY e.doc_id"""))
+
   /** QUALITY-BASED canonical election over the near-dup components —
     * production dedup practice the min-id election approximates: when
     * a near-dup family collapses to one document, keep the
@@ -9604,7 +9657,8 @@ $union
     sessionWindowBatch,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
-    textStats, tokenCounts, docFingerprint, docWinnow, langId, qualityScore,
+    textStats, tokenCounts, docFingerprint, docWinnow, docNgramNovelty,
+    langId, qualityScore,
     charEntropy, docRepetition,
     vocabTopk, vocabCoverageQ, docTopTerms, docBm25, docBm25Disk,
     docBm25Append, docBm25Delete,
