@@ -388,6 +388,17 @@ object ScaleProbe {
       println(f"[probe] docs x$mult pagerank_keyed edges=${2 * nDocs} " +
         f"time=$tPrK%.2fs per_iter=${tPrK / 5}%.2fs")
 
+      // ---- label propagation: same edge frame; 3 synchronous rounds,
+      // each one edge⋈label join + (node,label) count + degree-bounded
+      // window cut with per-round persisted state — per-round wall
+      // must track edges linearly (the 2^k blowup of un-persisted
+      // lineage would show here immediately)
+      val (nLp, tLp) = timed(
+        graft.llm.Graph.labelPropagation(prEdges, "src", "dst", iters = 3)
+          .count())
+      println(f"[probe] docs x$mult labelprop edges=${2 * nDocs} " +
+        f"nodes=$nLp time=$tLp%.2fs per_round=${tLp / 3}%.2fs")
+
       // ---- decontamination: the corpus side grows N× while the
       // benchmark set stays FIXED (its distinct-hash set broadcasts),
       // so wall time must track the corpus linearly — any superlinear
