@@ -5692,6 +5692,111 @@ object Catalog {
       SELECT doc_id, round(rrf0, 6) AS rrf, sparse_rank, dense_rank
       FROM fused ORDER BY rrf0 DESC, doc_id LIMIT 10"""))
 
+  /** END-TO-END RAG SERVING PIPELINE — the retrieval-side twin of
+    * `pipeline_data_e2e`, COMPOSED as one dataflow: hybrid
+    * sparse+dense retrieval (the certified
+    * [[graft.llm.Retrieval.hybridRrf]] fusion) → RRF-order ranking →
+    * greedy CONTEXT-WINDOW ASSEMBLY under a 512-token budget (the
+    * prefix cut every RAG server runs before prompting). The output
+    * is the assembled context listing — a function of every upstream
+    * decision, so one mis-ranked or mis-counted document anywhere
+    * shifts the cut and breaks the hash. Ranking is over the ROUNDED
+    * rrf (ties collapse identically cross-engine); token math is the
+    * certified integer count; the cumulative sum runs over a 10-row
+    * frame. The oracle replays retrieval + assembly in one CTE chain.
+    */
+  val pipelineRagE2e = RegisteredQuery(
+    "pipeline_rag_e2e",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val queryVec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val fused = graft.llm.Retrieval.hybridRrf(
+        docs, "doc_id", "text", emb, "vec_id", "embedding",
+        queryTerms = Seq("dup", "spark", "join"), queryVec = queryVec,
+        nPerList = 50, k = 10)
+      val ranked = fused.withColumn("rrf_rank",
+        row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id"))))
+      val withTok = ranked.join(
+        docs.select(col("doc_id"),
+          graft.llm.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tok")), "doc_id")
+      withTok
+        .withColumn("cum_tok",
+          sum(col("n_tok")).over(Window.orderBy(col("rrf_rank"))))
+        .filter(col("cum_tok") <= 512)
+        .select(col("rrf_rank"), col("doc_id"), col("n_tok"),
+          col("cum_tok"), col("rrf"))
+        .orderBy(col("rrf_rank"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+      d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      hit AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf FROM hit
+        WHERE term IN ('dup', 'spark', 'join') GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id,
+          round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+            (tf.tf * 2.5) /
+            (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4)
+            AS score
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id),
+      sparse AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+            AS INTEGER) AS sparse_rank
+        FROM (SELECT doc_id, score FROM sc
+              ORDER BY score DESC, doc_id LIMIT 50)),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      dsc AS (
+        SELECT vec_id AS doc_id,
+          round(list_cosine_similarity(embedding::DOUBLE[],
+            qv::DOUBLE[]), 6) AS ds
+        FROM embeddings, q),
+      dense AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY ds DESC, doc_id)
+            AS INTEGER) AS dense_rank
+        FROM (SELECT doc_id, ds FROM dsc
+              ORDER BY ds DESC, doc_id LIMIT 50)),
+      fused AS (
+        SELECT doc_id,
+          coalesce(1.0 / (60 + sparse_rank), 0)
+            + coalesce(1.0 / (60 + dense_rank), 0) AS rrf0
+        FROM sparse FULL JOIN dense USING (doc_id)),
+      topk AS (
+        SELECT doc_id, round(rrf0, 6) AS rrf
+        FROM fused ORDER BY rrf0 DESC, doc_id LIMIT 10),
+      ranked AS (
+        SELECT doc_id, rrf,
+          CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+            AS INTEGER) AS rrf_rank
+        FROM topk),
+      toks2 AS (
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      packed AS (
+        SELECT r.rrf_rank, r.doc_id, tk.n_tok, r.rrf,
+          CAST(sum(tk.n_tok) OVER (ORDER BY r.rrf_rank) AS BIGINT)
+            AS cum_tok
+        FROM ranked r JOIN toks2 tk USING (doc_id))
+      SELECT rrf_rank, doc_id, n_tok, cum_tok, rrf
+      FROM packed WHERE cum_tok <= 512
+      ORDER BY rrf_rank"""))
+
   /** k-NN LABEL CLASSIFICATION ([[graft.llm.Retrieval.knnClassify]]):
     * the supervised application of the batch k-NN join — each of 50
     * query vectors takes the majority label of its 5 nearest non-self
@@ -9682,7 +9787,7 @@ $union
     simKnnJoinAnnDisk,
     mixtureSample, mixtureSampleApproxQ, mixtureSampleBudget,
     mixtureSampleTemperature,
-    qualityCascade, filterAdaptiveLength, pipelineDataE2e,
+    qualityCascade, filterAdaptiveLength, pipelineDataE2e, pipelineRagE2e,
     simNeardupExact, simNeardupLsh, multimodalMeta, multimodalDecode,
     multimodalResize, multimodalAudio, multimodalVideo, multimodalFrames,
     multimodalFeatures, multimodalAudioFeatures)
