@@ -283,6 +283,14 @@ object Vocabulary {
     * unchanged by construction: the fold applies exactly the
     * anti-join + stats recombination the tombstoned serve was already
     * doing per query.
+    *
+    * Crash note: the compact spans THREE artifacts (postings swap,
+    * stats rewrite, tombstone clear) and is not atomic across them —
+    * a crash mid-compact can leave stats folded while tombstones
+    * persist (double-subtraction on the next serve). Callers already
+    * serialize compaction with readers behind a lock; a durable
+    * deployment commits all three behind one manifest pointer (the
+    * same caveat as [[Similarity.swapCompacted]]'s two renames).
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, buckets: Int = 64): Unit = {
