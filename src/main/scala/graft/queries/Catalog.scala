@@ -3513,6 +3513,39 @@ object Catalog {
         ORDER BY c_acctbal DESC, c_custkey)
       ORDER BY c_custkey"""))
 
+  /** NTILE quartile assignment — the remaining rank-family member
+    * (rank/dense_rank/percent_rank/cume_dist live in
+    * `window_rank_stats`): deterministic because the window order is
+    * total (balance desc, then unique key), and ntile's
+    * uneven-remainder rule (first `n mod k` buckets get the extra
+    * row) is the same in both engines. The query emits the quartile
+    * EDGES per segment — min/max balance and member count per
+    * (segment, quartile) — the summary a risk-banding report ships.
+    */
+  val windowNtileBuckets = RegisteredQuery(
+    "window_ntile_buckets",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"))
+        .groupBy(col("c_mktsegment"), col("quartile"))
+        .agg(count(lit(1)).as("n_members"),
+          max(col("c_acctbal")).as("top_bal"),
+          min(col("c_acctbal")).as("bottom_bal"))
+        .orderBy(col("c_mktsegment"), col("quartile"))
+    },
+    Some("""SELECT c_mktsegment, quartile, count(*) AS n_members,
+        max(c_acctbal) AS top_bal, min(c_acctbal) AS bottom_bal
+      FROM (
+        SELECT c_mktsegment, c_acctbal,
+          ntile(4) OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        FROM customer)
+      GROUP BY c_mktsegment, quartile
+      ORDER BY c_mktsegment, quartile"""))
+
   /** Equi-width histogram without a histogram builtin: bucket index is
     * pure arithmetic over the global min/max (two scans: one tiny agg,
     * one binning pass — the portable formulation every engine can
@@ -9743,7 +9776,8 @@ $union
     sourceCustomStream, sinkCustomStream,
     schemaEvolution,
     joinShuffleHash, nestedPruning,
-    windowRankStats, aggHistogram, aggHeavyHitters, timeseriesGapfill,
+    windowRankStats, windowNtileBuckets, aggHistogram, aggHeavyHitters,
+    timeseriesGapfill,
     timeseriesInterp, timeseriesSpike,
     scalarTryFunctions, streamingEnrich, windowRatio, aggMad,
     windowRollingMedian, scd2History, windowFillForward,
