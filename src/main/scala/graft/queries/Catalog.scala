@@ -4177,6 +4177,41 @@ object Catalog {
       FROM events GROUP BY user_id
       ORDER BY n_exact DESC, user_id LIMIT 20"""))
 
+  /** EXACT distinct counting via BITMAP aggregates (Spark 3.5
+    * `bitmap_bucket_number` / `bitmap_bit_position` /
+    * `bitmap_construct_agg` / `bitmap_count`) — the third
+    * count-distinct strategy beside exact `countDistinct` (full key
+    * shuffle) and HLL (approximate): keys fold into fixed 4 KB
+    * bitmaps per 32k-bucket, so the shuffle carries one bitmap per
+    * (group, bucket) instead of every distinct key, and the result is
+    * still EXACT — the warehouse trick for high-cardinality distinct
+    * at scale. The two-level shape (per-bucket construct+count, then
+    * sum) is the documented usage; the oracle is plain
+    * count(DISTINCT), with the equality asserted per group.
+    */
+  val aggBitmapDistinct = RegisteredQuery(
+    "agg_bitmap_distinct",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val viaBitmap = li
+        .groupBy(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+        .agg(expr(
+          "bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_partkey)))")
+          .as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("c")).as("nd_bitmap"))
+      li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_exact"))
+        .join(viaBitmap, "l_returnflag")
+        .select(col("l_returnflag"), col("nd_exact"),
+          (col("nd_bitmap") === col("nd_exact")).as("bitmap_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS nd_exact, TRUE AS bitmap_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** MISRA-GRIES heavy hitters
     * ([[graft.llm.Vocabulary.heavyHittersKeys]]) — the DETERMINISTIC
     * counter-based complement of `agg_countmin`'s hash sketch: k
@@ -9777,7 +9812,7 @@ $union
     schemaEvolution,
     joinShuffleHash, nestedPruning,
     windowRankStats, windowNtileBuckets, aggHistogram, aggHeavyHitters,
-    timeseriesGapfill,
+    aggBitmapDistinct, timeseriesGapfill,
     timeseriesInterp, timeseriesSpike,
     scalarTryFunctions, streamingEnrich, windowRatio, aggMad,
     windowRollingMedian, scd2History, windowFillForward,
