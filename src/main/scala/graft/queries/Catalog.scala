@@ -4936,6 +4936,51 @@ object Catalog {
       FROM sess GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
+  /** DYNAMIC-GAP session windows (`session_window(ts, gapExpr)`) —
+    * per-event inactivity timeouts, the production sessionization
+    * rule (a click keeps a session alive briefly; a view holds it
+    * open longer). Merge semantics generalize the fixed-gap case:
+    * each event extends its session to ts+gap(event) and a new
+    * session starts when ts ≥ the RUNNING MAX of previous extents —
+    * which is exactly the oracle's window replay (the fixed-gap
+    * lag-based rule is the constant-gap special case). All integer-µs
+    * timestamp arithmetic, hash-exact.
+    */
+  val sessionWindowDynamic = RegisteredQuery(
+    "session_window_dynamic",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"),
+          when(col("event_type") === "click", lit("10 minutes"))
+            .otherwise(lit("30 minutes"))))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH g AS (
+        SELECT user_id, ts, value,
+          CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+            ELSE INTERVAL 30 MINUTE END AS gap
+        FROM events),
+      marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN ts >= max(ts + gap) OVER (PARTITION BY user_id
+              ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS new_sess
+        FROM g),
+      sess AS (
+        SELECT user_id, ts, value,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
   // ---------------------------------------------------- encode stratum
 
   /** A-1 distinct categorical key discovery ("path=value" keys) as ONE
@@ -9828,7 +9873,7 @@ $union
     streamingIndexAppend, streamingBm25Append, streamingDedupMinhash,
     streamingQualityRouter, streamingMergeUpsert,
     streamingCatalogSource,
-    sessionWindowBatch,
+    sessionWindowBatch, sessionWindowDynamic,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, tokenCounts, docFingerprint, docWinnow, docNgramNovelty,
