@@ -45,7 +45,8 @@ object Verify {
     // pays the shared purchase-graph build (alphabetical first)
     "streaming_bm25_append", "streaming_merge_upsert",
     "streaming_dedup_minhash", "streaming_quality_router",
-    "streaming_catalog_source", "graph_labelprop")
+    "streaming_catalog_source", "graph_labelprop",
+    "streaming_session_window")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

@@ -4981,6 +4981,59 @@ object Catalog {
       FROM sess GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
+  /** The NATIVE streaming session operator
+    * (`session_window` + watermark, Spark's built-in session
+    * aggregation with its dedicated merging state store) — distinct
+    * machinery from `streaming_sessions`' flatMapGroupsWithState
+    * sessionizer, completing the sessionization pair the way the
+    * join/dedup families pair built-in and custom-state forms. Run to
+    * completion over the full file the final sessions equal the
+    * batch computation, so it SHARES `session_window_dynamic`'s
+    * generalized-merge oracle (same dynamic per-type gaps).
+    */
+  val streamingSessionWindow = RegisteredQuery(
+    "streaming_session_window",
+    (s, d) => {
+      import graft.streaming.Streams
+      val raw = Streams.eventsStreamFromFile(s, s"$d/events.parquet")
+      val sessions = raw
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"),
+          when(col("event_type") === "click", lit("10 minutes"))
+            .otherwise(lit("30 minutes"))))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+      Streams.runAvailableNowWithPartitions(s, sessions,
+          s"graft_stream_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          statePartitions = 8)
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""WITH g AS (
+        SELECT user_id, ts, value,
+          CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+            ELSE INTERVAL 30 MINUTE END AS gap
+        FROM events),
+      marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN ts >= max(ts + gap) OVER (PARTITION BY user_id
+              ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS new_sess
+        FROM g),
+      sess AS (
+        SELECT user_id, ts, value,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
   // ---------------------------------------------------- encode stratum
 
   /** A-1 distinct categorical key discovery ("path=value" keys) as ONE
@@ -9873,7 +9926,7 @@ $union
     streamingIndexAppend, streamingBm25Append, streamingDedupMinhash,
     streamingQualityRouter, streamingMergeUpsert,
     streamingCatalogSource,
-    sessionWindowBatch, sessionWindowDynamic,
+    sessionWindowBatch, sessionWindowDynamic, streamingSessionWindow,
     keyDiscovery, moments, encodeEval, trainLoop, trainPredict,
     pipelineE2e, dedupExact,
     textStats, tokenCounts, docFingerprint, docWinnow, docNgramNovelty,
