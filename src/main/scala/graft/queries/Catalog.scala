@@ -4177,6 +4177,44 @@ object Catalog {
       FROM events GROUP BY user_id
       ORDER BY n_exact DESC, user_id LIMIT 20"""))
 
+  /** DETERMINISTIC grouped MODE — the categorical summary statistic
+    * done safely: Spark's builtin `mode()` breaks frequency ties
+    * arbitrarily (hash order), which is exactly the
+    * nondeterminism-in-an-aggregate trap, so the operator is the
+    * count + `max_by` struct-ordering pick instead (most frequent
+    * value, ties to the smallest) — same integer-exact idiom the k-NN
+    * classifier's vote uses, exposed as the standalone statistic.
+    * One extra keyed aggregate over the slim (group, value) counts;
+    * no window.
+    */
+  val aggModeDeterministic = RegisteredQuery(
+    "agg_mode",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_shipdate"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("l_returnflag"))
+        .agg(max_by(
+          struct(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ds"),
+            col("n").as("n")),
+          // highest count, then SMALLEST date (negated epoch days)
+          struct(col("n"), -datediff(col("l_shipdate"),
+            lit("1970-01-01").cast("date")))).as("m"))
+        .select(col("l_returnflag"), col("m.ds").as("mode_shipdate"),
+          col("m.n").as("n_occurrences"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        strftime(CAST(mode_shipdate AS DATE), '%Y-%m-%d')
+          AS mode_shipdate,
+        n_occurrences
+      FROM (
+        SELECT l_returnflag, l_shipdate AS mode_shipdate, count(*)
+            AS n_occurrences,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY count(*) DESC, l_shipdate) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_shipdate)
+      WHERE rn = 1 ORDER BY l_returnflag"""))
+
   /** EXACT distinct counting via BITMAP aggregates (Spark 3.5
     * `bitmap_bucket_number` / `bitmap_bit_position` /
     * `bitmap_construct_agg` / `bitmap_count`) — the third
@@ -9910,7 +9948,7 @@ $union
     schemaEvolution,
     joinShuffleHash, nestedPruning,
     windowRankStats, windowNtileBuckets, aggHistogram, aggHeavyHitters,
-    aggBitmapDistinct, timeseriesGapfill,
+    aggBitmapDistinct, aggModeDeterministic, timeseriesGapfill,
     timeseriesInterp, timeseriesSpike,
     scalarTryFunctions, streamingEnrich, windowRatio, aggMad,
     windowRollingMedian, scd2History, windowFillForward,
