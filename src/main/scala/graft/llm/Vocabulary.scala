@@ -349,8 +349,12 @@ object Vocabulary {
           coalesce(sum(col("dl")), lit(0L)).as("s_t"))
         val adj = stats0.crossJoin(broadcast(tombAgg)).select(
           (col("n_docs") - col("n_t")).as("n_docs"),
-          ((col("sum_dl") - col("s_t")).cast("double") /
-            (col("n_docs") - col("n_t"))).as("avgdl"),
+          // fully-tombstoned index: 0/0 would be NULL and poison every
+          // score; 0.0 matches compactBm25Index's n == 0 guard (the
+          // serve then returns no rows anyway — no surviving postings)
+          when(col("n_docs") - col("n_t") === 0, lit(0.0))
+            .otherwise((col("sum_dl") - col("s_t")).cast("double") /
+              (col("n_docs") - col("n_t"))).as("avgdl"),
           (col("sum_dl") - col("s_t")).as("sum_dl"))
         (postings0.join(broadcast(tomb.select(col("id"))), Seq("id"),
           "left_anti"), adj)

@@ -285,9 +285,13 @@ object GraftCatalog {
     * already exists or the source does not.
     */
   def cloneTable(srcFullName: String, dstFullName: String): Unit = {
-    val (rows, schemaAt, partCols, props) =
+    val (rows, schemaAt, partCols, props, cons) =
       memTable(srcFullName).cloneState
     val dst = new GraftMemTable(dstFullName, schemaAt, partCols, props)
+    // constraints are table metadata like the schema: a clone of an
+    // ENFORCED-CHECK table must keep enforcing (renamed() already
+    // copies them; CLONE must match)
+    dst.setConstraints(cons)
     if (tables.putIfAbsent(dstFullName, dst) != null)
       throw new IllegalArgumentException(
         s"catalog table $dstFullName already exists")
@@ -481,8 +485,9 @@ final class GraftMemTable(fullName: String, schema0: StructType,
     * file-reference copy (no data is rewritten).
     */
   private[catalog] def cloneState
-      : (Seq[Row], StructType, Seq[String], Map[String, String]) =
-    synchronized((buf.toSeq, curSchema, partCols, props))
+      : (Seq[Row], StructType, Seq[String], Map[String, String],
+         Seq[org.apache.spark.sql.connector.catalog.constraints.Constraint]) =
+    synchronized((buf.toSeq, curSchema, partCols, props, tableConstraints))
 
   /** Rows APPENDED by commit `v` over `v−1` — defined only for
     * append-only commits: the previous snapshot must be a PREFIX (by
@@ -1193,7 +1198,17 @@ final class CatMicroBatchStream(table: GraftMemTable,
     schemaAt: StructType, maxRowsPerBatch: Long = 0L)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
-  private var availableNowEnd: Int = table.currentVersion
+  /** Set ONLY by [[prepareForTriggerAvailableNow]]: an AvailableNow
+    * run must pin its end so the query drains and stops, but any other
+    * trigger (ProcessingTime, Once) must keep following the live
+    * commit log — capping those at stream-construction time would
+    * silently drop every commit that lands after the stream starts.
+    */
+  private var availableNowEnd: Option[Int] = None
+  private def endVersion: Int = availableNowEnd match {
+    case Some(v) => math.min(v, table.currentVersion)
+    case None => table.currentVersion
+  }
   override def initialOffset(): Offset = CatOffset(0)
   override def deserializeOffset(json: String): Offset =
     CatOffset(json.trim.toInt)
@@ -1202,7 +1217,7 @@ final class CatMicroBatchStream(table: GraftMemTable,
       "latestOffset(start, limit) is used (SupportsAdmissionControl)")
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s0 = start.asInstanceOf[CatOffset].version
-    val end = math.min(availableNowEnd, table.currentVersion)
+    val end = endVersion
     def capOf(l: ReadLimit): Int = l match {
       case mr: ReadMaxRows =>
         // advance whole commits until the row budget is spent (but
@@ -1223,8 +1238,8 @@ final class CatMicroBatchStream(table: GraftMemTable,
     if (maxRowsPerBatch > 0) ReadLimit.maxRows(maxRowsPerBatch)
     else ReadLimit.allAvailable()
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = table.currentVersion
-  override def reportLatestOffset(): Offset = CatOffset(availableNowEnd)
+    availableNowEnd = Some(table.currentVersion)
+  override def reportLatestOffset(): Offset = CatOffset(endVersion)
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val (s0, e0) = (start.asInstanceOf[CatOffset].version,

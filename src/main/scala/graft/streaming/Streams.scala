@@ -378,7 +378,11 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch {
         (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          val marked = batch.withColumn("__accept", accept).persist()
+          // NULL predicates (3VL) must route to the DLQ, not vanish
+          // from both sinks: coalesce pins the gate to a real boolean
+          // so acceptance+rejection stays a partition of the input
+          val marked = batch
+            .withColumn("__accept", coalesce(accept, lit(false))).persist()
           marked.filter(col("__accept")).drop("__accept")
             .write.mode("overwrite").parquet(s"$acceptDir/batch=$batchId")
           marked.filter(!col("__accept")).drop("__accept")

@@ -228,6 +228,20 @@ class VocabularySpec extends SparkSpec {
     assert(compacted == expect, s"compacted=$compacted rebuilt=$expect")
   }
 
+  test("bm25 serve over a fully-tombstoned index is empty, not NULL") {
+    val corpus = Seq((1L, "spark join shuffle"), (2L, "spark filter"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bm25allgone")
+      .toString + "/idx"
+    Vocabulary.writeBm25Index(corpus, "doc_id", "text", path, buckets = 4)
+    Vocabulary.deleteBm25Index(spark, path, Seq(1L, 2L))
+    // every doc tombstoned: avgdl adjustment is 0/0 territory — the
+    // guard must yield an empty result, not NULL-scored rows
+    val served = Vocabulary.bm25Disk(spark, path, Seq("spark"),
+      topK = 10, buckets = 4).collect()
+    assert(served.isEmpty, served.mkString(","))
+  }
+
   test("misra-gries: deterministic bounds hold under heavy eviction") {
     // 41 distinct keys, one carrying 60% of a 10k stream; capacity 8
     // forces constant eviction. Guarantees checked: (a) every key

@@ -711,6 +711,64 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().head.getLong(0) == 4L)
   }
 
+  test("CLONE carries ENFORCED constraints to the destination") {
+    GraftCatalog.reset()
+    spark.sql("""CREATE TABLE graft_cat.ns.ckc (id BIGINT, q DOUBLE,
+      CONSTRAINT q_pos2 CHECK (q > 0) ENFORCED)""")
+    spark.sql("INSERT INTO graft_cat.ns.ckc VALUES (1, 2.5)")
+    GraftCatalog.cloneTable("ns.ckc", "ns.ckc2")
+    // the clone keeps enforcing: a violating insert fails atomically
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft_cat.ns.ckc2 VALUES (2, -1.0)")
+    }
+    assert(e.getMessage.toLowerCase.contains("q_pos2") ||
+      e.getMessage.toLowerCase.contains("check"), e.getMessage)
+    assert(spark.sql("SELECT id FROM graft_cat.ns.ckc2")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // and a valid insert still lands
+    spark.sql("INSERT INTO graft_cat.ns.ckc2 VALUES (3, 1.0)")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.ckc2")
+      .collect().head.getLong(0) == 2L)
+  }
+
+  test("ProcessingTime stream follows commits landing after start") {
+    GraftCatalog.reset()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .createOrReplaceTempView("cspt_src")
+    spark.sql(
+      "CREATE TABLE graft_cat.ns.cspt AS SELECT * FROM cspt_src WHERE id = 1")
+    val ckpt = java.nio.file.Files.createTempDirectory("cspt_ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.table("graft_cat.ns.cspt").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          b.collect().foreach(r => got.add(r.getLong(0))): Unit
+      }.start()
+    try {
+      // wait for the birth commit, then append AFTER stream start —
+      // a live trigger must pick the new commits up (the AvailableNow
+      // end cap must not apply here)
+      def awaitIds(want: Set[Long]): Unit = {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (got.toArray.map(_.asInstanceOf[Long]).toSet != want &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        val have = got.toArray.map(_.asInstanceOf[Long]).toSet
+        assert(have == want, s"expected $want, saw $have")
+      }
+      awaitIds(Set(1L))
+      spark.sql(
+        "INSERT INTO graft_cat.ns.cspt SELECT * FROM cspt_src WHERE id = 2")
+      awaitIds(Set(1L, 2L))
+      spark.sql(
+        "INSERT INTO graft_cat.ns.cspt SELECT * FROM cspt_src WHERE id = 3")
+      awaitIds(Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("CLONE fails on an existing destination or a missing source") {
     GraftCatalog.reset()
     Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("cln_src2")

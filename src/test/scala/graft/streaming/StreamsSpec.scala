@@ -434,6 +434,32 @@ class StreamsSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("too_short"))
   }
 
+  test("streaming router sends NULL-gated rows to the dead-letter sink") {
+    // a NULL text makes the accept predicate evaluate to NULL (3VL):
+    // such rows must land in the DLQ, not vanish from both sinks
+    val docs = Seq((0L, "plenty of tokens in this document right here"),
+      (1L, null.asInstanceOf[String]), (2L, "short"),
+      (3L, "another document with enough words to pass the gate"))
+      .toDF("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("router_null_src")
+      .toString
+    docs.write.mode("overwrite").parquet(src + "/docs.parquet")
+    val stream = Streams.documentsStreamBatches(spark,
+      src + "/docs.parquet", halves = 1)
+    val base = java.nio.file.Files.createTempDirectory("router_null_out")
+      .toString
+    Streams.routeAvailableNow(spark, stream,
+      length(col("text")) >= 20, "gate_failed",
+      s"$base/ok", s"$base/dlq"): Unit
+    val ok = spark.read.parquet(s"$base/ok")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val dlq = spark.read.parquet(s"$base/dlq")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ok == Set(0L, 3L), ok.toString)
+    // the NULL-text row routes to the DLQ alongside the short row
+    assert(dlq == Set(1L, 2L), dlq.toString)
+  }
+
   test("CDC fold keeps the latest version across batches; tombstones beat older updates") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
