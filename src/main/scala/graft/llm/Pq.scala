@@ -315,19 +315,21 @@ object Pq {
 
   /** Persist an IVF×PQ index for SERVING — build once, serve many (the
     * production ANN shape: at 100 TB the Lloyd builds are a batch job,
-    * not a per-query cost). Layout:
+    * not a per-query cost). Artifacts live inside an
+    * [[IndexManifest]]-committed version dir under `path`:
     *
-    *   - `path/codes`: (id, codes) parquet PARTITIONED BY cell — a
+    *   - `codes`: (id, codes) parquet PARTITIONED BY cell — a
     *     probe that filters on `cell` opens only the probed cells'
     *     directories, so per-query IO is O(occupancy·nprobe) rows ×
     *     m BYTES each (the PQ lever composed onto the directory-pruning
     *     lever, same contract as [[Similarity.writeIvfIndex]]);
-    *   - `path/codebooks`: (j, c, codeword) — m·k rows of sub-dim
+    *   - `codebooks`: (j, c, codeword) — m·k rows of sub-dim
     *     vectors, the ADC LUT source;
-    *   - `path/centroids`: (cell, centroid, radius) — the exact
+    *   - `centroids`: (cell, centroid, radius) — the exact
     *     branch-and-bound metadata, radii persisted so serving never
     *     re-scans the corpus;
-    *   - `path/params`: one (dim, m, k) row.
+    *   - `params`: one (dim, m, k) row;
+    *   - `tombstones` (when deletions are pending): the takedown ids.
     *
     * All sidecars are driver-sized metadata (m·k·sub + cells·dim
     * doubles); only `codes` scales with the corpus.
@@ -337,17 +339,20 @@ object Pq {
     require(radii.length == centroids.length,
       s"radii (${radii.length}) must match centroids (${centroids.length})")
     val sp = index.sparkSession
-    index.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val (v, staged) = IndexManifest.stage(path)
+    index.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staged/codes")
     import sp.implicits._
     (for { j <- 0 until model.m; c <- 0 until model.k }
         yield (j, c, model.codebooks(j)(c).toSeq))
       .toDF("j", "c", "codeword")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staged/codebooks")
     centroids.indices.map(i => (i, centroids(i).toSeq, radii(i)))
       .toDF("cell", "centroid", "radius")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staged/centroids")
     Seq((model.dim, model.m, model.k)).toDF("dim", "m", "k")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staged/params")
+    IndexManifest.commit(path, v)
   }
 
   /** Read an IVF×PQ index back for serving. The codes frame keeps
@@ -357,21 +362,22 @@ object Pq {
     */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqDiskIndex = {
-    val p = spark.read.parquet(s"$path/params")
+    val cur = IndexManifest.currentDir(path)
+    val p = spark.read.parquet(s"$cur/params")
       .select(col("dim").cast("int"), col("m").cast("int"),
         col("k").cast("int"))
       .collect().head
     val (dim, m, k) = (p.getInt(0), p.getInt(1), p.getInt(2))
     val sub = dim / m
     val books = Array.fill(m, k)(null: Array[Double])
-    spark.read.parquet(s"$path/codebooks")
+    spark.read.parquet(s"$cur/codebooks")
       .select(col("j").cast("int"), col("c").cast("int"), col("codeword"))
       .collect().foreach { r =>
         books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
       }
     require(books.forall(_.forall(cw => cw != null && cw.length == sub)),
       s"codebook sidecar at $path is incomplete")
-    val centRows = spark.read.parquet(s"$path/centroids")
+    val centRows = spark.read.parquet(s"$cur/centroids")
       .select(col("cell").cast("int"), col("centroid"), col("radius"))
       .collect()
     val cells = centRows.length
@@ -383,8 +389,21 @@ object Pq {
     }
     require(centroids.forall(_ != null),
       s"centroid sidecar at $path has gaps")
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes0 = spark.read.parquet(s"$cur/codes")
       .select(col("id"), col("codes"), col("cell").cast("int").as("cell"))
+    // pending tombstones ([[deleteFromIvfPqIndex]]) fold here, before
+    // any ADC scoring — a deleted id is unservable immediately, and
+    // radii stay merely wide (sound: pruning bounds only loosen)
+    val tombDir = new java.io.File(s"$cur/tombstones")
+    val codes =
+      if (tombDir.isDirectory &&
+          tombDir.listFiles().exists(_.getName.endsWith(".parquet"))) {
+        val dead = spark.read.parquet(tombDir.getPath)
+          .select(col("graft_dead_id")).distinct()
+        codes0.join(broadcast(dead),
+            codes0("id") === dead("graft_dead_id"), "left_anti")
+          .select(col("id"), col("codes"), col("cell"))
+      } else codes0
     IvfPqDiskIndex(codes, PqModel(dim, m, k, books), centroids, radii)
   }
 
@@ -412,6 +431,11 @@ object Pq {
       delta: DataFrame, vecCol: String, idCol: String,
       path: String): Unit = {
     val idx = readIvfPqIndex(spark, path)
+    val (v, staged) = IndexManifest.stage(path)
+    IndexManifest.carry(path, staged, "codes")
+    IndexManifest.carry(path, staged, "codebooks")
+    IndexManifest.carry(path, staged, "params")
+    IndexManifest.carry(path, staged, "tombstones")
     val assigned = normalized(delta, vecCol, idCol, idx.model.dim)
       .select(col("id"),
         GraftFunctions.nearestCentroid(col("nv"), idx.centroids)
@@ -426,7 +450,8 @@ object Pq {
             .as("codes"),
           col("cell"))
         .filter(col("codes").isNotNull)
-        .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$staged/codes")
       // angles over the RAW delta vectors — the same expression and
       // inputs as the build path's cellRadii(index ⋈ raw vecs), so the
       // widened radius is BIT-identical to a full recompute, not just
@@ -444,27 +469,60 @@ object Pq {
       idx.centroids.indices.map(i =>
           (i, idx.centroids(i).toSeq, widened(i)))
         .toDF("cell", "centroid", "radius")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$staged/centroids")
+      // delta codes + widened radii publish in ONE pointer flip — a
+      // crash never leaves new codes served under stale (narrow) radii
+      IndexManifest.commit(path, v)
     } finally { assigned.unpersist(blocking = false); () }
   }
 
-  /** COMPACTION of an appended IVF×PQ index: rewrites `path/codes` to
-    * one file per `cell=` directory behind the same two-rename swap as
-    * [[Similarity.compactLshIndex]] (and with the same caveats —
-    * callers serialize with readers; local-filesystem renames). The
-    * driver-sized sidecars (codebooks/centroids/params) are already
-    * single-file and are untouched — only the corpus-scale codes tree
-    * fragments under appends.
+  /** DELETE from a disk IVF×PQ index — completing removal symmetry
+    * across all four index families (LSH / IVF / BM25 / IVF×PQ share
+    * the protocol): deleted ids land in a tombstone artifact inside a
+    * NEW manifest version at O(delta-ids) cost (code files carry as
+    * hard links, untouched), and [[readIvfPqIndex]] anti-joins them
+    * before any ADC scoring, so a deleted id is unservable the moment
+    * the pointer flips. Radii stay as built — bounds only LOOSEN when
+    * members leave a cell, so pruning remains sound (the exact
+    * argument of [[Similarity.deleteFromIvfIndex]]); the next
+    * [[compactIvfPqIndex]] folds the bytes away. Ids must not be
+    * re-used after deletion (append-only id contract).
+    */
+  def deleteFromIvfPqIndex(ids: DataFrame, idCol: String,
+      path: String): Unit = {
+    val (v, staged) = IndexManifest.stage(path)
+    IndexManifest.carry(path, staged, "codes")
+    IndexManifest.carry(path, staged, "codebooks")
+    IndexManifest.carry(path, staged, "centroids")
+    IndexManifest.carry(path, staged, "params")
+    IndexManifest.carry(path, staged, "tombstones")
+    ids.select(col(idCol).as("graft_dead_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$staged/tombstones")
+    IndexManifest.commit(path, v)
+  }
+
+  /** COMPACTION of an appended IVF×PQ index: rewrites the codes tree
+    * to one file per `cell=` directory — FOLDING any pending
+    * tombstones ([[deleteFromIvfPqIndex]]) — in a staged version that
+    * carries the driver-sized sidecars (codebooks/centroids/params) as
+    * hard links and no tombstone artifact, published by the single
+    * [[IndexManifest.commit]] pointer flip (crash-atomic; same
+    * protocol as [[Similarity.compactLshIndex]]).
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val codesPath = s"$path/codes"
-    spark.read.parquet(codesPath)
-      .select(col("id"), col("codes"), col("cell").cast("int").as("cell"))
+    val folded = readIvfPqIndex(spark, path).codes // tombstones fold here
+    val (v, staged) = IndexManifest.stage(path)
+    IndexManifest.carry(path, staged, "codebooks")
+    IndexManifest.carry(path, staged, "centroids")
+    IndexManifest.carry(path, staged, "params")
+    folded
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$codesPath.compact")
-    Similarity.swapCompacted(codesPath)
+      .parquet(s"$staged/codes")
+    IndexManifest.commit(path, v)
   }
 
   /** PQ shortlist → exact re-rank: ADC picks `shortlist` candidate ids

@@ -583,8 +583,12 @@ object Similarity {
     * every subsequent query (the same write-time-investment contract
     * as bucketed joins).
     */
-  def writeIvfIndex(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+  def writeIvfIndex(index: DataFrame, path: String): Unit = {
+    val (v, staged) = IndexManifest.stage(path)
+    index.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staged/data")
+    IndexManifest.commit(path, v)
+  }
 
   /** INCREMENTAL maintenance of a disk IVF index — the IVF-family twin
     * of [[appendLshIndex]]: delta rows are assigned to the EXISTING
@@ -598,9 +602,14 @@ object Similarity {
     * widens radii, costing probes, never answers).
     */
   def appendIvfIndex(delta: DataFrame, vecCol: String, idCol: String,
-      path: String, centroids: Array[Array[Double]]): Unit =
+      path: String, centroids: Array[Array[Double]]): Unit = {
+    val (v, staged) = IndexManifest.stage(path)
+    IndexManifest.carry(path, staged, "data")
+    IndexManifest.carry(path, staged, "tombstones")
     ivfIndex(delta, vecCol, idCol, centroids)
-      .write.mode("append").partitionBy("cell").parquet(path)
+      .write.mode("append").partitionBy("cell").parquet(s"$staged/data")
+    IndexManifest.commit(path, v)
+  }
 
   /** DELETE from a disk IVF index — the removal verb for the IVF
     * family, completing delete symmetry across LSH / IVF / BM25
@@ -616,18 +625,19 @@ object Similarity {
     deleteFromLshIndex(ids, idCol, path)
 
   /** COMPACT a disk IVF index: rewrite the `cell=` layout minus any
-    * tombstoned ids and clear the sidecar — the same two-rename swap
-    * (and the same serialize-with-readers caveat) as
-    * [[compactLshIndex]].
+    * tombstoned ids into a staged version carrying no tombstone
+    * artifact, published by the same single [[IndexManifest.commit]]
+    * pointer flip as [[compactLshIndex]] — crash-atomic by
+    * construction.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
+    val (v, staged) = IndexManifest.stage(path)
     readIvfIndex(spark, path) // tombstones fold here
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path.compact")
-    swapCompacted(path)
-    clearTombstones(path)
+      .parquet(s"$staged/data")
+    IndexManifest.commit(path, v)
   }
 
   /** Read a disk IVF index back; `cell` returns as a partition column,
@@ -637,7 +647,7 @@ object Similarity {
     */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val df = spark.read.parquet(path)
+    val df = spark.read.parquet(s"${IndexManifest.currentDir(path)}/data")
     // partition-column types infer as the narrowest integral; probes
     // compare against Int cell ids
     val base =
@@ -870,37 +880,51 @@ object Similarity {
     * row-group min/max stats instead of a full directory scan.
     */
   def writeLshIndex(index: DataFrame, path: String,
-      groups: Int = 64): Unit =
+      groups: Int = 64): Unit = {
+    val (v, staged) = IndexManifest.stage(path)
     index.select(col("table"), col("sig"), col("id"), col("vec"))
       .withColumn("grp", pmod(col("sig"), lit(groups.toLong)))
       .repartition(col("table"), col("grp"))
       .sortWithinPartitions(col("sig"))
-      .write.mode("overwrite").partitionBy("table", "grp").parquet(path)
+      .write.mode("overwrite").partitionBy("table", "grp")
+      .parquet(s"$staged/data")
+    // a rebuild starts a fresh era: no tombstones carried
+    IndexManifest.commit(path, v)
+  }
 
   /** INCREMENTAL maintenance of a disk LSH index — the nightly-ingest
     * half of build-once/serve-many (the batch-ANN analogue of
     * `dedup_incremental`'s asymmetric incoming-vs-history join). The
     * hyperplane family is a pure function of (dim, bits, seedPrefix),
     * so a delta computes byte-identical signatures to the base build
-    * and its rows land in the SAME (table, grp) directory layout via
-    * parquet append — which only ever writes NEW files: base files are
-    * untouched, a concurrent reader sees the old or the new listing
-    * atomically per file, and the serve path ([[topKAnnDisk]]) is
-    * unchanged — probes prune to the same directories and read
-    * base+delta rows together. Cost is O(delta), never O(corpus):
-    * exactly what a 100 TB corpus needs when 0.1% arrives nightly.
-    * Within-partition sig sort holds per file (base and delta files
-    * are each sorted), so row-group stats pruning still applies.
+    * and its rows land in the SAME (table, grp) directory layout.
+    * Base files carry into the new version as hard links (zero bytes
+    * copied — [[IndexManifest.carry]]) and the delta appends as new
+    * files beside them; the [[IndexManifest.commit]] pointer flip
+    * publishes base+delta atomically, so a concurrent reader sees the
+    * whole old or the whole new index, never a torn listing. The
+    * serve path ([[topKAnnDisk]]) is unchanged — probes prune to the
+    * same directories. Cost is O(delta) data + O(file-count) link
+    * metadata, never O(corpus bytes): exactly what a 100 TB corpus
+    * needs when 0.1% arrives nightly. Within-partition sig sort holds
+    * per file (base and delta files are each sorted), so row-group
+    * stats pruning still applies.
     */
   def appendLshIndex(delta: DataFrame, vecCol: String, idCol: String,
       path: String, dim: Int, bits: Int, tables: Int = 8,
-      groups: Int = 64, seedPrefix: String = "lsh"): Unit =
+      groups: Int = 64, seedPrefix: String = "lsh"): Unit = {
+    val (v, staged) = IndexManifest.stage(path)
+    IndexManifest.carry(path, staged, "data")
+    IndexManifest.carry(path, staged, "tombstones")
     multiTableIndex(delta, vecCol, idCol, dim, bits, tables, seedPrefix)
       .select(col("table"), col("sig"), col("id"), col("vec"))
       .withColumn("grp", pmod(col("sig"), lit(groups.toLong)))
       .repartition(col("table"), col("grp"))
       .sortWithinPartitions(col("sig"))
-      .write.mode("append").partitionBy("table", "grp").parquet(path)
+      .write.mode("append").partitionBy("table", "grp")
+      .parquet(s"$staged/data")
+    IndexManifest.commit(path, v)
+  }
 
   /** COMPACTION of an appended index — the third maintenance verb of
     * the lifecycle (build → append× → compact): every append leaves
@@ -908,19 +932,20 @@ object Similarity {
     * cost is paid per FILE opened, so a nightly-append index degrades
     * toward open-file overhead until compacted. Rewrites the index
     * with one file per (table, grp) directory (re-sorted by sig, so
-    * row-group pruning recovers the freshly-built layout), builds the
-    * result in a sibling `<path>.compact` directory, then swaps it in
-    * via [[swapCompacted]] (see its concurrency/filesystem caveats —
-    * callers serialize compaction with readers, as the registered
-    * queries' locks do). Tombstoned ids ([[deleteFromLshIndex]]) are
-    * FOLDED: compaction drops their rows and clears the tombstone
-    * set, so post-compaction serves pay no anti-join. Surviving
-    * content is byte-equal by construction; LshDiskSpec pins serve
-    * equality and the file-count drop.
+    * row-group pruning recovers the freshly-built layout) as a NEW
+    * staged version, published by [[IndexManifest.commit]]'s single
+    * pointer flip — a crash anywhere leaves the pre- or
+    * post-compaction index serving, never a mixture (pinned by
+    * IndexManifestSpec's failure injection). Tombstoned ids
+    * ([[deleteFromLshIndex]]) are FOLDED: compaction drops their rows
+    * and the new version carries no tombstone artifact, so
+    * post-compaction serves pay no anti-join. Surviving content is
+    * byte-equal by construction; LshDiskSpec pins serve equality and
+    * the file-count drop.
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val tmp = s"$path.compact"
+    val (v, staged) = IndexManifest.stage(path)
     val dead = readTombstones(spark, path)
     val base = readLshIndex(spark, path)
     (dead match {
@@ -932,30 +957,11 @@ object Similarity {
         col("grp"))
       .repartition(col("table"), col("grp"))
       .sortWithinPartitions(col("sig"))
-      .write.mode("overwrite").partitionBy("table", "grp").parquet(tmp)
-    swapCompacted(path)
-    rmTree(new java.io.File(tombstonePath(path)))
-  }
-
-  /** Swap a freshly-built `<path>.compact` tree into `<path>` with two
-    * renames, then delete the displaced tree. Each rename is atomic,
-    * but the PAIR is not: between them `<path>` does not exist, and a
-    * query planned against the old tree (cached file listing) fails
-    * once `.old` is deleted — so compaction must be SERIALIZED with
-    * readers by the caller (the registered queries hold a lock across
-    * build/append/compact/serve). The java.nio moves also assume a
-    * local/posix-rename filesystem, unlike the Spark-written index
-    * data itself; an object-store deployment would swap a manifest
-    * pointer instead (the Iceberg commit shape).
-    */
-  private[llm] def swapCompacted(path: String): Unit = {
-    val fs = java.nio.file.Paths.get(path)
-    val old = s"$path.old"
-    java.nio.file.Files.move(fs, java.nio.file.Paths.get(old),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(java.nio.file.Paths.get(s"$path.compact"), fs,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    rmTree(new java.io.File(old))
+      .write.mode("overwrite").partitionBy("table", "grp")
+      .parquet(s"$staged/data")
+    // tombstones are folded into the rewrite: the new version carries
+    // none, and both changes publish in the ONE pointer flip
+    IndexManifest.commit(path, v)
   }
 
   private[graft] def rmTree(f: java.io.File): Unit = {
@@ -963,13 +969,17 @@ object Similarity {
     f.delete(): Unit
   }
 
-  private def tombstonePath(path: String): String = s"$path.tombstones"
-
   /** Drop any pending tombstone set (used by rebuilds: a fresh index
-    * must not inherit a prior corpus version's takedowns).
+    * must not inherit a prior corpus version's takedowns). A no-op on
+    * an uncommitted root; otherwise commits a new version carrying
+    * the data artifact only.
     */
   def clearTombstones(path: String): Unit =
-    rmTree(new java.io.File(tombstonePath(path)))
+    if (IndexManifest.exists(path)) {
+      val (v, staged) = IndexManifest.stage(path)
+      IndexManifest.carry(path, staged, "data")
+      IndexManifest.commit(path, v)
+    }
 
   /** DELETE from a disk LSH index — the removal verb of the lifecycle
     * (GDPR-style takedown): deleted ids append as a TOMBSTONE parquet
@@ -983,10 +993,15 @@ object Similarity {
     * copy-on-write DML, applied to the index world.
     */
   def deleteFromLshIndex(ids: DataFrame, idCol: String,
-      path: String): Unit =
+      path: String): Unit = {
+    val (v, staged) = IndexManifest.stage(path)
+    IndexManifest.carry(path, staged, "data")
+    IndexManifest.carry(path, staged, "tombstones")
     ids.select(col(idCol).as("graft_dead_id")).distinct()
       .coalesce(1)
-      .write.mode("append").parquet(tombstonePath(path))
+      .write.mode("append").parquet(s"$staged/tombstones")
+    IndexManifest.commit(path, v)
+  }
 
   /** The tombstone set, if any deletions are pending (None ⇒ serve
     * pays zero anti-join cost — the common case and the post-compact
@@ -994,16 +1009,17 @@ object Similarity {
     */
   private def readTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[DataFrame] = {
-    val dir = new java.io.File(tombstonePath(path))
+    val dir =
+      new java.io.File(s"${IndexManifest.currentDir(path)}/tombstones")
     if (dir.isDirectory &&
         dir.listFiles().exists(_.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(tombstonePath(path)))
+      Some(spark.read.parquet(dir.getPath))
     else None
   }
 
   def readLshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val df = spark.read.parquet(path)
+    val df = spark.read.parquet(s"${IndexManifest.currentDir(path)}/data")
     df.select(col("id"), col("vec"), col("sig"),
       col("table").cast("int").as("table"),
       col("grp").cast("long").as("grp"))

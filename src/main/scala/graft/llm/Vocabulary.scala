@@ -183,6 +183,7 @@ object Vocabulary {
     */
   def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int = 64): Unit = {
+    val (v, staged) = IndexManifest.stage(path)
     val docs = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).as("dl"))
@@ -192,14 +193,17 @@ object Vocabulary {
     // integers below 2^53 is exact, so avg(dl) == sum_dl/n_docs here
     docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
         sum(col("dl")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$path.stats")
+      .write.mode("overwrite").parquet(s"$staged/stats")
     docs.select(col("id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bkt", termBucketCol(col("term"), buckets))
       .repartition(col("bkt"))
       .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(path)
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$staged/postings")
+    // postings + stats publish in ONE pointer flip
+    IndexManifest.commit(path, v)
   }
 
   /** INCREMENTAL maintenance of the disk inverted index — nightly
@@ -220,6 +224,10 @@ object Vocabulary {
   def appendBm25Index(delta: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int = 64): Unit = {
     val spark = delta.sparkSession
+    val cur = IndexManifest.currentDir(path)
+    val (v, staged) = IndexManifest.stage(path)
+    IndexManifest.carry(path, staged, "postings")
+    IndexManifest.carry(path, staged, "tombstones")
     val docs = delta.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).as("dl"))
@@ -231,8 +239,9 @@ object Vocabulary {
         .withColumn("bkt", termBucketCol(col("term"), buckets))
         .repartition(col("bkt"))
         .sortWithinPartitions(col("term"))
-        .write.mode("append").partitionBy("bkt").parquet(path)
-      val old = spark.read.parquet(s"$path.stats")
+        .write.mode("append").partitionBy("bkt")
+        .parquet(s"$staged/postings")
+      val old = spark.read.parquet(s"$cur/stats")
         .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
         .collect().head
       val add = docs
@@ -245,7 +254,10 @@ object Vocabulary {
       val merged = Seq((n, if (n == 0) 0.0 else s.toDouble / n, s))
       import spark.implicits._
       merged.toDF("n_docs", "avgdl", "sum_dl")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path.stats")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staged/stats")
+      // delta postings + merged stats publish atomically — a crash
+      // can no longer leave postings appended under stale stats
+      IndexManifest.commit(path, v)
     } finally { docs.unpersist(blocking = false); () }
   }
 
@@ -266,11 +278,17 @@ object Vocabulary {
   def deleteBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "deleteBm25Index needs at least one id")
-    spark.read.parquet(path)
+    val cur = IndexManifest.currentDir(path)
+    val (v, staged) = IndexManifest.stage(path)
+    IndexManifest.carry(path, staged, "postings")
+    IndexManifest.carry(path, staged, "stats")
+    IndexManifest.carry(path, staged, "tombstones")
+    spark.read.parquet(s"$cur/postings")
       .filter(col("id").isin(ids.map(Long.box): _*))
       .select(col("id"), col("dl")).distinct()
       .coalesce(1)
-      .write.mode("append").parquet(s"$path.tombstones")
+      .write.mode("append").parquet(s"$staged/tombstones")
+    IndexManifest.commit(path, v)
   }
 
   /** COMPACT the disk inverted index: physically fold accumulated
@@ -284,34 +302,36 @@ object Vocabulary {
     * anti-join + stats recombination the tombstoned serve was already
     * doing per query.
     *
-    * Crash note: the compact spans THREE artifacts (postings swap,
-    * stats rewrite, tombstone clear) and is not atomic across them —
-    * a crash mid-compact can leave stats folded while tombstones
-    * persist (double-subtraction on the next serve). Callers already
-    * serialize compaction with readers behind a lock; a durable
-    * deployment commits all three behind one manifest pointer (the
-    * same caveat as [[Similarity.swapCompacted]]'s two renames).
+    * Crash-atomic: the rewritten postings, the folded stats, and the
+    * cleared tombstone set all live in ONE staged version published by
+    * a single [[IndexManifest.commit]] pointer rename — the historical
+    * three-artifact window (stats folded while tombstones persist →
+    * double subtraction on the next serve) is structurally impossible;
+    * IndexManifestSpec injects a failure at the commit point and pins
+    * serve bit-equality to either side.
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, buckets: Int = 64): Unit = {
-    val tombFile = new java.io.File(s"$path.tombstones")
-    val base = spark.read.parquet(path)
+    val cur = IndexManifest.currentDir(path)
+    val tombFile = new java.io.File(s"$cur/tombstones")
+    val base = spark.read.parquet(s"$cur/postings")
     val (postings, removedN, removedS) =
       if (tombFile.exists()) {
-        val tomb = spark.read.parquet(s"$path.tombstones")
+        val tomb = spark.read.parquet(tombFile.getPath)
           .select(col("id"), col("dl")).distinct()
         val agg = tomb.agg(count(lit(1)),
           coalesce(sum(col("dl")), lit(0L))).collect().head
         (base.join(broadcast(tomb.select(col("id"))), Seq("id"),
           "left_anti"), agg.getLong(0), agg.getLong(1))
       } else (base, 0L, 0L)
+    val (v, staged) = IndexManifest.stage(path)
     postings
       .select(col("id"), col("dl"), col("term"), col("tf"), col("bkt"))
       .repartition(col("bkt"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("bkt")
-      .parquet(s"$path.compact")
-    val old = spark.read.parquet(s"$path.stats")
+      .parquet(s"$staged/postings")
+    val old = spark.read.parquet(s"$cur/stats")
       .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
       .collect().head
     val n = old.getLong(0) - removedN
@@ -319,9 +339,8 @@ object Vocabulary {
     import spark.implicits._
     Seq((n, if (n == 0) 0.0 else sDl.toDouble / n, sDl))
       .toDF("n_docs", "avgdl", "sum_dl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path.stats")
-    Similarity.swapCompacted(path)
-    Similarity.rmTree(tombFile)
+      .coalesce(1).write.mode("overwrite").parquet(s"$staged/stats")
+    IndexManifest.commit(path, v)
   }
 
   /** Serve BM25 top-k from the disk inverted index. Identical scoring
@@ -336,14 +355,18 @@ object Vocabulary {
       queryTerms: Seq[String], k1: Double = 1.5, b: Double = 0.75,
       topK: Int = 20, buckets: Int = 64): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val stats0 = spark.read.parquet(s"$path.stats")
+    // ONE pointer resolution per query: every artifact read below
+    // comes from the same committed version, so a concurrent
+    // append/delete/compact can never serve a mixed index
+    val cur = IndexManifest.currentDir(path)
+    val stats0 = spark.read.parquet(s"$cur/stats")
     val bkts = queryTerms.map(termBucket(_, buckets)).distinct
-    val postings0 = spark.read.parquet(path)
+    val postings0 = spark.read.parquet(s"$cur/postings")
       .filter(col("bkt").isin(bkts: _*) &&
         col("term").isin(queryTerms: _*))
     val (postings, stats) =
-      if (new java.io.File(s"$path.tombstones").exists()) {
-        val tomb = spark.read.parquet(s"$path.tombstones")
+      if (new java.io.File(s"$cur/tombstones").exists()) {
+        val tomb = spark.read.parquet(s"$cur/tombstones")
           .select(col("id"), col("dl")).distinct()
         val tombAgg = tomb.agg(count(lit(1)).as("n_t"),
           coalesce(sum(col("dl")), lit(0L)).as("s_t"))

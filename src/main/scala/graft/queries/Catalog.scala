@@ -5663,7 +5663,8 @@ object Catalog {
       bm25DiskLock.synchronized {
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp)
+            .toOption.contains(stamp) &&
+          graft.llm.IndexManifest.exists(path)
         if (!fresh) {
           stampFile.delete(): Unit
           Vocabulary.writeBm25Index(Tables.documents(s, d), "doc_id",
@@ -5733,11 +5734,12 @@ object Catalog {
       bm25DeleteLock.synchronized {
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp)
+            .toOption.contains(stamp) &&
+          graft.llm.IndexManifest.exists(path)
         if (!fresh) {
           stampFile.delete(): Unit
-          // a rebuild must not inherit the previous era's tombstones
-          Similarity.rmTree(new java.io.File(s"$path.tombstones"))
+          // a rebuild starts a fresh manifest version with no
+          // tombstones — nothing to clear explicitly
           val docs = Tables.documents(s, d)
           Vocabulary.writeBm25Index(docs, "doc_id", "text", path,
             buckets = 16)
@@ -5786,7 +5788,8 @@ object Catalog {
       bm25AppendLock.synchronized {
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp)
+            .toOption.contains(stamp) &&
+          graft.llm.IndexManifest.exists(path)
         if (!fresh) {
           stampFile.delete(): Unit
           val docs = Tables.documents(s, d)
@@ -7501,7 +7504,8 @@ $union
       lshCompactLock.synchronized {
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp)
+            .toOption.contains(stamp) &&
+          graft.llm.IndexManifest.exists(path)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.writeLshIndex(
@@ -7559,7 +7563,8 @@ $union
       lshDeleteLock.synchronized {
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp)
+            .toOption.contains(stamp) &&
+          graft.llm.IndexManifest.exists(path)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.clearTombstones(path)
@@ -7617,7 +7622,8 @@ $union
       ivfAppendLock.synchronized {
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp)
+            .toOption.contains(stamp) &&
+          graft.llm.IndexManifest.exists(path)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.writeIvfIndex(
@@ -7668,7 +7674,8 @@ $union
       ivfDeleteLock.synchronized {
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp)
+            .toOption.contains(stamp) &&
+          graft.llm.IndexManifest.exists(path)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.clearTombstones(path)
@@ -7791,7 +7798,8 @@ $union
     lshDiskLock.synchronized {
       val fresh = stampFile.exists() &&
         scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-          .toOption.contains(stamp)
+          .toOption.contains(stamp) &&
+        graft.llm.IndexManifest.exists(path)
       if (!fresh) {
         stampFile.delete(): Unit
         Similarity.writeLshIndex(
@@ -7853,7 +7861,8 @@ $union
       lshAppendLock.synchronized {
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp)
+            .toOption.contains(stamp) &&
+          graft.llm.IndexManifest.exists(path)
         if (!fresh) {
           stampFile.delete(): Unit // base overwrite + append are 2 steps
           Similarity.writeLshIndex(
@@ -7981,7 +7990,6 @@ $union
         .withColumnRenamed("id", "doc_id")
       val rows = served.collect().toIndexedSeq
       Similarity.rmTree(new java.io.File(path))
-      Similarity.rmTree(new java.io.File(s"$path.stats"))
       s.createDataFrame(
         s.sparkContext.parallelize(rows, 1), served.schema)
     },
@@ -8177,7 +8185,8 @@ $union
       ivfPqDiskLock.synchronized {
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp)
+            .toOption.contains(stamp) &&
+          graft.llm.IndexManifest.exists(path)
         if (!fresh) {
           val model = pqModelFor(s, d, query.length)
           val cents = centroidsFor(s, d)
@@ -8235,7 +8244,8 @@ $union
       ivfPqAppendLock.synchronized {
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp)
+            .toOption.contains(stamp) &&
+          graft.llm.IndexManifest.exists(path)
         if (!fresh) {
           stampFile.delete(): Unit
           val hist = emb.filter(col("vec_id") % 10 =!= 0)
@@ -8267,6 +8277,68 @@ $union
         round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
           AS score
       FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
+  /** DELETE on the disk IVF×PQ index ([[graft.llm.Pq
+    * .deleteFromIvfPqIndex]]) — the LAST index-lifecycle verb, closing
+    * removal symmetry across all four families (LSH
+    * `sim_topk_ann_delete`, IVF `sim_topk_ivf_delete`, BM25
+    * `doc_bm25_delete`, and now IVF×PQ): tombstone ids commit as a new
+    * manifest version at O(delta) (code files carried as hard links),
+    * [[graft.llm.Pq.readIvfPqIndex]] anti-joins them BEFORE ADC
+    * scoring, and radii stay as built — bounds only loosen when
+    * members leave, so exact cell pruning remains sound and the brute
+    * oracle over the SURVIVING corpus applies on the usual
+    * recall-1.0-with-margin grounds. Compaction's physical fold is
+    * pinned bit-equal in IvfPqDiskSpec.
+    */
+  private val ivfPqDeleteLock = new Object
+  val simTopkIvfPqDelete = RegisteredQuery(
+    "sim_topk_ivfpq_delete",
+    (s, d) => {
+      import graft.llm.{Pq, Similarity}
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val path = s"/tmp/graft_ivfpq_del_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = sourceStamp(s"$d/embeddings.parquet")
+      ivfPqDeleteLock.synchronized {
+        val fresh = stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp) &&
+          graft.llm.IndexManifest.exists(path)
+        if (!fresh) {
+          stampFile.delete(): Unit
+          val model = pqModelFor(s, d, query.length)
+          val cents = centroidsFor(s, d)
+          val index = Pq.ivfPqIndex(emb, "embedding", "vec_id", cents,
+            model).persist()
+          val radii = Similarity.cellRadii(
+            index.join(emb.select(col("vec_id").as("id"),
+              col("embedding").cast("array<double>").as("vec")), "id"),
+            cents)
+          Pq.writeIvfPqIndex(index, path, model, cents, radii)
+          index.unpersist(blocking = false)
+          Pq.deleteFromIvfPqIndex(
+            emb.filter(col("vec_id") % 50 === 7), "vec_id", path)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      val idx = Pq.readIvfPqIndex(s, path)
+      Pq.topKIvfPq(idx.codes, emb, "embedding", "vec_id", query, idx.model,
+          idx.centroids, idx.radii, k = 10,
+          nprobe = math.max(2, idx.centroids.length / 4), shortlist = 100)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q
+      WHERE vec_id % 50 <> 7
       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
         vec_id LIMIT 10"""))
 
@@ -9988,6 +10060,7 @@ $union
     simTopkAnnAppend, simTopkAnnCompact, simTopkAnnDelete,
     simTopkIvf, simTopkIvfDisk, simTopkIvfAppend, simTopkIvfDelete,
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simTopkIvfPqAppend,
+    simTopkIvfPqDelete,
     simKnnJoin, simKnnJoinAnn,
     simKnnJoinAnnDisk,
     mixtureSample, mixtureSampleApproxQ, mixtureSampleBudget,

@@ -1,0 +1,160 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Crash-injection certification of the manifest-pointer commit: a
+  * failure at ANY point of a mutating index verb leaves the index
+  * serving bit-identically to either the pre-state or the post-state
+  * — never a mixture. The specific windows the old layout had (BM25
+  * compaction's stats-folded-while-tombstones-persist double
+  * subtraction; the two-rename gap where the index path did not
+  * exist; appended postings under stale stats) are each pinned
+  * closed here.
+  */
+class IndexManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0 until 60).map { i =>
+    (i.toLong, s"w$i apple shared${i % 5} " +
+      (if (i % 3 == 0) "banana" else "cherry"))
+  }.toDF("doc_id", "text")
+
+  /** Arm the failpoint to throw on the next commit under `root`. */
+  private def failNextCommit(root: String): Unit =
+    IndexManifest.failpoint = msg =>
+      if (msg.contains(root)) throw new RuntimeException(
+        s"injected crash before pointer flip: $msg")
+
+  private def disarm(): Unit = IndexManifest.failpoint = _ => ()
+
+  private def bm25Serve(path: String) =
+    Vocabulary.bm25Disk(spark, path, Seq("apple", "banana"),
+        topK = 10, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("bm25 compaction crash leaves the tombstoned pre-state serving " +
+      "bit-identically; the retry lands the exact post-state") {
+    val docs = corpus
+    val path = Files.createTempDirectory("mfst").toString + "/idx"
+    Vocabulary.writeBm25Index(docs, "doc_id", "text", path, buckets = 4)
+    Vocabulary.deleteBm25Index(spark, path,
+      (0 until 60 by 4).map(_.toLong))
+    val pre = bm25Serve(path)
+    val preVersion = IndexManifest.current(path)
+
+    failNextCommit(path)
+    try {
+      intercept[RuntimeException] {
+        Vocabulary.compactBm25Index(spark, path, buckets = 4)
+      }
+    } finally disarm()
+    // the crash died AFTER staging all artifacts, BEFORE the pointer
+    // flip: the committed version must be untouched and the serve
+    // bit-identical — in particular NO double subtraction of the
+    // tombstoned stats (the old three-artifact window)
+    assert(IndexManifest.current(path) == preVersion,
+      "a failed commit moved the pointer")
+    assert(bm25Serve(path) == pre,
+      "serve changed after a crashed compaction")
+
+    // the retry folds exactly once: equals a rebuild over survivors
+    Vocabulary.compactBm25Index(spark, path, buckets = 4)
+    val rebuilt = Files.createTempDirectory("mfst").toString + "/idx"
+    Vocabulary.writeBm25Index(docs.filter(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", rebuilt, buckets = 4)
+    assert(bm25Serve(path) == bm25Serve(rebuilt),
+      "post-crash compaction diverged from a clean rebuild")
+    // GC: exactly the committed version remains, abandoned stage gone
+    val vdirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(vdirs == Seq(IndexManifest.current(path).get),
+      s"GC left extra version dirs: $vdirs")
+  }
+
+  test("bm25 append crash publishes neither delta postings nor merged " +
+      "stats (no postings-under-stale-stats state)") {
+    val docs = corpus
+    val path = Files.createTempDirectory("mfst").toString + "/idx"
+    Vocabulary.writeBm25Index(docs.filter(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", path, buckets = 4)
+    val pre = bm25Serve(path)
+    failNextCommit(path)
+    try {
+      intercept[RuntimeException] {
+        Vocabulary.appendBm25Index(docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", path, buckets = 4)
+      }
+    } finally disarm()
+    assert(bm25Serve(path) == pre,
+      "a crashed append changed the served index")
+    // the retry lands the full merge
+    Vocabulary.appendBm25Index(docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", path, buckets = 4)
+    val full = Files.createTempDirectory("mfst").toString + "/idx"
+    Vocabulary.writeBm25Index(docs, "doc_id", "text", full, buckets = 4)
+    assert(bm25Serve(path) == bm25Serve(full))
+  }
+
+  private def vecs = (0 until 240).map { i =>
+    val a = i % 3
+    val base = Array.tabulate(8)(j => if (j == a) 1.0 else 0.0)
+    (i.toLong, base.map(_ + 0.01 * ((i * 7 + a) % 5)).toSeq)
+  }.toDF("id", "vec")
+
+  private def annServe(path: String) = {
+    val query = Array.tabulate(8)(j => if (j == 0) 1.0 else 0.05)
+    Similarity.topKAnnDisk(spark, path, query, dim = 8, bits = 4,
+        tables = 4, k = 5, groups = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("lsh compaction crash: the index path never stops serving and " +
+      "never serves a mixture") {
+    val df = vecs
+    val path = Files.createTempDirectory("mfst").toString + "/idx"
+    Similarity.writeLshIndex(Similarity.multiTableIndex(df, "vec", "id",
+      dim = 8, bits = 4, tables = 4), path, groups = 8)
+    Similarity.deleteFromLshIndex(df.filter(col("id") < 3), "id", path)
+    val pre = annServe(path)
+    failNextCommit(path)
+    try {
+      intercept[RuntimeException] {
+        Similarity.compactLshIndex(spark, path)
+      }
+    } finally disarm()
+    // under the old two-rename swap this window had NO index at
+    // `path` at all; now the committed version serves throughout
+    assert(annServe(path) == pre)
+    Similarity.compactLshIndex(spark, path)
+    val fresh = Files.createTempDirectory("mfst").toString + "/idx"
+    Similarity.writeLshIndex(Similarity.multiTableIndex(
+      df.filter(col("id") >= 3), "vec", "id", dim = 8, bits = 4,
+      tables = 4), fresh, groups = 8)
+    assert(annServe(path) == annServe(fresh))
+  }
+
+  test("a half-staged version dir is invisible to readers and GC'd by " +
+      "the next successful commit") {
+    val df = vecs
+    val path = Files.createTempDirectory("mfst").toString + "/idx"
+    Similarity.writeLshIndex(Similarity.multiTableIndex(df, "vec", "id",
+      dim = 8, bits = 4, tables = 4), path, groups = 8)
+    val pre = annServe(path)
+    // simulate a crash mid-staging: an abandoned version dir with a
+    // torn artifact inside
+    val (_, staged) = IndexManifest.stage(path)
+    Files.writeString(java.nio.file.Paths
+      .get(staged, "data"), "torn bytes"): Unit
+    assert(annServe(path) == pre, "a staged dir leaked into reads")
+    // any later commit GCs the orphan
+    Similarity.deleteFromLshIndex(df.filter(col("id") === 0), "id", path)
+    val vdirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(vdirs == Seq(IndexManifest.current(path).get),
+      s"orphaned stage dir survived GC: $vdirs")
+  }
+}

@@ -43,11 +43,13 @@ class IvfDiskSpec extends SparkSpec {
     val dir = Files.createTempDirectory("ivf").toString + "/idx"
     Similarity.writeIvfIndex(
       Similarity.ivfIndex(hist, "vec", "id", cents), dir)
+    // name-keyed: versions carry base files as hard links (same name,
+    // same inode mtime), so survival across version dirs is visible
     def dataFiles = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      walk(new java.io.File(dir)).map(f => f.getPath -> f.lastModified).toMap
+      walk(new java.io.File(dir)).map(f => f.getName -> f.lastModified).toMap
     }
     val before = dataFiles
     Similarity.appendIvfIndex(delta, "vec", "id", dir, cents)
@@ -96,12 +98,19 @@ class IvfDiskSpec extends SparkSpec {
     val dir = Files.createTempDirectory("ivfdel").toString + "/idx"
     Similarity.writeIvfIndex(
       Similarity.ivfIndex(df, "vec", "id", cents), dir)
-    val baseFiles = new java.io.File(dir).listFiles().map(_.getName).toSet
+    def dataNames = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"${IndexManifest.currentDir(dir)}/data"))
+        .map(f => f.getName -> f.lastModified).toSet
+    }
+    val baseFiles = dataNames
     Similarity.deleteFromIvfIndex(
       df.filter(col("id") % 5 === 0), "id", dir)
-    // data files untouched — the delete is a sidecar append
-    assert(new java.io.File(dir).listFiles().map(_.getName).toSet
-      == baseFiles)
+    // data files untouched — the delete carries them as hard links
+    // and only adds the tombstone artifact
+    assert(dataNames == baseFiles)
     val query = Array.tabulate(8)(j => if (j == 0) 1.0 else 0.1)
     def serve() = {
       val disk = Similarity.readIvfIndex(spark, dir)
@@ -123,7 +132,8 @@ class IvfDiskSpec extends SparkSpec {
     assert(served.forall(_._1 % 5 != 0))
     // compaction folds physically: sidecar gone, serve unchanged
     Similarity.compactIvfIndex(spark, dir)
-    assert(!new java.io.File(s"$dir.tombstones").exists())
+    assert(!new java.io.File(
+      s"${IndexManifest.currentDir(dir)}/tombstones").exists())
     assert(serve() == expect)
     mem.unpersist(): Unit
   }

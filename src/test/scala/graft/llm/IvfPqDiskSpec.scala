@@ -70,12 +70,14 @@ class IvfPqDiskSpec extends SparkSpec {
     Pq.writeIvfPqIndex(histIdx, dir, model, cents, histRadii)
     histIdx.unpersist()
 
+    // name-keyed: versions carry base code files as hard links (same
+    // name, same inode mtime), so survival is visible across versions
     def dataFiles = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      walk(new java.io.File(s"$dir/codes"))
-        .map(f => f.getPath -> f.lastModified).toMap
+      walk(new java.io.File(s"${IndexManifest.currentDir(dir)}/codes"))
+        .map(f => f.getName -> f.lastModified).toMap
     }
     val before = dataFiles
     Pq.appendIvfPqIndex(spark, delta, "vec", "id", dir)
@@ -115,6 +117,47 @@ class IvfPqDiskSpec extends SparkSpec {
     assert(dataFiles.size < after.size, "compaction did not shrink files")
     assert(codesKey(compacted.codes) == codesKey(expectIdx))
     assert(serve(compacted) == servedBefore)
+  }
+
+  test("delete tombstones fold at read; compaction removes the bytes " +
+      "bit-identically to a rebuild over survivors") {
+    val (df, cents, model, index, radii) = build()
+    val dir = Files.createTempDirectory("ivfpqdel").toString + "/idx"
+    Pq.writeIvfPqIndex(index, dir, model, cents, radii)
+    index.unpersist()
+    Pq.deleteFromIvfPqIndex(df.filter(col("id") % 5 === 0), "id", dir)
+    def codesKey(f: org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("codes").toSeq,
+        r.getAs[Number]("cell").intValue)).sortBy(_._1).toSeq
+    val disk = Pq.readIvfPqIndex(spark, dir)
+    // the served codes equal an index built over the survivors with
+    // the SAME frozen artifacts (PQ encoding is per-row)
+    val survivors = df.filter(col("id") % 5 =!= 0)
+    val expectIdx = Pq.ivfPqIndex(survivors, "vec", "id", cents, model)
+    assert(codesKey(disk.codes) == codesKey(expectIdx))
+    // serve: deleted ids absent, ranks equal the survivor rebuild
+    val query = Array.tabulate(8)(j => if (j == 0) 1.0 else 0.1)
+    def serve(idx: Pq.IvfPqDiskIndex) =
+      Pq.topKIvfPq(idx.codes, survivors, "vec", "id", query, idx.model,
+          idx.centroids, idx.radii, k = 5, nprobe = 3, shortlist = 40)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+        .toSeq
+    val served = serve(disk)
+    assert(served.forall(_._1 % 5 != 0), s"deleted id served: $served")
+    val expect = Pq.topKIvfPq(expectIdx, survivors, "vec", "id", query,
+        model, cents, radii, k = 5, nprobe = 3, shortlist = 40)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+      .toSeq
+    assert(served == expect, s"served=$served expect=$expect")
+    // compaction folds the bytes: tombstone artifact gone, codes rows
+    // physically absent, serve bit-identical
+    Pq.compactIvfPqIndex(spark, dir)
+    assert(!new java.io.File(
+      s"${IndexManifest.currentDir(dir)}/tombstones").exists(),
+      "compaction left the tombstone artifact behind")
+    val compacted = Pq.readIvfPqIndex(spark, dir)
+    assert(codesKey(compacted.codes) == codesKey(expectIdx))
+    assert(serve(compacted) == expect)
   }
 
   test("cell filter on the disk codes is partition-pruned at file level") {

@@ -51,11 +51,14 @@ class LshDiskSpec extends SparkSpec {
     Similarity.writeLshIndex(
       Similarity.multiTableIndex(base, "vec", "id", dim = dim, bits = bits,
         tables = tables), dir, groups = groups)
+    // versions carry base files forward as hard links: names and
+    // mtimes (inode metadata) are preserved exactly, so a name-keyed
+    // map identifies a base file across version dirs
     def dataFiles = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      walk(new java.io.File(dir)).map(f => f.getPath -> f.lastModified).toMap
+      walk(new java.io.File(dir)).map(f => f.getName -> f.lastModified).toMap
     }
     val before = dataFiles
     Similarity.appendLshIndex(delta, "vec", "id", dir, dim = dim,
@@ -156,7 +159,8 @@ class LshDiskSpec extends SparkSpec {
     // compaction folds: rows physically gone, tombstone set cleared,
     // serve unchanged
     Similarity.compactLshIndex(spark, dir)
-    assert(!new java.io.File(s"$dir.tombstones").exists(),
+    assert(!new java.io.File(
+        s"${IndexManifest.currentDir(dir)}/tombstones").exists(),
       "compaction left the tombstone set behind")
     assert(Similarity.readLshIndex(spark, dir)
       .filter(col("id").isin(dead.toSeq: _*)).count() == 0,

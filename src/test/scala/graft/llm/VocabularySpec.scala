@@ -140,7 +140,8 @@ class VocabularySpec extends SparkSpec {
       "doc_id", "text", inc, buckets = buckets)
     // merged stats sidecar is bit-identical to the full build's
     // (exact integer length sums, not a float avg recombination)
-    def stats(p: String) = spark.read.parquet(s"$p.stats")
+    def stats(p: String) =
+      spark.read.parquet(s"${IndexManifest.currentDir(p)}/stats")
       .select(col("n_docs").cast("long"), col("avgdl").cast("double"),
         col("sum_dl").cast("long"))
       .collect().head
@@ -221,7 +222,8 @@ class VocabularySpec extends SparkSpec {
     // compaction physically folds the tombstones: same serve results,
     // sidecar gone, and a second compact is a no-op rewrite
     Vocabulary.compactBm25Index(spark, full, buckets = 4)
-    assert(!new java.io.File(s"$full.tombstones").exists())
+    assert(!new java.io.File(
+      s"${IndexManifest.currentDir(full)}/tombstones").exists())
     val compacted = Vocabulary.bm25Disk(spark, full, Seq("spark", "join"),
         topK = 10, buckets = 4)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
