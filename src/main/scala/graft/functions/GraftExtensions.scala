@@ -109,17 +109,33 @@ object GraftFunctions {
         Bridge.expression(vec), arrDouble), planes, flipBits, hamming))
   }
 
-  /** Column form: cosine-nearest centroid cell id in one fused k×dim
-    * pass (normalized matrix embedded as a codegen reference — the
+  /** Above this cell count, [[nearestCentroid]] routes through the
+    * two-level [[NearestCentroidCoarseExpr]] (bit-identical answers,
+    * O(√k + occupancy) per row instead of O(k) — the fix for the one
+    * super-linear index verb, IVF(×PQ) append against a grown index).
+    * Below it the exhaustive loop is already cheap and the coarse
+    * structure is pure overhead. Equivalence across the threshold is
+    * pinned by CoarseCentroidSpec.
+    */
+  val CoarseAssignThreshold = 64
+
+  /** Column form: cosine-nearest centroid cell id in one fused pass
+    * (normalized matrix embedded as a codegen reference — the
     * composable argmin form plans k separate cosine expressions).
+    * Exhaustive k×dim loop for small k; triangle-inequality two-level
+    * search above [[CoarseAssignThreshold]] cells, same answers
+    * bit-for-bit.
     */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
     import org.apache.spark.sql.graft.Bridge
     val arrDouble = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType)
-    Bridge.column(NearestCentroidExpr(
-      org.apache.spark.sql.catalyst.expressions.Cast(
-        Bridge.expression(vec), arrDouble), centroids))
+    val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+      Bridge.expression(vec), arrDouble)
+    Bridge.column(
+      if (centroids.length > CoarseAssignThreshold)
+        NearestCentroidCoarseExpr(cast, centroids)
+      else NearestCentroidExpr(cast, centroids))
   }
 
   /** Column form: PQ-encode a vector against an m×k×sub codebook

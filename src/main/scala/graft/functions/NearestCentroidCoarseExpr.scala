@@ -119,6 +119,16 @@ final class CoarseCentroidIndex(cents: Array[Array[Double]])
   // only ever be LOOSE, never tight by a ulp
   private val gRad = new Array[Double](gCount)
   locally {
+    if (alive.isEmpty) {
+      // all centroids zero-norm: no groups to build — nearest() exits
+      // on its alive.isEmpty check before touching members, but keep
+      // the structure total anyway
+      var g = 0
+      while (g < gCount) { members(g) = Array.emptyIntArray; g += 1 }
+    } else buildGroups()
+  }
+
+  private def buildGroups(): Unit = {
     // seeds: every (alive/G)-th alive centroid
     var g = 0
     while (g < gCount) {

@@ -48,7 +48,11 @@ object IndexManifest {
   private def pointer(root: String) =
     java.nio.file.Paths.get(root, PointerFile)
 
-  private val VersionName = "v\\d{5}".r
+  // {5,} not {5}: f"v$next%05d" widens past five digits at version
+  // 100000, and the parser must accept every name the formatter can
+  // produce (else stage() recomputes max from 5-digit dirs and
+  // collides, and gc() never reclaims the wide ones)
+  private val VersionName = "v\\d{5,}".r
 
   /** The committed version name, if any. */
   def current(root: String): Option[String] = {

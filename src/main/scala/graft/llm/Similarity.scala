@@ -585,16 +585,26 @@ object Similarity {
     */
   def writeIvfIndex(index: DataFrame, path: String): Unit = {
     val (v, staged) = IndexManifest.stage(path)
-    index.write.mode("overwrite").partitionBy("cell")
+    // one file per cell directory: later mutations pay O(files) in
+    // carry/GC/listing, so the base layout minimizes the constant
+    index.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$staged/data")
     IndexManifest.commit(path, v)
   }
 
   /** INCREMENTAL maintenance of a disk IVF index — the IVF-family twin
     * of [[appendLshIndex]]: delta rows are assigned to the EXISTING
-    * (history-trained) centroids — arrival never retrains — and append
-    * as new files inside the same `cell=` directories at O(delta)
-    * cost; base files are never rewritten. Exactness of the
+    * (history-trained) centroids — arrival never retrains — and land
+    * as a LEVEL-0 `data_delta` artifact (few unpartitioned files,
+    * `cell` as a data column clustered for row-group pruning) at
+    * O(delta) cost; base files are never rewritten. Fanning a small
+    * delta into the `cell=` directory layout instead would create
+    * O(cells) tiny files per append — the file-commit overhead that
+    * made this verb super-linear in the round-10 probe. Reads union
+    * the level-0 files; [[compactIvfIndex]] folds them into the
+    * partitioned layout (the LSM contract — same shape as
+    * [[graft.llm.Pq.appendIvfPqIndex]]). Exactness of the
     * branch-and-bound serve survives the append BY CONSTRUCTION:
     * [[cellRadii]] recomputed over base+delta reflects every member's
     * actual assignment, so the cell upper bounds remain sound no
@@ -605,9 +615,11 @@ object Similarity {
       path: String, centroids: Array[Array[Double]]): Unit = {
     val (v, staged) = IndexManifest.stage(path)
     IndexManifest.carry(path, staged, "data")
+    IndexManifest.carry(path, staged, "data_delta")
     IndexManifest.carry(path, staged, "tombstones")
     ivfIndex(delta, vecCol, idCol, centroids)
-      .write.mode("append").partitionBy("cell").parquet(s"$staged/data")
+      .repartition(col("cell")).sortWithinPartitions(col("cell"))
+      .write.mode("append").parquet(s"$staged/data_delta")
     IndexManifest.commit(path, v)
   }
 
@@ -647,11 +659,22 @@ object Similarity {
     */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val df = spark.read.parquet(s"${IndexManifest.currentDir(path)}/data")
+    val cur = IndexManifest.currentDir(path)
+    val df = spark.read.parquet(s"$cur/data")
     // partition-column types infer as the narrowest integral; probes
     // compare against Int cell ids
-    val base =
+    val base0 =
       df.select(col("id"), col("vec"), col("cell").cast("int").as("cell"))
+    // level-0 appends ([[appendIvfIndex]]) union in; cell filters
+    // prune them at row-group stats until compaction folds them
+    val deltaDir = new java.io.File(s"$cur/data_delta")
+    val base =
+      if (deltaDir.isDirectory &&
+          deltaDir.listFiles().exists(_.getName.endsWith(".parquet")))
+        base0.unionByName(spark.read.parquet(deltaDir.getPath)
+          .select(col("id"), col("vec"),
+            col("cell").cast("int").as("cell")))
+      else base0
     readTombstones(spark, path) match {
       case Some(t) => base.join(broadcast(t),
           base("id") === t("graft_dead_id"), "left_anti")
@@ -978,6 +1001,7 @@ object Similarity {
     if (IndexManifest.exists(path)) {
       val (v, staged) = IndexManifest.stage(path)
       IndexManifest.carry(path, staged, "data")
+      IndexManifest.carry(path, staged, "data_delta")
       IndexManifest.commit(path, v)
     }
 
@@ -996,6 +1020,9 @@ object Similarity {
       path: String): Unit = {
     val (v, staged) = IndexManifest.stage(path)
     IndexManifest.carry(path, staged, "data")
+    // IVF roots ([[deleteFromIvfIndex]] delegates here) may hold
+    // level-0 appends; a no-op for LSH roots, which have none
+    IndexManifest.carry(path, staged, "data_delta")
     IndexManifest.carry(path, staged, "tombstones")
     ids.select(col(idCol).as("graft_dead_id")).distinct()
       .coalesce(1)
@@ -1090,7 +1117,7 @@ object Similarity {
     * ([[graft.llm.Pq.appendIvfPqIndex]]), where absent cells must keep
     * their old radius rather than collapse to the π default.
     */
-  private[llm] def cellMaxAngles(index: DataFrame,
+  private[graft] def cellMaxAngles(index: DataFrame,
       centroids: Array[Array[Double]]): Map[Int, Double] = {
     // fused own-centroid cosine: the composable element_at(array(k
     // cosines), cell+1) form planned k cosine expressions per row and

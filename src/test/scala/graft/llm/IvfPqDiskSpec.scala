@@ -72,20 +72,28 @@ class IvfPqDiskSpec extends SparkSpec {
 
     // name-keyed: versions carry base code files as hard links (same
     // name, same inode mtime), so survival is visible across versions
-    def dataFiles = {
+    def filesUnder(sub: String) = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      walk(new java.io.File(s"${IndexManifest.currentDir(dir)}/codes"))
+      walk(new java.io.File(s"${IndexManifest.currentDir(dir)}/$sub"))
         .map(f => f.getName -> f.lastModified).toMap
     }
+    def dataFiles = filesUnder("codes") ++ filesUnder("codes_delta")
     val before = dataFiles
     Pq.appendIvfPqIndex(spark, delta, "vec", "id", dir)
     val after = dataFiles
-    // append only ADDS code files: every base file survives untouched
+    // append only ADDS code files: every base file survives untouched,
+    // and the new rows land as LEVEL-0 delta files, never inside the
+    // `cell=` base layout (that fan-out is what made the verb
+    // super-linear in the round-10 probe)
     assert(before.toSet.subsetOf(after.toSet),
       "append rewrote or removed base code files")
     assert(after.size > before.size, "append wrote no new code files")
+    assert(filesUnder("codes") == before,
+      "append fanned delta rows into the partitioned base layout")
+    assert(filesUnder("codes_delta").nonEmpty,
+      "append wrote no level-0 delta files")
 
     val disk = Pq.readIvfPqIndex(spark, dir)
     // appended codes are byte-identical to encoding the full corpus
