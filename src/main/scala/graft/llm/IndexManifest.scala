@@ -28,6 +28,14 @@ package graft.llm
   * injects failures at the commit failpoint and pins serve
   * bit-equality to either side.
   *
+  * Concurrency contract: commits retain the superseded version
+  * ([[RetainVersions]]), so a reader that resolved [[currentDir]]
+  * before a commit finishes its lazy scan against intact files — one
+  * concurrent commit per in-flight read is safe. Storage is reclaimed
+  * by [[expireVersions]] (explicit, like the catalog's
+  * expire-keep-N), never by the commit racing the reader. Writers
+  * still serialize with each other (single-writer per index root).
+  *
   * Scale note: hard links assume the local/posix filesystem the
   * single-node indexes live on; the 100 TB object-store deployment
   * replaces the link step with an Avro/JSON file LISTING inside the
@@ -54,12 +62,31 @@ object IndexManifest {
   // collides, and gc() never reclaims the wide ones)
   private val VersionName = "v\\d{5,}".r
 
+  /** How many committed versions [[commit]] retains (current plus
+    * N−1 predecessors). Two, not one: readers resolve [[currentDir]]
+    * once and then scan lazily, so a concurrent writer's commit must
+    * not delete the version a mid-query reader is standing on. One
+    * level of retention covers one concurrent commit per in-flight
+    * read — the same single-writer contract as before, but readers no
+    * longer need to serialize against ONE mutation. Longer overlap →
+    * [[expireVersions]] with a larger keep (mirrors the catalog's
+    * history + expire-keep-N verbs).
+    */
+  val RetainVersions = 2
+
   /** The committed version name, if any. */
-  def current(root: String): Option[String] = {
+  def current(root: String): Option[String] =
+    history(root).headOption
+
+  /** Committed lineage, newest first (the MANIFEST's lines). Old
+    * single-line manifests parse as a one-element history.
+    */
+  def history(root: String): Seq[String] = {
     val p = pointer(root)
     if (java.nio.file.Files.exists(p))
-      Some(java.nio.file.Files.readString(p).trim)
-    else None
+      java.nio.file.Files.readString(p).linesIterator
+        .map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq.empty
   }
 
   def exists(root: String): Boolean = current(root).isDefined
@@ -85,23 +112,49 @@ object IndexManifest {
     (name, s"$root/$name")
   }
 
-  /** THE commit: write the pointer content to a temp file and rename
-    * it over `MANIFEST` atomically (posix rename replaces). Old and
-    * abandoned version dirs are GC'd after the flip — a crash mid-GC
-    * leaves only orphan dirs, never serveable state.
+  /** THE commit: prepend `version` to the committed lineage, truncate
+    * to [[RetainVersions]], write the lines to a temp file (fsynced —
+    * "crash-atomic" should cover power loss, not just process death),
+    * and rename it over `MANIFEST` atomically (posix rename replaces).
+    * Version dirs outside the retained lineage — expired ancestors and
+    * abandoned stage dirs alike — are GC'd after the flip; a crash
+    * mid-GC leaves only orphan dirs, never serveable state, and the
+    * next commit re-collects them.
     */
   def commit(root: String, version: String): Unit = {
     failpoint(s"commit:$root")
-    val tmp = java.nio.file.Paths.get(root, s"$PointerFile.tmp")
-    java.nio.file.Files.writeString(tmp, version)
-    java.nio.file.Files.move(tmp, pointer(root),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val retained = (version +: history(root).filterNot(_ == version))
+      .take(RetainVersions)
+    writePointer(root, retained)
     gc(root)
   }
 
-  /** Remove every version dir except the committed one. */
+  /** Explicit history expiry — the index twin of the catalog's
+    * expire-keep-N: truncate the retained lineage to `keep` versions
+    * (min 1, the current) and GC everything outside it. Commit never
+    * reclaims the immediately-superseded version ([[RetainVersions]]);
+    * this verb is how storage is actually released.
+    */
+  def expireVersions(root: String, keep: Int = 1): Unit = {
+    val h = history(root)
+    require(h.nonEmpty, s"no committed index at $root")
+    writePointer(root, h.take(math.max(1, keep)))
+    gc(root)
+  }
+
+  private def writePointer(root: String, lineage: Seq[String]): Unit = {
+    val tmp = java.nio.file.Paths.get(root, s"$PointerFile.tmp")
+    java.nio.file.Files.writeString(tmp, lineage.mkString("\n"))
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
+    java.nio.file.Files.move(tmp, pointer(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Remove every version dir outside the retained lineage. */
   def gc(root: String): Unit = {
-    val keep = current(root)
+    val keep = history(root).toSet
     versionDirs(root).filterNot(f => keep.contains(f.getName))
       .foreach(Similarity.rmTree)
   }

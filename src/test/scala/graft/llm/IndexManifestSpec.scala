@@ -68,11 +68,12 @@ class IndexManifestSpec extends SparkSpec {
       "doc_id", "text", rebuilt, buckets = 4)
     assert(bm25Serve(path) == bm25Serve(rebuilt),
       "post-crash compaction diverged from a clean rebuild")
-    // GC: exactly the committed version remains, abandoned stage gone
+    // GC: exactly the retained lineage remains (current + its
+    // predecessor — RetainVersions), the abandoned stage dir is gone
     val vdirs = new java.io.File(path).listFiles()
-      .filter(_.isDirectory).map(_.getName).toSeq
-    assert(vdirs == Seq(IndexManifest.current(path).get),
-      s"GC left extra version dirs: $vdirs")
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(vdirs == IndexManifest.history(path).toSet,
+      s"GC left dirs outside the retained lineage: $vdirs")
   }
 
   test("bm25 append crash publishes neither delta postings nor merged " +
@@ -150,11 +151,57 @@ class IndexManifestSpec extends SparkSpec {
     Files.writeString(java.nio.file.Paths
       .get(staged, "data"), "torn bytes"): Unit
     assert(annServe(path) == pre, "a staged dir leaked into reads")
-    // any later commit GCs the orphan
+    // any later commit GCs the orphan (retained lineage survives)
     Similarity.deleteFromLshIndex(df.filter(col("id") === 0), "id", path)
     val vdirs = new java.io.File(path).listFiles()
-      .filter(_.isDirectory).map(_.getName).toSeq
-    assert(vdirs == Seq(IndexManifest.current(path).get),
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!vdirs.contains(new java.io.File(staged).getName),
       s"orphaned stage dir survived GC: $vdirs")
+    assert(vdirs == IndexManifest.history(path).toSet,
+      s"GC left dirs outside the retained lineage: $vdirs")
+  }
+
+  test("a reader resolved against the previous version completes " +
+      "correctly after a concurrent commit") {
+    val df = vecs
+    val path = Files.createTempDirectory("mfst").toString + "/idx"
+    Similarity.writeLshIndex(Similarity.multiTableIndex(df, "vec", "id",
+      dim = 8, bits = 4, tables = 4), path, groups = 8)
+    val expect = annServe(path)
+    // the reader resolves the pointer NOW (readLshIndex is lazy — no
+    // file is opened until the collect below) …
+    val inFlight = Similarity.readLshIndex(spark, path)
+    val resolvedAt = IndexManifest.current(path).get
+    // … then a writer commits a new version underneath it
+    Similarity.deleteFromLshIndex(df.filter(col("id") < 100), "id", path)
+    assert(IndexManifest.current(path).get != resolvedAt)
+    // the superseded version's files are retained, so the in-flight
+    // scan completes against the snapshot it resolved — full pre-state
+    // row count, none of the 100 deletions visible
+    assert(inFlight.count() == df.count() * 4,
+      "concurrent commit broke an in-flight reader (files GC'd)")
+    // a FRESH read resolves the new version
+    val fresh = annServe(path)
+    assert(fresh.forall(_._1 >= 100), s"stale serve after commit: $fresh")
+    assert(expect.nonEmpty)
+  }
+
+  test("expireVersions, not commit, reclaims superseded storage") {
+    val df = vecs
+    val path = Files.createTempDirectory("mfst").toString + "/idx"
+    Similarity.writeLshIndex(Similarity.multiTableIndex(df, "vec", "id",
+      dim = 8, bits = 4, tables = 4), path, groups = 8)
+    Similarity.deleteFromLshIndex(df.filter(col("id") === 7), "id", path)
+    val pre = annServe(path)
+    val h = IndexManifest.history(path)
+    assert(h.size == 2, s"commit should retain the superseded version: $h")
+    def vdirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(vdirs == h.toSet)
+    IndexManifest.expireVersions(path, keep = 1)
+    assert(IndexManifest.history(path) == Seq(h.head),
+      "expiry must keep the current version")
+    assert(vdirs == Set(h.head), s"expiry left superseded dirs: $vdirs")
+    assert(annServe(path) == pre, "expiry changed the served index")
   }
 }

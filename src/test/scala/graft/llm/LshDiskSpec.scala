@@ -100,11 +100,14 @@ class LshDiskSpec extends SparkSpec {
         "id", dir, dim = dim, bits = bits, tables = tables,
         groups = groups)
     }
+    // walk the COMMITTED version only: commit retains the superseded
+    // version (reader overlap), so the root also holds the old layout
+    // until expireVersions
     def files = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      walk(new java.io.File(dir))
+      walk(new java.io.File(IndexManifest.currentDir(dir)))
     }
     def dirsOf(fs: Seq[java.io.File]) = fs.map(_.getParent).distinct
     val query = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.03)
