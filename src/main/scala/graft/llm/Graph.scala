@@ -274,14 +274,18 @@ object Graph {
       .distinct().withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     (1 to iters).foreach { _ =>
+      // winner pick as an AGGREGATE, not a window: max_by over the
+      // (n, −lbl) struct is exactly "most frequent, smallest label on
+      // ties" ((n, lbl) rows are unique per a, so the ordering key
+      // never ties), aggregates partially map-side, and drops the
+      // per-round exchange+sort a row_number window costs
       val picked = e
         .join(labels.select(col("id").as("b"), col("lbl")), "b")
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
-            .orderBy(col("n").desc, col("lbl").asc)))
-        .filter(col("rn") === 1)
-        .select(col("a").as("id"), col("lbl").as("nl"))
+        .groupBy(col("a"))
+        .agg(max_by(col("lbl"),
+          struct(col("n"), (-col("lbl")).as("neg"))).as("nl"))
+        .select(col("a").as("id"), col("nl"))
       val prev = labels
       // persist per round: each round's frame feeds BOTH the neighbor
       // join and the carry-over — without it the lineage doubles per

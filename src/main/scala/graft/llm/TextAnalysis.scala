@@ -229,7 +229,22 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "que", "en",
       "un", "una", "por", "con", "para", "su", "se", "del", "al", "lo"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "不", "人",
-      "们", "来", "到", "时", "大", "地", "为", "子", "中", "你"))
+      "们", "来", "到", "时", "大", "地", "为", "子", "中", "你"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "что", "он", "с", "это",
+      "как", "по", "но", "его", "к", "у", "из", "за", "от", "же", "то"),
+    "ar" -> Seq("في", "من", "على", "إلى", "عن", "أن", "هذا", "هذه",
+      "التي", "الذي", "مع", "كان", "لا", "ما", "هو", "هي", "قد", "كل",
+      "أو", "ثم"),
+    // ja/ko: single-character profiles → character-level scoring (no
+    // whitespace tokenization exists for these scripts). Hiragana
+    // particles/okurigana separate ja from zh (kana never appears in
+    // Chinese text; the zh profile's Han characters are rare in
+    // Japanese prose relative to kana density). Hangul syllables are
+    // unique to ko.
+    "ja" -> Seq("の", "に", "は", "を", "た", "が", "で", "て", "と",
+      "し", "も", "な", "い", "か", "ら", "れ", "る", "す", "ま", "こ"),
+    "ko" -> Seq("이", "의", "에", "는", "을", "를", "가", "하", "고",
+      "지", "서", "다", "로", "과", "도", "은", "인", "한", "그", "사"))
 
   /** Language score: token-level function-word ratio for space-delimited
     * scripts; character-level ratio when the profile is single

@@ -124,6 +124,25 @@ object Streams {
     s"${f.length}:${f.lastModified}"
   }
 
+  /** Throwaway checkpoint dir for EPHEMERAL availableNow runs (the
+    * batch-equivalence harness and the single-shot foreachBatch
+    * epochs, all of which delete their checkpoint on termination):
+    * memory-backed tmpfs when the platform has one, else the normal
+    * temp dir. The checkpoint exists only to satisfy the engine's WAL
+    * within one run — durability across process death buys nothing
+    * for a run whose own contract deletes it — and the r12 floor
+    * probe measured ~0.1 s/batch of commit-log fsync latency on real
+    * disk. DURABLE streaming (user-supplied checkpointLocation, e.g.
+    * [[runAvailableNowToParquet]] restart recovery) is unaffected.
+    */
+  private[graft] def ephemeralCheckpointDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      java.nio.file.Files
+        .createTempDirectory(shm.toPath, prefix).toString
+    else java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
   // staged (file, split) dirs are immutable once written — memoize per
   // process (stamp-keyed) so the several stream-join queries over the
   // same source pay the restage once, not once each
@@ -205,8 +224,7 @@ object Streams {
       tables: Int = 8, groups: Int = 64,
       seedPrefix: String = "lsh"): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("idx_append_ckpt").toString
+    val ckpt = ephemeralCheckpointDir("idx_append_ckpt")
     val q = vecStream.writeStream
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append())
@@ -275,8 +293,7 @@ object Streams {
       idCol: String, textCol: String, path: String,
       buckets: Int = 64): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("bm25_append_ckpt").toString
+    val ckpt = ephemeralCheckpointDir("bm25_append_ckpt")
     val q = docStream.writeStream
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append())
@@ -318,8 +335,7 @@ object Streams {
       idCol: String, textCol: String, storeDir: String, outDir: String,
       numHashes: Int = 8, bands: Int = 4): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("dedup_stream_ckpt").toString
+    val ckpt = ephemeralCheckpointDir("dedup_stream_ckpt")
     val q = docStream.writeStream
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append())
@@ -370,8 +386,7 @@ object Streams {
       accept: org.apache.spark.sql.Column, reason: String,
       acceptDir: String, deadLetterDir: String): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("router_ckpt").toString
+    val ckpt = ephemeralCheckpointDir("router_ckpt")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append())
@@ -420,8 +435,7 @@ object Streams {
     */
   def cdcMergeAvailableNow(stream: DataFrame, targetTable: String): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("cdc_merge_ckpt").toString
+    val ckpt = ephemeralCheckpointDir("cdc_merge_ckpt")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append())
@@ -722,14 +736,18 @@ object Streams {
     */
   def runAvailableNow(spark: SparkSession, streamed: DataFrame,
       queryName: String, outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val ckpt = ephemeralCheckpointDir("graft_ephemeral_ckpt")
     val q = streamed.writeStream
       .format("memory")
       .queryName(queryName)
+      .option("checkpointLocation", ckpt)
       .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    recordLateDrops(queryName, q)
+    try {
+      q.awaitTermination()
+      recordLateDrops(queryName, q)
+    } finally graft.llm.Similarity.rmTree(new java.io.File(ckpt))
     spark.table(queryName)
   }
 

@@ -53,6 +53,63 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("langId: per-language recall on planted docs across all nine " +
+      "profiles, incl. mixed-script separation") {
+    // three planted docs per language; recall must be 3/3 per language
+    val planted = Seq(
+      "en" -> Seq(
+        "it was the best of times and it was the worst of times for all",
+        "she said that the house at the end of the road was not for sale",
+        "he had been to the city by the sea and was glad to be at home"),
+      "de" -> Seq(
+        "ich bin mit dem zug von der stadt zu dir gefahren und es war schön",
+        "das kind ist nicht im haus und sie hat es auf der straße gesehen",
+        "der mann und die frau sind mit einem auto zu dem see gefahren"),
+      "fr" -> Seq(
+        "je ne sais pas si vous avez le temps pour un café dans la matinée",
+        "les enfants sont dans le jardin et la mère est sur le balcon",
+        "il est venu du village pour la fête qui a lieu sur la place"),
+      "es" -> Seq(
+        "el libro que me diste es muy bueno y lo leo con mucho interés",
+        "no hay nada en la mesa para el desayuno de los niños una manzana",
+        "la ciudad es grande y por la noche se ve con una luz preciosa"),
+      "zh" -> Seq(
+        "他是我的朋友我们在这个大地方有很多人",
+        "你来我家的时候他不在我们是一家人",
+        "这是中国人的大时代我们都在其中"),
+      "ru" -> Seq(
+        "я не знаю что он сказал но это было как в кино по телевизору",
+        "он пошёл в магазин за хлебом и не вернулся к ужину домой",
+        "у нас из окна видно что за рекой то поле то лес и дорога"),
+      "ar" -> Seq(
+        "هذا الكتاب من أفضل ما قرأت في هذه السنة على الإطلاق",
+        "كان الرجل في البيت مع أولاده وقد خرج إلى السوق ثم عاد",
+        "هي التي قالت لا أريد أن أذهب إلى المدرسة كل يوم"),
+      "ja" -> Seq(
+        "わたしはまいにちがっこうにいってともだちとはなします",
+        "ねこがにわでねているのをみてこどもはわらった",
+        "このほんはとてもおもしろくてよるまでよんでしまった"),
+      "ko" -> Seq(
+        "나는 오늘 학교에 가서 친구들과 이야기를 하고 집으로 돌아왔다",
+        "그 사람은 서울에 사는데 주말마다 산에 가는 것을 좋아한다",
+        "아이들이 공원에서 놀고 있는 모습을 보는 것이 즐겁다"))
+    val df = planted.flatMap { case (l, docs) => docs.map(l -> _) }
+      .toDF("expected", "text")
+    val byLang = df.select(col("expected"),
+        TextAnalysis.langId(col("text")).as("pred")).collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.count(r => r.getString(1) == l).toDouble / rs.length }
+    planted.foreach { case (l, _) =>
+      assert(byLang(l) == 1.0, s"recall($l) = ${byLang(l)}, want 1.0")
+    }
+    // mixed-script: kana density separates ja from zh even when the
+    // doc also carries kanji the zh profile counts
+    val mixed = Seq(Tuple1("私は毎日学校に行って友達と話をしています")).toDF("text")
+    assert(mixed.select(TextAnalysis.langId(col("text"))).collect()
+      .head.getString(0) == "ja", "kanji+kana doc must classify ja")
+  }
+
   test("langScore is safe for profiles containing regex metacharacters") {
     // '-', ']', '^', '\' in a single-char profile must be literal, not
     // corrupt the character class into silent wrong ranges
