@@ -11,14 +11,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: see Verify — multi-JVM certification sweeps
+    // run the registry under local-cluster with graft's classes on the
+    // executor classpath
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val classesDir = getClass.getProtectionDomain.getCodeSource
+        .getLocation.getPath
+      builder.config("spark.executor.extraClassPath", classesDir): Unit
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def esc(s: String): String = s.flatMap {

@@ -57,13 +57,26 @@ object Verify {
     // the driver, so leaving cores idle costs checked queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the in-process master — the
+    // multi-JVM certification sweep runs the same dump under
+    // `local-cluster[2,2,2048]` (separate executor processes, real
+    // serialization/classloading, no shared driver heap) without a
+    // cluster manager. Executor JVMs are launched from SPARK_HOME and
+    // know nothing of sbt's classpath, so graft's own classes ride
+    // spark.executor.extraClassPath.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val classesDir = getClass.getProtectionDomain.getCodeSource
+        .getLocation.getPath
+      builder.config("spark.executor.extraClassPath", classesDir): Unit
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 

@@ -32,14 +32,26 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // SPARK_GRAFT_MASTER lets the multi-JVM certification sweep run
+    // the whole suite under local-cluster (separate executor
+    // processes); graft's main+test classes then ride the executor
+    // classpath explicitly, since executor JVMs launch from SPARK_HOME
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]")
+    val builder = SparkSession.builder()
+      .master(master)
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val cp = Seq(classOf[SparkSpec].getProtectionDomain, // test classes
+          graft.queries.Catalog.getClass.getProtectionDomain) // main
+        .map(_.getCodeSource.getLocation.getPath).distinct
+        .mkString(java.io.File.pathSeparator)
+      builder.config("spark.executor.extraClassPath", cp): Unit
+    }
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
