@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Heavy-tail scaling gate: compare per-query bench timings between two
+scale factors and report the scaling exponent of each query.
+
+Usage: scaling_gate.py <bench_small.log> <bench_big.log> [data_ratio]
+
+Each log is a `graft.Bench` run log containing the `{"bench_full":{...}}`
+line. data_ratio defaults to 10 (sf0.1 -> sf1.0). The exponent is
+log(t_big/t_small)/log(ratio): 1.0 = perfectly linear, <1 sub-linear
+(fixed costs amortizing), >1 super-linear. Queries whose small-SF time
+is under `floor` (default 0.3 s) are machinery-dominated and their
+ratios are reported but not judged.
+"""
+import json
+import math
+import re
+import sys
+
+FLOOR = 0.3
+
+
+def bench_full(path):
+    with open(path) as f:
+        for line in f:
+            m = re.search(r'\{"bench_full":(\{.*\})\}', line)
+            if m:
+                return json.loads(m.group(1))
+    raise SystemExit(f"no bench_full line in {path}")
+
+
+def main():
+    small, big = bench_full(sys.argv[1]), bench_full(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    rows = []
+    for name, tb in sorted(big.items()):
+        ts = small.get(name)
+        if ts is None:
+            continue
+        exp = math.log(tb / ts) / math.log(ratio) if ts > 0 else float("nan")
+        rows.append((name, ts, tb, tb / ts, exp))
+    rows.sort(key=lambda r: -r[4])
+    print(f"{'query':34s} {'t_small':>8s} {'t_big':>8s} {'ratio':>7s} {'exp':>6s}")
+    flagged = 0
+    for name, ts, tb, r, e in rows:
+        judged = ts >= FLOOR
+        flag = " <-- SUPER-LINEAR" if judged and e > 1.05 else (
+            "  (machinery-dominated, not judged)" if not judged else "")
+        if judged and e > 1.05:
+            flagged += 1
+        print(f"{name:34s} {ts:8.3f} {tb:8.3f} {r:7.2f} {e:6.2f}{flag}")
+    print(f"\n{flagged} judged queries super-linear (exp > 1.05, "
+          f"t_small >= {FLOOR}s)")
+
+
+if __name__ == "__main__":
+    main()
