@@ -86,21 +86,35 @@ object SeqPack {
     * pays `batchSize·max(n) − sum(n)` padding (the final short batch
     * pads to its own max over its actual rows).
     *
-    * Scale shape: two rank windows — at 100 TB replace the global
-    * rank with the [[withStartOffsets]] two-phase scan keyed by a
-    * range-partition id (the ranks only need to be batch-stable, not
-    * literal); the per-batch aggregate is one shuffle on batch id.
-    * Pure integer arithmetic ⇒ externally replayable.
+    * Scale shape: the two global ranks run as the same two-phase
+    * scan as [[withStartOffsets]] — value-range buckets (id ranges
+    * for arrival order, length ranges for length-sorted order; both
+    * order-aligned by construction) carry fully-parallel per-bucket
+    * `row_number`s, and only the ≤2048-row bucket-count frame is
+    * cumulated on one task. `idCol` must be numeric and unique; the
+    * per-batch aggregate is one shuffle on batch id. Pure integer
+    * arithmetic ⇒ externally replayable.
     */
   def paddingReport(df: DataFrame, idCol: String, nCol: String,
       batchSize: Int): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
-    val base = df.select(col(idCol).as("id"),
+    val base = df.select(col(idCol).cast("long").as("id"),
         col(nCol).cast("long").as("n"))
       .filter(col("n") > 0)
-    def strat(name: String, order: Seq[Column]): DataFrame =
-      base
-        .withColumn("rk", row_number().over(Window.orderBy(order: _*)))
+    // one tiny driver-side row: value bounds -> ~2048 order-aligned
+    // bucket spans (rows with equal n share a bucket, so the (n, id)
+    // tie-break never crosses a bucket boundary)
+    val bounds = base.agg(
+      min(col("id")), max(col("id")), min(col("n")), max(col("n"))).head()
+    def span(lo: Int, hi: Int): Long =
+      if (bounds.isNullAt(lo)) 1L
+      else 1L.max((bounds.getLong(hi) - bounds.getLong(lo)) / 2048L + 1L)
+    val (idLo, idSpan) = (if (bounds.isNullAt(0)) 0L else bounds.getLong(0),
+      span(0, 1))
+    val (nLo, nSpan) = (if (bounds.isNullAt(2)) 0L else bounds.getLong(2),
+      span(2, 3))
+    def strat(name: String, bucket: Column, order: Seq[Column]): DataFrame =
+      twoPhaseRank(base, bucket, order)
         .withColumn("batch", ((col("rk") - 1) / batchSize).cast("long"))
         .groupBy(col("batch"))
         .agg(count(lit(1)).as("rows"), max(col("n")).as("mx"),
@@ -113,7 +127,32 @@ object SeqPack {
           round(col("padding_tokens").cast("double") /
             (col("real_tokens") + col("padding_tokens")).cast("double"),
             6).as("waste_frac"))
-    strat("arrival", Seq(col("id")))
-      .unionByName(strat("length_sorted", Seq(col("n"), col("id"))))
+    strat("arrival", (col("id") - idLo) / idSpan, Seq(col("id")))
+      .unionByName(strat("length_sorted", (col("n") - nLo) / nSpan,
+        Seq(col("n"), col("id"))))
+  }
+
+  /** Exclusive-prefix-count flavor of [[withStartOffsets]]: adds
+    * `rk` = 1-based global `row_number` in `order`, computed as a
+    * per-bucket local rank plus a broadcast bucket-count offset.
+    * `bucket` must be an order-aligned coarsening of `order` (b1 <
+    * b2 ⇒ every row in b1 sorts before every row in b2); only the
+    * #buckets-row offset frame is cumulated on a single task.
+    */
+  private def twoPhaseRank(df: DataFrame, bucket: Column,
+      order: Seq[Column]): DataFrame = {
+    val b = df.withColumn("_rbucket", floor(bucket).cast("long"))
+    val local = b.withColumn("_lrk", row_number().over(
+      Window.partitionBy(col("_rbucket")).orderBy(order: _*)).cast("long"))
+    val offsets = b.groupBy(col("_rbucket"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_roff",
+        coalesce(sum(col("_cnt")).over(
+          Window.orderBy(col("_rbucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_rbucket"), col("_roff"))
+    local.join(broadcast(offsets), Seq("_rbucket"))
+      .withColumn("rk", col("_roff") + col("_lrk"))
+      .drop("_rbucket", "_lrk")
   }
 }

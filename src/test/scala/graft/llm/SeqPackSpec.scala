@@ -50,4 +50,30 @@ class SeqPackSpec extends SparkSpec {
     assert(got == Seq(("arrival", 2L, 220L, 180L),
       ("length_sorted", 2L, 220L, 0L)), s"got $got")
   }
+
+  test("paddingReport two-phase rank ≡ local replay on random corpus") {
+    import org.apache.spark.sql.functions.col
+    // sparse non-dense ids + heavy length ties: exercises the
+    // value-range bucketing and the (n, id) tie-break across buckets
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 997).map { i =>
+      (i * 131L + rng.nextInt(100), 1L + rng.nextInt(9).toLong)
+    }.distinct.map { case (id, n) => (id, n) }
+    val got = SeqPack.paddingReport(rows.toDF("id", "n"), "id", "n",
+        batchSize = 32)
+      .orderBy(col("strategy"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+
+    def replay(name: String, ordered: Seq[Long]): (String, Long, Long,
+        Long) = {
+      val batches = ordered.grouped(32).toSeq
+      val pad = batches.map(b => b.size * b.max - b.sum).sum
+      (name, batches.size.toLong, ordered.sum, pad)
+    }
+    val byId = rows.sortBy(_._1).map(_._2)
+    val byLen = rows.sortBy(r => (r._2, r._1)).map(_._2)
+    assert(got == Seq(replay("arrival", byId),
+      replay("length_sorted", byLen)), s"got $got")
+  }
 }
