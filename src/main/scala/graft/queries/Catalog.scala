@@ -47,6 +47,19 @@ object Catalog {
     d.replaceAll("[^A-Za-z0-9_]", "_").replaceAll("_+", "_")
       .stripPrefix("_")
 
+  /** Order-independent money sum, rounded to cents. The per-row double
+    * `term` is bit-identical in any engine (IEEE ops), but a multi-
+    * million-row double SUM is order-dependent — at sf1 the q5 revenue
+    * flipped its rounded cent between Spark's partial-aggregate order
+    * and DuckDB's scan order. Casting each term to DECIMAL(18,4) first
+    * makes the addition exact and associative, so the rounded result
+    * is reproducible at any scale, partitioning, or AQE replan. Oracle
+    * twin: `CAST(round(sum(CAST(term AS DECIMAL(18,4))), 2) AS DOUBLE)`.
+    */
+  private def moneySum(term: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    round(sum(term.cast("decimal(18,4)")), 2).cast("double")
+
   /** Freshness stamp of source parquet paths (name:length:mtime of
     * every part file) — the gate that makes a persisted layout
     * investment (bucketed tables, disk indexes) rebuild exactly when
@@ -71,8 +84,8 @@ object Catalog {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("sum_disc_price"),
           round(avg(col("l_quantity")), 6).as("avg_qty"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -80,8 +93,10 @@ object Catalog {
         .orderBy(col("l_returnflag"), col("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus,
       round(sum(l_quantity), 2) AS sum_qty,
-      round(sum(l_extendedprice), 2) AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        AS sum_base_price,
+      CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
       round(avg(l_quantity), 6) AS avg_qty,
       round(avg(l_discount), 6) AS avg_disc,
       count(*) AS count_order
@@ -381,12 +396,13 @@ object Catalog {
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("c_mktsegment")),
     Some("""SELECT c_mktsegment,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
       count(*) AS n_lines
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -2368,9 +2384,10 @@ object Catalog {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount").between(0.03, 0.07) &&
           col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .agg(moneySum(col("l_extendedprice") * col("l_discount"))
           .as("revenue")),
-    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    Some("""SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+        AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"""))
@@ -2392,12 +2409,16 @@ object Catalog {
         .join(broadcast(Tables.part(s, d)),
           col("l_partkey") === col("p_partkey"))
         .agg(round(
-          sum(when(col("p_type") === "PROMO", rev).otherwise(0)) * 100.0 /
-            sum(rev), 4).as("promo_revenue"))
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))
+              .cast("decimal(18,4)")).cast("double") * 100.0 /
+            sum(rev.cast("decimal(18,4)")).cast("double"), 4)
+          .as("promo_revenue"))
     },
-    Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    Some("""SELECT round(CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        AS DECIMAL(18,4))) AS DOUBLE) * 100.0
+        / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= DATE '1996-09-01'
         AND l_shipdate < DATE '1996-10-01'"""))
@@ -2421,9 +2442,11 @@ object Catalog {
           col("l_partkey") === col("p_partkey"))
         .join(thresh, col("l_partkey") === col("t_partkey"))
         .filter(col("l_quantity") < col("qty_thresh"))
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double") / 7.0, 2).as("avg_yearly"))
     },
-    Some("""SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    Some("""SELECT round(CAST(sum(CAST(l.l_extendedprice
+        AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       WHERE p.p_brand = 'Brand#23'
         AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -2678,12 +2701,13 @@ object Catalog {
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
     Some("""SELECT supp_nation, cust_nation, l_year,
-        round(sum(volume), 2) AS revenue
+        CAST(round(sum(CAST(volume AS DECIMAL(18,4))), 2) AS DOUBLE)
+          AS revenue
       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
               CAST(year(l_shipdate) AS INTEGER) AS l_year,
               l_extendedprice * (1 - l_discount) AS volume
@@ -2840,10 +2864,11 @@ object Catalog {
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name")),
-    Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+    Some("""SELECT n_name, CAST(round(sum(CAST(l_extendedprice *
+          (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE)
         AS revenue
       FROM customer c
       JOIN orders o ON c_custkey = o_custkey
@@ -9163,13 +9188,17 @@ $union
         .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(round(
-          sum(when(col("supp_nation") === "NATION_2", volume).otherwise(0.0)) /
-            sum(volume), 6).as("mkt_share"))
+          sum(when(col("supp_nation") === "NATION_2", volume).otherwise(lit(0.0))
+              .cast("decimal(18,4)")).cast("double") /
+            sum(volume.cast("decimal(18,4)")).cast("double"), 6)
+          .as("mkt_share"))
         .orderBy(col("o_year"))
     },
     Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
-                       ELSE 0 END) / sum(volume), 6) AS mkt_share
+        round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                       ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+          / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 6)
+          AS mkt_share
       FROM (SELECT o_orderdate, l_extendedprice * (1 - l_discount) AS volume,
               n2.n_name AS supp_nation
             FROM part
@@ -9204,13 +9233,14 @@ $union
         .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(amount), 2).as("sum_profit"))
+        .agg(moneySum(amount).as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
     Some("""SELECT n_name AS nation,
         CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        round(sum(l_extendedprice * (1 - l_discount)
-          - l_quantity * p_retailprice * 0.1), 2) AS sum_profit
+        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+          - l_quantity * p_retailprice * 0.1 AS DECIMAL(18,4))), 2)
+          AS DOUBLE) AS sum_profit
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -9347,9 +9377,10 @@ $union
             col("l_quantity").between(5, 30)) ||
           (col("p_brand") === "Brand#23" && col("p_size").between(20, 50) &&
             col("l_quantity").between(10, 40)))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue")),
-    Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    Some("""SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
              AND l_quantity BETWEEN 1 AND 20)
