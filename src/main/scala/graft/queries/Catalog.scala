@@ -7198,12 +7198,15 @@ $union
         chunks = chunks, maxHamming = chunks - 1, maxBucket = 200)
         .orderBy(col("id_a"), col("id_b"))
     },
-    // The oracle replays the WHOLE candidate pipeline in SQL at the
-    // gate fixture's parameters (500 docs ⇒ chunksFor = 8 ⇒ 8-bit
-    // pieces, maxHamming 7, maxBucket 200): signatures from md5
-    // nibbles, pieces as per-chunk bit sums, hot buckets (>200)
-    // excluded exactly as the engine drops them, candidates from
-    // shared non-hot pieces, hamming verified per bit.
+    // The oracle replays the WHOLE candidate pipeline in SQL,
+    // including the corpus-scaled parameterization: the `par` CTE
+    // recomputes chunksFor(count(*)) (8 below 16k docs, 4 below 4M,
+    // else 2 ⇒ piece width 64/chunks, maxHamming chunks−1) so the
+    // oracle stays exact at every SF, not just the 500-doc gate
+    // fixture (r12: the pinned //8 version diverged at sf1's 50k
+    // docs where chunksFor = 4). Signatures from md5 nibbles, hot
+    // buckets (>200) excluded exactly as the engine drops them,
+    // candidates from shared non-hot pieces, hamming verified per bit.
     Some("""WITH t AS (
         SELECT doc_id,
           unnest(string_split(trim(regexp_replace(lower(text),
@@ -7219,10 +7222,16 @@ $union
             THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
         FROM h, unnest(generate_series(0, 63)) AS u(i)
         GROUP BY doc_id, i),
+      par AS (
+        SELECT CASE WHEN count(*) < 16384 THEN 8
+                    WHEN count(*) < 4194304 THEN 4 ELSE 2 END AS nchunks,
+               64 // CASE WHEN count(*) < 16384 THEN 8
+                    WHEN count(*) < 4194304 THEN 4 ELSE 2 END AS width
+        FROM documents),
       pieces AS (
-        SELECT doc_id, CAST(i AS INTEGER) // 8 AS chunk,
-          sum(bit << (CAST(i AS INTEGER) % 8)) AS piece
-        FROM b GROUP BY doc_id, chunk),
+        SELECT doc_id, CAST(i AS INTEGER) // par.width AS chunk,
+          sum(bit << (CAST(i AS INTEGER) % par.width)) AS piece
+        FROM b, par GROUP BY doc_id, chunk),
       hot AS (SELECT chunk, piece FROM pieces
               GROUP BY chunk, piece HAVING count(*) > 200),
       cand AS (
@@ -7239,7 +7248,8 @@ $union
         JOIN b ba ON ba.doc_id = c.id_a
         JOIN b bb ON bb.doc_id = c.id_b AND bb.i = ba.i
         GROUP BY c.id_a, c.id_b)
-      SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 7
+      SELECT id_a, id_b, hamming FROM ham, par
+      WHERE hamming <= par.nchunks - 1
       ORDER BY id_a, id_b"""))
 
   /** Per-dimension vector mean by group (the centroid/pooled-embedding
