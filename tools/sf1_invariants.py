@@ -1,0 +1,181 @@
+#!/usr/bin/env python3
+"""sf1 rows+invariants gate for the three oracles whose DuckDB form is
+quadratic in the 50k-doc corpus (dedup_pairs: all-pairs shingle
+jaccard; dedup_components: recursive CTE over those pairs;
+dedup_elect_quality: the same CTEs plus a per-component election).
+
+Replays the oracle semantics independently (same tokenizer:
+lowercase, non-[letter|digit] runs -> space; 2-token shingles;
+jaccard >= 0.7) but only where the cost is linear in the OUTPUT:
+
+1. precision: recompute exact jaccard for every emitted pair; assert
+   the value matches Spark's and clears the threshold. Full check.
+2. recall (stratified sample): all-pairs within `--sample` random
+   docs plus every doc that appears in an emitted pair with another
+   sampled doc; assert the replayed pair set within the sample equals
+   Spark's pair set restricted to the sample.
+3. components: union-find over the (now verified) emitted pair list;
+   label = min doc_id of the component; assert exact equality with
+   Spark's dedup_components output for all docs.
+4. elect_quality: per replayed component, keep the doc with max
+   n_chars (tie -> min doc_id); assert exact equality with Spark's
+   dedup_elect_quality output (component, n_members, kept_doc_id,
+   kept_n_chars) for all components.
+
+Usage: sf1_invariants.py <sfdir> <outdir> [--sample N]
+"""
+import glob
+import random
+import sys
+import unicodedata
+
+import pandas as pd
+
+THRESH = 0.7
+
+
+def load(outdir, name):
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def tokenize(text):
+    # mirror regexp_replace(lower(text), '[^\p{L}\p{Nd}]+', ' ') + split
+    out = []
+    for ch in text.lower():
+        cat = unicodedata.category(ch)
+        out.append(ch if cat.startswith("L") or cat == "Nd" else " ")
+    return "".join(out).split()
+
+
+def shingles(text):
+    toks = tokenize(text)
+    if len(toks) < 3:
+        return frozenset([" ".join(toks)])
+    # DuckDB list slice is 1-based inclusive: toks[i:i+2] is 3 tokens
+    return frozenset(" ".join(toks[i:i + 3]) for i in range(len(toks) - 2))
+
+
+def jaccard(a, b):
+    u = len(a | b)
+    return len(a & b) / max(u, 1)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    sample_n = 2000
+    if "--sample" in sys.argv:
+        sample_n = int(sys.argv[sys.argv.index("--sample") + 1])
+
+    docs = pd.read_parquet(f"{sfdir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    sh = {int(r.doc_id): shingles(r.text)
+          for r in docs.itertuples(index=False)}
+    print(f"[inv] {len(sh)} docs shingled", flush=True)
+
+    pairs = load(outdir, "dedup_pairs")
+    comps = load(outdir, "dedup_components")
+
+    # 1. precision — every emitted pair, exact jaccard replay
+    bad = 0
+    for r in pairs.itertuples(index=False):
+        j = jaccard(sh[int(r.id_a)], sh[int(r.id_b)])
+        if abs(j - r.jaccard) > 1e-9 or j < THRESH or not r.id_a < r.id_b:
+            bad += 1
+            if bad <= 5:
+                print(f"[inv] BAD pair ({r.id_a},{r.id_b}) "
+                      f"spark={r.jaccard} replay={j}")
+    print(f"[inv] precision: {len(pairs)} pairs replayed, {bad} bad",
+          flush=True)
+
+    # 2. recall — all-pairs within a random sample (inverted index to
+    # skip zero-overlap pairs; a missed pair must share a shingle)
+    rng = random.Random(42)
+    samp = sorted(rng.sample(sorted(sh), sample_n))
+    sset = set(samp)
+    inv = {}
+    for d in samp:
+        for s in sh[d]:
+            inv.setdefault(s, []).append(d)
+    cand = set()
+    for ds in inv.values():
+        for i in range(len(ds)):
+            for k in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[k]))
+    replay = {(a, b) for a, b in cand
+              if jaccard(sh[a], sh[b]) >= THRESH}
+    spark_in_samp = {(int(r.id_a), int(r.id_b))
+                     for r in pairs.itertuples(index=False)
+                     if int(r.id_a) in sset and int(r.id_b) in sset}
+    miss, extra = replay - spark_in_samp, spark_in_samp - replay
+    print(f"[inv] recall sample n={sample_n}: replay {len(replay)} "
+          f"spark {len(spark_in_samp)} missed {len(miss)} extra {len(extra)}",
+          flush=True)
+
+    # 3. components — union-find over the verified pair list
+    parent = {d: d for d in sh}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.itertuples(index=False):
+        ra, rb = find(int(r.id_a)), find(int(r.id_b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label = {}
+    for d in sh:
+        root = find(d)
+        label[d] = min(label.get(root, d), d) if root in label else root
+    # min-label: root is already the min because union keeps the min id
+    cc_bad = 0
+    for r in comps.itertuples(index=False):
+        if find(int(r.doc_id)) != int(r.component):
+            cc_bad += 1
+            if cc_bad <= 5:
+                print(f"[inv] BAD component doc={r.doc_id} "
+                      f"spark={r.component} replay={find(int(r.doc_id))}")
+    n_comp_spark = comps["component"].nunique()
+    n_comp_replay = len({find(d) for d in sh})
+    print(f"[inv] components: {len(comps)} rows, {cc_bad} bad labels; "
+          f"spark {n_comp_spark} components, replay {n_comp_replay}",
+          flush=True)
+
+    # 4. elect_quality — replay the per-component election over the
+    # verified components (keep max n_chars, tie -> min doc_id)
+    nchars = dict(zip(
+        pd.read_parquet(f"{sfdir}/documents.parquet",
+                        columns=["doc_id", "n_chars"]).doc_id.astype(int),
+        pd.read_parquet(f"{sfdir}/documents.parquet",
+                        columns=["doc_id", "n_chars"]).n_chars.astype(int)))
+    members = {}
+    for d in sh:
+        members.setdefault(find(d), []).append(d)
+    expect = {}
+    for root, ds in members.items():
+        kept = min(ds, key=lambda d: (-nchars[d], d))
+        expect[root] = (len(ds), kept, nchars[kept])
+    elect = load(outdir, "dedup_elect_quality")
+    eq_bad = 0
+    for r in elect.itertuples(index=False):
+        exp = expect.get(int(r.component))
+        got = (int(r.n_members), int(r.kept_doc_id), int(r.kept_n_chars))
+        if exp != got:
+            eq_bad += 1
+            if eq_bad <= 5:
+                print(f"[inv] BAD elect comp={r.component} "
+                      f"spark={got} replay={exp}")
+    print(f"[inv] elect_quality: {len(elect)} rows vs {len(expect)} "
+          f"replayed components, {eq_bad} bad", flush=True)
+
+    ok = bad == 0 and not miss and not extra and cc_bad == 0 \
+        and len(comps) == len(sh) and n_comp_spark == n_comp_replay \
+        and eq_bad == 0 and len(elect) == len(expect)
+    print(f"[inv] {'PASS' if ok else 'FAIL'}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
