@@ -51,14 +51,30 @@ object Catalog {
     * `term` is bit-identical in any engine (IEEE ops), but a multi-
     * million-row double SUM is order-dependent — at sf1 the q5 revenue
     * flipped its rounded cent between Spark's partial-aggregate order
-    * and DuckDB's scan order. Casting each term to DECIMAL(18,4) first
-    * makes the addition exact and associative, so the rounded result
-    * is reproducible at any scale, partitioning, or AQE replan. Oracle
-    * twin: `CAST(round(sum(CAST(term AS DECIMAL(18,4))), 2) AS DOUBLE)`.
+    * and DuckDB's scan order. Quantize each term to an integer count
+    * of 1e-4 units (`round(term·10⁴)` — one identical IEEE multiply +
+    * half-away round on both engines), sum as LONG (exact,
+    * associative, plain integer adds in whole-stage codegen — a
+    * DECIMAL sum is exact too but ~10% slower through the hot
+    * aggregate), and divide back. Headroom: 2⁶³/10⁴ ≈ $9.2e14 per
+    * group — three orders above a 100 TB TPC-H's total revenue.
+    * Oracle twin:
+    * `round(CAST(sum(CAST(round(term*10000) AS BIGINT)) AS DOUBLE)
+    *  / 10000.0, 2)`.
     */
   private def moneySum(term: org.apache.spark.sql.Column):
       org.apache.spark.sql.Column =
-    round(sum(term.cast("decimal(18,4)")), 2).cast("double")
+    round(sum(round(term * lit(10000.0), 0).cast("long")).cast("double")
+      / 10000.0, 2)
+
+  /** The scaled-long partial of [[moneySum]] for ratio-of-sums
+    * aggregates: exact and order-independent; divide two of these and
+    * the 10⁴ scales cancel exactly (both engines run the identical
+    * long→double casts and one division).
+    */
+  private def moneySumRaw(term: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    sum(round(term * lit(10000.0), 0).cast("long")).cast("double")
 
   /** Freshness stamp of source parquet paths (name:length:mtime of
     * every part file) — the gate that makes a persisted layout
@@ -93,10 +109,10 @@ object Catalog {
         .orderBy(col("l_returnflag"), col("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus,
       round(sum(l_quantity), 2) AS sum_qty,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
-        AS sum_base_price,
-      CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-        AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+      round(CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+        AS DOUBLE) / 10000.0, 2) AS sum_base_price,
+      round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
       round(avg(l_quantity), 6) AS avg_qty,
       round(avg(l_discount), 6) AS avg_disc,
       count(*) AS count_order
@@ -401,8 +417,8 @@ object Catalog {
           count(lit(1)).as("n_lines"))
         .orderBy(col("c_mktsegment")),
     Some("""SELECT c_mktsegment,
-      CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-        AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
       count(*) AS n_lines
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -2386,8 +2402,8 @@ object Catalog {
           col("l_quantity") < 24)
         .agg(moneySum(col("l_extendedprice") * col("l_discount"))
           .as("revenue")),
-    Some("""SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
-        AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    Some("""SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount
+        * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"""))
@@ -2409,16 +2425,16 @@ object Catalog {
         .join(broadcast(Tables.part(s, d)),
           col("l_partkey") === col("p_partkey"))
         .agg(round(
-          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))
-              .cast("decimal(18,4)")).cast("double") * 100.0 /
-            sum(rev.cast("decimal(18,4)")).cast("double"), 4)
+          moneySumRaw(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0.0))) * 100.0 /
+            moneySumRaw(rev), 4)
           .as("promo_revenue"))
     },
-    Some("""SELECT round(CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
-        THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-        AS DECIMAL(18,4))) AS DOUBLE) * 100.0
-        / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-        AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue
+    Some("""SELECT round(CAST(sum(CAST(round(CASE WHEN p_type = 'PROMO'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0 END * 10000)
+        AS BIGINT)) AS DOUBLE) * 100.0
+        / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        AS BIGINT)) AS DOUBLE), 4) AS promo_revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= DATE '1996-09-01'
         AND l_shipdate < DATE '1996-10-01'"""))
@@ -2442,11 +2458,11 @@ object Catalog {
           col("l_partkey") === col("p_partkey"))
         .join(thresh, col("l_partkey") === col("t_partkey"))
         .filter(col("l_quantity") < col("qty_thresh"))
-        .agg(round(sum(col("l_extendedprice").cast("decimal(18,4)"))
-          .cast("double") / 7.0, 2).as("avg_yearly"))
+        .agg(round(moneySumRaw(col("l_extendedprice")) / 10000.0 / 7.0, 2)
+          .as("avg_yearly"))
     },
-    Some("""SELECT round(CAST(sum(CAST(l.l_extendedprice
-        AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    Some("""SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 10000)
+        AS BIGINT)) AS DOUBLE) / 10000.0 / 7.0, 2) AS avg_yearly
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       WHERE p.p_brand = 'Brand#23'
         AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -2706,8 +2722,8 @@ object Catalog {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
     Some("""SELECT supp_nation, cust_nation, l_year,
-        CAST(round(sum(CAST(volume AS DECIMAL(18,4))), 2) AS DOUBLE)
-          AS revenue
+        round(CAST(sum(CAST(round(volume * 10000) AS BIGINT)) AS DOUBLE)
+          / 10000.0, 2) AS revenue
       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
               CAST(year(l_shipdate) AS INTEGER) AS l_year,
               l_extendedprice * (1 - l_discount) AS volume
@@ -2867,8 +2883,8 @@ object Catalog {
         .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name")),
-    Some("""SELECT n_name, CAST(round(sum(CAST(l_extendedprice *
-          (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE)
+    Some("""SELECT n_name, round(CAST(sum(CAST(round(l_extendedprice *
+          (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2)
         AS revenue
       FROM customer c
       JOIN orders o ON c_custkey = o_custkey
@@ -9198,16 +9214,16 @@ $union
         .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(round(
-          sum(when(col("supp_nation") === "NATION_2", volume).otherwise(lit(0.0))
-              .cast("decimal(18,4)")).cast("double") /
-            sum(volume.cast("decimal(18,4)")).cast("double"), 6)
+          moneySumRaw(when(col("supp_nation") === "NATION_2", volume)
+              .otherwise(lit(0.0))) /
+            moneySumRaw(volume), 6)
           .as("mkt_share"))
         .orderBy(col("o_year"))
     },
     Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_2' THEN volume
-                       ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
-          / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 6)
+        round(CAST(sum(CAST(round(CASE WHEN supp_nation = 'NATION_2'
+                       THEN volume ELSE 0 END * 10000) AS BIGINT)) AS DOUBLE)
+          / CAST(sum(CAST(round(volume * 10000) AS BIGINT)) AS DOUBLE), 6)
           AS mkt_share
       FROM (SELECT o_orderdate, l_extendedprice * (1 - l_discount) AS volume,
               n2.n_name AS supp_nation
@@ -9248,9 +9264,9 @@ $union
     },
     Some("""SELECT n_name AS nation,
         CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-          - l_quantity * p_retailprice * 0.1 AS DECIMAL(18,4))), 2)
-          AS DOUBLE) AS sum_profit
+        round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+          - l_quantity * p_retailprice * 0.1) * 10000) AS BIGINT))
+          AS DOUBLE) / 10000.0, 2) AS sum_profit
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -9389,8 +9405,9 @@ $union
             col("l_quantity").between(10, 40)))
         .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue")),
-    Some("""SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-        AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    Some("""SELECT round(CAST(sum(CAST(round(l_extendedprice *
+        (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2)
+        AS revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
              AND l_quantity BETWEEN 1 AND 20)
