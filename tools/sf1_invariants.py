@@ -21,6 +21,15 @@ jaccard >= 0.7) but only where the cost is linear in the OUTPUT:
    n_chars (tie -> min doc_id); assert exact equality with Spark's
    dedup_elect_quality output (component, n_members, kept_doc_id,
    kept_n_chars) for all components.
+5. jaccard_exact (PPJoin path): same pair semantics as dedup_pairs —
+   assert the emitted pair SET is identical to dedup_pairs' (whose
+   precision/recall were verified above) and recompute the unrounded
+   jaccard for every emitted row.
+6. split_leakfree: component = the replayed union-find label; split =
+   'train' iff md5('split:'+component)[0] <= 'b'. Exact for all docs.
+7. incremental (batch doc_id%10==0 vs history): full precision replay
+   of every emitted (id_in, id_hist, jaccard); recall via inverted
+   index over a stratified sample of batch docs.
 
 Usage: sf1_invariants.py <sfdir> <outdir> [--sample N]
 """
@@ -170,9 +179,77 @@ def main():
     print(f"[inv] elect_quality: {len(elect)} rows vs {len(expect)} "
           f"replayed components, {eq_bad} bad", flush=True)
 
+    # 5. jaccard_exact — same pair set as the verified dedup_pairs,
+    # unrounded scores recomputed per row
+    je = load(outdir, "dedup_jaccard_exact")
+    je_pairs = {(int(r.id_a), int(r.id_b)) for r in je.itertuples(index=False)}
+    dp_pairs = {(int(r.id_a), int(r.id_b))
+                for r in pairs.itertuples(index=False)}
+    je_bad = sum(1 for r in je.itertuples(index=False)
+                 if abs(jaccard(sh[int(r.id_a)], sh[int(r.id_b)])
+                        - r.jaccard) > 1e-9)
+    je_ok = je_pairs == dp_pairs and je_bad == 0
+    print(f"[inv] jaccard_exact: {len(je)} rows, set==dedup_pairs: "
+          f"{je_pairs == dp_pairs}, {je_bad} bad scores", flush=True)
+
+    # 6. split_leakfree — component label + md5 split replay
+    import hashlib
+    sl = load(outdir, "split_leakfree")
+    sl_bad = 0
+    for r in sl.itertuples(index=False):
+        comp = find(int(r.doc_id))
+        want = "train" if hashlib.md5(
+            f"split:{comp}".encode()).hexdigest()[0] <= "b" else "val"
+        if int(r.component) != comp or r.split != want:
+            sl_bad += 1
+            if sl_bad <= 5:
+                print(f"[inv] BAD split doc={r.doc_id} "
+                      f"spark=({r.component},{r.split}) "
+                      f"replay=({comp},{want})")
+    print(f"[inv] split_leakfree: {len(sl)} rows, {sl_bad} bad", flush=True)
+
+    # 7. incremental — full precision; recall on sampled batch docs
+    inc = load(outdir, "dedup_incremental")
+    inc_bad = 0
+    for r in inc.itertuples(index=False):
+        a, b2 = int(r.id_in), int(r.id_hist)
+        j = jaccard(sh[a], sh[b2])
+        if (abs(j - r.jaccard) > 5e-7 or j < THRESH
+                or a % 10 != 0 or b2 % 10 == 0):
+            inc_bad += 1
+            if inc_bad <= 5:
+                print(f"[inv] BAD incr ({a},{b2}) spark={r.jaccard} "
+                      f"replay={j}")
+    batch = [d for d in sh if d % 10 == 0]
+    bs = set(rng.sample(batch, min(1000, len(batch))))
+    hist_inv = {}
+    for d in sh:
+        if d % 10 != 0:
+            for s in sh[d]:
+                hist_inv.setdefault(s, []).append(d)
+    inc_replay = set()
+    for a in bs:
+        cands = set()
+        for s in sh[a]:
+            cands.update(hist_inv.get(s, ()))
+        for b2 in cands:
+            if jaccard(sh[a], sh[b2]) >= THRESH:
+                inc_replay.add((a, b2))
+    inc_spark_s = {(int(r.id_in), int(r.id_hist))
+                   for r in inc.itertuples(index=False)
+                   if int(r.id_in) in bs}
+    inc_miss = inc_replay - inc_spark_s
+    inc_extra = inc_spark_s - inc_replay
+    print(f"[inv] incremental: {len(inc)} rows, {inc_bad} bad; recall "
+          f"sample {len(bs)} batch docs: replay {len(inc_replay)} spark "
+          f"{len(inc_spark_s)} missed {len(inc_miss)} extra "
+          f"{len(inc_extra)}", flush=True)
+
     ok = bad == 0 and not miss and not extra and cc_bad == 0 \
         and len(comps) == len(sh) and n_comp_spark == n_comp_replay \
-        and eq_bad == 0 and len(elect) == len(expect)
+        and eq_bad == 0 and len(elect) == len(expect) \
+        and je_ok and sl_bad == 0 and len(sl) == len(sh) \
+        and inc_bad == 0 and not inc_miss and not inc_extra
     print(f"[inv] {'PASS' if ok else 'FAIL'}")
     sys.exit(0 if ok else 1)
 
