@@ -62,15 +62,18 @@ object IndexManifest {
   // collides, and gc() never reclaims the wide ones)
   private val VersionName = "v\\d{5,}".r
 
-  /** How many committed versions [[commit]] retains (current plus
-    * N−1 predecessors). Two, not one: readers resolve [[currentDir]]
-    * once and then scan lazily, so a concurrent writer's commit must
-    * not delete the version a mid-query reader is standing on. One
-    * level of retention covers one concurrent commit per in-flight
-    * read — the same single-writer contract as before, but readers no
-    * longer need to serialize against ONE mutation. Longer overlap →
-    * [[expireVersions]] with a larger keep (mirrors the catalog's
-    * history + expire-keep-N verbs).
+  /** Default for how many committed versions [[commit]] retains
+    * (current plus N−1 predecessors). Two, not one: readers resolve
+    * [[currentDir]] once and then scan lazily, so a concurrent
+    * writer's commit must not delete the version a mid-query reader
+    * is standing on. NOTE the bound this buys: one level of retention
+    * covers exactly ONE commit per in-flight read — a caller that
+    * chains mutations (append then delete) while a lazy scan is still
+    * draining unlinks that reader's version on the SECOND commit.
+    * Callers with longer reader windows pass a larger `retain` to
+    * [[commit]] (per-root, caller-chosen — the index twin of the
+    * catalog's expire-keep-N); storage is reclaimed explicitly via
+    * [[expireVersions]].
     */
   val RetainVersions = 2
 
@@ -113,18 +116,24 @@ object IndexManifest {
   }
 
   /** THE commit: prepend `version` to the committed lineage, truncate
-    * to [[RetainVersions]], write the lines to a temp file (fsynced —
-    * "crash-atomic" should cover power loss, not just process death),
-    * and rename it over `MANIFEST` atomically (posix rename replaces).
-    * Version dirs outside the retained lineage — expired ancestors and
-    * abandoned stage dirs alike — are GC'd after the flip; a crash
-    * mid-GC leaves only orphan dirs, never serveable state, and the
-    * next commit re-collects them.
+    * to `retain` versions (default [[RetainVersions]]), write the
+    * lines to a temp file (fsynced), and rename it over `MANIFEST`
+    * atomically (posix rename replaces; the parent dir is fsynced
+    * after the move so the rename survives power loss where the
+    * filesystem allows directory fsync). Version dirs outside the
+    * retained lineage — expired ancestors and abandoned stage dirs
+    * alike — are GC'd after the flip; a crash mid-GC leaves only
+    * orphan dirs, never serveable state, and the next commit
+    * re-collects them. `retain` is the reader-overlap window: a
+    * reader's resolved version survives `retain − 1` subsequent
+    * commits, so roots whose callers chain mutations under lazy
+    * readers pass the chain length + 1.
     */
-  def commit(root: String, version: String): Unit = {
+  def commit(root: String, version: String,
+      retain: Int = RetainVersions): Unit = {
     failpoint(s"commit:$root")
     val retained = (version +: history(root).filterNot(_ == version))
-      .take(RetainVersions)
+      .take(math.max(1, retain))
     writePointer(root, retained)
     gc(root)
   }
@@ -150,6 +159,18 @@ object IndexManifest {
     try ch.force(true) finally ch.close()
     java.nio.file.Files.move(tmp, pointer(root),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // The rename IS the commit: fsync the parent directory so the
+    // directory entry survives power loss too (contents-fsync alone
+    // leaves the rename in the dirty dentry cache). Best-effort —
+    // some filesystems refuse opening a directory for read; there the
+    // old pointer stays serveable, so losing the rename only rewinds
+    // to the previous committed version, never corrupts.
+    try {
+      val dir = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(root),
+        java.nio.file.StandardOpenOption.READ)
+      try dir.force(true) finally dir.close()
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Remove every version dir outside the retained lineage. */

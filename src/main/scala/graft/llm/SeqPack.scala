@@ -98,6 +98,18 @@ object SeqPack {
   def paddingReport(df: DataFrame, idCol: String, nCol: String,
       batchSize: Int): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    // the ranks bucket on (id − lo)/span integer arithmetic, so the id
+    // must actually BE numeric — a string id would cast("long") to
+    // null silently, turning "arrival order" into nondeterministic
+    // garbage ranks instead of an error
+    val idType = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"paddingReport needs an integral id column for arrival-order " +
+        s"ranking; '$idCol' is $idType")
     val base = df.select(col(idCol).cast("long").as("id"),
         col(nCol).cast("long").as("n"))
       .filter(col("n") > 0)

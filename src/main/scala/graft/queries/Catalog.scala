@@ -53,28 +53,31 @@ object Catalog {
     * flipped its rounded cent between Spark's partial-aggregate order
     * and DuckDB's scan order. Quantize each term to an integer count
     * of 1e-4 units (`round(term·10⁴)` — one identical IEEE multiply +
-    * half-away round on both engines), sum as LONG (exact,
-    * associative, plain integer adds in whole-stage codegen — a
-    * DECIMAL sum is exact too but ~10% slower through the hot
-    * aggregate), and divide back. Headroom: 2⁶³/10⁴ ≈ $9.2e14 per
-    * group — three orders above a 100 TB TPC-H's total revenue.
-    * Oracle twin:
+    * half-away round on both engines), sum as DECIMAL(38,0) (exact,
+    * associative, overflow-free to 10³⁸ scaled units ≈ $10³⁴ per
+    * group — a LONG partial would wrap SILENTLY around sf≈16k, where
+    * one group's revenue crosses 2⁶³/10⁴ ≈ $9.2e14; a 100 TB TPC-H's
+    * total lineitem revenue is ~$2e16), and divide back. The DuckDB
+    * oracle twin sums BIGINT into HUGEINT (int128), so both engines
+    * carry exact integer totals and agree on the final integer→double
+    * rounding. Oracle twin:
     * `round(CAST(sum(CAST(round(term*10000) AS BIGINT)) AS DOUBLE)
     *  / 10000.0, 2)`.
     */
   private def moneySum(term: org.apache.spark.sql.Column):
       org.apache.spark.sql.Column =
-    round(sum(round(term * lit(10000.0), 0).cast("long")).cast("double")
-      / 10000.0, 2)
+    round(sum(round(term * lit(10000.0), 0).cast("decimal(38,0)"))
+      .cast("double") / 10000.0, 2)
 
-  /** The scaled-long partial of [[moneySum]] for ratio-of-sums
+  /** The scaled-decimal partial of [[moneySum]] for ratio-of-sums
     * aggregates: exact and order-independent; divide two of these and
     * the 10⁴ scales cancel exactly (both engines run the identical
-    * long→double casts and one division).
+    * exact-integer→double casts and one division).
     */
   private def moneySumRaw(term: org.apache.spark.sql.Column):
       org.apache.spark.sql.Column =
-    sum(round(term * lit(10000.0), 0).cast("long")).cast("double")
+    sum(round(term * lit(10000.0), 0).cast("decimal(38,0)"))
+      .cast("double")
 
   /** Freshness stamp of source parquet paths (name:length:mtime of
     * every part file) — the gate that makes a persisted layout

@@ -136,8 +136,15 @@ object Streams {
     * [[runAvailableNowToParquet]] restart recovery) is unaffected.
     */
   private[graft] def ephemeralCheckpointDir(prefix: String): String = {
+    // tmpfs is RAM-capped (typically 50% of it) and full means ENOSPC,
+    // not spill — so take the fast path only with real headroom left
+    // (state-store files for these single-shot epochs are tens of MB;
+    // 2 GiB free keeps us far from both the cap and page-cache
+    // pressure). Low headroom → the normal disk temp dir, which
+    // degrades to spill instead of failing.
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite)
+    val MinFree = 2L << 30
+    if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > MinFree)
       java.nio.file.Files
         .createTempDirectory(shm.toPath, prefix).toString
     else java.nio.file.Files.createTempDirectory(prefix).toString

@@ -204,4 +204,36 @@ class IndexManifestSpec extends SparkSpec {
     assert(vdirs == Set(h.head), s"expiry left superseded dirs: $vdirs")
     assert(annServe(path) == pre, "expiry changed the served index")
   }
+
+  test("caller-chosen retain widens the reader window: three commits " +
+      "at retain=3 keep all three generations; default keeps two") {
+    val path = Files.createTempDirectory("mfst").toString + "/idx"
+    def mutate(retain: Int): String = {
+      val (v, dir) = IndexManifest.stage(path)
+      Files.writeString(java.nio.file.Paths.get(dir, "data"), v)
+      IndexManifest.commit(path, v, retain = retain)
+      v
+    }
+    def vdirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    // a lazy reader that resolved v1 survives TWO subsequent commits
+    // when the writer declares the wider window …
+    val v1 = mutate(retain = 3); val v2 = mutate(retain = 3)
+    val v3 = mutate(retain = 3)
+    assert(IndexManifest.history(path) == Seq(v3, v2, v1),
+      "retain=3 must keep all three generations, newest first")
+    assert(vdirs == Set(v1, v2, v3), s"GC broke the widened window: $vdirs")
+    assert(Files.readString(
+      java.nio.file.Paths.get(path, v1, "data")) == v1,
+      "the oldest retained generation's files must still be readable")
+    // … and the next DEFAULT commit shrinks back to current + 1
+    val v4 = mutate(retain = IndexManifest.RetainVersions)
+    assert(IndexManifest.history(path) == Seq(v4, v3))
+    assert(vdirs == Set(v3, v4), s"default retain left extras: $vdirs")
+    // retain is floored at 1 (current must always survive)
+    val v5 = mutate(retain = 0)
+    assert(IndexManifest.history(path) == Seq(v5))
+    assert(vdirs == Set(v5))
+    assert(IndexManifest.currentDir(path).endsWith(v5))
+  }
 }
