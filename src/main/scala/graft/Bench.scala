@@ -59,7 +59,14 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
+    // SPARK_GRAFT_MARK=1: print a stderr marker before each query so
+    // scheduler warnings (TaskSetManager large-task, WindowExec
+    // single-partition) in the captured log attribute to a query by
+    // position — the attribution harness for scale-signal triage.
+    val mark = sys.env.get("SPARK_GRAFT_MARK").contains("1")
     selected.foreach { case (name, fn) =>
+      if (mark) System.err.println(s"[bench] >>> $name")
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -92,6 +99,8 @@ object Bench {
         val slow = selected.filter { case (name, _) =>
           timings.get(name).exists(_ > retimeFloor) }
         slow.foreach { case (name, fn) =>
+          if (mark) System.err.println(s"[bench] >>> retime $name")
+          spark.sparkContext.setJobDescription(s"retime $name")
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()

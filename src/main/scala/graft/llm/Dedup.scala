@@ -736,17 +736,27 @@ object Dedup {
       it += 1
     }
     packed.unpersist(false)
-    bcIds.destroy()
     if (changed) {
+      bcIds.destroy()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "graph diameter exceeds the bound; raise maxIter")
     }
-    // ~100k rows/partition so a threshold-sized result never funnels
-    // through one downstream task
-    val rows = ids.indices.map(i => Row(ids(i), labels(i)))
+    // Result leaves the driver ONCE, as a torrent broadcast — NOT as a
+    // parallelized collection: parallelize embeds the rows in every
+    // task binary, re-serialized on EVERY downstream action (the
+    // memoized component frame is consumed by several queries), and at
+    // sf1 that was a 2.2 MB task the scheduler warns about. A range
+    // RDD's tasks carry only offsets; executors read the broadcast
+    // arrays by index. ~100k rows/partition so a threshold-sized
+    // result never funnels through one downstream task.
+    val bcLabels = sc.broadcast(labels)
     val slices = math.max(1, nn / 100000)
-    spark.createDataFrame(sc.parallelize(rows.toSeq, slices),
+    val rows = sc.range(0L, nn.toLong, 1L, slices).mapPartitions { idx =>
+      val (idArr, lblArr) = (bcIds.value, bcLabels.value)
+      idx.map(i => Row(idArr(i.toInt), lblArr(i.toInt)))
+    }
+    spark.createDataFrame(rows,
       StructType(Seq(StructField("id", LongType, nullable = false),
         StructField("label", LongType, nullable = false))))
   }

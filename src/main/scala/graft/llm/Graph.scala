@@ -179,12 +179,18 @@ object Graph {
       it += 1
     }
     packed.unpersist(false)
-    bcIds.destroy()
-    val rows = ids.indices.map(i => Row(ids(i), pr(i)))
-    // ~100k rows per partition so a threshold-sized result (4M nodes)
-    // doesn't funnel through one task downstream
+    // Result ships ONCE as a torrent broadcast, not as a parallelized
+    // collection (which re-embeds all rows in every task binary on
+    // every downstream action — a 6.9 MB task at sf1). Range-RDD tasks
+    // carry only offsets; ~100k rows/partition so a threshold-sized
+    // result (4M nodes) doesn't funnel through one task downstream.
+    val bcPr = sc.broadcast(pr)
     val slices = math.max(1, ids.length / 100000)
-    spark.createDataFrame(sc.parallelize(rows.toSeq, slices),
+    val rows = sc.range(0L, nn.toLong, 1L, slices).mapPartitions { idx =>
+      val (idArr, prArr) = (bcIds.value, bcPr.value)
+      idx.map(i => Row(idArr(i.toInt), prArr(i.toInt)))
+    }
+    spark.createDataFrame(rows,
       StructType(Seq(StructField("id", LongType, nullable = false),
         StructField("pr", DoubleType, nullable = false))))
   }
