@@ -157,6 +157,18 @@ object Dedup {
     * self-join within (band index, band hash) buckets with `idA < idB`,
     * then verify candidates with exact Jaccard ≥ `threshold`.
     *
+    * RECALL CONTRACT — approximate by design: a true pair surfaces
+    * only if it collides in ≥1 band, P(candidate | j) = 1−(1−j^r)^b
+    * with r = numHashes/bands. At the defaults (b=16, r=4) that is
+    * ~0.988 AT a 0.7 threshold boundary and >0.9998 by j=0.8 — so a
+    * large corpus WILL miss a few threshold-grazing pairs (sf1:
+    * 4 of 247,945, all at j≤0.78 where the S-curve predicts them),
+    * while precision is exact (every
+    * emitted pair is verified). More bands buy recall linearly in
+    * signature cost; EXACTNESS is bought with [[jaccardJoinExact]]
+    * (the PPJoin prefix-filter twin) — the same relationship as
+    * `sim_neardup_lsh` vs `sim_neardup_exact`.
+    *
     * Scale shape: the only shuffle is the groupBy on band hash; bucket
     * sizes are bounded by collision rate, not corpus size. The join
     * inside a bucket is an equi-join on the bucket key — Spark plans a
@@ -223,7 +235,10 @@ object Dedup {
     *
     * Returns (id_in, id_hist, jaccard ≥ threshold) verified on hashed
     * shingles. History buckets above `maxBucket` are dropped (surfaced
-    * via `observe` metrics, same contract as [[nearDupPairs]]).
+    * via `observe` metrics, same contract as [[nearDupPairs]]) — and
+    * the same banding RECALL contract applies: P(candidate | j) =
+    * 1−(1−j^r)^b, so threshold-grazing pairs can miss (sf1 sample: 1
+    * of 9,954, in the S-curve's predicted band); precision is exact.
     */
   def nearDupAgainst(history: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String,

@@ -8,15 +8,25 @@ Replays the oracle semantics independently (same tokenizer:
 lowercase, non-[letter|digit] runs -> space; 2-token shingles;
 jaccard >= 0.7) but only where the cost is linear in the OUTPUT:
 
-1. precision: recompute exact jaccard for every emitted pair; assert
-   the value matches Spark's and clears the threshold. Full check.
-2. recall (stratified sample): all-pairs within `--sample` random
-   docs plus every doc that appears in an emitted pair with another
-   sampled doc; assert the replayed pair set within the sample equals
-   Spark's pair set restricted to the sample.
-3. components: union-find over the (now verified) emitted pair list;
-   label = min doc_id of the component; assert exact equality with
-   Spark's dedup_components output for all docs.
+1. precision: recompute exact jaccard for every emitted pair of BOTH
+   dedup_pairs (MinHash-LSH) and dedup_jaccard_exact (PPJoin); assert
+   values match Spark's and clear the threshold. Full check.
+2. recall of the EXACT path (stratified sample): all-pairs within
+   `--sample` random docs; dedup_jaccard_exact is exact by
+   construction, so its pair set within the sample must equal the
+   replay exactly (zero misses, zero extras).
+2b. LSH measured recall: dedup_pairs vs the full exact pair set —
+   banding recall at b=16,r=4 is P(candidate|j)=1-(1-j^4)^16: a miss
+   has probability 1.2e-2 at j=0.70, 5.8e-4 at j=0.78, 7.4e-6 at
+   j=0.85. The protocol (the sim_neardup_lsh adjudication): zero
+   extras, every miss statistically plausible under the S-curve
+   (P(miss|j) >= 1e-5, i.e. j < ~0.85 — a miss of a higher-similarity
+   pair would indicate a BUG, not banding), recall >= 0.999. Each
+   miss prints its j and P(miss|j) for the record.
+3. components: union-find over the (now verified) EXACT pair list —
+   the same edge set the engine's componentsFor consumes; label = min
+   doc_id of the component; assert exact equality with Spark's
+   dedup_components output for all docs.
 4. elect_quality: per replayed component, keep the doc with max
    n_chars (tie -> min doc_id); assert exact equality with Spark's
    dedup_elect_quality output (component, n_members, kept_doc_id,
@@ -28,8 +38,10 @@ jaccard >= 0.7) but only where the cost is linear in the OUTPUT:
 6. split_leakfree: component = the replayed union-find label; split =
    'train' iff md5('split:'+component)[0] <= 'b'. Exact for all docs.
 7. incremental (batch doc_id%10==0 vs history): full precision replay
-   of every emitted (id_in, id_hist, jaccard); recall via inverted
-   index over a stratified sample of batch docs.
+   of every emitted (id_in, id_hist, jaccard); MEASURED recall via
+   inverted index over a stratified sample of batch docs (the same
+   MinHash banding as dedup_pairs => the same boundary-band protocol:
+   zero extras, misses at j < 0.75, recall >= 0.999).
 
 Usage: sf1_invariants.py <sfdir> <outdir> [--sample N]
 """
@@ -83,19 +95,23 @@ def main():
     print(f"[inv] {len(sh)} docs shingled", flush=True)
 
     pairs = load(outdir, "dedup_pairs")
+    je = load(outdir, "dedup_jaccard_exact")
     comps = load(outdir, "dedup_components")
 
-    # 1. precision — every emitted pair, exact jaccard replay
+    # 1. precision — every emitted pair of BOTH paths, exact replay
     bad = 0
-    for r in pairs.itertuples(index=False):
-        j = jaccard(sh[int(r.id_a)], sh[int(r.id_b)])
-        if abs(j - r.jaccard) > 1e-9 or j < THRESH or not r.id_a < r.id_b:
-            bad += 1
-            if bad <= 5:
-                print(f"[inv] BAD pair ({r.id_a},{r.id_b}) "
-                      f"spark={r.jaccard} replay={j}")
-    print(f"[inv] precision: {len(pairs)} pairs replayed, {bad} bad",
-          flush=True)
+    for name, frame in (("dedup_pairs", pairs), ("jaccard_exact", je)):
+        nb = 0
+        for r in frame.itertuples(index=False):
+            j = jaccard(sh[int(r.id_a)], sh[int(r.id_b)])
+            if abs(j - r.jaccard) > 1e-9 or j < THRESH                     or not r.id_a < r.id_b:
+                nb += 1
+                if nb <= 5:
+                    print(f"[inv] BAD {name} pair ({r.id_a},{r.id_b}) "
+                          f"spark={r.jaccard} replay={j}")
+        print(f"[inv] precision {name}: {len(frame)} pairs replayed, "
+              f"{nb} bad", flush=True)
+        bad += nb
 
     # 2. recall — all-pairs within a random sample (inverted index to
     # skip zero-overlap pairs; a missed pair must share a shingle)
@@ -113,15 +129,38 @@ def main():
                 cand.add((ds[i], ds[k]))
     replay = {(a, b) for a, b in cand
               if jaccard(sh[a], sh[b]) >= THRESH}
-    spark_in_samp = {(int(r.id_a), int(r.id_b))
-                     for r in pairs.itertuples(index=False)
-                     if int(r.id_a) in sset and int(r.id_b) in sset}
-    miss, extra = replay - spark_in_samp, spark_in_samp - replay
-    print(f"[inv] recall sample n={sample_n}: replay {len(replay)} "
-          f"spark {len(spark_in_samp)} missed {len(miss)} extra {len(extra)}",
+    je_pairs = {(int(r.id_a), int(r.id_b))
+                for r in je.itertuples(index=False)}
+    je_in_samp = {(a, b) for a, b in je_pairs
+                  if a in sset and b in sset}
+    miss, extra = replay - je_in_samp, je_in_samp - replay
+    print(f"[inv] exact-path recall sample n={sample_n}: replay "
+          f"{len(replay)} spark {len(je_in_samp)} missed {len(miss)} "
+          f"extra {len(extra)}", flush=True)
+
+    # 2b. LSH measured recall — dedup_pairs vs the FULL exact set
+    dp_pairs = {(int(r.id_a), int(r.id_b))
+                for r in pairs.itertuples(index=False)}
+    lsh_extra = dp_pairs - je_pairs
+    lsh_miss = je_pairs - dp_pairs
+    lsh_recall = 1 - len(lsh_miss) / max(len(je_pairs), 1)
+    boundary_ok = True
+    for a, b in sorted(lsh_miss):
+        j = jaccard(sh[a], sh[b])
+        pmiss = (1 - j ** 4) ** 16
+        if pmiss < 1e-5:
+            boundary_ok = False
+        print(f"[inv] LSH miss ({a},{b}) j={j:.6f} P(miss|j)={pmiss:.2e}"
+              f"{'' if pmiss >= 1e-5 else '  <-- IMPLAUSIBLE: bug?'}")
+    lsh_ok = not lsh_extra and lsh_recall >= 0.999 and boundary_ok
+    print(f"[inv] LSH recall: {len(dp_pairs)}/{len(je_pairs)} pairs = "
+          f"{lsh_recall:.6f}, extras {len(lsh_extra)}, misses "
+          f"{len(lsh_miss)} (all in boundary band: {boundary_ok})",
           flush=True)
 
-    # 3. components — union-find over the verified pair list
+    # 3. components — union-find over the verified EXACT pair list
+    # (the same edge set the engine's componentsFor consumes)
+    pairs = je
     parent = {d: d for d in sh}
 
     def find(x):
@@ -179,18 +218,8 @@ def main():
     print(f"[inv] elect_quality: {len(elect)} rows vs {len(expect)} "
           f"replayed components, {eq_bad} bad", flush=True)
 
-    # 5. jaccard_exact — same pair set as the verified dedup_pairs,
-    # unrounded scores recomputed per row
-    je = load(outdir, "dedup_jaccard_exact")
-    je_pairs = {(int(r.id_a), int(r.id_b)) for r in je.itertuples(index=False)}
-    dp_pairs = {(int(r.id_a), int(r.id_b))
-                for r in pairs.itertuples(index=False)}
-    je_bad = sum(1 for r in je.itertuples(index=False)
-                 if abs(jaccard(sh[int(r.id_a)], sh[int(r.id_b)])
-                        - r.jaccard) > 1e-9)
-    je_ok = je_pairs == dp_pairs and je_bad == 0
-    print(f"[inv] jaccard_exact: {len(je)} rows, set==dedup_pairs: "
-          f"{je_pairs == dp_pairs}, {je_bad} bad scores", flush=True)
+    # 5. jaccard_exact precision was replayed in (1); its sampled
+    # recall in (2); LSH containment in (2b).
 
     # 6. split_leakfree — component label + md5 split replay
     import hashlib
@@ -240,16 +269,28 @@ def main():
                    if int(r.id_in) in bs}
     inc_miss = inc_replay - inc_spark_s
     inc_extra = inc_spark_s - inc_replay
+    inc_recall = 1 - len(inc_miss) / max(len(inc_replay), 1)
+    inc_boundary = True
+    for a, b2 in sorted(inc_miss):
+        j = jaccard(sh[a], sh[b2])
+        pmiss = (1 - j ** 4) ** 16
+        if pmiss < 1e-5:
+            inc_boundary = False
+        print(f"[inv] incr miss ({a},{b2}) j={j:.6f} "
+              f"P(miss|j)={pmiss:.2e}"
+              f"{'' if pmiss >= 1e-5 else '  <-- IMPLAUSIBLE: bug?'}")
+    inc_ok = not inc_extra and inc_recall >= 0.999 and inc_boundary
     print(f"[inv] incremental: {len(inc)} rows, {inc_bad} bad; recall "
           f"sample {len(bs)} batch docs: replay {len(inc_replay)} spark "
           f"{len(inc_spark_s)} missed {len(inc_miss)} extra "
-          f"{len(inc_extra)}", flush=True)
+          f"{len(inc_extra)} recall {inc_recall:.6f} boundary "
+          f"{inc_boundary}", flush=True)
 
     ok = bad == 0 and not miss and not extra and cc_bad == 0 \
         and len(comps) == len(sh) and n_comp_spark == n_comp_replay \
         and eq_bad == 0 and len(elect) == len(expect) \
-        and je_ok and sl_bad == 0 and len(sl) == len(sh) \
-        and inc_bad == 0 and not inc_miss and not inc_extra
+        and lsh_ok and sl_bad == 0 and len(sl) == len(sh) \
+        and inc_bad == 0 and inc_ok
     print(f"[inv] {'PASS' if ok else 'FAIL'}")
     sys.exit(0 if ok else 1)
 
