@@ -22,6 +22,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
+    // SPARK_GRAFT_CONF="k=v;k=v": extra session confs (see Verify)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v): Unit
+    })
     if (master.startsWith("local-cluster")) {
       val classesDir = getClass.getProtectionDomain.getCodeSource
         .getLocation.getPath

@@ -71,6 +71,13 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
+    // SPARK_GRAFT_CONF="k=v;k=v": extra session confs for certification
+    // sweeps (e.g. spark.memory.fraction=0.2 for the memory-pressure
+    // pass — force spills, prove answers don't change)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v): Unit
+    })
     if (master.startsWith("local-cluster")) {
       val classesDir = getClass.getProtectionDomain.getCodeSource
         .getLocation.getPath
@@ -79,6 +86,27 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    // SPARK_GRAFT_SPILL_REPORT=1: sum task spill metrics across the
+    // run — the memory-pressure pass records HOW MUCH spilled alongside
+    // proving the answers stayed right
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    val spilledTasks = new java.util.concurrent.atomic.AtomicLong
+    if (sys.env.get("SPARK_GRAFT_SPILL_REPORT").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = e.taskMetrics
+            if (m != null && (m.memoryBytesSpilled > 0 ||
+                m.diskBytesSpilled > 0)) {
+              memSpill.addAndGet(m.memoryBytesSpilled): Unit
+              diskSpill.addAndGet(m.diskBytesSpilled): Unit
+              spilledTasks.incrementAndGet(): Unit
+            }
+          }
+        })
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -122,6 +150,11 @@ object Verify {
     }
     pool.shutdown()
     pool.awaitTermination(2, TimeUnit.HOURS)
+    if (sys.env.get("SPARK_GRAFT_SPILL_REPORT").contains("1"))
+      System.err.println(
+        s"[verify] spill report: tasks=${spilledTasks.get} " +
+          f"memorySpilled=${memSpill.get / 1048576.0}%.1f MiB " +
+          f"diskSpilled=${diskSpill.get / 1048576.0}%.1f MiB")
     spark.stop()
   }
 }
