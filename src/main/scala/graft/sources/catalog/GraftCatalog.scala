@@ -831,7 +831,7 @@ final class GraftMemTable(fullName: String, schema0: StructType,
           }
         }
         override def planInputPartitions(): Array[InputPartition] =
-          parts.map(rs => CatRows(rs, schemaAt)).toArray
+          parts.map(rs => CatRows.of(rs, schemaAt)).toArray
         override def createReaderFactory(): PartitionReaderFactory =
           new CatReaderFactory
         /** STREAMING READ of the catalog table — the Delta-source
@@ -1167,7 +1167,7 @@ final class CatReaderFactory extends PartitionReaderFactory {
         .ExpressionEncoder(org.apache.spark.sql.catalyst.encoders
           .RowEncoder.encoderFor(cp.schema))
         .resolveAndBind().createSerializer()
-      private val it = cp.rows.iterator
+      private val it = cp.rowIterator
       private var cur: InternalRow = _
       override def next(): Boolean = {
         val has = it.hasNext
@@ -1245,7 +1245,7 @@ final class CatMicroBatchStream(table: GraftMemTable,
     val (s0, e0) = (start.asInstanceOf[CatOffset].version,
       end.asInstanceOf[CatOffset].version)
     if (e0 <= s0) Array.empty
-    else Array(CatRows(table.appendedBetween(s0, e0), schemaAt))
+    else Array(CatRows.of(table.appendedBetween(s0, e0), schemaAt))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new CatReaderFactory
@@ -1253,11 +1253,37 @@ final class CatMicroBatchStream(table: GraftMemTable,
   override def stop(): Unit = ()
 }
 
-/** One partition carrying the snapshot (driver-memory table: the rows
-  * ship in the task closure exactly once).
+/** One partition of a driver-memory table snapshot. Small payloads
+  * ship inline in the task binary (one serialization, no broadcast
+  * round-trip for a 25-row dim); payloads past [[CatRows.InlineMaxBytes]]
+  * ship as a torrent BROADCAST instead — a task binary is serialized
+  * through the DRIVER once per task (and warns past 1 MiB; at sf1 the
+  * inline form hit 1.2 MiB and would scale with the table), while a
+  * broadcast distributes executor-to-executor and is fetched once per
+  * executor, not per task.
   */
-final case class CatRows(rows: Seq[Row], schema: StructType)
-  extends InputPartition
+final case class CatRows(inline: Seq[Row],
+    bc: Option[org.apache.spark.broadcast.Broadcast[Array[Row]]],
+    schema: StructType)
+  extends InputPartition {
+  def rowIterator: Iterator[Row] =
+    bc.map(_.value.iterator).getOrElse(inline.iterator)
+}
+
+object CatRows {
+  /** Inline-vs-broadcast cutover, comfortably under the scheduler's
+    * 1000 KiB large-task warning.
+    */
+  val InlineMaxBytes: Long = 256L << 10
+
+  def of(rows: Seq[Row], schema: StructType): CatRows = {
+    val est = rows.length.toLong * math.max(schema.defaultSize.toLong, 16L)
+    if (est <= InlineMaxBytes) CatRows(rows, None, schema)
+    else CatRows(Seq.empty,
+      Some(org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(rows.toArray)), schema)
+  }
+}
 
 /** Per-partition delta ops of a merge-on-read commit: row ids to
   * delete, (row id → replacement row) updates, and inserted rows.
