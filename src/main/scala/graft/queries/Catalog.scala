@@ -9468,30 +9468,44 @@ $union
   val q15TopSupplier = RegisteredQuery(
     "q15_top_supplier",
     (s, d) => {
+      // EQUALITY ON A FLOAT AGGREGATE IS A TRAP: `rev` is consumed
+      // twice (per-supplier join + corpus max), and a double SUM is
+      // order-dependent — at sf1 the two evaluations' partial-agg
+      // orders diverged in the last ulp and the equality matched ZERO
+      // rows (DuckDB inlining the CTE twice hit the identical bug).
+      // The revenue therefore stays a SCALED EXACT INTEGER
+      // (the moneySum quantization, decimal so it cannot wrap at any
+      // SF) until after the max-equality; only the displayed column
+      // divides back to dollars.
       val rev = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("total_revenue"))
+        .agg(sum(round(
+            col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * lit(10000.0), 0).cast("decimal(38,0)"))
+          .as("rev_scaled"))
       Tables.supplier(s, d)
         .join(rev, col("s_suppkey") === col("l_suppkey"))
-        .join(broadcast(rev.agg(max(col("total_revenue")).as("max_rev"))),
-          col("total_revenue") === col("max_rev"))
+        .join(broadcast(rev.agg(max(col("rev_scaled")).as("max_rev"))),
+          col("rev_scaled") === col("max_rev"))
         .select(col("s_suppkey"), col("s_name"),
-          round(col("total_revenue"), 2).as("total_revenue"))
+          round(col("rev_scaled").cast("double") / 10000.0, 2)
+            .as("total_revenue"))
         .orderBy(col("s_suppkey"))
     },
     Some("""WITH rev AS (
         SELECT l_suppkey,
-               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                 AS BIGINT)) AS rev_scaled
         FROM lineitem
         WHERE l_shipdate >= DATE '1996-01-01'
           AND l_shipdate < DATE '1996-04-01'
         GROUP BY l_suppkey)
-      SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+      SELECT s_suppkey, s_name,
+        round(CAST(rev_scaled AS DOUBLE) / 10000.0, 2) AS total_revenue
       FROM supplier JOIN rev ON s_suppkey = l_suppkey
-      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      WHERE rev_scaled = (SELECT max(rev_scaled) FROM rev)
       ORDER BY s_suppkey"""))
 
   /** TPC-H Q19 core (discounted revenue, disjunctive predicates): three
