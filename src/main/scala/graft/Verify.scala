@@ -127,8 +127,14 @@ object Verify {
 
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // .distinct is load-bearing: a name listed twice in slowFirst (as
+    // streaming_dedup was) submits the SAME query to the pool twice,
+    // and the two concurrent overwrite-writes to one output dir race —
+    // usually serializing cleanly, occasionally committing BOTH part
+    // files and doubling every row of the dump
     val ordered =
-      slowFirst.filter(queries.contains).map(n => n -> queries(n)) ++
+      slowFirst.distinct.filter(queries.contains)
+        .map(n => n -> queries(n)) ++
         queries.toSeq.filterNot(kv => slowFirst.contains(kv._1))
           .sortBy(_._1)
 

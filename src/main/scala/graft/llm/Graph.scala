@@ -269,7 +269,7 @@ object Graph {
     * fixed and few, so lineage stays bounded by construction).
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, broadcastThreshold: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
@@ -279,6 +279,16 @@ object Graph {
       .union(e.select(col("b").as("id")))
       .distinct().withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Label state is one (long, long) row per node — when the node set
+    // is bounded (≤ broadcastThreshold, 16 B/node = 64 MB at the
+    // default — the pageRank/connectedComponents dual-layout gate) the
+    // per-round label join BROADCASTS, so the corpus-sized edge list is
+    // never shuffled per round: each round costs one map-side broadcast
+    // probe + the (node, label) count aggregate. Above the threshold
+    // the keyed-join loop is the scale path and runs unchanged.
+    val bounded = labels.count() <= broadcastThreshold
+    def maybeBc(df: DataFrame): DataFrame =
+      if (bounded) broadcast(df) else df
     (1 to iters).foreach { _ =>
       // winner pick as an AGGREGATE, not a window: max_by over the
       // (n, −lbl) struct is exactly "most frequent, smallest label on
@@ -286,7 +296,7 @@ object Graph {
       // never ties), aggregates partially map-side, and drops the
       // per-round exchange+sort a row_number window costs
       val picked = e
-        .join(labels.select(col("id").as("b"), col("lbl")), "b")
+        .join(maybeBc(labels.select(col("id").as("b"), col("lbl"))), "b")
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("n"))
         .groupBy(col("a"))
         .agg(max_by(col("lbl"),
@@ -298,7 +308,7 @@ object Graph {
       // iteration and the final action recomputes early rounds 2^k
       // times (longer runs would swap in the durable rotating
       // checkpoints of connectedComponents)
-      labels = prev.join(picked, Seq("id"), "left")
+      labels = prev.join(maybeBc(picked), Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       labels.count(): Unit

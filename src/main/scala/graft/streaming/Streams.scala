@@ -352,10 +352,17 @@ object Streams {
           val s2 = batch.sparkSession
           val keys = graft.llm.Dedup.bandKeysPortable(batch, idCol,
             textCol, numHashes, bands).persist()
+          // window-min, not groupBy+self-join: one shuffle on band
+          // instead of two (the minhashClusters idiom) — partition
+          // size is the band bucket, bounded by collision rate
           val dupBatch = keys
-            .join(keys.groupBy(col("band"))
-              .agg(min(col("id")).as("first_id")), "band")
+            .withColumn("first_id", min(col("id")).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("band"))))
             .filter(col("id") > col("first_id")).select(col("id"))
+          // the HISTORY side stays a keyed semi join — the band store
+          // is corpus-sized at scale (never broadcastable); only the
+          // batch-bounded dup-id set below broadcasts
           val dups =
             (if (new java.io.File(storeDir).exists())
                keys.join(
@@ -364,7 +371,8 @@ object Streams {
                  Seq("band"), "left_semi").select(col("id"))
                  .union(dupBatch)
              else dupBatch).distinct()
-          batch.join(dups.withColumnRenamed("id", idCol), Seq(idCol),
+          batch.join(
+              broadcast(dups.withColumnRenamed("id", idCol)), Seq(idCol),
               "left_anti")
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           keys.select(col("band")).distinct()
