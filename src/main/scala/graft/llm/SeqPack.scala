@@ -33,11 +33,16 @@ object SeqPack {
       coalesce(sum(col(nCol)).over(
         Window.partitionBy(col("_bucket")).orderBy(col(idCol))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // the offset frame is ≤ #buckets rows BY CONSTRUCTION, so one
+    // partition is the point, not a hazard — the constant partition
+    // key states that intent (and keeps WindowExec's all-data-to-one-
+    // partition warning out of scale logs, where it would read as the
+    // exact failure this module exists to avoid)
     val offsets = b.groupBy(col("_bucket"))
       .agg(sum(col(nCol)).as("_total"))
       .withColumn("_bucket_offset",
         coalesce(sum(col("_total")).over(
-          Window.orderBy(col("_bucket"))
+          Window.partitionBy(lit(0)).orderBy(col("_bucket"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_bucket"), col("_bucket_offset"))
     local.join(broadcast(offsets), Seq("_bucket"))
@@ -156,11 +161,13 @@ object SeqPack {
     val b = df.withColumn("_rbucket", floor(bucket).cast("long"))
     val local = b.withColumn("_lrk", row_number().over(
       Window.partitionBy(col("_rbucket")).orderBy(order: _*)).cast("long"))
+    // bounded offset frame: constant partition key, same rationale as
+    // withStartOffsets
     val offsets = b.groupBy(col("_rbucket"))
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_roff",
         coalesce(sum(col("_cnt")).over(
-          Window.orderBy(col("_rbucket"))
+          Window.partitionBy(lit(0)).orderBy(col("_rbucket"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_rbucket"), col("_roff"))
     local.join(broadcast(offsets), Seq("_rbucket"))

@@ -424,10 +424,12 @@ object Vocabulary {
       val total = counted.agg(sum(col("n"))).collect().head.getLong(0)
       val kMax = ks.max
       val cum = counted.orderBy(col("n").desc, col("term")).limit(kMax)
+        // bounded frame (<= kMax rows post-limit): constant partition
+        // key, same rationale as SeqPack's offset windows
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("n").desc, col("term"))))
+          Window.partitionBy(lit(0)).orderBy(col("n").desc, col("term"))))
         .withColumn("cum", sum(col("n")).over(
-          Window.orderBy(col("rank"))
+          Window.partitionBy(lit(0)).orderBy(col("rank"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("rank"), col("cum"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -5987,16 +5987,19 @@ object Catalog {
         docs, "doc_id", "text", emb, "vec_id", "embedding",
         queryTerms = Seq("dup", "spark", "join"), queryVec = queryVec,
         nPerList = 50, k = 10)
+      // bounded frame (<= k fused rows): constant partition key,
+      // same rationale as SeqPack's offset windows
       val ranked = fused.withColumn("rrf_rank",
-        row_number().over(
-          Window.orderBy(col("rrf").desc, col("doc_id"))))
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("rrf").desc, col("doc_id"))))
       val withTok = ranked.join(
         docs.select(col("doc_id"),
           graft.llm.TextAnalysis.tokenCount(col("text")).cast("long")
             .as("n_tok")), "doc_id")
       withTok
         .withColumn("cum_tok",
-          sum(col("n_tok")).over(Window.orderBy(col("rrf_rank"))))
+          sum(col("n_tok")).over(
+            Window.partitionBy(lit(0)).orderBy(col("rrf_rank"))))
         .filter(col("cum_tok") <= 512)
         .select(col("rrf_rank"), col("doc_id"), col("n_tok"),
           col("cum_tok"), col("rrf"))
