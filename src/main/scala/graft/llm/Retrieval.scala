@@ -103,13 +103,13 @@ object Retrieval {
         // partition key states intent, silences the WindowExec
         // single-partition warning in scale logs
         row_number().over(
-          Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id")))
+          Window.partitionBy(col("id") * lit(0)).orderBy(col("score").desc, col("id")))
           .as("sparse_rank"))
     val dense = Similarity.topKBrute(emb, vecCol, embIdCol, queryVec,
         nPerList)
       .select(col(embIdCol).as("id"), round(col("score"), 6).as("ds"))
       .select(col("id"),
-        row_number().over(Window.partitionBy(lit(0))
+        row_number().over(Window.partitionBy(col("id") * lit(0))
             .orderBy(col("ds").desc, col("id")))
           .as("dense_rank"))
     def term(rank: Column): Column =

