@@ -254,8 +254,16 @@ object Dedup {
       hBands.groupBy(col("band")).agg(collect_list(col("id_hist")).as("ids")),
       size(col("ids")), maxBucket)
       .filter(size(col("ids")) <= maxBucket)
-    val candidates = iBands.join(hGrouped, Seq("band"))
-      .select(col("id_in"), explode(col("ids")).as("id_hist"))
+    // explode the capped buckets back to slim rows BEFORE the join:
+    // joining onto the array frame copies the whole member list onto
+    // every incoming band row before exploding (bucketWidth × 8 B of
+    // array duplication per hit — the similarityJoinMultiProbe ×30
+    // lesson); exploded rows keep the maxBucket cap and join emits
+    // each candidate as one slim row
+    val hRows = hGrouped.select(col("band"),
+      explode(col("ids")).as("id_hist"))
+    val candidates = iBands.join(hRows, Seq("band"))
+      .select(col("id_in"), col("id_hist"))
       .distinct() // a pair may share several bands; verify once
     val shH = history.select(col(idCol).as("id_hist"),
       hashedShingles(col(textCol), shingleK).as("sh_h"))

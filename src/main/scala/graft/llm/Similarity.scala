@@ -273,6 +273,59 @@ object Similarity {
       idCol: String, threshold: Double, dim: Int, bits: Int,
       tables: Int = 8, flipBits: Int = 3, probeHamming: Int = 2,
       seedPrefix: String = "lsh", maxBucket: Int = 1000): DataFrame = {
+    // EXACT-DUPLICATE COLLAPSE FIRST — the step that keeps candidate
+    // volume output-bound on the corpora this operator exists for.
+    // Web-scale corpora are duplicate-heavy, and bit-identical vectors
+    // have identical signatures AND probe sets in every table, so a
+    // duplicate family of size m contributes m² candidate rows per
+    // table from pure redundancy (measured: the ×30 fixture produced
+    // 189M distinct candidate pairs for an 822k-pair answer and a 52×
+    // wall blowup). Since the LSH outcome of a pair depends only on
+    // the two vectors, every member pair of two families hits or
+    // misses TOGETHER — so running the probe pipeline over one
+    // representative per distinct vector and expanding rep pairs to
+    // member pairs afterwards is bit-for-bit the same result (scores
+    // are pure functions of the two arrays), with candidate work
+    // divided by the duplication factor squared. Corpora with no
+    // exact duplicates pass through with one extra groupBy of slim
+    // (vec, id) rows.
+    val withVec = source
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(size(col("vec")) === dim)
+    val groups = withVec.groupBy(col("vec")).agg(min(col("id")).as("rep"))
+    val members = withVec.join(groups, Seq("vec"))
+      .select(col("rep"), col("id"))
+    val reps = groups.select(col("rep").as(idCol), col("vec").as(vecCol))
+    val repPairs = multiProbeDistinct(reps, vecCol, idCol, threshold,
+      dim, bits, tables, flipBits, probeHamming, seedPrefix, maxBucket)
+    // cross-family expansion: every member combo of a surviving rep
+    // pair, carrying the rep pair's score (identical arrays ⇒
+    // identical cosine). Output-bound joins on slim frames.
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("id").as("_ma")),
+        Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("id").as("_mb")),
+        Seq("id_b"))
+      .select(least(col("_ma"), col("_mb")).as("id_a"),
+        greatest(col("_ma"), col("_mb")).as("id_b"), col("score"))
+    // within-family pairs: scored once per family (cosine of the
+    // array with itself — same expression, same dirty-row behavior as
+    // the pairwise path), then fanned to the member combinations
+    val famScore = groups.select(col("rep"),
+      cosineNative(col("vec"), col("vec")).as("score"))
+    val within = members.select(col("rep"), col("id").as("id_a"))
+      .join(members.select(col("rep"), col("id").as("id_b")), Seq("rep"))
+      .filter(col("id_a") < col("id_b"))
+      .join(famScore, Seq("rep"))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+    cross.unionByName(within)
+  }
+
+  private def multiProbeDistinct(source: DataFrame, vecCol: String,
+      idCol: String, threshold: Double, dim: Int, bits: Int,
+      tables: Int, flipBits: Int, probeHamming: Int,
+      seedPrefix: String, maxBucket: Int): DataFrame = {
     import graft.functions.GraftFunctions
     val v = col(vecCol).cast("array<double>")
     val planeSets = (0 until tables)
@@ -305,10 +358,20 @@ object Similarity {
         .agg(collect_list(col("id")).as("ids")),
       size(col("ids")), maxBucket, "graft_multiprobe_buckets")
       .filter(size(col("ids")) <= maxBucket)
+    // EXPLODE BEFORE THE JOIN, not after: joining probes onto the
+    // bucket-array frame copies the whole ids array onto EVERY matched
+    // probe row before the explode — at a duplicate-heavy corpus
+    // (members × copies share one bucket) that is probeRows ×
+    // bucketWidth × 8 B of array duplication through the join (~16 GB
+    // at the ×30 fixture, measured as task-page allocation failures
+    // and a 52× wall blowup). Exploded bucket rows are the same
+    // cardinality as `slim` (≤ n·tables), and the join then EMITS each
+    // candidate as one 24 B row instead of materializing arrays.
+    val bucketRows = buckets.select(col("table"), col("sig"),
+      explode(col("ids")).as("id_s"))
     val candRaw = probes
       .select(col("table"), col("sig"), col("id").as("id_p"))
-      .join(buckets, Seq("table", "sig"))
-      .select(col("id_p"), explode(col("ids")).as("id_s"))
+      .join(bucketRows, Seq("table", "sig"))
       .filter(col("id_p") =!= col("id_s"))
       .select(least(col("id_p"), col("id_s")).as("id_a"),
         greatest(col("id_p"), col("id_s")).as("id_b"))
