@@ -346,4 +346,58 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.length == 3 && cents.forall(_.length == 2))
   }
 
+  test("multiprobe join collapses exact-duplicate families: member " +
+      "pairs complete, scores equal the representative pair's") {
+    // 6 distinct base vectors, each replicated into a family of 4
+    // bit-identical copies (ids interleaved so reps aren't contiguous)
+    val rnd = new java.util.Random(11)
+    val bases = (0 until 6).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val rows = for {
+      b <- bases.indices
+      c <- 0 until 4
+    } yield ((c * 6 + b).toLong, bases(b).toSeq)
+    val df = rows.toDF("id", "vec")
+    val found = Similarity.similarityJoinMultiProbe(df, "vec", "id",
+        threshold = 0.2, dim = 16, bits = 4, tables = 8,
+        flipBits = 3, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPair = found.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byPair.size == found.length, "duplicate output rows")
+    assert(found.forall { case (a, b, _) => a < b }, "unordered pair ids")
+    def fam(id: Long): Int = (id % 6).toInt
+    // 1. WITHIN-family: all C(4,2)=6 member pairs per family, score 1.0
+    for (b <- bases.indices) {
+      val ids = (0 until 4).map(c => (c * 6 + b).toLong).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) {
+        val sc = byPair.get((ids(i), ids(j)))
+        assert(sc.isDefined, s"missing within-family pair (${ids(i)},${ids(j)})")
+        assert(math.abs(sc.get - 1.0) < 1e-9, s"within-family score $sc")
+      }
+    }
+    // 2. CROSS-family: for every found cross pair, ALL 16 member combos
+    // of the two families are present with the IDENTICAL score (bit-
+    // for-bit — pure function of the two arrays)
+    val crossFams = found.collect {
+      case (a, b, s) if fam(a) != fam(b) =>
+        (math.min(fam(a), fam(b)), math.max(fam(a), fam(b))) -> s
+    }
+    crossFams.groupBy(_._1).foreach { case ((fa, fb), hits) =>
+      assert(hits.length == 16,
+        s"family pair ($fa,$fb): ${hits.length} member combos, want 16")
+      assert(hits.map(_._2).distinct.length == 1,
+        s"family pair ($fa,$fb): member scores diverge")
+    }
+    // 3. every emitted score really clears the threshold, and every
+    // score matches the exact cosine of the two base vectors
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    found.foreach { case (a, b, s) =>
+      assert(s >= 0.2, s"pair ($a,$b) below threshold: $s")
+      assert(math.abs(s - cos(bases(fam(a)), bases(fam(b)))) < 1e-9,
+        s"pair ($a,$b) score $s != exact cosine")
+    }
+  }
+
 }
