@@ -23,10 +23,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
     // SPARK_GRAFT_CONF="k=v;k=v": extra session confs (see Verify)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v): Unit
-    })
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val parts = kv.split("=", 2)
+        require(parts.length == 2 && parts(0).nonEmpty,
+          s"bad SPARK_GRAFT_CONF entry (want k=v): '$kv'")
+        builder.config(parts(0), parts(1)): Unit
+      })
     if (master.startsWith("local-cluster")) {
       val classesDir = getClass.getProtectionDomain.getCodeSource
         .getLocation.getPath

@@ -99,17 +99,19 @@ object Retrieval {
     val sparse = Vocabulary.bm25(docs, idCol, textCol, queryTerms,
         topK = nPerList)
       .select(col("id"),
-        // bounded frame (<= nPerList rows post-topK): constant
-        // partition key states intent, silences the WindowExec
+        // bounded frame (<= nPerList rows post-topK): non-foldable
+        // null-robust constant key (pmod∘hash — hash never returns
+        // null) states intent, silences the WindowExec
         // single-partition warning in scale logs
         row_number().over(
-          Window.partitionBy(col("id") * lit(0)).orderBy(col("score").desc, col("id")))
+          Window.partitionBy(pmod(hash(col("id")), lit(1)))
+            .orderBy(col("score").desc, col("id")))
           .as("sparse_rank"))
     val dense = Similarity.topKBrute(emb, vecCol, embIdCol, queryVec,
         nPerList)
       .select(col(embIdCol).as("id"), round(col("score"), 6).as("ds"))
       .select(col("id"),
-        row_number().over(Window.partitionBy(col("id") * lit(0))
+        row_number().over(Window.partitionBy(pmod(hash(col("id")), lit(1)))
             .orderBy(col("ds").desc, col("id")))
           .as("dense_rank"))
     def term(rank: Column): Column =

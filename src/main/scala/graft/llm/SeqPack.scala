@@ -38,14 +38,17 @@ object SeqPack {
     // key states that intent and keeps WindowExec's all-data-to-one-
     // partition warning out of scale logs, where it would read as the
     // exact failure this module exists to avoid. It must be
-    // NON-FOLDABLE (column × 0, not lit(0)): the optimizer's
-    // EliminateWindowPartitions strips foldable partition keys and
-    // the warning returns
+    // NON-FOLDABLE (the optimizer's EliminateWindowPartitions strips
+    // foldable partition keys and the warning returns) and NULL-ROBUST
+    // (col × 0 is NULL on a null input, silently splitting null-keyed
+    // rows into a second partition): pmod(hash(col), 1) is both —
+    // hash never returns null, pmod(_, 1) is always 0
     val offsets = b.groupBy(col("_bucket"))
       .agg(sum(col(nCol)).as("_total"))
       .withColumn("_bucket_offset",
         coalesce(sum(col("_total")).over(
-          Window.partitionBy(col("_bucket") * lit(0)).orderBy(col("_bucket"))
+          Window.partitionBy(pmod(hash(col("_bucket")), lit(1)))
+            .orderBy(col("_bucket"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_bucket"), col("_bucket_offset"))
     local.join(broadcast(offsets), Seq("_bucket"))
@@ -164,13 +167,14 @@ object SeqPack {
     val b = df.withColumn("_rbucket", floor(bucket).cast("long"))
     val local = b.withColumn("_lrk", row_number().over(
       Window.partitionBy(col("_rbucket")).orderBy(order: _*)).cast("long"))
-    // bounded offset frame: constant partition key, same rationale as
-    // withStartOffsets
+    // bounded offset frame: non-foldable null-robust constant key,
+    // same rationale as withStartOffsets
     val offsets = b.groupBy(col("_rbucket"))
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_roff",
         coalesce(sum(col("_cnt")).over(
-          Window.partitionBy(col("_rbucket") * lit(0)).orderBy(col("_rbucket"))
+          Window.partitionBy(pmod(hash(col("_rbucket")), lit(1)))
+            .orderBy(col("_rbucket"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_rbucket"), col("_roff"))
     local.join(broadcast(offsets), Seq("_rbucket"))

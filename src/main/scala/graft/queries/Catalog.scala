@@ -5987,10 +5987,10 @@ object Catalog {
         docs, "doc_id", "text", emb, "vec_id", "embedding",
         queryTerms = Seq("dup", "spark", "join"), queryVec = queryVec,
         nPerList = 50, k = 10)
-      // bounded frame (<= k fused rows): constant partition key,
-      // same rationale as SeqPack's offset windows
+      // bounded frame (<= k fused rows): non-foldable null-robust
+      // constant key, same rationale as SeqPack's offset windows
       val ranked = fused.withColumn("rrf_rank",
-        row_number().over(Window.partitionBy(col("doc_id") * lit(0))
+        row_number().over(Window.partitionBy(pmod(hash(col("doc_id")), lit(1)))
           .orderBy(col("rrf").desc, col("doc_id"))))
       val withTok = ranked.join(
         docs.select(col("doc_id"),

@@ -1277,7 +1277,43 @@ object CatRows {
   val InlineMaxBytes: Long = 256L << 10
 
   def of(rows: Seq[Row], schema: StructType): CatRows = {
-    val est = rows.length.toLong * math.max(schema.defaultSize.toLong, 16L)
+    // defaultSize charges a fixed ~20 bytes per string/binary field, so
+    // a few rows of large text could blow past the cutover while still
+    // "estimating" small and re-trigger the large-task warning this
+    // split exists to avoid — measure variable-width values for real
+    val fixed = schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.StringType |
+            org.apache.spark.sql.types.BinaryType |
+            _: org.apache.spark.sql.types.ArrayType |
+            _: org.apache.spark.sql.types.MapType |
+            _: org.apache.spark.sql.types.StructType => 0L
+        case dt => dt.defaultSize.toLong
+      }
+    }
+    def varWidth(v: Any): Long = v match {
+      case null                => 0L
+      case s: String           => 2L * s.length + 16
+      case b: Array[Byte]      => b.length.toLong + 16
+      case a: scala.collection.Seq[_] => 16L + a.iterator.map(varWidth).sum
+      case m: scala.collection.Map[_, _] =>
+        16L + m.iterator.map { case (k, u) => varWidth(k) + varWidth(u) }.sum
+      case r: Row              => 16L + r.toSeq.map(varWidth).sum
+      case _                   => 8L
+    }
+    val fixedPerRow = fixed.sum + 16L
+    var est = 0L
+    val it = rows.iterator
+    while (est <= InlineMaxBytes && it.hasNext) {
+      val r = it.next()
+      var vw = 0L
+      var i = 0
+      while (i < schema.length && i < r.length) {
+        if (fixed(i) == 0L) vw += varWidth(r.get(i))
+        i += 1
+      }
+      est += fixedPerRow + vw
+    }
     if (est <= InlineMaxBytes) CatRows(rows, None, schema)
     else CatRows(Seq.empty,
       Some(org.apache.spark.sql.SparkSession.active.sparkContext

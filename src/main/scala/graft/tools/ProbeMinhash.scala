@@ -54,6 +54,8 @@ object ProbeMinhash {
       // warm once (JIT/codegen), then time: the probe compares mults
       // against each other, so per-mult constant costs must not be
       // JIT noise from whichever mult runs first
+      Dedup.minhashClustersPortable(
+        docs, "doc_id", "text", numHashes = 8, bands = 4).count(): Unit
       val t0 = System.nanoTime()
       val rows = Dedup.minhashClustersPortable(
         docs, "doc_id", "text", numHashes = 8, bands = 4).count()

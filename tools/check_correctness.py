@@ -12,13 +12,59 @@ Usage: python3 check_correctness.py <sfdir> <outdir> [only]
   recursive-CTE components) from the cheap tail. With --times, each
   oracle's wall seconds stream to stderr as they finish.
 """
-import json, sys, math, time
+import hashlib, json, os, sys, math, time
 
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+CACHE_DIR = os.environ.get("ORACLE_CACHE_DIR",
+                           "/root/repo/target/oracle_cache")
+
+
+def fixture_stamp(sfdir):
+    """Content stamp of the fixture: (name, size, mtime_ns) of every
+    table parquet. Keys the oracle-result cache — a regenerated fixture
+    invalidates every cached oracle automatically."""
+    parts = []
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+        except FileNotFoundError:
+            parts.append(f"{t}:missing")
+    return ";".join(parts)
+
+
+def cached_oracle(con, sql, stamp):
+    """DuckDB oracle result with a parquet cache keyed by
+    md5(sql + fixture stamp). sf1 certification reruns cost minutes
+    warm instead of hours (dedup_simhash_pairs alone was 695 s cold).
+
+    A cache entry is committed only if it round-trips to the SAME
+    frame_sig as the live fetchdf result — parquet can change nested
+    cell representations (dict vs struct-array), and a warm run must
+    never flip a verdict the cold run would have given."""
+    key = hashlib.md5((sql + "\n--stamp--\n" + stamp)
+                      .encode()).hexdigest()
+    path = f"{CACHE_DIR}/{key}.parquet"
+    if os.path.exists(path):
+        return pd.read_parquet(path)
+    odf = con.execute(sql).fetchdf()
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        odf.to_parquet(tmp)
+        if frame_sig(pd.read_parquet(tmp)) == frame_sig(odf):
+            os.replace(tmp, path)
+        else:
+            os.unlink(tmp)
+    except Exception:
+        pass  # cache is an optimization; uncacheable dtypes just rerun
+    return odf
 
 
 def norm_cell(v):
@@ -28,7 +74,7 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.10g}"
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
@@ -74,11 +120,12 @@ def main(sfdir, outdir, only=None, times=False):
         exclude = all(n.endswith("!") for n in only.split(","))
         oracle = {k: v for k, v in oracle.items()
                   if (k not in names) == exclude}
+    stamp = fixture_stamp(sfdir)
     results = {}
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
         try:
-            odf = con.execute(sql).fetchdf()
+            odf = cached_oracle(con, sql, stamp)
         except Exception as e:
             results[name] = {"status": "oracle_error", "err": str(e)[:200]}
             continue

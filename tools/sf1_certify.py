@@ -19,10 +19,23 @@ replacement protocol instead:
     fuzzy_join_names, blocked numpy cosine for sim_neardup_exact) and
     asserts set+score equality — exact, not sampled.
 
+The replacement protocols are RUN by this script, not assumed:
+sf1_invariants.py and sf1_replay_extra.py are subprocessed once each
+and their exit status propagates into the per-query rows — a failing
+(or missing) replay tool marks its queries FAILED, never 'ok'.
+sim_neardup_lsh's measured-recall protocol is a one-off adjudication
+recorded in BASELINE.md, not a rerunnable script, so its row says
+'delegated' (counted separately in the summary, never in 'ok').
+
 Every query gets a row in CORRECTNESS_sf1.json:
-  {"status": "ok" | "MISMATCH" | "TIMEOUT" | "ERROR",
-   "via": "duckdb" | "invariants" | "measured-recall",
+  {"status": "ok" | "delegated" | "MISMATCH" | "TIMEOUT" | "ERROR"
+             | "FAILED",
+   "via": "duckdb" | "invariants" | "replay" | "measured-recall",
    "secs": float}
+
+Oracle results are cached by check_correctness.py keyed by
+(sql, fixture stamp) under target/oracle_cache — a warm
+recertification costs minutes, not hours.
 
 Usage: sf1_certify.py <sfdir> <outdir> [--timeout SECS] [--only a,b]
 """
@@ -59,23 +72,50 @@ def main():
     if only:
         names = [n for n in names if n in only]
     results = {}
+
+    def run_protocol(tool, label, members, extra=None):
+        """Run a replacement-protocol tool once; its exit status is the
+        verdict for every member query. 'ok' is only ever written on an
+        actual exit-0 this run."""
+        t0 = time.time()
+        try:
+            p = subprocess.run(
+                [sys.executable, f"{HERE}/{tool}", sfdir, outdir]
+                + (extra or []),
+                capture_output=True, text=True, timeout=timeout * 4)
+            st = "ok" if p.returncode == 0 else "FAILED"
+            detail = None if p.returncode == 0 else \
+                (p.stdout + p.stderr)[-400:]
+        except subprocess.TimeoutExpired:
+            st, detail = "TIMEOUT", None
+        except FileNotFoundError as e:
+            st, detail = "FAILED", str(e)
+        secs = round(time.time() - t0, 1)
+        print(f"[protocol] {tool} -> {st} ({secs}s)", flush=True)
+        for m in members:
+            row = {"status": st, "via": label, "secs": secs}
+            if detail:
+                row["detail"] = detail
+            results[m] = row
+
+    inv = [n for n in names if n in INVARIANTS]
+    if inv:
+        run_protocol("sf1_invariants.py", "invariants", inv)
+    rep = [n for n in names if n in REPLAY]
+    if rep:
+        run_protocol("sf1_replay_extra.py", "replay", rep)
+    for n in (m for m in names if m in MEASURED):
+        # adjudicated once against the exact twin (BASELINE.md r12:
+        # recall 0.9956 with per-block structure analysis); no
+        # rerunnable script exists, so never claim 'ok' here
+        results[n] = {"status": "delegated", "via": "measured-recall",
+                      "secs": 0.0,
+                      "detail": "BASELINE.md sim_neardup_lsh recall "
+                                "protocol (r12)"}
+        print(f"[protocol] {n}: delegated (measured-recall)", flush=True)
+
     for i, name in enumerate(names):
-        if name in INVARIANTS:
-            results[name] = {"status": "ok", "via": "invariants",
-                             "secs": 0.0}
-            print(f"[{i+1}/{len(names)}] {name}: -> invariants",
-                  flush=True)
-            continue
-        if name in MEASURED:
-            results[name] = {"status": "ok", "via": "measured-recall",
-                             "secs": 0.0}
-            print(f"[{i+1}/{len(names)}] {name}: -> measured-recall",
-                  flush=True)
-            continue
-        if name in REPLAY:
-            results[name] = {"status": "ok", "via": "replay",
-                             "secs": 0.0}
-            print(f"[{i+1}/{len(names)}] {name}: -> replay", flush=True)
+        if name in INVARIANTS or name in MEASURED or name in REPLAY:
             continue
         t0 = time.time()
         try:
@@ -102,10 +142,13 @@ def main():
               f"{results[name]['status']} ({results[name]['secs']}s)",
               flush=True)
     ok = sum(1 for r in results.values() if r["status"] == "ok")
+    delegated = sorted(n for n, r in results.items()
+                       if r["status"] == "delegated")
     summary = {
         "sf": sfdir, "n": len(results), "ok": ok,
+        "delegated": delegated,
         "not_ok": sorted(n for n, r in results.items()
-                         if r["status"] != "ok"),
+                         if r["status"] not in ("ok", "delegated")),
         "via_counts": {},
     }
     for r in results.values():
@@ -113,7 +156,9 @@ def main():
             summary["via_counts"].get(r["via"], 0) + 1
     with open("CORRECTNESS_sf1.json", "w") as f:
         json.dump({"summary": summary, "queries": results}, f, indent=1)
-    print(f"\n{ok}/{len(results)} ok -> CORRECTNESS_sf1.json", flush=True)
+    print(f"\n{ok}/{len(results)} ok"
+          f" (+{len(delegated)} delegated) -> CORRECTNESS_sf1.json",
+          flush=True)
 
 
 if __name__ == "__main__":
