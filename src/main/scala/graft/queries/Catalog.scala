@@ -10054,6 +10054,37 @@ $union
         round(sum(value), 2) AS total_value
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Durable-checkpoint CRASH-RESUME certification as a registered
+    * query: the events fixture staged into four time-ordered files is
+    * run through the watermarked hourly aggregation (complete mode,
+    * idempotent snapshot sink) with a sabotage crash injected inside
+    * epoch 1 — output written, commit suppressed, query dead — then
+    * the WHOLE plan is rebuilt from scratch on a fresh session and
+    * resumed from the durable checkpoint: the engine re-runs the
+    * uncommitted epoch against its recovered state-store version and
+    * drains the rest. The oracle is the batch twin, so a green row
+    * here means exactly-once across a mid-stream crash — recovered
+    * state neither lost (undercount) nor double-applied (overcount).
+    */
+  val streamingResume = RegisteredQuery(
+    "streaming_resume",
+    (s, d) => {
+      import graft.streaming.Streams
+      val staged = Streams.stageEventsParts(s, s"$d/events.parquet", 4)
+      // tmpfs-backed when free: the checkpoint survives PROCESS death
+      // there just the same (the spec's JVM-halt test resumes across
+      // processes), and the 7 durable epoch commits skip disk fsyncs
+      val work = Streams.ephemeralCheckpointDir("graft_resume_q")
+      Streams.resumeCertified(s,
+          sess => Streams.hourlyAgg(Streams.pacedStream(sess, staged)),
+          work, "streaming_resume", crashAfterBatch = 1L,
+          complete = true)
+        .orderBy(col("hour_start"))
+    },
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+      count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1 ORDER BY hour_start"""))
+
   /** Weekly cohort retention over the events stream: users are
     * cohorted by the week of their first event; each (cohort, week
     * offset) cell counts the distinct users still active. Two shuffles
@@ -10261,7 +10292,8 @@ $union
     lookupMinmaxSkip, cohortRetention, dqChecks,
     streamingHourly,
     streamingSliding, streamingSessions, streamingDedup, streamingJoin,
-    streamingHll, streamingRunningTotals, streamingJoinOuter,
+    streamingHll, streamingRunningTotals, streamingResume,
+    streamingJoinOuter,
     streamingJoinFull, streamingJoinSemi, streamingCdc,
     streamingIndexAppend, streamingBm25Append, streamingDedupMinhash,
     streamingQualityRouter, streamingMergeUpsert,

@@ -798,6 +798,182 @@ object Streams {
     q.awaitTermination()
   }
 
+  // ──────────────────── durable crash-resume ────────────────────
+
+  private val stagedPartsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage a fixture parquet FILE as `parts` time-ordered files in a
+    * fresh directory (memoized per (file, parts, dupEvery, stamp)) —
+    * the paced multi-epoch source shape for durable-resume runs.
+    * Splitting on the GLOBAL ts order makes the watermark advance
+    * monotonically across epochs, so any watermarked operator
+    * downstream behaves identically on every uninterrupted or resumed
+    * run. With `dupEvery > 0`, every dupEvery-th row (by event_id) is
+    * ALSO appended to the last part — redelivered duplicates that
+    * span every earlier epoch, so a dedup operator's recovered state
+    * is what suppresses them after a crash.
+    */
+  def stageEventsParts(spark: SparkSession, parquetFile: String,
+      parts: Int, dupEvery: Int = 0): String = {
+    require(parts >= 2, s"need >=2 parts for multi-epoch pacing, got $parts")
+    stagedPartsCache.computeIfAbsent(
+      s"$parquetFile|$parts|$dupEvery|${fileStamp(parquetFile)}", _ => {
+        val d = java.nio.file.Files.createTempDirectory("events_parts")
+        val full = graft.sources.Tables.normalizeEventsTs(spark,
+          spark.read.parquet(parquetFile), parquetFile)
+        // contiguous time slices of equal row count: ntile over the
+        // global (ts, event_id) order — a one-partition sort, fine at
+        // staging volume, and fully deterministic
+        val sliced = full.withColumn("_slice",
+          ntile(parts).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"), col("event_id"))))
+        def stage(df: DataFrame, name: String): Unit = {
+          val tmp = d.resolve(name + "_tmp")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath, d.resolve(name)): Unit
+        }
+        (1 to parts).foreach { p =>
+          val slice = sliced.filter(col("_slice") === p).drop("_slice")
+          val withDups =
+            if (p == parts && dupEvery > 0)
+              slice.unionAll(full
+                .filter(pmod(col("event_id"), lit(dupEvery)) === 0))
+            else slice
+          stage(withDups, f"part-${p - 1}%02d.parquet")
+        }
+        d.toString
+      })
+  }
+
+  /** Open a staged parts directory as a file stream paced at
+    * `filesPerTrigger` files per micro-batch — one epoch per staged
+    * part by default.
+    */
+  def pacedStream(spark: SparkSession, dir: String,
+      filesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .option("latestFirst", "false")
+      .parquet(dir)
+
+  /** Marker for the deliberate crash a resume certification injects
+    * inside an epoch — after the batch's output landed, before its
+    * commit: the widest window at-least-once execution leaves open,
+    * and exactly the one idempotent output must close.
+    */
+  final class ResumeSabotage(val batchId: Long) extends RuntimeException(
+    s"resume-certification sabotage: epoch $batchId output written, commit suppressed")
+
+  /** Whether `t`'s cause chain contains a [[ResumeSabotage]] (the
+    * engine wraps foreachBatch failures in StreamingQueryException and
+    * foreach-batch user-function wrappers).
+    */
+  def isSabotage(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(_.isInstanceOf[ResumeSabotage])
+
+  /** One ATTEMPT of a durable availableNow run into an idempotent
+    * foreachBatch parquet sink. Append mode writes each epoch to its
+    * own `batch=<id>` dir (a retried epoch rewrites the same path);
+    * complete mode overwrites one `snapshot` dir per epoch (the last
+    * committed epoch's full result IS the end state). `sabotage`
+    * runs INSIDE the epoch after the batch's output is written and
+    * before the epoch commits; throwing there kills the query with
+    * that epoch uncommitted. `stopAfterBatch >= 0` instead stops the
+    * query gracefully once that epoch's progress is reported —
+    * the clean-shutdown flavor of interruption.
+    */
+  def resumableAttempt(streamed: DataFrame, sinkDir: String,
+      ckptDir: String, queryName: String, complete: Boolean = false,
+      sabotage: Long => Unit = _ => (),
+      stopAfterBatch: Long = -1L): Unit = {
+    val q = streamed.writeStream
+      .queryName(queryName)
+      .outputMode(
+        if (complete) OutputMode.Complete() else OutputMode.Append())
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dir = if (complete) s"$sinkDir/snapshot"
+                  else s"$sinkDir/batch=$batchId"
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(dir)
+        sabotage(batchId)
+      }
+      .start()
+    if (stopAfterBatch >= 0L) {
+      while (q.isActive &&
+          !q.recentProgress.exists(_.batchId >= stopAfterBatch))
+        Thread.sleep(20)
+      q.stop()
+    }
+    q.awaitTermination()
+  }
+
+  /** Read the end state a resumable run assembled: the complete-mode
+    * snapshot, or the union of all committed append-mode epoch dirs.
+    */
+  def readResumableSink(spark: SparkSession, sinkDir: String,
+      complete: Boolean): DataFrame =
+    if (complete) spark.read.parquet(s"$sinkDir/snapshot")
+    else {
+      val dirs = Option(new java.io.File(sinkDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.toString).sorted
+      require(dirs.nonEmpty, s"no committed epochs under $sinkDir")
+      spark.read.parquet(dirs.toIndexedSeq: _*)
+    }
+
+  /** Crash-and-resume certification harness. Attempt 1 runs the
+    * stream with a sabotage crash injected inside epoch
+    * `crashAfterBatch` — output written, commit suppressed, query
+    * dead. Attempt 2 rebuilds the WHOLE plan from scratch via
+    * `mkStream` on a fresh isolated session (new SQLConf, re-analysis
+    * — nothing of attempt 1's in-memory query survives) and resumes
+    * from the durable checkpoint: the engine re-runs the uncommitted
+    * epoch against its recovered state-store version (same batch id,
+    * same offsets, rewriting the same idempotent output path) and
+    * then drains the remaining input. Returns the assembled end
+    * state, which must equal an uninterrupted run's — that equality
+    * is exactly-once across a crash.
+    */
+  def resumeCertified(spark: SparkSession,
+      mkStream: SparkSession => DataFrame, workDir: String,
+      name: String, crashAfterBatch: Long,
+      complete: Boolean = false, statePartitions: Int = 8): DataFrame = {
+    val ckpt = s"$workDir/ckpt"
+    // state-partition sizing, same rationale as
+    // runAvailableNowWithPartitions: each epoch instantiates one state
+    // store per shuffle partition per stateful operator, and the
+    // checkpoint pins the count — both attempts must agree, so both
+    // ride isolated sessions carrying the same override
+    val conf = Map("spark.sql.shuffle.partitions" -> statePartitions.toString)
+    val s1 = graft.core.Sessions.isolated(spark, conf)
+    val crashed =
+      try {
+        resumableAttempt(mkStream(s1), s"$workDir/sink", ckpt,
+          s"${name}_crash", complete,
+          sabotage = id =>
+            if (id == crashAfterBatch) throw new ResumeSabotage(id))
+        false
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if isSabotage(e) => true
+      }
+    require(crashed,
+      s"sabotage at epoch $crashAfterBatch never fired — input produced " +
+        "too few epochs for the crash window this certification needs")
+    val fresh = graft.core.Sessions.isolated(spark, conf)
+    resumableAttempt(mkStream(fresh), s"$workDir/sink", ckpt,
+      s"${name}_resume", complete)
+    readResumableSink(spark, s"$workDir/sink", complete)
+  }
+
   /** Run with stateful-shuffle parallelism right-sized for the stream:
     * a streaming query pins `spark.sql.shuffle.partitions` at start and
     * instantiates one state store per partition per stateful operator
