@@ -15,9 +15,14 @@ package graft.llm
   * fully-committed version:
   *
   *   - crash while STAGING → the pointer still names the old version;
-  *     the half-written stage dir is invisible garbage (GC'd by the
-  *     next successful commit);
+  *     the half-written `stage-v*` dir is invisible garbage (GC'd by
+  *     the first commit after it ages past [[StageTtlMs]] — never
+  *     sooner, because a fresh stage dir may be a concurrent builder
+  *     mid-build);
   *   - crash BETWEEN staging and commit → same;
+  *   - crash inside commit after the stage dir's rename but before
+  *     the pointer write → an unreferenced `v*` dir, invisible to
+  *     readers, reaped by the next commit's GC;
   *   - crash AFTER the pointer rename → the new version serves; the
   *     superseded dir is garbage until GC.
   *
@@ -28,13 +33,36 @@ package graft.llm
   * injects failures at the commit failpoint and pins serve
   * bit-equality to either side.
   *
-  * Concurrency contract: commits retain the superseded version
-  * ([[RetainVersions]]), so a reader that resolved [[currentDir]]
-  * before a commit finishes its lazy scan against intact files — one
-  * concurrent commit per in-flight read is safe. Storage is reclaimed
-  * by [[expireVersions]] (explicit, like the catalog's
-  * expire-keep-N), never by the commit racing the reader. Writers
-  * still serialize with each other (single-writer per index root).
+  * Concurrency contract (readers): commits retain the superseded
+  * version ([[RetainVersions]]), so a reader that resolved
+  * [[currentDir]] before a commit finishes its lazy scan against
+  * intact files — one concurrent commit per in-flight read is safe.
+  * Storage is reclaimed by [[expireVersions]] (explicit, like the
+  * catalog's expire-keep-N), never by the commit racing the reader.
+  *
+  * Concurrency contract (writers): two builders racing one root are
+  * SAFE and serialize at three points —
+  *
+  *   - [[stage]] reserves its version number with an atomic mkdir
+  *     (`stage-v<N>/`), so concurrent stagers never share a dir;
+  *   - staged dirs are invisible to a concurrent commit's GC until
+  *     [[StageTtlMs]] old — a racing builder's in-progress work is
+  *     never reaped under it;
+  *   - [[commit]] runs under a per-root lock (in-process monitor +
+  *     cross-process file lock on `COMMIT_LOCK`): the lineage is
+  *     re-read inside the critical section, so the resulting order is
+  *     last-commit-wins with EVERY committed version retained in the
+  *     lineage (up to `retain`) — a concurrent commit can reorder, but
+  *     never lose or corrupt, a committed version.
+  *
+  * Last-commit-wins means a commit staged against a base that a
+  * concurrent writer superseded still lands (its content simply does
+  * not include the other writer's delta — both versions stay on disk
+  * in the lineage). Callers that need compare-and-swap semantics
+  * instead pass `expectedBase` to [[commit]]: the commit then fails
+  * with [[ConcurrentCommitException]] if the current version is no
+  * longer the one the stage was built from, leaving the staged dir
+  * intact for a rebase-and-retry.
   *
   * Scale note: hard links assume the local/posix filesystem the
   * single-node indexes live on; the 100 TB object-store deployment
@@ -44,8 +72,50 @@ package graft.llm
   * instead of a directory scan. The commit protocol is identical; only
   * the carry-forward mechanism changes.
   */
+/** A CAS commit found the root's current version moved underneath it:
+  * the staged version was built from `expectedBase`, but `actual` is
+  * now committed. The staged dir is left intact — rebase and retry.
+  */
+final class ConcurrentCommitException(root: String,
+    expectedBase: Option[String], actual: Option[String])
+  extends RuntimeException(
+    s"concurrent commit at $root: staged against base $expectedBase " +
+      s"but current is $actual")
+
 object IndexManifest {
   val PointerFile = "MANIFEST"
+  val LockFile = "COMMIT_LOCK"
+
+  /** Age past which an uncommitted stage dir is considered abandoned
+    * and eligible for GC. Generous by design: a concurrent builder's
+    * stage must never be reaped mid-build, and a 100 TB index build
+    * legitimately runs hours. Crash garbage costs only storage, and
+    * only until the first commit after the TTL.
+    */
+  @volatile var StageTtlMs: Long = 24L * 3600 * 1000
+
+  // per-root in-process commit monitors (File locks exclude PROCESSES;
+  // within one JVM they throw OverlappingFileLockException instead of
+  // blocking, so threads need a real monitor in front)
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withCommitLock[T](root: String)(body: => T): T = {
+    val key = scala.util.Try(
+      new java.io.File(root).getCanonicalPath).getOrElse(root)
+    rootLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      java.nio.file.Files
+        .createDirectories(java.nio.file.Paths.get(root))
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(root, LockFile),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock() // blocks until any other PROCESS's commit ends
+        try body finally fl.release()
+      } finally ch.close()
+    }
+  }
 
   /** Test hook: invoked immediately BEFORE the atomic pointer rename.
     * Crash-injection specs throw here to simulate dying between
@@ -101,18 +171,30 @@ object IndexManifest {
       s"no committed index at $root (missing $PointerFile)")
   }
 
-  /** Stage the next version: creates `root/v<N+1>/` (N = max existing
-    * version dir, committed or abandoned) and returns
-    * (versionName, stagedDirPath). Never touches the pointer.
+  /** Stage the next version: atomically reserves version number N+1
+    * (N = max over committed, abandoned AND in-flight stage dirs) by
+    * creating `root/stage-v<N+1>/` — mkdir is the reservation, so two
+    * concurrent stagers can NEVER share a dir (the loser's mkdir
+    * throws and it takes the next number). Returns (versionName,
+    * stagedDirPath); [[commit]] renames the stage dir to its final
+    * `v<N>` name. Never touches the pointer.
     */
   def stage(root: String): (String, String) = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    val next = versionDirs(root).map(_.getName.drop(1).toInt)
+    var next = (versionDirs(root) ++ stageDirs(root))
+      .map(f => f.getName.dropWhile(!_.isDigit).toInt)
       .foldLeft(0)(math.max) + 1
-    val name = f"v$next%05d"
-    java.nio.file.Files
-      .createDirectories(java.nio.file.Paths.get(root, name))
-    (name, s"$root/$name")
+    while (true) {
+      val name = f"v$next%05d"
+      try {
+        java.nio.file.Files
+          .createDirectory(java.nio.file.Paths.get(root, s"stage-$name"))
+        return (name, s"$root/stage-$name")
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** THE commit: prepend `version` to the committed lineage, truncate
@@ -130,12 +212,30 @@ object IndexManifest {
     * readers pass the chain length + 1.
     */
   def commit(root: String, version: String,
-      retain: Int = RetainVersions): Unit = {
+      retain: Int = RetainVersions,
+      expectedBase: Option[String] = None): Unit = {
     failpoint(s"commit:$root")
-    val retained = (version +: history(root).filterNot(_ == version))
-      .take(math.max(1, retain))
-    writePointer(root, retained)
-    gc(root)
+    withCommitLock(root) {
+      // CAS gate: the lineage is read INSIDE the critical section, so
+      // the check and the pointer flip are one atomic step
+      val cur = current(root)
+      expectedBase.foreach { base =>
+        if (!cur.contains(base))
+          throw new ConcurrentCommitException(root, expectedBase, cur)
+      }
+      // finalize the staged dir under its committed name (atomic; a
+      // crash after this rename but before the pointer write leaves an
+      // unreferenced v-dir — invisible to readers, reaped by later GC)
+      val stagePath = java.nio.file.Paths.get(root, s"stage-$version")
+      if (java.nio.file.Files.isDirectory(stagePath))
+        java.nio.file.Files.move(stagePath,
+          java.nio.file.Paths.get(root, version),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      val retained = (version +: history(root).filterNot(_ == version))
+        .take(math.max(1, retain))
+      writePointer(root, retained)
+      gc(root)
+    }
   }
 
   /** Explicit history expiry — the index twin of the catalog's
@@ -144,12 +244,13 @@ object IndexManifest {
     * reclaims the immediately-superseded version ([[RetainVersions]]);
     * this verb is how storage is actually released.
     */
-  def expireVersions(root: String, keep: Int = 1): Unit = {
-    val h = history(root)
-    require(h.nonEmpty, s"no committed index at $root")
-    writePointer(root, h.take(math.max(1, keep)))
-    gc(root)
-  }
+  def expireVersions(root: String, keep: Int = 1): Unit =
+    withCommitLock(root) {
+      val h = history(root)
+      require(h.nonEmpty, s"no committed index at $root")
+      writePointer(root, h.take(math.max(1, keep)))
+      gc(root)
+    }
 
   private def writePointer(root: String, lineage: Seq[String]): Unit = {
     val tmp = java.nio.file.Paths.get(root, s"$PointerFile.tmp")
@@ -173,10 +274,16 @@ object IndexManifest {
     } catch { case _: java.io.IOException => () }
   }
 
-  /** Remove every version dir outside the retained lineage. */
+  /** Remove every version dir outside the retained lineage, plus
+    * stage dirs abandoned longer than [[StageTtlMs]] — NEVER a fresh
+    * stage dir, which may be a concurrent builder mid-build.
+    */
   def gc(root: String): Unit = {
     val keep = history(root).toSet
     versionDirs(root).filterNot(f => keep.contains(f.getName))
+      .foreach(Similarity.rmTree)
+    val cutoff = System.currentTimeMillis() - StageTtlMs
+    stageDirs(root).filter(_.lastModified() < cutoff)
       .foreach(Similarity.rmTree)
   }
 
@@ -185,6 +292,14 @@ object IndexManifest {
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory &&
         VersionName.pattern.matcher(f.getName).matches())
+
+  private val StageName = "stage-v\\d{5,}".r
+
+  private def stageDirs(root: String): Array[java.io.File] =
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory &&
+        StageName.pattern.matcher(f.getName).matches())
 
   /** Hard-link `src`'s tree into `dst` (directories created real,
     * files linked): the carry-forward step for artifacts a new version

@@ -1,0 +1,149 @@
+package graft.llm
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** Writer-concurrency contract of the manifest-pointer commit: two (or
+  * more) builders racing one index root must never lose, corrupt, or
+  * cross-contaminate a committed version. The contract has three
+  * enforcement points — atomic mkdir stage reservation, TTL-protected
+  * stage dirs, and a per-root commit lock with the lineage re-read
+  * inside the critical section — plus an opt-in CAS for callers whose
+  * staged content is only valid against the base it was built from.
+  */
+class ConcurrentIndexWriterSpec extends SparkSpec {
+
+  private def root(): String =
+    Files.createTempDirectory("conc_idx").toString + "/idx"
+
+  /** Stage a version whose single artifact records who built it. */
+  private def stageMarked(r: String, marker: String): String = {
+    val (v, dir) = IndexManifest.stage(r)
+    Files.writeString(Paths.get(dir, "data"), marker): Unit
+    v
+  }
+
+  private def markerOf(r: String, v: String): String =
+    Files.readString(Paths.get(r, v, "data"))
+
+  test("concurrent stagers never share a version dir") {
+    val r = root()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 64).map { i =>
+        pool.submit(new java.util.concurrent.Callable[(String, String)] {
+          def call(): (String, String) = IndexManifest.stage(r)
+        })
+      }
+      val staged = tasks.map(_.get())
+      assert(staged.map(_._1).distinct.size == 64,
+        "two stagers were handed the same version name")
+      assert(staged.map(_._2).distinct.size == 64)
+      assert(staged.forall { case (_, dir) =>
+        new java.io.File(dir).isDirectory })
+    } finally pool.shutdown()
+  }
+
+  test("racing committers: last-commit-wins ordering, no committed " +
+      "version lost or corrupt") {
+    val r = root()
+    val writers = 4
+    val rounds = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val committed =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    try {
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until rounds).foreach { j =>
+            val v = stageMarked(r, s"writer-$w-round-$j")
+            // retain everything: the assertion below checks NO
+            // committed version was lost from lineage or disk
+            IndexManifest.commit(r, v, retain = writers * rounds)
+            committed.add(v): Unit
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+
+    val lineage = IndexManifest.history(r)
+    assert(lineage.size == writers * rounds,
+      s"a concurrent commit dropped a committed version from the " +
+        s"lineage: ${lineage.size} of ${writers * rounds} retained")
+    assert(lineage.toSet == scala.jdk.CollectionConverters
+      .SetHasAsScala(committed).asScala.toSet)
+    // every committed version's dir is intact and carries exactly the
+    // content its writer staged — nothing torn, nothing cross-wired
+    lineage.foreach { v =>
+      val m = markerOf(r, v)
+      assert(m.matches("writer-\\d+-round-\\d+"), s"corrupt $v: $m")
+    }
+    // the pointer names a real, intact current version
+    assert(new java.io.File(IndexManifest.currentDir(r)).isDirectory)
+  }
+
+  test("a commit never reaps a concurrent builder's fresh stage dir") {
+    val r = root()
+    val v1 = stageMarked(r, "base")
+    IndexManifest.commit(r, v1)
+    // builder B is mid-build (staged, not committed)...
+    val (vB, dirB) = IndexManifest.stage(r)
+    Files.writeString(Paths.get(dirB, "data"), "in-flight"): Unit
+    // ...while builder A commits twice (commit runs GC both times)
+    (0 until 2).foreach { _ =>
+      IndexManifest.commit(r, stageMarked(r, "a"))
+    }
+    assert(new java.io.File(dirB).isDirectory,
+      "a concurrent commit GC'd an in-flight builder's stage dir")
+    // B lands fine afterwards
+    IndexManifest.commit(r, vB)
+    assert(IndexManifest.current(r).contains(vB))
+    assert(markerOf(r, vB) == "in-flight")
+  }
+
+  test("CAS commit: expectedBase fails when the base moved, staged " +
+      "dir survives for rebase-and-retry") {
+    val r = root()
+    val v1 = stageMarked(r, "v1")
+    IndexManifest.commit(r, v1)
+    // two writers both stage against v1
+    val vA = stageMarked(r, "delta-A")
+    val vB = stageMarked(r, "delta-B")
+    // A lands first
+    IndexManifest.commit(r, vA, expectedBase = Some(v1))
+    // B's CAS must fail — its content does not include A's delta
+    val e = intercept[ConcurrentCommitException] {
+      IndexManifest.commit(r, vB, expectedBase = Some(v1))
+    }
+    assert(e.getMessage.contains(vA.toString) ||
+      e.getMessage.contains("current"))
+    // the staged dir is untouched: rebase (here: re-mark) and retry
+    // against the NEW current
+    assert(new java.io.File(s"$r/stage-$vB").isDirectory,
+      "failed CAS destroyed the staged work")
+    Files.writeString(Paths.get(s"$r/stage-$vB", "data"),
+      "delta-B-rebased"): Unit
+    IndexManifest.commit(r, vB, expectedBase = Some(vA))
+    assert(IndexManifest.current(r).contains(vB))
+    assert(markerOf(r, vB) == "delta-B-rebased")
+  }
+
+  test("default retain under two racing commits keeps both versions " +
+      "on disk (last-commit-wins, superseded version retained)") {
+    val r = root()
+    IndexManifest.commit(r, stageMarked(r, "base"))
+    val vA = stageMarked(r, "A")
+    val vB = stageMarked(r, "B")
+    val t1 = new Thread(() => IndexManifest.commit(r, vA))
+    val t2 = new Thread(() => IndexManifest.commit(r, vB))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val lineage = IndexManifest.history(r)
+    // RetainVersions = 2: whichever commit ran last is current, the
+    // other is its retained predecessor — both dirs intact
+    assert(lineage.toSet == Set(vA, vB), s"lost a version: $lineage")
+    assert(markerOf(r, vA) == "A")
+    assert(markerOf(r, vB) == "B")
+  }
+}

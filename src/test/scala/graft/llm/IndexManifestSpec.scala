@@ -68,8 +68,14 @@ class IndexManifestSpec extends SparkSpec {
       "doc_id", "text", rebuilt, buckets = 4)
     assert(bm25Serve(path) == bm25Serve(rebuilt),
       "post-crash compaction diverged from a clean rebuild")
-    // GC: exactly the retained lineage remains (current + its
-    // predecessor — RetainVersions), the abandoned stage dir is gone
+    // GC: the crashed commit's stage dir is TTL-protected while fresh
+    // (it could be a concurrent builder mid-build); age it out and the
+    // next GC reaps it, leaving exactly the retained lineage
+    new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("stage-"))
+      .foreach(f => assert(f.setLastModified(System.currentTimeMillis()
+        - IndexManifest.StageTtlMs - 60000)))
+    IndexManifest.gc(path)
     val vdirs = new java.io.File(path).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(vdirs == IndexManifest.history(path).toSet,
@@ -138,25 +144,36 @@ class IndexManifestSpec extends SparkSpec {
     assert(annServe(path) == annServe(fresh))
   }
 
-  test("a half-staged version dir is invisible to readers and GC'd by " +
-      "the next successful commit") {
+  test("a half-staged version dir is invisible to readers, protected " +
+      "from GC while fresh, and reaped once abandoned past the TTL") {
     val df = vecs
     val path = Files.createTempDirectory("mfst").toString + "/idx"
     Similarity.writeLshIndex(Similarity.multiTableIndex(df, "vec", "id",
       dim = 8, bits = 4, tables = 4), path, groups = 8)
     val pre = annServe(path)
-    // simulate a crash mid-staging: an abandoned version dir with a
+    // simulate a crash mid-staging: an abandoned stage dir with a
     // torn artifact inside
     val (_, staged) = IndexManifest.stage(path)
     Files.writeString(java.nio.file.Paths
       .get(staged, "data"), "torn bytes"): Unit
     assert(annServe(path) == pre, "a staged dir leaked into reads")
-    // any later commit GCs the orphan (retained lineage survives)
+    val stageName = new java.io.File(staged).getName
+    // a commit while the stage is FRESH must NOT reap it — it could be
+    // a concurrent builder mid-build (the writer-concurrency contract)
     Similarity.deleteFromLshIndex(df.filter(col("id") === 0), "id", path)
+    val midDirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(midDirs.contains(stageName),
+      s"a fresh stage dir was reaped under a (possible) live builder: $midDirs")
+    // age it past the TTL: the next commit reaps it
+    assert(new java.io.File(staged)
+      .setLastModified(System.currentTimeMillis()
+        - IndexManifest.StageTtlMs - 60000))
+    Similarity.deleteFromLshIndex(df.filter(col("id") === 1), "id", path)
     val vdirs = new java.io.File(path).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(!vdirs.contains(new java.io.File(staged).getName),
-      s"orphaned stage dir survived GC: $vdirs")
+    assert(!vdirs.contains(stageName),
+      s"abandoned stage dir survived GC past its TTL: $vdirs")
     assert(vdirs == IndexManifest.history(path).toSet,
       s"GC left dirs outside the retained lineage: $vdirs")
   }
