@@ -823,10 +823,14 @@ object Streams {
         val full = graft.sources.Tables.normalizeEventsTs(spark,
           spark.read.parquet(parquetFile), parquetFile)
         // contiguous time slices of equal row count: ntile over the
-        // global (ts, event_id) order — a one-partition sort, fine at
-        // staging volume, and fully deterministic
+        // global (ts, event_id) order — a one-partition sort BY
+        // CONSTRUCTION at staging volume, so the constant partition
+        // key (non-foldable + null-robust, the codebase idiom) states
+        // that intent and keeps WindowExec's single-partition warning
+        // out of scale logs
         val sliced = full.withColumn("_slice",
           ntile(parts).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(hash(col("event_id")), lit(1)))
             .orderBy(col("ts"), col("event_id"))))
         def stage(df: DataFrame, name: String): Unit = {
           val tmp = d.resolve(name + "_tmp")
