@@ -225,14 +225,28 @@ object IndexManifest {
       }
       // finalize the staged dir under its committed name (atomic; a
       // crash after this rename but before the pointer write leaves an
-      // unreferenced v-dir — invisible to readers, reaped by later GC)
+      // unreferenced v-dir — invisible to readers, reaped by later GC).
+      // The name may need RE-NUMBERING: stage()'s readdir can race a
+      // concurrent commit's rename and miss that version under BOTH
+      // its names (stage-vN already renamed away, vN enumerated at an
+      // earlier dirent position), double-allocating N. All final-name
+      // renames happen inside this lock, so the existence check here
+      // is authoritative and the next free number cannot be taken by
+      // another committer while we hold it.
       val stagePath = java.nio.file.Paths.get(root, s"stage-$version")
-      if (java.nio.file.Files.isDirectory(stagePath))
+      var finalName = version
+      if (java.nio.file.Files.isDirectory(stagePath)) {
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(root, version)))
+          finalName = f"v${(versionDirs(root) ++ stageDirs(root))
+            .map(_.getName.dropWhile(!_.isDigit).toInt)
+            .foldLeft(0)(math.max) + 1}%05d"
         java.nio.file.Files.move(stagePath,
-          java.nio.file.Paths.get(root, version),
+          java.nio.file.Paths.get(root, finalName),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-      val retained = (version +: history(root).filterNot(_ == version))
-        .take(math.max(1, retain))
+      }
+      val retained = (finalName +: history(root)
+        .filterNot(_ == finalName)).take(math.max(1, retain))
       writePointer(root, retained)
       gc(root)
     }

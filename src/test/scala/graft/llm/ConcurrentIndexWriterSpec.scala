@@ -130,6 +130,43 @@ class ConcurrentIndexWriterSpec extends SparkSpec {
     assert(markerOf(r, vB) == "delta-B-rebased")
   }
 
+  test("cross-PROCESS committers: three JVMs race one root through " +
+      "the COMMIT_LOCK file lock, nothing lost or corrupt") {
+    // the in-process monitor cannot serialize separate processes —
+    // this is the only test that actually contends the FileLock
+    val r = root()
+    val mainClasses = IndexManifest.getClass.getProtectionDomain
+      .getCodeSource.getLocation.getPath
+    val cp = s"$mainClasses:/opt/spark/jars/*"
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val writers = 3
+    val rounds = 6
+    val procs = (0 until writers).map { w =>
+      new ProcessBuilder(javaBin, "-cp", cp, "graft.tools.CommitStorm",
+          r, s"proc$w", rounds.toString)
+        .redirectErrorStream(true).start()
+    }
+    val logs = procs.map { p =>
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        s"storm JVM hung\n$out")
+      assert(p.exitValue() == 0, s"storm JVM failed\n$out")
+      out
+    }
+    val lineage = IndexManifest.history(r)
+    assert(lineage.size == writers * rounds,
+      s"a cross-process commit race dropped a committed version: " +
+        s"${lineage.size} of ${writers * rounds} retained\n" +
+        logs.mkString("\n"))
+    // every (writer, round) landed exactly once, content intact
+    val markers = lineage.map(v => markerOf(r, v))
+    assert(markers.distinct.size == markers.size)
+    for (w <- 0 until writers; j <- 0 until rounds)
+      assert(markers.contains(s"proc$w-round-$j"),
+        s"lost proc$w-round-$j: $markers")
+    assert(new java.io.File(IndexManifest.currentDir(r)).isDirectory)
+  }
+
   test("default retain under two racing commits keeps both versions " +
       "on disk (last-commit-wins, superseded version retained)") {
     val r = root()

@@ -136,14 +136,13 @@ class StreamingResumeSpec extends SparkSpec {
       "join matches lost or duplicated across the crash-resume")
   }
 
-  test("hard JVM halt mid-epoch: a separate process dies without " +
-      "cleanup; this JVM resumes its checkpoint exactly-once") {
-    val staged = Streams.stageEventsParts(spark, eventsFile, 4,
-      dupEvery = 7)
-    val wd = work()
-
-    // replicate build.sbt's JDK17 module opens — the crasher creates a
-    // SparkSession outside spark-submit/sbt
+  /** Launch the crasher JVM against `staged`, wait for the halt, and
+    * return its combined output (asserts the halt code). Replicates
+    * build.sbt's JDK17 module opens — the crasher creates a
+    * SparkSession outside spark-submit/sbt.
+    */
+  private def launchCrasher(staged: String, wd: String,
+      haltAt: Long, kind: String): String = {
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -159,8 +158,7 @@ class StreamingResumeSpec extends SparkSpec {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
       "-Dspark.ui.enabled=false", "-cp", cp,
-      "graft.streaming.ResumeCrasher", staged, wd, "1")
-
+      "graft.streaming.ResumeCrasher", staged, wd, haltAt.toString, kind)
     val proc = new ProcessBuilder(cmd: _*)
       .redirectErrorStream(true).start()
     val outLog = new String(proc.getInputStream.readAllBytes())
@@ -169,16 +167,24 @@ class StreamingResumeSpec extends SparkSpec {
     assert(proc.exitValue() === ResumeCrasher.HaltCode,
       s"crasher exited ${proc.exitValue()}, want halt code " +
         s"${ResumeCrasher.HaltCode}\n$outLog")
+    outLog
+  }
+
+  test("hard JVM halt mid-epoch: a separate process dies without " +
+      "cleanup; this JVM resumes its checkpoint exactly-once") {
+    val staged = Streams.stageEventsParts(spark, eventsFile, 4,
+      dupEvery = 7)
+    val wd = work()
+    val outLog = launchCrasher(staged, wd, haltAt = 1L, kind = "dedup")
     // the dead JVM committed epoch 0 and wrote (but never committed)
     // epoch 1 — both visible on disk
     assert(new java.io.File(s"$wd/sink/batch=0").isDirectory,
       s"no committed epoch from the crasher\n$outLog")
 
     // resume in THIS JVM from the dead process's checkpoint, plan
-    // rebuilt from scratch (same pipeline as ResumeCrasher.main)
+    // rebuilt from scratch (the pipeline is shared with the crasher)
     Streams.resumableAttempt(
-      Streams.dedupByKey(Streams.pacedStream(spark, staged),
-        "event_id", watermark = "3650 days"),
+      ResumeCrasher.pipeline("dedup", spark, staged),
       s"$wd/sink", s"$wd/ckpt", "halt_resume")
     val out = Streams.readResumableSink(spark, s"$wd/sink",
       complete = false)
@@ -190,6 +196,37 @@ class StreamingResumeSpec extends SparkSpec {
         "checkpoint failed to suppress redelivery")
     assert(rowsOf(out.select(col("event_id"), col("user_id"))) ===
       rowsOf(expected.select(col("event_id"), col("user_id"))))
+  }
+
+  test("hard JVM halt mid-epoch with AGGREGATION state: the resumed " +
+      "snapshot equals the batch twin (nothing lost, nothing " +
+      "double-applied)") {
+    val staged = Streams.stageEventsParts(spark, eventsFile, 4)
+    val wd = work()
+    launchCrasher(staged, wd, haltAt = 1L, kind = "agg"): Unit
+    // the halted process committed epoch 0's snapshot (a PARTIAL
+    // aggregate over the first slice) and died inside epoch 1
+    val partial = spark.read.parquet(s"$wd/sink/snapshot")
+      .agg(sum(col("n_events"))).collect().head.getLong(0)
+
+    Streams.resumableAttempt(
+      ResumeCrasher.pipeline("agg", spark, staged),
+      s"$wd/sink", s"$wd/ckpt", "halt_agg_resume", complete = true)
+    val out = spark.read.parquet(s"$wd/sink/snapshot")
+
+    val batchTwin = graft.sources.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    val total = batchTwin.agg(sum(col("n_events")))
+      .collect().head.getLong(0)
+    assert(partial < total,
+      "the dead JVM had already drained all input — the crash window " +
+        "this certification needs never existed")
+    assert(rowsOf(out) === rowsOf(batchTwin),
+      "aggregation state recovered from the halted JVM's checkpoint " +
+        "diverged from the batch twin")
   }
 
   test("registered streaming_resume query matches its oracle shape") {
