@@ -209,11 +209,15 @@ object IndexManifest {
     * re-collects them. `retain` is the reader-overlap window: a
     * reader's resolved version survives `retain − 1` subsequent
     * commits, so roots whose callers chain mutations under lazy
-    * readers pass the chain length + 1.
+    * readers pass the chain length + 1. Returns the COMMITTED version
+    * name — usually `version`, but a double-allocated number (the
+    * readdir-vs-rename race) is renumbered inside the lock, so any
+    * caller referencing its own commit afterwards must use the
+    * returned name.
     */
   def commit(root: String, version: String,
       retain: Int = RetainVersions,
-      expectedBase: Option[String] = None): Unit = {
+      expectedBase: Option[String] = None): String = {
     failpoint(s"commit:$root")
     withCommitLock(root) {
       // CAS gate: the lineage is read INSIDE the critical section, so
@@ -249,6 +253,10 @@ object IndexManifest {
         .filterNot(_ == finalName)).take(math.max(1, retain))
       writePointer(root, retained)
       gc(root)
+      // the COMMITTED name — may differ from `version` after a
+      // renumber; callers that reference their own commit afterwards
+      // (logging, CAS chains via expectedBase) must use this
+      finalName
     }
   }
 
@@ -297,8 +305,21 @@ object IndexManifest {
     versionDirs(root).filterNot(f => keep.contains(f.getName))
       .foreach(Similarity.rmTree)
     val cutoff = System.currentTimeMillis() - StageTtlMs
-    stageDirs(root).filter(_.lastModified() < cutoff)
+    // abandonment = no write activity ANYWHERE in the stage tree for
+    // the TTL. The top dir's own mtime is not enough: a build writing
+    // under stage-vN/data/ never bumps stage-vN itself, and a
+    // legitimate build longer than the TTL must not be reaped
+    // mid-write. Cost: one metadata stat per file, same order as the
+    // linkTree carry the commit just did.
+    stageDirs(root).filter(newestMtime(_) < cutoff)
       .foreach(Similarity.rmTree)
+  }
+
+  private def newestMtime(f: java.io.File): Long = {
+    val own = f.lastModified()
+    val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    kids.foldLeft(own)((m, c) =>
+      math.max(m, if (c.isDirectory) newestMtime(c) else c.lastModified()))
   }
 
   private def versionDirs(root: String): Array[java.io.File] =

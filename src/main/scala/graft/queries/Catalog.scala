@@ -10075,11 +10075,18 @@ $union
       // there just the same (the spec's JVM-halt test resumes across
       // processes), and the 7 durable epoch commits skip disk fsyncs
       val work = Streams.ephemeralCheckpointDir("graft_resume_q")
-      Streams.resumeCertified(s,
+      try {
+        val res = Streams.resumeCertified(s,
           sess => Streams.hourlyAgg(Streams.pacedStream(sess, staged)),
           work, "streaming_resume", crashAfterBatch = 1L,
           complete = true)
-        .orderBy(col("hour_start"))
+        // materialize before cleanup (bounded: one row per event-hour
+        // of the fixture), so the checkpoint+sink dir — RAM-backed
+        // when on tmpfs — never outlives the query
+        val rows = res.orderBy(col("hour_start")).collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+          .orderBy(col("hour_start"))
+      } finally graft.llm.Similarity.rmTree(new java.io.File(work))
     },
     Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
       count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -156,6 +156,18 @@ object Streams {
   private val twoBatchCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Write `df` as ONE parquet file named `name` directly under `d` —
+    * the staged-stream layout (each file = one paced micro-batch).
+    */
+  private def stageSingleFile(df: DataFrame, d: java.nio.file.Path,
+      name: String): Unit = {
+    val tmp = d.resolve(name + "_tmp")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, d.resolve(name)): Unit
+  }
+
   def eventsStreamTwoBatches(spark: SparkSession, parquetFile: String,
       splitTs: String): DataFrame = {
     val dir = twoBatchCache.computeIfAbsent(
@@ -164,16 +176,9 @@ object Streams {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val full = graft.sources.Tables.normalizeEventsTs(spark,
         spark.read.parquet(parquetFile), parquetFile)
-      def stage(df: DataFrame, name: String): Unit = {
-        val tmp = d.resolve(name + "_tmp")
-        df.coalesce(1).write.parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath, d.resolve(name)): Unit
-      }
       val cut = col("ts") < lit(splitTs).cast("timestamp")
-      stage(full.filter(cut), "part-0.parquet")
-      stage(full.filter(!cut), "part-1.parquet")
+      stageSingleFile(full.filter(cut), d, "part-0.parquet")
+      stageSingleFile(full.filter(!cut), d, "part-1.parquet")
       d.toString
     })
     spark.readStream
@@ -199,13 +204,8 @@ object Streams {
       val d = java.nio.file.Files.createTempDirectory("emb_stream")
       val full = spark.read.parquet(parquetFile)
       (0 until halves).foreach { h =>
-        val tmp = d.resolve(s"h${h}_tmp")
-        full.filter(pmod(col(idCol), lit(halves)) === h)
-          .coalesce(1).write.parquet(tmp.toString)
-        val part = new java.io.File(tmp.toString).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          d.resolve(s"part-$h.parquet")): Unit
+        stageSingleFile(full.filter(pmod(col(idCol), lit(halves)) === h),
+          d, s"part-$h.parquet")
       }
       d.toString
     })
@@ -827,27 +827,24 @@ object Streams {
         // CONSTRUCTION at staging volume, so the constant partition
         // key (non-foldable + null-robust, the codebase idiom) states
         // that intent and keeps WindowExec's single-partition warning
-        // out of scale logs
+        // out of scale logs. Persisted: every slice filter below
+        // would otherwise re-run the global sort
         val sliced = full.withColumn("_slice",
           ntile(parts).over(org.apache.spark.sql.expressions.Window
             .partitionBy(pmod(hash(col("event_id")), lit(1)))
             .orderBy(col("ts"), col("event_id"))))
-        def stage(df: DataFrame, name: String): Unit = {
-          val tmp = d.resolve(name + "_tmp")
-          df.coalesce(1).write.parquet(tmp.toString)
-          val part = new java.io.File(tmp.toString).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          java.nio.file.Files.move(part.toPath, d.resolve(name)): Unit
-        }
-        (1 to parts).foreach { p =>
-          val slice = sliced.filter(col("_slice") === p).drop("_slice")
-          val withDups =
-            if (p == parts && dupEvery > 0)
-              slice.unionAll(full
-                .filter(pmod(col("event_id"), lit(dupEvery)) === 0))
-            else slice
-          stage(withDups, f"part-${p - 1}%02d.parquet")
-        }
+          .persist()
+        try {
+          (1 to parts).foreach { p =>
+            val slice = sliced.filter(col("_slice") === p).drop("_slice")
+            val withDups =
+              if (p == parts && dupEvery > 0)
+                slice.unionAll(sliced.drop("_slice")
+                  .filter(pmod(col("event_id"), lit(dupEvery)) === 0))
+              else slice
+            stageSingleFile(withDups, d, f"part-${p - 1}%02d.parquet")
+          }
+        } finally sliced.unpersist(): Unit
         d.toString
       })
   }

@@ -26,8 +26,9 @@ object CommitStorm {
         java.nio.file.Paths.get(dir, "data"), s"$tag-round-$j"): Unit
       // retain everything: the parent asserts NO committed version was
       // lost from the lineage by any concurrently racing process
-      IndexManifest.commit(root, v, retain = 1000)
-      println(s"[storm] $tag committed $v (round $j)")
+      val landed = IndexManifest.commit(root, v, retain = 1000)
+      println(s"[storm] $tag committed $landed (round $j)" +
+        (if (landed != v) s" [renumbered from $v]" else ""))
     }
   }
 }

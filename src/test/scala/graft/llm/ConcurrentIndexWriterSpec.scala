@@ -59,9 +59,12 @@ class ConcurrentIndexWriterSpec extends SparkSpec {
           def run(): Unit = (0 until rounds).foreach { j =>
             val v = stageMarked(r, s"writer-$w-round-$j")
             // retain everything: the assertion below checks NO
-            // committed version was lost from lineage or disk
-            IndexManifest.commit(r, v, retain = writers * rounds)
-            committed.add(v): Unit
+            // committed version was lost from lineage or disk.
+            // Record the RETURNED name — a double-allocated number is
+            // renumbered inside the commit lock
+            val landed = IndexManifest.commit(r, v,
+              retain = writers * rounds)
+            committed.add(landed): Unit
           }
         })
       }
@@ -142,14 +145,22 @@ class ConcurrentIndexWriterSpec extends SparkSpec {
     val writers = 3
     val rounds = 6
     val procs = (0 until writers).map { w =>
-      new ProcessBuilder(javaBin, "-cp", cp, "graft.tools.CommitStorm",
-          r, s"proc$w", rounds.toString)
-        .redirectErrorStream(true).start()
+      // output to a FILE so the hang guard stays reachable (a pipe
+      // read blocks until EOF, which a wedged child never produces)
+      val logFile = java.nio.file.Files
+        .createTempFile(s"storm$w", ".log").toFile
+      val p = new ProcessBuilder(javaBin, "-cp", cp,
+          "graft.tools.CommitStorm", r, s"proc$w", rounds.toString)
+        .redirectErrorStream(true)
+        .redirectOutput(logFile).start()
+      (p, logFile)
     }
-    val logs = procs.map { p =>
-      val out = new String(p.getInputStream.readAllBytes())
-      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
-        s"storm JVM hung\n$out")
+    val logs = procs.map { case (p, logFile) =>
+      val finished =
+        p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) p.destroyForcibly(): Unit
+      val out = java.nio.file.Files.readString(logFile.toPath)
+      assert(finished, s"storm JVM hung (killed)\n$out")
       assert(p.exitValue() == 0, s"storm JVM failed\n$out")
       out
     }

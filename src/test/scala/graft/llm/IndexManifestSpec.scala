@@ -31,6 +31,16 @@ class IndexManifestSpec extends SparkSpec {
 
   private def disarm(): Unit = IndexManifest.failpoint = _ => ()
 
+  /** Age a whole tree past the stage TTL — GC's abandonment signal is
+    * the NEWEST mtime anywhere in the stage tree, so every file must
+    * look idle, not just the top dir.
+    */
+  private def ageTree(f: java.io.File): Unit = {
+    assert(f.setLastModified(System.currentTimeMillis()
+      - IndexManifest.StageTtlMs - 60000))
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(ageTree)
+  }
+
   private def bm25Serve(path: String) =
     Vocabulary.bm25Disk(spark, path, Seq("apple", "banana"),
         topK = 10, buckets = 4)
@@ -73,8 +83,7 @@ class IndexManifestSpec extends SparkSpec {
     // next GC reaps it, leaving exactly the retained lineage
     new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("stage-"))
-      .foreach(f => assert(f.setLastModified(System.currentTimeMillis()
-        - IndexManifest.StageTtlMs - 60000)))
+      .foreach(ageTree)
     IndexManifest.gc(path)
     val vdirs = new java.io.File(path).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
@@ -165,10 +174,8 @@ class IndexManifestSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(midDirs.contains(stageName),
       s"a fresh stage dir was reaped under a (possible) live builder: $midDirs")
-    // age it past the TTL: the next commit reaps it
-    assert(new java.io.File(staged)
-      .setLastModified(System.currentTimeMillis()
-        - IndexManifest.StageTtlMs - 60000))
+    // age the whole stage tree past the TTL: the next commit reaps it
+    ageTree(new java.io.File(staged))
     Similarity.deleteFromLshIndex(df.filter(col("id") === 1), "id", path)
     val vdirs = new java.io.File(path).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet

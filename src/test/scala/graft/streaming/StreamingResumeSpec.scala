@@ -159,11 +159,19 @@ class StreamingResumeSpec extends SparkSpec {
     val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
       "-Dspark.ui.enabled=false", "-cp", cp,
       "graft.streaming.ResumeCrasher", staged, wd, haltAt.toString, kind)
+    // child output goes to a FILE so the hang guard stays reachable —
+    // readAllBytes() on a live pipe blocks until EOF, which a wedged
+    // child never produces
+    val logFile = java.nio.file.Files
+      .createTempFile("crasher", ".log").toFile
     val proc = new ProcessBuilder(cmd: _*)
-      .redirectErrorStream(true).start()
-    val outLog = new String(proc.getInputStream.readAllBytes())
-    assert(proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
-      s"crasher JVM hung\n$outLog")
+      .redirectErrorStream(true)
+      .redirectOutput(logFile).start()
+    val finished =
+      proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) proc.destroyForcibly(): Unit
+    val outLog = java.nio.file.Files.readString(logFile.toPath)
+    assert(finished, s"crasher JVM hung (killed)\n$outLog")
     assert(proc.exitValue() === ResumeCrasher.HaltCode,
       s"crasher exited ${proc.exitValue()}, want halt code " +
         s"${ResumeCrasher.HaltCode}\n$outLog")
