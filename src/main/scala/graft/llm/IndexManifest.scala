@@ -8,11 +8,9 @@ package graft.llm
   * subdirectories (`v00001/`, `v00002/`, …) plus ONE small pointer
   * file, `MANIFEST`, whose content names the current version. Every
   * mutating verb (build, append, delete, compact) stages a COMPLETE
-  * new version — unchanged corpus-scale artifacts carried forward as
-  * hard links (O(file-count) metadata ops, zero bytes copied) — and
-  * then commits with a single atomic rename of the pointer file.
-  * Readers resolve the pointer once per query and only ever see a
-  * fully-committed version:
+  * new version and then commits with a single atomic rename of the
+  * pointer file. Readers resolve the pointer once per query and only
+  * ever see a fully-committed version:
   *
   *   - crash while STAGING → the pointer still names the old version;
   *     the half-written `stage-v*` dir is invisible garbage (GC'd by
@@ -33,12 +31,52 @@ package graft.llm
   * injects failures at the commit failpoint and pins serve
   * bit-equality to either side.
   *
+  * ==Carry-forward: two layouts==
+  *
+  * How a staged version inherits the artifacts it does NOT rewrite is
+  * the ONE mechanism that differs per deployment filesystem, chosen
+  * per ROOT at creation time (pinned in the root's `LAYOUT` file, set
+  * from [[DefaultLayout]] — conf `spark.graft.indexLayout` — by the
+  * first [[stage]]; a root never changes layout mid-life):
+  *
+  *   - `link` (default; posix filesystems): unchanged artifacts carry
+  *     as HARD LINKS (O(file-count) metadata ops, zero bytes copied).
+  *     Requires `Files.createLink` — local disk, NFS, not S3/GCS.
+  *   - `listing` (object stores — the 100 TB deployment): the staged
+  *     version records a per-version file LISTING (`FILES`: one
+  *     root-relative path per carried artifact location) instead of
+  *     linking bytes; the read path ([[artifactPaths]]) resolves an
+  *     artifact to its real dir (if the version rewrote it) plus every
+  *     listed location. No links, no renames of data files, no
+  *     directory mutation of committed versions — exactly the
+  *     Iceberg/Delta manifest design, so the whole lifecycle runs on
+  *     stores with no hard links. GC keeps any version dir that a
+  *     retained/pinned version's listing still references; physical
+  *     reclamation of superseded bytes therefore happens at
+  *     COMPACTION (which rewrites artifacts and drops the refs), the
+  *     same story as Iceberg's rewrite-then-expire.
+  *
+  * The commit protocol is identical in both layouts; only the
+  * carry-forward mechanism changes. [[artifactPaths]] is uniform: a
+  * `link` root simply never has a `FILES` listing, so resolution
+  * degenerates to the version's own artifact dir. (The two remaining
+  * rename sites — stage-dir finalization and the pointer flip — are
+  * small metadata objects; on a store with no atomic rename they map
+  * to the usual copy+conditional-put of a log commit. That adapter is
+  * out of scope here; everything CORPUS-scale is rename-free under
+  * `listing`.)
+  *
   * Concurrency contract (readers): commits retain the superseded
   * version ([[RetainVersions]]), so a reader that resolved
   * [[currentDir]] before a commit finishes its lazy scan against
   * intact files — one concurrent commit per in-flight read is safe.
-  * Storage is reclaimed by [[expireVersions]] (explicit, like the
-  * catalog's expire-keep-N), never by the commit racing the reader.
+  * Readers that must survive a CHAIN of commits (append → delete →
+  * compact while a lazy scan drains) take a [[pinCurrent]] READER PIN:
+  * a heartbeat file under `root/pins/` naming their version, which
+  * commit-time GC respects until [[ReaderPin.release]] (or staleness
+  * past [[ReaderPinTtlMs]]). Storage is reclaimed by
+  * [[expireVersions]] (explicit, like the catalog's expire-keep-N),
+  * never by a commit racing a pinned reader.
   *
   * Concurrency contract (writers): two builders racing one root are
   * SAFE and serialize at three points —
@@ -46,8 +84,11 @@ package graft.llm
   *   - [[stage]] reserves its version number with an atomic mkdir
   *     (`stage-v<N>/`), so concurrent stagers never share a dir;
   *   - staged dirs are invisible to a concurrent commit's GC until
-  *     [[StageTtlMs]] old — a racing builder's in-progress work is
-  *     never reaped under it;
+  *     [[StageTtlMs]] old — liveness is read from the stage dir's
+  *     `STAGE_ACTIVITY` heartbeat (bumped by [[stage]]/[[carry]];
+  *     long-running builds call [[touchStage]]) with a full tree walk
+  *     only as the legacy fallback, so GC under the commit lock stays
+  *     O(stage-dirs), not O(stage-tree-files);
   *   - [[commit]] runs under a per-root lock (in-process monitor +
   *     cross-process file lock on `COMMIT_LOCK`): the lineage is
   *     re-read inside the critical section, so the resulting order is
@@ -55,26 +96,29 @@ package graft.llm
   *     lineage (up to `retain`) — a concurrent commit can reorder, but
   *     never lose or corrupt, a committed version.
   *
-  * Last-commit-wins means a commit staged against a base that a
-  * concurrent writer superseded still lands (its content simply does
-  * not include the other writer's delta — both versions stay on disk
-  * in the lineage). Callers that need compare-and-swap semantics
-  * instead pass `expectedBase` to [[commit]]: the commit then fails
-  * with [[ConcurrentCommitException]] if the current version is no
-  * longer the one the stage was built from, leaving the staged dir
-  * intact for a rebase-and-retry.
-  *
-  * Scale note: hard links assume the local/posix filesystem the
-  * single-node indexes live on; the 100 TB object-store deployment
-  * replaces the link step with an Avro/JSON file LISTING inside the
-  * version dir (same pointer-swap commit — this is precisely the
-  * Iceberg/Delta log design), which the read path would resolve
-  * instead of a directory scan. The commit protocol is identical; only
-  * the carry-forward mechanism changes.
+  * Plain [[commit]] is last-commit-wins: a commit staged against a
+  * base that a concurrent writer superseded still lands (its content
+  * simply does not include the other writer's delta — both versions
+  * stay on disk in the lineage). That is the right contract ONLY for
+  * full rebuilds, whose staged content is self-contained. Every
+  * CONTENT-DEPENDENT mutation (append / delete / compact — anything
+  * that carries or reads the current version) instead runs under
+  * [[mutate]]: the base version is captured and PINNED under the
+  * commit lock (a `BASE` file in the stage dir that GC respects, so
+  * the carry source can never be reaped mid-carry — and mid-build
+  * Spark reads of the base stay valid), the commit is compare-and-swap
+  * via [[commitCas]], and a lost race ([[ConcurrentCommitException]])
+  * discards the stale stage and REBASES: the whole verb re-runs
+  * against the new current. Two concurrent mutations therefore
+  * compose — a tombstone delete racing an append lands ON TOP of the
+  * append (or vice versa), never silently dropped
+  * (ConcurrentIndexWriterSpec races the real verbs and asserts both
+  * deltas serve).
   */
 /** A CAS commit found the root's current version moved underneath it:
   * the staged version was built from `expectedBase`, but `actual` is
-  * now committed. The staged dir is left intact — rebase and retry.
+  * now committed. The staged dir is left intact — rebase and retry
+  * ([[IndexManifest.mutate]] automates exactly that).
   */
 final class ConcurrentCommitException(root: String,
     expectedBase: Option[String], actual: Option[String])
@@ -85,14 +129,69 @@ final class ConcurrentCommitException(root: String,
 object IndexManifest {
   val PointerFile = "MANIFEST"
   val LockFile = "COMMIT_LOCK"
+  /** Root-level marker pinning the root's carry-forward layout. */
+  val LayoutFile = "LAYOUT"
+  /** Per-version carry listing (layout `listing`): lines of
+    * `artifact<TAB>root-relative-physical-dir`.
+    */
+  val ListingFile = "FILES"
+  /** Stage-dir pin naming the version a mutation carries from. */
+  val BaseFile = "BASE"
+  /** Stage-dir liveness heartbeat (see [[touchStage]]). */
+  val ActivityFile = "STAGE_ACTIVITY"
+  /** Root subdir holding reader-pin heartbeat files. */
+  val PinsDir = "pins"
+
+  val LinkLayout = "link"
+  val ListingLayout = "listing"
+
+  /** Layout for NEW roots (existing roots keep their `LAYOUT` file).
+    * Set from conf `spark.graft.indexLayout` by the session entry
+    * points (Verify / Bench / GraftSession) or the system property of
+    * the same name; [[withLayout]] scopes an override.
+    */
+  @volatile var DefaultLayout: String =
+    sys.props.getOrElse("spark.graft.indexLayout", LinkLayout)
+
+  /** Scope a [[DefaultLayout]] override (single-threaded runners —
+    * the query registry and specs; not safe under concurrent callers
+    * choosing DIFFERENT layouts).
+    */
+  def withLayout[T](layout: String)(body: => T): T = {
+    require(layout == LinkLayout || layout == ListingLayout,
+      s"unknown index layout '$layout' (want link|listing)")
+    val prev = DefaultLayout
+    DefaultLayout = layout
+    try body finally DefaultLayout = prev
+  }
+
+  /** The root's pinned layout; roots created before the `LAYOUT`
+    * marker existed are `link` (what they were built with).
+    */
+  def layoutOf(root: String): String = {
+    val f = java.nio.file.Paths.get(root, LayoutFile)
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim match {
+        case ListingLayout => ListingLayout
+        case _ => LinkLayout
+      }
+    else LinkLayout
+  }
 
   /** Age past which an uncommitted stage dir is considered abandoned
     * and eligible for GC. Generous by design: a concurrent builder's
     * stage must never be reaped mid-build, and a 100 TB index build
-    * legitimately runs hours. Crash garbage costs only storage, and
-    * only until the first commit after the TTL.
+    * legitimately runs hours (builds longer than the TTL keep
+    * themselves live via [[touchStage]]). Crash garbage costs only
+    * storage, and only until the first commit after the TTL.
     */
   @volatile var StageTtlMs: Long = 24L * 3600 * 1000
+
+  /** Age past which a reader pin with no heartbeat refresh is
+    * considered leaked (reader died without [[ReaderPin.release]])
+    * and stops protecting its version from GC.
+    */
+  @volatile var ReaderPinTtlMs: Long = 24L * 3600 * 1000
 
   // per-root in-process commit monitors (File locks exclude PROCESSES;
   // within one JVM they throw OverlappingFileLockException instead of
@@ -111,7 +210,19 @@ object IndexManifest {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
-        val fl = ch.lock() // blocks until any other PROCESS's commit ends
+        // blocks until any other PROCESS's commit ends. Two ALIASES of
+        // one root (symlink, canonicalization failure) take different
+        // in-process monitors but the SAME OS file — the second
+        // thread's lock() then throws OverlappingFileLockException
+        // instead of blocking; treat it as "busy" and wait, which is
+        // what a single monitor would have done
+        var fl: java.nio.channels.FileLock = null
+        while (fl == null)
+          try fl = ch.lock()
+          catch {
+            case _: java.nio.channels.OverlappingFileLockException =>
+              Thread.sleep(20)
+          }
         try body finally fl.release()
       } finally ch.close()
     }
@@ -122,6 +233,14 @@ object IndexManifest {
     * staging and commit.
     */
   @volatile private[graft] var failpoint: String => Unit = _ => ()
+
+  /** Test hook: the hard-link primitive (layout `link` only). Specs
+    * for the `listing` layout swap in a throwing impl to prove the
+    * posix-only call is never reached on an object-store root.
+    */
+  @volatile private[graft] var linkFn:
+      (java.nio.file.Path, java.nio.file.Path) => Unit =
+    (to, from) => { java.nio.file.Files.createLink(to, from): Unit }
 
   private def pointer(root: String) =
     java.nio.file.Paths.get(root, PointerFile)
@@ -140,10 +259,11 @@ object IndexManifest {
     * covers exactly ONE commit per in-flight read — a caller that
     * chains mutations (append then delete) while a lazy scan is still
     * draining unlinks that reader's version on the SECOND commit.
-    * Callers with longer reader windows pass a larger `retain` to
-    * [[commit]] (per-root, caller-chosen — the index twin of the
-    * catalog's expire-keep-N); storage is reclaimed explicitly via
-    * [[expireVersions]].
+    * Callers with longer reader windows either pass a larger `retain`
+    * to [[commit]] or — safe by construction, not convention — take a
+    * [[pinCurrent]] reader pin, which GC respects regardless of how
+    * many commits land while the scan drains. Storage is reclaimed
+    * explicitly via [[expireVersions]].
     */
   val RetainVersions = 2
 
@@ -171,16 +291,103 @@ object IndexManifest {
       s"no committed index at $root (missing $PointerFile)")
   }
 
+  /** Physical directories composing artifact `name` of `version`
+    * (default: the current version) — THE read-path resolver, uniform
+    * across layouts: the version's own `name/` dir if it rewrote or
+    * appended the artifact, plus every location its `FILES` listing
+    * carries (always empty on `link` roots, whose carry materializes
+    * links instead). Empty ⇒ the artifact does not exist in that
+    * version. Listed refs are physical by construction ([[carry]]
+    * resolves through the base's own listing), so resolution never
+    * chains.
+    */
+  def artifactPaths(root: String, name: String,
+      version: Option[String] = None): Seq[String] =
+    version.orElse(current(root)).toSeq
+      .flatMap(v => physicalPaths(root, v, name))
+      .map(rel => s"$root/$rel")
+
+  /** Read artifact `name` (of `version`, default current) as one
+    * DataFrame across however many physical locations compose it.
+    * Locations are read ONE PER SCAN and unioned (a multi-path read
+    * would demand a shared partition-discovery basePath, which
+    * listing-carried dirs don't have): each location stays its own
+    * partition-discovery root, so `table=`/`bkt=` columns survive,
+    * and predicate pushdown through the Union keeps partition PRUNING
+    * per branch (pinned by IndexListingSpec against the executed
+    * plan).
+    */
+  def readArtifact(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String,
+      version: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val paths = artifactPaths(root, name, version)
+    require(paths.nonEmpty,
+      s"index artifact '$name' missing at $root (version=$version)")
+    paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  /** Whether artifact `name` exists with at least one parquet file —
+    * the optional-artifact probe (tombstones, level-0 deltas).
+    */
+  def artifactNonEmpty(root: String, name: String,
+      version: Option[String] = None): Boolean =
+    artifactPaths(root, name, version)
+      .exists(p => hasParquet(new java.io.File(p)))
+
+  private def hasParquet(f: java.io.File): Boolean =
+    f.isDirectory && Option(f.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .exists(c => (c.isFile && c.getName.endsWith(".parquet")) ||
+        hasParquet(c))
+
+  private def physicalPaths(root: String, version: String,
+      name: String): Seq[String] = {
+    val own =
+      if (new java.io.File(root, s"$version/$name").exists())
+        Seq(s"$version/$name")
+      else Seq.empty
+    (own ++ refsOf(new java.io.File(root, version))
+      .collect { case (n, p) if n == name => p }).distinct
+  }
+
+  /** Parsed `FILES` listing of a version or stage dir (empty if none:
+    * every `link`-root dir, and `listing` versions that carried
+    * nothing).
+    */
+  private def refsOf(dir: java.io.File): Seq[(String, String)] = {
+    val f = new java.io.File(dir, ListingFile)
+    if (!f.isFile) Seq.empty
+    else java.nio.file.Files.readString(f.toPath).linesIterator
+      .map(_.trim).filter(_.nonEmpty)
+      .flatMap { line =>
+        line.split("\t", 2) match {
+          case Array(n, p) => Some((n, p))
+          case _ => None
+        }
+      }.toSeq
+  }
+
   /** Stage the next version: atomically reserves version number N+1
     * (N = max over committed, abandoned AND in-flight stage dirs) by
     * creating `root/stage-v<N+1>/` — mkdir is the reservation, so two
     * concurrent stagers can NEVER share a dir (the loser's mkdir
     * throws and it takes the next number). Returns (versionName,
     * stagedDirPath); [[commit]] renames the stage dir to its final
-    * `v<N>` name. Never touches the pointer.
+    * `v<N>` name. Never touches the pointer. A brand-new root gets
+    * its `LAYOUT` pinned to [[DefaultLayout]] here (existing roots
+    * keep theirs — a root never changes layout mid-life).
     */
   def stage(root: String): (String, String) = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val layoutPath = java.nio.file.Paths.get(root, LayoutFile)
+    if (!java.nio.file.Files.exists(layoutPath) &&
+        !java.nio.file.Files.exists(pointer(root)) &&
+        versionDirs(root).isEmpty)
+      try java.nio.file.Files.writeString(layoutPath, DefaultLayout,
+        java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+      catch { // a racing stager pinned it first — theirs stands
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
     var next = (versionDirs(root) ++ stageDirs(root))
       .map(f => f.getName.dropWhile(!_.isDigit).toInt)
       .foldLeft(0)(math.max) + 1
@@ -189,12 +396,77 @@ object IndexManifest {
       try {
         java.nio.file.Files
           .createDirectory(java.nio.file.Paths.get(root, s"stage-$name"))
+        touchStage(s"$root/stage-$name")
         return (name, s"$root/stage-$name")
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => next += 1
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Bump the stage dir's liveness heartbeat. [[stage]] and [[carry]]
+    * call it; a builder whose WRITE phase alone can outlast
+    * [[StageTtlMs]] calls it periodically (GC reads this one file's
+    * mtime instead of walking the stage tree under the commit lock).
+    */
+  def touchStage(stagedDir: String): Unit = {
+    val f = java.nio.file.Paths.get(stagedDir, ActivityFile)
+    try {
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis())): Unit
+      else
+        java.nio.file.Files.createFile(f): Unit
+    } catch { case _: java.io.IOException => () } // liveness is best-effort
+  }
+
+  private def baseOf(stagedDir: String): Option[String] = {
+    val f = java.nio.file.Paths.get(stagedDir, BaseFile)
+    if (java.nio.file.Files.exists(f))
+      Some(java.nio.file.Files.readString(f).trim).filter(_.nonEmpty)
+    else None
+  }
+
+  /** A content-dependent mutation of an index root: stage → carry →
+    * write → CAS-commit, with automatic REBASE on a lost race. The
+    * base version is captured and pinned UNDER THE COMMIT LOCK (the
+    * stage dir's `BASE` file, which [[gc]] respects), so the version
+    * the body carries from and lazily reads cannot be reaped by
+    * concurrent commits mid-build. The body must finish with
+    * [[commitCas]]`(root, m.version, m.base)`; if a concurrent commit
+    * moved the root first, the stale stage is discarded and the WHOLE
+    * body re-runs against the new current — mutations compose instead
+    * of silently dropping each other's deltas. Bodies are re-entrant
+    * by construction here (pure stage-dir writes + idempotent reads).
+    */
+  final case class Mutation(base: Option[String], version: String,
+      dir: String)
+
+  def mutate[T](root: String, attempts: Int = 5)(body: Mutation => T): T = {
+    var last: ConcurrentCommitException = null
+    var i = 0
+    while (i < attempts) {
+      val (v, staged) = stage(root)
+      // pin the base under the lock: current() cannot move and GC
+      // cannot run until the BASE file is on disk, so the pin is
+      // never written against an already-reaped version
+      val base = withCommitLock(root) {
+        val b = current(root)
+        b.foreach(bv => java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(staged, BaseFile), bv): Unit)
+        b
+      }
+      try return body(Mutation(base, v, staged))
+      catch {
+        case e: ConcurrentCommitException =>
+          Similarity.rmTree(new java.io.File(staged))
+          last = e
+          i += 1
+      }
+    }
+    throw last
   }
 
   /** THE commit: prepend `version` to the committed lineage, truncate
@@ -204,28 +476,46 @@ object IndexManifest {
     * after the move so the rename survives power loss where the
     * filesystem allows directory fsync). Version dirs outside the
     * retained lineage — expired ancestors and abandoned stage dirs
-    * alike — are GC'd after the flip; a crash mid-GC leaves only
-    * orphan dirs, never serveable state, and the next commit
-    * re-collects them. `retain` is the reader-overlap window: a
-    * reader's resolved version survives `retain − 1` subsequent
-    * commits, so roots whose callers chain mutations under lazy
-    * readers pass the chain length + 1. Returns the COMMITTED version
-    * name — usually `version`, but a double-allocated number (the
-    * readdir-vs-rename race) is renumbered inside the lock, so any
-    * caller referencing its own commit afterwards must use the
-    * returned name.
+    * alike — are GC'd after the flip (minus reader-pinned versions
+    * and, on `listing` roots, versions still referenced by a retained
+    * listing); a crash mid-GC leaves only orphan dirs, never
+    * serveable state, and the next commit re-collects them. `retain`
+    * is the reader-overlap window: a reader's resolved version
+    * survives `retain − 1` subsequent commits, so roots whose callers
+    * chain mutations under lazy readers pass the chain length + 1 —
+    * or the reader takes a [[pinCurrent]] pin and needs no counting.
+    * Returns the COMMITTED version name — usually `version`, but a
+    * double-allocated number (the readdir-vs-rename race) is
+    * renumbered inside the lock, so any caller referencing its own
+    * commit afterwards must use the returned name. Replaying a commit
+    * whose version dir no longer exists (a crash-recovery misuse)
+    * fails loudly instead of publishing a dangling pointer.
     */
   def commit(root: String, version: String,
       retain: Int = RetainVersions,
-      expectedBase: Option[String] = None): String = {
+      expectedBase: Option[String] = None): String =
+    commitImpl(root, version, retain, expectedBase.map(b => Some(b)))
+
+  /** CAS commit for [[mutate]] bodies: REQUIRES the current version to
+    * still equal `base` (None = still-empty root), else throws
+    * [[ConcurrentCommitException]]. Unlike [[commit]]'s optional
+    * `expectedBase`, the check always applies — an append staged
+    * against an empty root loses to a concurrent build, too.
+    */
+  def commitCas(root: String, version: String, base: Option[String],
+      retain: Int = RetainVersions): String =
+    commitImpl(root, version, retain, Some(base))
+
+  private def commitImpl(root: String, version: String, retain: Int,
+      cas: Option[Option[String]]): String = {
     failpoint(s"commit:$root")
     withCommitLock(root) {
       // CAS gate: the lineage is read INSIDE the critical section, so
       // the check and the pointer flip are one atomic step
       val cur = current(root)
-      expectedBase.foreach { base =>
-        if (!cur.contains(base))
-          throw new ConcurrentCommitException(root, expectedBase, cur)
+      cas.foreach { base =>
+        if (cur != base)
+          throw new ConcurrentCommitException(root, base, cur)
       }
       // finalize the staged dir under its committed name (atomic; a
       // crash after this rename but before the pointer write leaves an
@@ -249,20 +539,34 @@ object IndexManifest {
           java.nio.file.Paths.get(root, finalName),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
       }
+      val finalDir = java.nio.file.Paths.get(root, finalName)
+      // replay guard: publishing a pointer to a version with no dir
+      // (commit re-driven after a crash + GC already reaped it) must
+      // fail loudly, not serve a dangling current
+      if (!java.nio.file.Files.isDirectory(finalDir))
+        throw new IllegalStateException(
+          s"commit of missing version at $root: $finalName has no " +
+            "directory (stage consumed or GC'd — re-run the build, " +
+            "don't replay the commit)")
+      // builder-private pins don't belong in a committed version
+      java.nio.file.Files.deleteIfExists(finalDir.resolve(BaseFile)): Unit
+      java.nio.file.Files
+        .deleteIfExists(finalDir.resolve(ActivityFile)): Unit
       val retained = (finalName +: history(root)
         .filterNot(_ == finalName)).take(math.max(1, retain))
       writePointer(root, retained)
       gc(root)
       // the COMMITTED name — may differ from `version` after a
       // renumber; callers that reference their own commit afterwards
-      // (logging, CAS chains via expectedBase) must use this
+      // (logging, CAS chains) must use this
       finalName
     }
   }
 
   /** Explicit history expiry — the index twin of the catalog's
     * expire-keep-N: truncate the retained lineage to `keep` versions
-    * (min 1, the current) and GC everything outside it. Commit never
+    * (min 1, the current) and GC everything outside it (reader pins
+    * and listing references still hold their versions). Commit never
     * reclaims the immediately-superseded version ([[RetainVersions]]);
     * this verb is how storage is actually released.
     */
@@ -296,23 +600,92 @@ object IndexManifest {
     } catch { case _: java.io.IOException => () }
   }
 
-  /** Remove every version dir outside the retained lineage, plus
-    * stage dirs abandoned longer than [[StageTtlMs]] — NEVER a fresh
-    * stage dir, which may be a concurrent builder mid-build.
+  /** PIN the current version against GC across ANY number of
+    * subsequent commits — the safe-by-construction alternative to
+    * sizing `retain` by hand when a lazy scan (toLocalIterator, a
+    * draining export) must outlive a mutation chain. Taken under the
+    * commit lock, so the pin can never be written against a version a
+    * racing commit's GC already reaped. The pin is a heartbeat file
+    * (`root/pins/`): call [[ReaderPin.refresh]] from scans that
+    * outlive [[ReaderPinTtlMs]], and ALWAYS [[ReaderPin.release]]
+    * when done — a leaked pin holds the version's storage until the
+    * TTL expires it.
+    */
+  def pinCurrent(root: String): ReaderPin = withCommitLock(root) {
+    val v = current(root).getOrElse(throw new IllegalStateException(
+      s"no committed index at $root"))
+    val dir = java.nio.file.Paths.get(root, PinsDir)
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve(s"pin-${java.util.UUID.randomUUID()}.pin")
+    java.nio.file.Files.writeString(f, v)
+    new ReaderPin(root, v, f)
+  }
+
+  final class ReaderPin private[IndexManifest](val root: String,
+      val version: String, file: java.nio.file.Path) {
+    /** The pinned version's directory (resolve artifacts against it
+      * via [[artifactPaths]]`(root, name, Some(version))`).
+      */
+    def dir: String = s"$root/$version"
+    /** Heartbeat: scans longer than [[ReaderPinTtlMs]] call this to
+      * stay protected.
+      */
+    def refresh(): Unit =
+      java.nio.file.Files.setLastModifiedTime(file,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis())): Unit
+    def release(): Unit =
+      java.nio.file.Files.deleteIfExists(file): Unit
+  }
+
+  /** Versions protected by live reader pins; stale pin files (leaked
+    * readers) are reaped here as a side effect.
+    */
+  private def pinnedVersions(root: String): Seq[String] = {
+    val dir = new java.io.File(root, PinsDir)
+    val cutoff = System.currentTimeMillis() - ReaderPinTtlMs
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".pin"))
+      .flatMap { f =>
+        if (f.lastModified() < cutoff) { f.delete(): Unit; None }
+        else scala.util.Try(
+          java.nio.file.Files.readString(f.toPath).trim).toOption
+            .filter(_.nonEmpty)
+      }.toSeq
+  }
+
+  /** Remove every version dir outside the REACHABLE set — the
+    * retained lineage, reader-pinned versions, live stage dirs' BASE
+    * pins, and (listing roots) every version a reachable dir's
+    * `FILES` still references — plus stage dirs abandoned longer than
+    * [[StageTtlMs]]. NEVER a fresh stage dir, which may be a
+    * concurrent builder mid-build: liveness reads the
+    * `STAGE_ACTIVITY` heartbeat when present (two stats, no tree
+    * walk under the commit lock) and falls back to the full-tree
+    * newest-mtime walk for legacy stage dirs without one. Callers
+    * outside [[commit]]/[[expireVersions]] must hold the commit lock.
     */
   def gc(root: String): Unit = {
-    val keep = history(root).toSet
+    val now = System.currentTimeMillis()
+    val cutoff = now - StageTtlMs
+    val (liveStages, deadStages) = stageDirs(root).partition { f =>
+      val act = new java.io.File(f, ActivityFile)
+      val newest =
+        if (act.isFile) math.max(act.lastModified(), f.lastModified())
+        else newestMtime(f)
+      newest >= cutoff
+    }
+    val start = (history(root) ++ pinnedVersions(root) ++
+      liveStages.flatMap(f => baseOf(f.getPath))).distinct
+    // listing roots: a reachable version's FILES may reference older
+    // versions' physical dirs — one hop suffices, refs are physical
+    // by construction (carry resolves through the base's listing)
+    val refs = (start.map(v => new java.io.File(root, v)) ++ liveStages)
+      .flatMap(d => refsOf(d).map(_._2.takeWhile(_ != '/')))
+    val keep = (start ++ refs).toSet
     versionDirs(root).filterNot(f => keep.contains(f.getName))
       .foreach(Similarity.rmTree)
-    val cutoff = System.currentTimeMillis() - StageTtlMs
-    // abandonment = no write activity ANYWHERE in the stage tree for
-    // the TTL. The top dir's own mtime is not enough: a build writing
-    // under stage-vN/data/ never bumps stage-vN itself, and a
-    // legitimate build longer than the TTL must not be reaped
-    // mid-write. Cost: one metadata stat per file, same order as the
-    // linkTree carry the commit just did.
-    stageDirs(root).filter(newestMtime(_) < cutoff)
-      .foreach(Similarity.rmTree)
+    deadStages.foreach(Similarity.rmTree)
   }
 
   private def newestMtime(f: java.io.File): Long = {
@@ -338,8 +711,8 @@ object IndexManifest {
 
   /** Hard-link `src`'s tree into `dst` (directories created real,
     * files linked): the carry-forward step for artifacts a new version
-    * leaves unchanged. Spark job-temp droppings (`_temporary`, `._*`)
-    * are skipped; `_SUCCESS` markers link fine.
+    * leaves unchanged — `link` layout only. Spark job-temp droppings
+    * (`_temporary`, `._*`) are skipped; `_SUCCESS` markers link fine.
     */
   def linkTree(src: String, dst: String): Unit = {
     val s = new java.io.File(src)
@@ -352,17 +725,41 @@ object IndexManifest {
             walk(c, new java.io.File(to, c.getName))
         }
       } else
-        java.nio.file.Files.createLink(to.toPath, from.toPath): Unit
+        linkFn(to.toPath, from.toPath)
     }
     walk(s, new java.io.File(dst))
   }
 
-  /** Carry artifact `name` from the current version into a staged
+  /** Carry artifact `name` from the base version into a staged
     * version dir, if present (absent artifacts — e.g. no pending
-    * tombstones — stay absent).
+    * tombstones — stay absent). The base is the stage dir's pinned
+    * `BASE` ([[mutate]]) when present, else the root's current
+    * version. `link` roots materialize hard links; `listing` roots
+    * append the base's physical locations of the artifact to the
+    * staged `FILES` — zero data-file operations, which is the whole
+    * object-store story. A verb must never carry an artifact it then
+    * rewrites with overwrite semantics (the listing would resolve old
+    * AND new); carried artifacts are either untouched or appended
+    * INTO (new files beside the carried set), which both layouts
+    * represent exactly.
     */
-  def carry(root: String, stagedDir: String, name: String): Unit =
-    current(root).foreach { v =>
-      linkTree(s"$root/$v/$name", s"$stagedDir/$name")
+  def carry(root: String, stagedDir: String, name: String): Unit = {
+    touchStage(stagedDir)
+    baseOf(stagedDir).orElse(current(root)).foreach { v =>
+      if (layoutOf(root) == ListingLayout) {
+        val phys = physicalPaths(root, v, name)
+        if (phys.nonEmpty) {
+          val f = java.nio.file.Paths.get(stagedDir, ListingFile)
+          val existing = refsOf(new java.io.File(stagedDir)).toSet
+          val add = phys.map(p => (name, p)).filterNot(existing.contains)
+          if (add.nonEmpty)
+            java.nio.file.Files.writeString(f,
+              (existing.toSeq ++ add)
+                .map { case (n, p) => s"$n\t$p" }.sorted
+                .mkString("", "\n", "\n")): Unit
+        }
+      } else
+        linkTree(s"$root/$v/$name", s"$stagedDir/$name")
     }
+  }
 }

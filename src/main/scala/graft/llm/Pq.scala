@@ -366,23 +366,27 @@ object Pq {
     * driver (bounded: index metadata, not corpus data).
     */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): IvfPqDiskIndex = {
-    val cur = IndexManifest.currentDir(path)
-    val p = spark.read.parquet(s"$cur/params")
+      path: String, version: Option[String] = None): IvfPqDiskIndex = {
+    // ONE pointer resolution: every artifact below reads from the same
+    // committed version, listing-layout refs resolved uniformly by
+    // [[IndexManifest.artifactPaths]]
+    val ver = version.orElse(IndexManifest.current(path))
+    require(ver.isDefined, s"no committed index at $path")
+    val p = IndexManifest.readArtifact(spark, path, "params", ver)
       .select(col("dim").cast("int"), col("m").cast("int"),
         col("k").cast("int"))
       .collect().head
     val (dim, m, k) = (p.getInt(0), p.getInt(1), p.getInt(2))
     val sub = dim / m
     val books = Array.fill(m, k)(null: Array[Double])
-    spark.read.parquet(s"$cur/codebooks")
+    IndexManifest.readArtifact(spark, path, "codebooks", ver)
       .select(col("j").cast("int"), col("c").cast("int"), col("codeword"))
       .collect().foreach { r =>
         books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
       }
     require(books.forall(_.forall(cw => cw != null && cw.length == sub)),
       s"codebook sidecar at $path is incomplete")
-    val centRows = spark.read.parquet(s"$cur/centroids")
+    val centRows = IndexManifest.readArtifact(spark, path, "centroids", ver)
       .select(col("cell").cast("int"), col("centroid"), col("radius"))
       .collect()
     val cells = centRows.length
@@ -394,28 +398,26 @@ object Pq {
     }
     require(centroids.forall(_ != null),
       s"centroid sidecar at $path has gaps")
-    val base0 = spark.read.parquet(s"$cur/codes")
+    val base0 = IndexManifest.readArtifact(spark, path, "codes", ver)
       .select(col("id"), col("codes"), col("cell").cast("int").as("cell"))
     // level-0 appends ([[appendIvfPqIndex]]) union in here: tiny
     // cell-clustered files whose cell column prunes at row-group
     // stats; the next compaction folds them into the `cell=` layout
-    val deltaDir = new java.io.File(s"$cur/codes_delta")
     val codes0 =
-      if (deltaDir.isDirectory &&
-          deltaDir.listFiles().exists(_.getName.endsWith(".parquet")))
-        base0.unionByName(spark.read.parquet(deltaDir.getPath)
-          .select(col("id"), col("codes"),
-            col("cell").cast("int").as("cell")))
+      if (IndexManifest.artifactNonEmpty(path, "codes_delta", ver))
+        base0.unionByName(
+          IndexManifest.readArtifact(spark, path, "codes_delta", ver)
+            .select(col("id"), col("codes"),
+              col("cell").cast("int").as("cell")))
       else base0
     // pending tombstones ([[deleteFromIvfPqIndex]]) fold here, before
     // any ADC scoring — a deleted id is unservable immediately, and
     // radii stay merely wide (sound: pruning bounds only loosen)
-    val tombDir = new java.io.File(s"$cur/tombstones")
     val codes =
-      if (tombDir.isDirectory &&
-          tombDir.listFiles().exists(_.getName.endsWith(".parquet"))) {
-        val dead = spark.read.parquet(tombDir.getPath)
-          .select(col("graft_dead_id")).distinct()
+      if (IndexManifest.artifactNonEmpty(path, "tombstones", ver)) {
+        val dead =
+          IndexManifest.readArtifact(spark, path, "tombstones", ver)
+            .select(col("graft_dead_id")).distinct()
         codes0.join(broadcast(dead),
             codes0("id") === dead("graft_dead_id"), "left_anti")
           .select(col("id"), col("codes"), col("cell"))
@@ -455,9 +457,9 @@ object Pq {
     */
   def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       delta: DataFrame, vecCol: String, idCol: String,
-      path: String): Unit = {
-    val idx = readIvfPqIndex(spark, path)
-    val (v, staged) = IndexManifest.stage(path)
+      path: String): Unit = IndexManifest.mutate(path) { m =>
+    val idx = readIvfPqIndex(spark, path, m.base)
+    val staged = m.dir
     IndexManifest.carry(path, staged, "codes")
     IndexManifest.carry(path, staged, "codes_delta")
     IndexManifest.carry(path, staged, "codebooks")
@@ -504,7 +506,7 @@ object Pq {
         .parquet(s"$staged/centroids")
       // delta codes + widened radii publish in ONE pointer flip — a
       // crash never leaves new codes served under stale (narrow) radii
-      IndexManifest.commit(path, v)
+      IndexManifest.commitCas(path, m.version, m.base): Unit
     } finally { assigned.unpersist(blocking = false); () }
   }
 
@@ -521,8 +523,8 @@ object Pq {
     * re-used after deletion (append-only id contract).
     */
   def deleteFromIvfPqIndex(ids: DataFrame, idCol: String,
-      path: String): Unit = {
-    val (v, staged) = IndexManifest.stage(path)
+      path: String): Unit = IndexManifest.mutate(path) { m =>
+    val staged = m.dir
     IndexManifest.carry(path, staged, "codes")
     IndexManifest.carry(path, staged, "codes_delta")
     IndexManifest.carry(path, staged, "codebooks")
@@ -532,7 +534,7 @@ object Pq {
     ids.select(col(idCol).as("graft_dead_id")).distinct()
       .coalesce(1)
       .write.mode("append").parquet(s"$staged/tombstones")
-    IndexManifest.commit(path, v)
+    IndexManifest.commitCas(path, m.version, m.base): Unit
   }
 
   /** COMPACTION of an appended IVF×PQ index: rewrites the codes tree
@@ -544,9 +546,10 @@ object Pq {
     * protocol as [[Similarity.compactLshIndex]]).
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
-    val folded = readIvfPqIndex(spark, path).codes // tombstones fold here
-    val (v, staged) = IndexManifest.stage(path)
+      path: String): Unit = IndexManifest.mutate(path) { m =>
+    // tombstones fold here — against the PINNED base version
+    val folded = readIvfPqIndex(spark, path, m.base).codes
+    val staged = m.dir
     IndexManifest.carry(path, staged, "codebooks")
     IndexManifest.carry(path, staged, "centroids")
     IndexManifest.carry(path, staged, "params")
@@ -554,7 +557,7 @@ object Pq {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$staged/codes")
-    IndexManifest.commit(path, v)
+    IndexManifest.commitCas(path, m.version, m.base): Unit
   }
 
   /** PQ shortlist → exact re-rank: ADC picks `shortlist` candidate ids

@@ -675,16 +675,16 @@ object Similarity {
     * widens radii, costing probes, never answers).
     */
   def appendIvfIndex(delta: DataFrame, vecCol: String, idCol: String,
-      path: String, centroids: Array[Array[Double]]): Unit = {
-    val (v, staged) = IndexManifest.stage(path)
-    IndexManifest.carry(path, staged, "data")
-    IndexManifest.carry(path, staged, "data_delta")
-    IndexManifest.carry(path, staged, "tombstones")
-    ivfIndex(delta, vecCol, idCol, centroids)
-      .repartition(col("cell")).sortWithinPartitions(col("cell"))
-      .write.mode("append").parquet(s"$staged/data_delta")
-    IndexManifest.commit(path, v)
-  }
+      path: String, centroids: Array[Array[Double]]): Unit =
+    IndexManifest.mutate(path) { m =>
+      IndexManifest.carry(path, m.dir, "data")
+      IndexManifest.carry(path, m.dir, "data_delta")
+      IndexManifest.carry(path, m.dir, "tombstones")
+      ivfIndex(delta, vecCol, idCol, centroids)
+        .repartition(col("cell")).sortWithinPartitions(col("cell"))
+        .write.mode("append").parquet(s"${m.dir}/data_delta")
+      IndexManifest.commitCas(path, m.version, m.base): Unit
+    }
 
   /** DELETE from a disk IVF index — the removal verb for the IVF
     * family, completing delete symmetry across LSH / IVF / BM25
@@ -706,14 +706,14 @@ object Similarity {
     * construction.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
-    val (v, staged) = IndexManifest.stage(path)
-    readIvfIndex(spark, path) // tombstones fold here
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$staged/data")
-    IndexManifest.commit(path, v)
-  }
+      path: String): Unit =
+    IndexManifest.mutate(path) { m =>
+      readIvfIndex(spark, path, m.base) // tombstones fold here
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"${m.dir}/data")
+      IndexManifest.commitCas(path, m.version, m.base): Unit
+    }
 
   /** Read a disk IVF index back; `cell` returns as a partition column,
     * so cell filters prune directories (verify via PartitionFilters in
@@ -721,24 +721,27 @@ object Similarity {
     * unservable immediately, before any compaction rewrites bytes.
     */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
-    val cur = IndexManifest.currentDir(path)
-    val df = spark.read.parquet(s"$cur/data")
+      path: String, version: Option[String] = None): DataFrame = {
+    // ONE pointer resolution: every artifact below reads from the same
+    // committed version ([[IndexManifest.artifactPaths]] resolves
+    // listing-layout refs uniformly)
+    val ver = version.orElse(IndexManifest.current(path))
+    require(ver.isDefined, s"no committed index at $path")
+    val df = IndexManifest.readArtifact(spark, path, "data", ver)
     // partition-column types infer as the narrowest integral; probes
     // compare against Int cell ids
     val base0 =
       df.select(col("id"), col("vec"), col("cell").cast("int").as("cell"))
     // level-0 appends ([[appendIvfIndex]]) union in; cell filters
     // prune them at row-group stats until compaction folds them
-    val deltaDir = new java.io.File(s"$cur/data_delta")
     val base =
-      if (deltaDir.isDirectory &&
-          deltaDir.listFiles().exists(_.getName.endsWith(".parquet")))
-        base0.unionByName(spark.read.parquet(deltaDir.getPath)
-          .select(col("id"), col("vec"),
-            col("cell").cast("int").as("cell")))
+      if (IndexManifest.artifactNonEmpty(path, "data_delta", ver))
+        base0.unionByName(
+          IndexManifest.readArtifact(spark, path, "data_delta", ver)
+            .select(col("id"), col("vec"),
+              col("cell").cast("int").as("cell")))
       else base0
-    readTombstones(spark, path) match {
+    readTombstones(spark, path, ver) match {
       case Some(t) => base.join(broadcast(t),
           base("id") === t("graft_dead_id"), "left_anti")
         .select(col("id"), col("vec"), col("cell"))
@@ -998,19 +1001,19 @@ object Similarity {
     */
   def appendLshIndex(delta: DataFrame, vecCol: String, idCol: String,
       path: String, dim: Int, bits: Int, tables: Int = 8,
-      groups: Int = 64, seedPrefix: String = "lsh"): Unit = {
-    val (v, staged) = IndexManifest.stage(path)
-    IndexManifest.carry(path, staged, "data")
-    IndexManifest.carry(path, staged, "tombstones")
-    multiTableIndex(delta, vecCol, idCol, dim, bits, tables, seedPrefix)
-      .select(col("table"), col("sig"), col("id"), col("vec"))
-      .withColumn("grp", pmod(col("sig"), lit(groups.toLong)))
-      .repartition(col("table"), col("grp"))
-      .sortWithinPartitions(col("sig"))
-      .write.mode("append").partitionBy("table", "grp")
-      .parquet(s"$staged/data")
-    IndexManifest.commit(path, v)
-  }
+      groups: Int = 64, seedPrefix: String = "lsh"): Unit =
+    IndexManifest.mutate(path) { m =>
+      IndexManifest.carry(path, m.dir, "data")
+      IndexManifest.carry(path, m.dir, "tombstones")
+      multiTableIndex(delta, vecCol, idCol, dim, bits, tables, seedPrefix)
+        .select(col("table"), col("sig"), col("id"), col("vec"))
+        .withColumn("grp", pmod(col("sig"), lit(groups.toLong)))
+        .repartition(col("table"), col("grp"))
+        .sortWithinPartitions(col("sig"))
+        .write.mode("append").partitionBy("table", "grp")
+        .parquet(s"${m.dir}/data")
+      IndexManifest.commitCas(path, m.version, m.base): Unit
+    }
 
   /** COMPACTION of an appended index — the third maintenance verb of
     * the lifecycle (build → append× → compact): every append leaves
@@ -1030,25 +1033,25 @@ object Similarity {
     * the file-count drop.
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
-    val (v, staged) = IndexManifest.stage(path)
-    val dead = readTombstones(spark, path)
-    val base = readLshIndex(spark, path)
-    (dead match {
-      case Some(ids) => base.join(broadcast(ids),
-        base("id") === ids("graft_dead_id"), "left_anti")
-      case None => base
-    })
-      .select(col("table"), col("sig"), col("id"), col("vec"),
-        col("grp"))
-      .repartition(col("table"), col("grp"))
-      .sortWithinPartitions(col("sig"))
-      .write.mode("overwrite").partitionBy("table", "grp")
-      .parquet(s"$staged/data")
-    // tombstones are folded into the rewrite: the new version carries
-    // none, and both changes publish in the ONE pointer flip
-    IndexManifest.commit(path, v)
-  }
+      path: String): Unit =
+    IndexManifest.mutate(path) { m =>
+      val dead = readTombstones(spark, path, m.base)
+      val base = readLshIndex(spark, path, m.base)
+      (dead match {
+        case Some(ids) => base.join(broadcast(ids),
+          base("id") === ids("graft_dead_id"), "left_anti")
+        case None => base
+      })
+        .select(col("table"), col("sig"), col("id"), col("vec"),
+          col("grp"))
+        .repartition(col("table"), col("grp"))
+        .sortWithinPartitions(col("sig"))
+        .write.mode("overwrite").partitionBy("table", "grp")
+        .parquet(s"${m.dir}/data")
+      // tombstones are folded into the rewrite: the new version carries
+      // none, and both changes publish in the ONE pointer flip
+      IndexManifest.commitCas(path, m.version, m.base): Unit
+    }
 
   private[graft] def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
@@ -1061,12 +1064,12 @@ object Similarity {
     * the data artifact only.
     */
   def clearTombstones(path: String): Unit =
-    if (IndexManifest.exists(path)) {
-      val (v, staged) = IndexManifest.stage(path)
-      IndexManifest.carry(path, staged, "data")
-      IndexManifest.carry(path, staged, "data_delta")
-      IndexManifest.commit(path, v)
-    }
+    if (IndexManifest.exists(path))
+      IndexManifest.mutate(path) { m =>
+        IndexManifest.carry(path, m.dir, "data")
+        IndexManifest.carry(path, m.dir, "data_delta")
+        IndexManifest.commitCas(path, m.version, m.base): Unit
+      }
 
   /** DELETE from a disk LSH index — the removal verb of the lifecycle
     * (GDPR-style takedown): deleted ids append as a TOMBSTONE parquet
@@ -1080,36 +1083,36 @@ object Similarity {
     * copy-on-write DML, applied to the index world.
     */
   def deleteFromLshIndex(ids: DataFrame, idCol: String,
-      path: String): Unit = {
-    val (v, staged) = IndexManifest.stage(path)
-    IndexManifest.carry(path, staged, "data")
-    // IVF roots ([[deleteFromIvfIndex]] delegates here) may hold
-    // level-0 appends; a no-op for LSH roots, which have none
-    IndexManifest.carry(path, staged, "data_delta")
-    IndexManifest.carry(path, staged, "tombstones")
-    ids.select(col(idCol).as("graft_dead_id")).distinct()
-      .coalesce(1)
-      .write.mode("append").parquet(s"$staged/tombstones")
-    IndexManifest.commit(path, v)
-  }
+      path: String): Unit =
+    IndexManifest.mutate(path) { m =>
+      IndexManifest.carry(path, m.dir, "data")
+      // IVF roots ([[deleteFromIvfIndex]] delegates here) may hold
+      // level-0 appends; a no-op for LSH roots, which have none
+      IndexManifest.carry(path, m.dir, "data_delta")
+      IndexManifest.carry(path, m.dir, "tombstones")
+      ids.select(col(idCol).as("graft_dead_id")).distinct()
+        .coalesce(1)
+        .write.mode("append").parquet(s"${m.dir}/tombstones")
+      IndexManifest.commitCas(path, m.version, m.base): Unit
+    }
 
   /** The tombstone set, if any deletions are pending (None ⇒ serve
     * pays zero anti-join cost — the common case and the post-compact
     * steady state).
     */
   private def readTombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[DataFrame] = {
-    val dir =
-      new java.io.File(s"${IndexManifest.currentDir(path)}/tombstones")
-    if (dir.isDirectory &&
-        dir.listFiles().exists(_.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(dir.getPath))
+      path: String,
+      version: Option[String] = None): Option[DataFrame] = {
+    val ver = version.orElse(IndexManifest.current(path))
+    if (IndexManifest.artifactNonEmpty(path, "tombstones", ver))
+      Some(IndexManifest.readArtifact(spark, path, "tombstones", ver))
     else None
   }
 
   def readLshIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
-    val df = spark.read.parquet(s"${IndexManifest.currentDir(path)}/data")
+      path: String, version: Option[String] = None): DataFrame = {
+    val df = IndexManifest.readArtifact(spark, path, "data",
+      version.orElse(IndexManifest.current(path)))
     df.select(col("id"), col("vec"), col("sig"),
       col("table").cast("int").as("table"),
       col("grp").cast("long").as("grp"))

@@ -222,10 +222,11 @@ object Vocabulary {
     * (`doc_bm25_append` shares `doc_bm25`'s oracle).
     */
   def appendBm25Index(delta: DataFrame, idCol: String, textCol: String,
-      path: String, buckets: Int = 64): Unit = {
+      path: String, buckets: Int = 64): Unit =
+      IndexManifest.mutate(path) { m =>
     val spark = delta.sparkSession
-    val cur = IndexManifest.currentDir(path)
-    val (v, staged) = IndexManifest.stage(path)
+    require(m.base.isDefined, s"no committed index at $path")
+    val staged = m.dir
     IndexManifest.carry(path, staged, "postings")
     IndexManifest.carry(path, staged, "tombstones")
     val docs = delta.select(col(idCol).as("id"),
@@ -241,7 +242,7 @@ object Vocabulary {
         .sortWithinPartitions(col("term"))
         .write.mode("append").partitionBy("bkt")
         .parquet(s"$staged/postings")
-      val old = spark.read.parquet(s"$cur/stats")
+      val old = IndexManifest.readArtifact(spark, path, "stats", m.base)
         .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
         .collect().head
       val add = docs
@@ -257,7 +258,7 @@ object Vocabulary {
         .coalesce(1).write.mode("overwrite").parquet(s"$staged/stats")
       // delta postings + merged stats publish atomically — a crash
       // can no longer leave postings appended under stale stats
-      IndexManifest.commit(path, v)
+      IndexManifest.commitCas(path, m.version, m.base): Unit
     } finally { docs.unpersist(blocking = false); () }
   }
 
@@ -278,17 +279,19 @@ object Vocabulary {
   def deleteBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "deleteBm25Index needs at least one id")
-    val cur = IndexManifest.currentDir(path)
-    val (v, staged) = IndexManifest.stage(path)
-    IndexManifest.carry(path, staged, "postings")
-    IndexManifest.carry(path, staged, "stats")
-    IndexManifest.carry(path, staged, "tombstones")
-    spark.read.parquet(s"$cur/postings")
-      .filter(col("id").isin(ids.map(Long.box): _*))
-      .select(col("id"), col("dl")).distinct()
-      .coalesce(1)
-      .write.mode("append").parquet(s"$staged/tombstones")
-    IndexManifest.commit(path, v)
+    IndexManifest.mutate(path) { m =>
+      require(m.base.isDefined, s"no committed index at $path")
+      val staged = m.dir
+      IndexManifest.carry(path, staged, "postings")
+      IndexManifest.carry(path, staged, "stats")
+      IndexManifest.carry(path, staged, "tombstones")
+      IndexManifest.readArtifact(spark, path, "postings", m.base)
+        .filter(col("id").isin(ids.map(Long.box): _*))
+        .select(col("id"), col("dl")).distinct()
+        .coalesce(1)
+        .write.mode("append").parquet(s"$staged/tombstones")
+      IndexManifest.commitCas(path, m.version, m.base): Unit
+    }
   }
 
   /** COMPACT the disk inverted index: physically fold accumulated
@@ -311,27 +314,28 @@ object Vocabulary {
     * serve bit-equality to either side.
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-      path: String, buckets: Int = 64): Unit = {
-    val cur = IndexManifest.currentDir(path)
-    val tombFile = new java.io.File(s"$cur/tombstones")
-    val base = spark.read.parquet(s"$cur/postings")
+      path: String, buckets: Int = 64): Unit =
+      IndexManifest.mutate(path) { m =>
+    require(m.base.isDefined, s"no committed index at $path")
+    val staged = m.dir
+    val base = IndexManifest.readArtifact(spark, path, "postings", m.base)
     val (postings, removedN, removedS) =
-      if (tombFile.exists()) {
-        val tomb = spark.read.parquet(tombFile.getPath)
-          .select(col("id"), col("dl")).distinct()
+      if (IndexManifest.artifactNonEmpty(path, "tombstones", m.base)) {
+        val tomb =
+          IndexManifest.readArtifact(spark, path, "tombstones", m.base)
+            .select(col("id"), col("dl")).distinct()
         val agg = tomb.agg(count(lit(1)),
           coalesce(sum(col("dl")), lit(0L))).collect().head
         (base.join(broadcast(tomb.select(col("id"))), Seq("id"),
           "left_anti"), agg.getLong(0), agg.getLong(1))
       } else (base, 0L, 0L)
-    val (v, staged) = IndexManifest.stage(path)
     postings
       .select(col("id"), col("dl"), col("term"), col("tf"), col("bkt"))
       .repartition(col("bkt"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("bkt")
       .parquet(s"$staged/postings")
-    val old = spark.read.parquet(s"$cur/stats")
+    val old = IndexManifest.readArtifact(spark, path, "stats", m.base)
       .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
       .collect().head
     val n = old.getLong(0) - removedN
@@ -340,7 +344,7 @@ object Vocabulary {
     Seq((n, if (n == 0) 0.0 else sDl.toDouble / n, sDl))
       .toDF("n_docs", "avgdl", "sum_dl")
       .coalesce(1).write.mode("overwrite").parquet(s"$staged/stats")
-    IndexManifest.commit(path, v)
+    IndexManifest.commitCas(path, m.version, m.base): Unit
   }
 
   /** Serve BM25 top-k from the disk inverted index. Identical scoring
@@ -358,16 +362,18 @@ object Vocabulary {
     // ONE pointer resolution per query: every artifact read below
     // comes from the same committed version, so a concurrent
     // append/delete/compact can never serve a mixed index
-    val cur = IndexManifest.currentDir(path)
-    val stats0 = spark.read.parquet(s"$cur/stats")
+    val ver = IndexManifest.current(path)
+    require(ver.isDefined, s"no committed index at $path")
+    val stats0 = IndexManifest.readArtifact(spark, path, "stats", ver)
     val bkts = queryTerms.map(termBucket(_, buckets)).distinct
-    val postings0 = spark.read.parquet(s"$cur/postings")
+    val postings0 = IndexManifest.readArtifact(spark, path, "postings", ver)
       .filter(col("bkt").isin(bkts: _*) &&
         col("term").isin(queryTerms: _*))
     val (postings, stats) =
-      if (new java.io.File(s"$cur/tombstones").exists()) {
-        val tomb = spark.read.parquet(s"$cur/tombstones")
-          .select(col("id"), col("dl")).distinct()
+      if (IndexManifest.artifactNonEmpty(path, "tombstones", ver)) {
+        val tomb =
+          IndexManifest.readArtifact(spark, path, "tombstones", ver)
+            .select(col("id"), col("dl")).distinct()
         val tombAgg = tomb.agg(count(lit(1)).as("n_t"),
           coalesce(sum(col("dl")), lit(0L)).as("s_t"))
         val adj = stats0.crossJoin(broadcast(tombAgg)).select(

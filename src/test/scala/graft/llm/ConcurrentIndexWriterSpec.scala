@@ -178,6 +178,57 @@ class ConcurrentIndexWriterSpec extends SparkSpec {
     assert(new java.io.File(IndexManifest.currentDir(r)).isDirectory)
   }
 
+  test("racing MUTATION VERBS compose: a tombstone delete and an " +
+      "append land concurrently and the served index reflects BOTH " +
+      "(CAS + rebase-retry, not last-commit-wins)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = (0 until 240).map { i =>
+      val a = i % 3
+      val base = Array.tabulate(8)(j => if (j == a) 1.0 else 0.0)
+      (i.toLong, base.map(_ + 0.01 * ((i * 7 + a) % 5)).toSeq)
+    }.toDF("id", "vec")
+    val (dim, bits, tables, groups) = (8, 4, 4, 8)
+    val dir = root()
+    Similarity.writeLshIndex(
+      Similarity.multiTableIndex(corpus.filter(col("id") < 200), "vec",
+        "id", dim = dim, bits = bits, tables = tables),
+      dir, groups = groups)
+    val deadIds = Seq(3L, 33L, 63L)
+    // the GDPR-vs-ingest race from the advisory: without CAS one of
+    // these silently vanishes from the served version
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val tAppend = new Thread(() => {
+      try Similarity.appendLshIndex(corpus.filter(col("id") >= 200),
+        "vec", "id", dir, dim = dim, bits = bits, tables = tables,
+        groups = groups)
+      catch { case t: Throwable => errors.add(t): Unit }
+    })
+    val tDelete = new Thread(() => {
+      try Similarity.deleteFromLshIndex(deadIds.toDF("id"), "id", dir)
+      catch { case t: Throwable => errors.add(t): Unit }
+    })
+    tAppend.start(); tDelete.start()
+    tAppend.join(120000); tDelete.join(120000)
+    assert(errors.isEmpty, s"racing mutation threw: ${errors.peek()}")
+    // served state = base + append delta − deleted, whatever the order
+    val served = Similarity.readLshIndex(spark, dir)
+    val dead = deadIds.toDF("graft_dead_id")
+    val folded = served.join(broadcast(dead),
+        served("id") === dead("graft_dead_id"), "left_anti")
+      .select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // (the tombstones themselves fold at serve time; check both the
+    // delta rows survived AND the tombstone artifact is present)
+    assert((200L until 240L).forall(folded.contains),
+      "the append's delta was dropped by the racing delete")
+    assert(IndexManifest.artifactNonEmpty(dir, "tombstones"),
+      "the delete's tombstones were dropped by the racing append")
+    val tombIds = IndexManifest.readArtifact(spark, dir, "tombstones")
+      .collect().map(_.getLong(0)).toSet
+    assert(tombIds == deadIds.toSet)
+  }
+
   test("default retain under two racing commits keeps both versions " +
       "on disk (last-commit-wins, superseded version retained)") {
     val r = root()
