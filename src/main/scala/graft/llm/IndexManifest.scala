@@ -165,6 +165,24 @@ object IndexManifest {
     try body finally DefaultLayout = prev
   }
 
+  /** Stamp-gate freshness helper for build-once CACHE roots (the
+    * query registry's stamp-gated indexes — derived data a gate
+    * rebuilds from the fixture whenever stale): an existing root only
+    * counts as reusable when its pinned layout matches the session
+    * default, and a mismatched root is WIPED here so the gate's
+    * rebuild adopts the session layout (a root's layout is immutable
+    * in place — rebuilding versions onto it would keep the old
+    * mechanism and silently fake a listing certification). Cache
+    * roots only; never point this at an index whose history you keep.
+    * Callers hold their gate's lock.
+    */
+  def freshForLayout(root: String): Boolean = {
+    if (exists(root) && layoutOf(root) != DefaultLayout) {
+      Similarity.rmTree(new java.io.File(root))
+      false
+    } else exists(root)
+  }
+
   /** The root's pinned layout; roots created before the `LAYOUT`
     * marker existed are `link` (what they were built with).
     */

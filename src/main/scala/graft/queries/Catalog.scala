@@ -5727,7 +5727,7 @@ object Catalog {
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
             .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.exists(path)
+          graft.llm.IndexManifest.freshForLayout(path)
         if (!fresh) {
           stampFile.delete(): Unit
           Vocabulary.writeBm25Index(Tables.documents(s, d), "doc_id",
@@ -5798,7 +5798,7 @@ object Catalog {
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
             .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.exists(path)
+          graft.llm.IndexManifest.freshForLayout(path)
         if (!fresh) {
           stampFile.delete(): Unit
           // a rebuild starts a fresh manifest version with no
@@ -5852,7 +5852,7 @@ object Catalog {
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
             .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.exists(path)
+          graft.llm.IndexManifest.freshForLayout(path)
         if (!fresh) {
           stampFile.delete(): Unit
           val docs = Tables.documents(s, d)
@@ -7566,7 +7566,7 @@ $union
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
             .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.exists(path)
+          graft.llm.IndexManifest.freshForLayout(path)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.writeIvfIndex(
@@ -7724,7 +7724,7 @@ $union
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
             .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.exists(path)
+          graft.llm.IndexManifest.freshForLayout(path)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.writeLshIndex(
@@ -7783,7 +7783,7 @@ $union
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
             .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.exists(path)
+          graft.llm.IndexManifest.freshForLayout(path)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.clearTombstones(path)
@@ -7842,7 +7842,7 @@ $union
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
             .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.exists(path)
+          graft.llm.IndexManifest.freshForLayout(path)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.writeIvfIndex(
@@ -7894,7 +7894,7 @@ $union
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
             .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.exists(path)
+          graft.llm.IndexManifest.freshForLayout(path)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.clearTombstones(path)
@@ -8015,7 +8015,7 @@ $union
       val fresh = stampFile.exists() &&
         scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
           .toOption.contains(stamp) &&
-        graft.llm.IndexManifest.exists(path)
+        graft.llm.IndexManifest.freshForLayout(path)
       if (!fresh) {
         stampFile.delete(): Unit
         Similarity.writeLshIndex(
@@ -8078,7 +8078,7 @@ $union
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
             .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.exists(path)
+          graft.llm.IndexManifest.freshForLayout(path)
         if (!fresh) {
           stampFile.delete(): Unit // base overwrite + append are 2 steps
           Similarity.writeLshIndex(
@@ -8402,7 +8402,7 @@ $union
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
             .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.exists(path)
+          graft.llm.IndexManifest.freshForLayout(path)
         if (!fresh) {
           val model = pqModelFor(s, d, query.length)
           val (cents, radii) = centroidRadiiFor(s, d)
@@ -8458,7 +8458,7 @@ $union
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
             .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.exists(path)
+          graft.llm.IndexManifest.freshForLayout(path)
         if (!fresh) {
           stampFile.delete(): Unit
           val hist = emb.filter(col("vec_id") % 10 =!= 0)
@@ -8522,7 +8522,7 @@ $union
         val fresh = stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
             .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.exists(path)
+          graft.llm.IndexManifest.freshForLayout(path)
         if (!fresh) {
           stampFile.delete(): Unit
           val model = pqModelFor(s, d, query.length)
@@ -10241,6 +10241,182 @@ $union
       WHERE vec_id NOT IN (SELECT vec_id FROM dups)
       ORDER BY vec_id"""))
 
+  /** The OBJECT-STORE index layout, certified inside the oracle gate:
+    * the full disk-LSH lifecycle — build(history) → append(delta) →
+    * delete(takedowns) → compact → serve — runs with
+    * `spark.graft.indexLayout=listing` (carry-forward by per-version
+    * file LISTING, [[graft.llm.IndexManifest]]; zero hard links, the
+    * S3/GCS deployment shape) and must serve the exact brute-force
+    * top-10 over the SURVIVING corpus. Every verb participates: a
+    * lost append drops the query vector's own self-match (vec_id 0
+    * lives in the delta), a lost delete resurrects a tombstoned id,
+    * and the compact rewrites what the listing carried by reference.
+    */
+  private val lshListingLock = new Object
+  val simTopkAnnDiskListing = RegisteredQuery(
+    "sim_topk_ann_disk_listing",
+    (s, d) => {
+      import graft.llm.{IndexManifest, Similarity}
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      val bits = Similarity.bitsFor(emb.count())
+      val path = s"/tmp/graft_lsh_lst_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = sourceStamp(s"$d/embeddings.parquet")
+      lshListingLock.synchronized {
+        IndexManifest.withLayout(IndexManifest.ListingLayout) {
+          val fresh = stampFile.exists() &&
+            scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+              .toOption.contains(stamp) &&
+            IndexManifest.freshForLayout(path)
+          if (!fresh) {
+            stampFile.delete(): Unit
+            Similarity.writeLshIndex(
+              Similarity.multiTableIndex(
+                emb.filter(col("vec_id") % 10 =!= 0), "embedding",
+                "vec_id", dim = query.length, bits = bits, tables = 8),
+              path, groups = 16)
+            Similarity.appendLshIndex(
+              emb.filter(col("vec_id") % 10 === 0), "embedding", "vec_id",
+              path, dim = query.length, bits = bits, tables = 8,
+              groups = 16)
+            import s.implicits._
+            Similarity.deleteFromLshIndex(
+              Seq(3L, 7L).toDF("vec_id"), "vec_id", path)
+            Similarity.compactLshIndex(s, path)
+            java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+          }
+        }
+      }
+      Similarity.topKAnnDisk(s, path, query, dim = query.length,
+          bits = bits, tables = 8, k = 10, groups = 16)
+        .select(col("id").as("vec_id"), round(col("score"), 6).as("score"))
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6)
+          AS score
+      FROM embeddings, q WHERE vec_id NOT IN (3, 7)
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,
+        vec_id LIMIT 10"""))
+
+  /** BM25 twin of `sim_topk_ann_disk_listing`: the sparse-retrieval
+    * disk lifecycle — build(history) → append(delta) → delete → compact
+    * → serve — under the listing layout, against the exact BM25 oracle
+    * over the surviving corpus (idf/avgdl shift with the deletions;
+    * the integer-exact stats recombination must match a from-scratch
+    * rebuild, which is what the oracle computes).
+    */
+  private val bm25ListingLock = new Object
+  val docBm25DiskListing = RegisteredQuery(
+    "doc_bm25_disk_listing",
+    (s, d) => {
+      import graft.llm.{IndexManifest, Vocabulary}
+      val path = s"/tmp/graft_bm25_lst_${dirTag(d)}"
+      val stampFile = new java.io.File(s"$path.stamp")
+      val stamp = sourceStamp(s"$d/documents.parquet")
+      bm25ListingLock.synchronized {
+        IndexManifest.withLayout(IndexManifest.ListingLayout) {
+          val fresh = stampFile.exists() &&
+            scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+              .toOption.contains(stamp) &&
+            IndexManifest.freshForLayout(path)
+          if (!fresh) {
+            stampFile.delete(): Unit
+            val docs = Tables.documents(s, d)
+            Vocabulary.writeBm25Index(docs.filter(col("doc_id") % 3 =!= 0),
+              "doc_id", "text", path, buckets = 16)
+            Vocabulary.appendBm25Index(docs.filter(col("doc_id") % 3 === 0),
+              "doc_id", "text", path, buckets = 16)
+            Vocabulary.deleteBm25Index(s, path, Seq(1L, 5L))
+            Vocabulary.compactBm25Index(s, path, buckets = 16)
+            java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+          }
+        }
+      }
+      Vocabulary.bm25Disk(s, path,
+          queryTerms = Seq("dup", "spark", "join"), topK = 20,
+          buckets = 16)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents WHERE doc_id NOT IN (1, 5)),
+      d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      hit AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf FROM hit
+        WHERE term IN ('dup', 'spark', 'join') GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id,
+          round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+            (tf.tf * 2.5) /
+            (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4)
+            AS score
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id LIMIT 20"""))
+
+  /** L-2/L-3/L-4/L-5 CONTRACT query — the seeded-sampling cluster's
+    * registry entry (previously spec-only): randomSplit partitions the
+    * table exactly (counts sum, zero overlap), the same seed
+    * reproduces the same MEMBERSHIP (not just the same counts) for
+    * both split and sample, realized fractions land within a 5σ-wide
+    * tolerance, the 10k-rows-per-partition heuristic is what
+    * `repartitionForRows` actually applies, and `microBatches` drains
+    * every row exactly once in bounded driver-side batches. Random
+    * VALUES are engine-internal (which rows land where is Spark's
+    * seeded XORShift); the invariants are what an oracle CAN pin —
+    * the `encode_eval`/`train_loop` contract pattern.
+    */
+  val samplingContract = RegisteredQuery(
+    "sampling_contract",
+    (s, d) => {
+      import graft.relational.Sampling
+      val df = Tables.orders(s, d).select(col("o_orderkey"))
+      val total = df.count()
+      val Array(a1, b1) = Sampling.randomSplit(df, Array(0.8, 0.2), 42L)
+      val Array(a2, _) = Sampling.randomSplit(df, Array(0.8, 0.2), 42L)
+      val na1 = a1.count(); val nb1 = b1.count()
+      val overlap = a1.join(b1, "o_orderkey").count()
+      val splitSame =
+        a1.exceptAll(a2).count() + a2.exceptAll(a1).count() == 0L
+      val s1 = Sampling.sample(df, 0.3, 7L)
+      val s2 = Sampling.sample(df, 0.3, 7L)
+      val sampleSame =
+        s1.exceptAll(s2).count() + s2.exceptAll(s1).count() == 0L
+      val sN = s1.count()
+      val parts = Sampling.repartitionForRows(df, total)
+        .rdd.getNumPartitions
+      val heuristicOk =
+        parts == math.max((total / 10000L).toInt, 2) && parts >= 2
+      val batches = Sampling.microBatches(df.limit(5000), 997).toSeq
+      val mbRows = batches.map(_.size.toLong).sum
+      val mbOk = mbRows == math.min(5000L, total) &&
+        batches.forall(_.size <= 997)
+      import s.implicits._
+      Seq((total, na1 + nb1 == total, overlap == 0L, splitSame,
+          math.abs(na1.toDouble / total - 0.8) < 0.05,
+          sampleSame, math.abs(sN.toDouble / total - 0.3) < 0.05,
+          heuristicOk, mbOk))
+        .toDF("n_total", "split_exhaustive", "split_disjoint",
+          "split_deterministic", "split_frac_ok", "sample_deterministic",
+          "sample_frac_ok", "partition_heuristic_ok", "microbatch_exact")
+    },
+    Some("""SELECT count(*) AS n_total, TRUE AS split_exhaustive,
+        TRUE AS split_disjoint, TRUE AS split_deterministic,
+        TRUE AS split_frac_ok, TRUE AS sample_deterministic,
+        TRUE AS sample_frac_ok, TRUE AS partition_heuristic_ok,
+        TRUE AS microbatch_exact
+      FROM orders"""))
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[RegisteredQuery] = Seq(
@@ -10312,7 +10488,7 @@ $union
     langId, qualityScore,
     charEntropy, docRepetition,
     vocabTopk, vocabCoverageQ, docTopTerms, docBm25, docBm25Disk,
-    docBm25Append, docBm25Delete,
+    docBm25Append, docBm25Delete, docBm25DiskListing,
     piiRedact,
     decontaminate, decontaminateBloom, dedupSemantic,
     retrievalHybridRrf, simKnnClassify,
@@ -10327,6 +10503,7 @@ $union
     bpeEncode, bpeTrain,
     aggVectorMean, simTopkBrute, simTopkAnn, simTopkAnnDisk,
     simTopkAnnAppend, simTopkAnnCompact, simTopkAnnDelete,
+    simTopkAnnDiskListing, samplingContract,
     simTopkIvf, simTopkIvfDisk, simTopkIvfAppend, simTopkIvfDelete,
     simTopkPq, simTopkIvfPq, simTopkIvfPqDisk, simTopkIvfPqAppend,
     simTopkIvfPqDelete,
