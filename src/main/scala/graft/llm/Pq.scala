@@ -513,8 +513,9 @@ object Pq {
   /** DELETE from a disk IVF×PQ index — completing removal symmetry
     * across all four index families (LSH / IVF / BM25 / IVF×PQ share
     * the protocol): deleted ids land in a tombstone artifact inside a
-    * NEW manifest version at O(delta-ids) cost (code files carry as
-    * hard links, untouched), and [[readIvfPqIndex]] anti-joins them
+    * NEW manifest version at O(delta-ids) cost (code files carry
+    * layout-dependently — hard links or listing refs, bytes untouched
+    * either way), and [[readIvfPqIndex]] anti-joins them
     * before any ADC scoring, so a deleted id is unservable the moment
     * the pointer flips. Radii stay as built — bounds only LOOSEN when
     * members leave a cell, so pruning remains sound (the exact
@@ -540,8 +541,9 @@ object Pq {
   /** COMPACTION of an appended IVF×PQ index: rewrites the codes tree
     * to one file per `cell=` directory — FOLDING any pending
     * tombstones ([[deleteFromIvfPqIndex]]) — in a staged version that
-    * carries the driver-sized sidecars (codebooks/centroids/params) as
-    * hard links and no tombstone artifact, published by the single
+    * carries the driver-sized sidecars (codebooks/centroids/params)
+    * forward ([[IndexManifest.carry]] — links or listing refs per the
+    * root's layout) and no tombstone artifact, published by the single
     * [[IndexManifest.commit]] pointer flip (crash-atomic; same
     * protocol as [[Similarity.compactLshIndex]]).
     */

@@ -987,8 +987,9 @@ object Similarity {
     * hyperplane family is a pure function of (dim, bits, seedPrefix),
     * so a delta computes byte-identical signatures to the base build
     * and its rows land in the SAME (table, grp) directory layout.
-    * Base files carry into the new version as hard links (zero bytes
-    * copied — [[IndexManifest.carry]]) and the delta appends as new
+    * Base files carry into the new version without copying a byte
+    * ([[IndexManifest.carry]] — hard links on posix roots, listing
+    * refs on object-store roots) and the delta appends as new
     * files beside them; the [[IndexManifest.commit]] pointer flip
     * publishes base+delta atomically, so a concurrent reader sees the
     * whole old or the whole new index, never a torn listing. The

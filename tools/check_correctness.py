@@ -47,9 +47,13 @@ def cached_oracle(con, sql, stamp):
     A cache entry is committed only if it round-trips to the SAME
     frame_sig as the live fetchdf result — parquet can change nested
     cell representations (dict vs struct-array), and a warm run must
-    never flip a verdict the cold run would have given."""
-    key = hashlib.md5((sql + "\n--stamp--\n" + stamp)
-                      .encode()).hexdigest()
+    never flip a verdict the cold run would have given. The key folds
+    in the duckdb + pandas versions: a library upgrade that changes
+    fetchdf or parquet decoding (dtype/nested representation) must
+    invalidate the cache rather than serve a stale normalized frame."""
+    libs = f"duckdb={duckdb.__version__};pandas={pd.__version__}"
+    key = hashlib.md5((sql + "\n--stamp--\n" + stamp +
+                       "\n--libs--\n" + libs).encode()).hexdigest()
     path = f"{CACHE_DIR}/{key}.parquet"
     if os.path.exists(path):
         return pd.read_parquet(path)
