@@ -984,7 +984,7 @@ object Dedup {
     * global sort-order structure that doesn't distribute; this is the
     * Spark-shaped equivalent with the same answer set:
     *
-    *   1. positional winnowing anchors ([[winnowPicksUdf]], k-gram
+    *   1. positional winnowing anchors (`winnowPicksUdf`, k-gram
     *      size `k`, window w = minLen−k+1, so the guarantee threshold
     *      is exactly `minLen`) — fingerprint density ~2/(w+1) per
     *      char, so the exploded anchor table is a small constant

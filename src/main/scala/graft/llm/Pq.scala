@@ -67,7 +67,7 @@ object Pq {
     * shuffle-free job for all m subspaces: `mapPartitions` folds every
     * row into dense per-partition (m·k·sub sums, m·k counts) arrays,
     * merged partition-ordered on the driver
-    * ([[Similarity.densePartialFold]] — bit-deterministic, unlike
+    * (`Similarity.densePartialFold` — bit-deterministic, unlike
     * arrival-order treeAggregate) — the same map-side-combine shape as
     * [[Similarity.kmeansCentroids]] (and MLlib's KMeans). The previous
     * form (encode expr → double
@@ -452,7 +452,7 @@ object Pq {
     * radii: the codes frame has no vectors to recompute from, which
     * is the point of PQ). A drifted delta only widens radii — costs
     * probes, never answers. Cells untouched by the delta keep their
-    * old radius (the sparse [[Similarity.cellMaxAngles]] merge — a
+    * old radius (the sparse `Similarity.cellMaxAngles` merge — a
     * π default here would destroy pruning).
     */
   def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,

@@ -462,7 +462,7 @@ object Similarity {
     * on every run/cluster). Each Lloyd iteration is ONE shuffle-free
     * job: `mapPartitions` folds every row into dense per-partition
     * (k·dim sums, k counts) arrays, merged partition-ordered on the
-    * driver ([[densePartialFold]]) — the map-side-combine shape (Spark
+    * driver (`densePartialFold`) — the map-side-combine shape (Spark
     * MLlib's KMeans aggregates the same way). The previous form
     * (assign expr → posexplode → groupBy(cell, pos)) shuffled n·dim
     * rows and paid a full exchange per round — at fixture scale that

@@ -299,7 +299,7 @@ object Vocabulary {
     * sorted files re-merged) and rewrite the stats sidecar to the
     * already-adjusted integer-exact values, then swap in with the
     * same two-rename protocol as the ANN index
-    * ([[Similarity.swapCompacted]] — caller must serialize with
+    * (`Similarity.swapCompacted` — caller must serialize with
     * readers, as the registered queries' locks do). Serve results are
     * unchanged by construction: the fold applies exactly the
     * anti-join + stats recombination the tombstoned serve was already

@@ -1352,7 +1352,7 @@ object Catalog {
 
   /** SCHEMA EVOLUTION through the V2 catalog: `ALTER TABLE ADD/RENAME/
     * DROP COLUMN` routes to `TableCatalog.alterTable` as
-    * [[org.apache.spark.sql.connector.catalog.TableChange]]s, with
+    * `org.apache.spark.sql.connector.catalog.TableChange`s, with
     * snapshot-consistent semantics — each ALTER commits a NEW version
     * carrying the new schema; prior snapshots keep their own schema
     * and rows. The query drives the full lifecycle: CTAS (era 1) →

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * plus a per-key sort — exactly what any join on those keys would
   * shuffle anyway — with NO candidate-pair expansion, unlike a range
   * join whose bucket overlap factor multiplies rows. Ties (right.time
-  * == left.time) match inclusively, like DuckDB `ON l.t >= r.t`.
+  * equal to left.time) match inclusively, like DuckDB `ON l.t >= r.t`.
   *
   * Skew note: one pathological key sorts in one task; for that shape,
   * pre-bucket the key with a coarse time bucket (salting the window the

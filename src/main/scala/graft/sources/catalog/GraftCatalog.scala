@@ -135,7 +135,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** SCHEMA EVOLUTION: `ALTER TABLE … ADD/RENAME/DROP COLUMN` routes
-    * here as [[TableChange]]s. Snapshot-consistent semantics: the
+    * here as `TableChange`s. Snapshot-consistent semantics: the
     * change commits a NEW version carrying the new schema (rows
     * conformed — added columns null-fill, dropped columns project
     * away); every PRIOR version keeps its own schema and rows, so
@@ -241,7 +241,7 @@ object GraftCatalog {
     * table contents ONLY IF the table is still at `baseVersion` —
     * the optimistic-concurrency verb behind OVERWRITE and the
     * copy-on-write rewrites (see
-    * [[GraftMemTable.publishReplaceIfBase]]). Throws
+    * `GraftMemTable.publishReplaceIfBase`). Throws
     * `ConcurrentModificationException` on a moved base; the caller
     * re-reads and retries.
     */
@@ -258,7 +258,7 @@ object GraftCatalog {
 
   /** RESTORE `ns.table` TO VERSION AS OF `version` — commits a new
     * snapshot whose rows and schema are those of `version` (history is
-    * append-only; see [[GraftMemTable.restoreVersion]]). An API verb,
+    * append-only; see `GraftMemTable.restoreVersion`). An API verb,
     * not SQL: Spark has no RESTORE statement for third-party catalogs.
     */
   def restore(fullName: String, version: Int): Unit =
@@ -269,7 +269,7 @@ object GraftCatalog {
     * every DML verb reduces to `insert`/`delete` rows tagged with
     * their commit version, an UPDATE appearing as its delete+insert
     * pair. Returns (commitVersion, changeType, row) triples plus the
-    * era's schema; see [[GraftMemTable.changesBetween]] for the
+    * era's schema; see `GraftMemTable.changesBetween` for the
     * multiset-diff contract.
     */
   def changeFeed(fullName: String, fromV: Int, toV: Int)
@@ -1188,7 +1188,7 @@ final case class CatOffset(version: Int) extends Offset {
 /** STREAMING source over a catalog table\'s commit log — the Delta
   * streaming-source shape: offsets are commit versions, each
   * micro-batch ships the rows APPENDED over a commit range
-  * ([[GraftMemTable.appendedBetween]] — replace commits fail the
+  * (`GraftMemTable.appendedBetween` — replace commits fail the
   * stream), and admission control honors max-rows limits by walking
   * whole commits until the budget is spent (a commit is the atomic
   * unit — it is never split across epochs, so each epoch is a

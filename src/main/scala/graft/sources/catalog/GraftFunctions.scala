@@ -9,12 +9,12 @@ import org.apache.spark.sql.types._
   * lets a connector ship its own compute alongside its tables the way
   * Iceberg ships `system.bucket`. Two members exercise both kinds:
   *
-  *  - `gcd` — a [[ScalarFunction]] with the static `invoke` MAGIC
+  *  - `gcd` — a `ScalarFunction` with the static `invoke` MAGIC
   *    METHOD: Spark's analyzer binds the call to a StaticInvoke of
   *    that method, so the per-row call is CODEGEN'D like a builtin
   *    (no InternalRow boxing; `produceResult` is only the interpreted
   *    fallback).
-  *  - `bor` — an [[AggregateFunction]] (bitwise OR): partial states
+  *  - `bor` — an `AggregateFunction` (bitwise OR): partial states
   *    update map-side, `merge` combines partials — the V2 aggregate
   *    contract mirrors Spark's own partial/final split, so the
   *    catalog aggregate shuffles one state per group exactly like a

@@ -122,7 +122,7 @@ final class MemoryBatchWrite(name: String, schema: StructType,
 }
 
 /** Streaming face: the same buffered-partition writers, committed per
-  * EPOCH through [[MemorySinkRegistry.publishEpoch]] so replayed epochs
+  * EPOCH through `MemorySinkRegistry.publishEpoch` so replayed epochs
   * (restart recovery, at-least-once delivery) are no-ops — the sink
   * half of end-to-end exactly-once. Complete output mode arrives as
   * `truncate()` on the WriteBuilder ⇒ replace per epoch; Append merges.

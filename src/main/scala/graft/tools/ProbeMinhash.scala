@@ -11,7 +11,7 @@ import graft.sources.Tables
   * with textual variants (near-dup families, the worst case for band
   * buckets) and time the EXACT query path — portable md5 minhash
   * signatures → band keys → window-min one-hop labeling
-  * ([[Dedup.minhashClustersPortable]], numHashes=8, bands=4, the
+  * (`Dedup.minhashClustersPortable`, numHashes=8, bands=4, the
   * `dedup_minhash` registration). The question: does per-doc cost
   * flatten as the corpus grows (fixed cost amortizing) or creep
   * (super-linear term hiding under the fixed cost)? Reported: wall
