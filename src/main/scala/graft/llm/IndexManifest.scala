@@ -153,16 +153,28 @@ object IndexManifest {
   @volatile var DefaultLayout: String =
     sys.props.getOrElse("spark.graft.indexLayout", LinkLayout)
 
-  /** Scope a [[DefaultLayout]] override (single-threaded runners —
-    * the query registry and specs; not safe under concurrent callers
-    * choosing DIFFERENT layouts).
+  // Scoped overrides are THREAD-LOCAL (DynamicVariable), so a
+  // withLayout(listing) window on one thread can never make a
+  // concurrent thread's stage() pin the wrong layout or its
+  // freshForLayout wipe an unrelated fresh root.
+  private val layoutOverride =
+    new scala.util.DynamicVariable[Option[String]](None)
+
+  /** The layout new roots adopt right now: the innermost
+    * [[withLayout]] override on THIS thread, else [[DefaultLayout]].
+    */
+  def effectiveLayout: String =
+    layoutOverride.value.getOrElse(DefaultLayout)
+
+  /** Scope a layout override for the duration of `body` on the
+    * current thread only (a DynamicVariable, not a global swap —
+    * concurrent threads keep seeing [[DefaultLayout]] or their own
+    * override).
     */
   def withLayout[T](layout: String)(body: => T): T = {
     require(layout == LinkLayout || layout == ListingLayout,
       s"unknown index layout '$layout' (want link|listing)")
-    val prev = DefaultLayout
-    DefaultLayout = layout
-    try body finally DefaultLayout = prev
+    layoutOverride.withValue(Some(layout))(body)
   }
 
   /** Stamp-gate freshness helper for build-once CACHE roots (the
@@ -172,12 +184,19 @@ object IndexManifest {
     * default, and a mismatched root is WIPED here so the gate's
     * rebuild adopts the session layout (a root's layout is immutable
     * in place — rebuilding versions onto it would keep the old
-    * mechanism and silently fake a listing certification). Cache
-    * roots only; never point this at an index whose history you keep.
+    * mechanism and silently fake a listing certification). The wipe
+    * keys on the ROOT DIRECTORY, not the committed pointer: a crashed
+    * first build that left `LAYOUT` + stage dirs but never committed
+    * must not leak its stale layout into the rebuild. Callers must
+    * evaluate this gate UNCONDITIONALLY (first conjunct, or a
+    * standalone val) — short-circuiting it behind a stamp check skips
+    * the wipe exactly when the rebuild is about to run. Cache roots
+    * only; never point this at an index whose history you keep.
     * Callers hold their gate's lock.
     */
   def freshForLayout(root: String): Boolean = {
-    if (exists(root) && layoutOf(root) != DefaultLayout) {
+    if (new java.io.File(root).exists() &&
+        layoutOf(root) != effectiveLayout) {
       Similarity.rmTree(new java.io.File(root))
       false
     } else exists(root)
@@ -392,7 +411,7 @@ object IndexManifest {
     * throws and it takes the next number). Returns (versionName,
     * stagedDirPath); [[commit]] renames the stage dir to its final
     * `v<N>` name. Never touches the pointer. A brand-new root gets
-    * its `LAYOUT` pinned to [[DefaultLayout]] here (existing roots
+    * its `LAYOUT` pinned to [[effectiveLayout]] here (existing roots
     * keep theirs — a root never changes layout mid-life).
     */
   def stage(root: String): (String, String) = {
@@ -401,7 +420,7 @@ object IndexManifest {
     if (!java.nio.file.Files.exists(layoutPath) &&
         !java.nio.file.Files.exists(pointer(root)) &&
         versionDirs(root).isEmpty)
-      try java.nio.file.Files.writeString(layoutPath, DefaultLayout,
+      try java.nio.file.Files.writeString(layoutPath, effectiveLayout,
         java.nio.file.StandardOpenOption.CREATE_NEW): Unit
       catch { // a racing stager pinned it first — theirs stands
         case _: java.nio.file.FileAlreadyExistsException => ()
@@ -639,6 +658,19 @@ object IndexManifest {
     new ReaderPin(root, v, f)
   }
 
+  /** [[pinCurrent]] with release BY CONSTRUCTION: the pin is released
+    * in `finally`, so a body that throws mid-scan cannot leak the pin
+    * for [[ReaderPinTtlMs]] (24 h of held storage) — the same
+    * ergonomics `withPersist` gives the cache lifecycle. Prefer this
+    * over raw [[pinCurrent]]/`release` everywhere the scan's lifetime
+    * is lexically scoped; keep the raw pair only for pins that
+    * genuinely outlive a scope (handed to another thread or stage).
+    */
+  def withPin[T](root: String)(body: ReaderPin => T): T = {
+    val pin = pinCurrent(root)
+    try body(pin) finally pin.release()
+  }
+
   final class ReaderPin private[IndexManifest](val root: String,
       val version: String, file: java.nio.file.Path) {
     /** The pinned version's directory (resolve artifacts against it
@@ -688,10 +720,16 @@ object IndexManifest {
     val cutoff = now - StageTtlMs
     val (liveStages, deadStages) = stageDirs(root).partition { f =>
       val act = new java.io.File(f, ActivityFile)
-      val newest =
+      // heartbeat-fresh is the cheap fast path (two stats, no walk
+      // under the commit lock); a STALE heartbeat falls back to the
+      // full-tree newest-mtime walk before declaring the stage dead —
+      // a build whose write phase outlasts StageTtlMs without calling
+      // touchStage (artifact writes keep the tree fresh) must not be
+      // reaped mid-build by a concurrent commit
+      val hb =
         if (act.isFile) math.max(act.lastModified(), f.lastModified())
-        else newestMtime(f)
-      newest >= cutoff
+        else Long.MinValue
+      hb >= cutoff || newestMtime(f) >= cutoff
     }
     val start = (history(root) ++ pinnedVersions(root) ++
       liveStages.flatMap(f => baseOf(f.getPath))).distinct

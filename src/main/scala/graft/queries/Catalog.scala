@@ -5724,10 +5724,13 @@ object Catalog {
       val stampFile = new java.io.File(s"$path.stamp")
       val stamp = sourceStamp(s"$d/documents.parquet")
       bm25DiskLock.synchronized {
-        val fresh = stampFile.exists() &&
+        // layout gate FIRST and unconditional: a stale stamp must not
+        // short-circuit past the mismatched-layout wipe (the rebuild
+        // would stage onto the old-layout root and fake certification)
+        val layoutOk = graft.llm.IndexManifest.freshForLayout(path)
+        val fresh = layoutOk && stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.freshForLayout(path)
+            .toOption.contains(stamp)
         if (!fresh) {
           stampFile.delete(): Unit
           Vocabulary.writeBm25Index(Tables.documents(s, d), "doc_id",
@@ -5795,10 +5798,13 @@ object Catalog {
       val stampFile = new java.io.File(s"$path.stamp")
       val stamp = sourceStamp(s"$d/documents.parquet")
       bm25DeleteLock.synchronized {
-        val fresh = stampFile.exists() &&
+        // layout gate FIRST and unconditional: a stale stamp must not
+        // short-circuit past the mismatched-layout wipe (the rebuild
+        // would stage onto the old-layout root and fake certification)
+        val layoutOk = graft.llm.IndexManifest.freshForLayout(path)
+        val fresh = layoutOk && stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.freshForLayout(path)
+            .toOption.contains(stamp)
         if (!fresh) {
           stampFile.delete(): Unit
           // a rebuild starts a fresh manifest version with no
@@ -5849,10 +5855,13 @@ object Catalog {
       val stampFile = new java.io.File(s"$path.stamp")
       val stamp = sourceStamp(s"$d/documents.parquet")
       bm25AppendLock.synchronized {
-        val fresh = stampFile.exists() &&
+        // layout gate FIRST and unconditional: a stale stamp must not
+        // short-circuit past the mismatched-layout wipe (the rebuild
+        // would stage onto the old-layout root and fake certification)
+        val layoutOk = graft.llm.IndexManifest.freshForLayout(path)
+        val fresh = layoutOk && stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.freshForLayout(path)
+            .toOption.contains(stamp)
         if (!fresh) {
           stampFile.delete(): Unit
           val docs = Tables.documents(s, d)
@@ -7563,10 +7572,13 @@ $union
       val stampFile = new java.io.File(s"$path.stamp")
       val stamp = sourceStamp(s"$d/embeddings.parquet")
       ivfDiskLock.synchronized {
-        val fresh = stampFile.exists() &&
+        // layout gate FIRST and unconditional: a stale stamp must not
+        // short-circuit past the mismatched-layout wipe (the rebuild
+        // would stage onto the old-layout root and fake certification)
+        val layoutOk = graft.llm.IndexManifest.freshForLayout(path)
+        val fresh = layoutOk && stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.freshForLayout(path)
+            .toOption.contains(stamp)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.writeIvfIndex(
@@ -7721,10 +7733,13 @@ $union
       val stampFile = new java.io.File(s"$path.stamp")
       val stamp = sourceStamp(s"$d/embeddings.parquet")
       lshCompactLock.synchronized {
-        val fresh = stampFile.exists() &&
+        // layout gate FIRST and unconditional: a stale stamp must not
+        // short-circuit past the mismatched-layout wipe (the rebuild
+        // would stage onto the old-layout root and fake certification)
+        val layoutOk = graft.llm.IndexManifest.freshForLayout(path)
+        val fresh = layoutOk && stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.freshForLayout(path)
+            .toOption.contains(stamp)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.writeLshIndex(
@@ -7780,10 +7795,13 @@ $union
       val stampFile = new java.io.File(s"$path.stamp")
       val stamp = sourceStamp(s"$d/embeddings.parquet")
       lshDeleteLock.synchronized {
-        val fresh = stampFile.exists() &&
+        // layout gate FIRST and unconditional: a stale stamp must not
+        // short-circuit past the mismatched-layout wipe (the rebuild
+        // would stage onto the old-layout root and fake certification)
+        val layoutOk = graft.llm.IndexManifest.freshForLayout(path)
+        val fresh = layoutOk && stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.freshForLayout(path)
+            .toOption.contains(stamp)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.clearTombstones(path)
@@ -7839,10 +7857,13 @@ $union
       val stampFile = new java.io.File(s"$path.stamp")
       val stamp = sourceStamp(s"$d/embeddings.parquet")
       ivfAppendLock.synchronized {
-        val fresh = stampFile.exists() &&
+        // layout gate FIRST and unconditional: a stale stamp must not
+        // short-circuit past the mismatched-layout wipe (the rebuild
+        // would stage onto the old-layout root and fake certification)
+        val layoutOk = graft.llm.IndexManifest.freshForLayout(path)
+        val fresh = layoutOk && stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.freshForLayout(path)
+            .toOption.contains(stamp)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.writeIvfIndex(
@@ -7891,10 +7912,13 @@ $union
       val stampFile = new java.io.File(s"$path.stamp")
       val stamp = sourceStamp(s"$d/embeddings.parquet")
       ivfDeleteLock.synchronized {
-        val fresh = stampFile.exists() &&
+        // layout gate FIRST and unconditional: a stale stamp must not
+        // short-circuit past the mismatched-layout wipe (the rebuild
+        // would stage onto the old-layout root and fake certification)
+        val layoutOk = graft.llm.IndexManifest.freshForLayout(path)
+        val fresh = layoutOk && stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.freshForLayout(path)
+            .toOption.contains(stamp)
         if (!fresh) {
           stampFile.delete(): Unit
           Similarity.clearTombstones(path)
@@ -8012,10 +8036,13 @@ $union
     val stampFile = new java.io.File(s"$path.stamp")
     val stamp = sourceStamp(s"$d/embeddings.parquet")
     lshDiskLock.synchronized {
-      val fresh = stampFile.exists() &&
+      // layout gate FIRST and unconditional: a stale stamp must not
+      // short-circuit past the mismatched-layout wipe (the rebuild
+      // would stage onto the old-layout root and fake certification)
+      val layoutOk = graft.llm.IndexManifest.freshForLayout(path)
+      val fresh = layoutOk && stampFile.exists() &&
         scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-          .toOption.contains(stamp) &&
-        graft.llm.IndexManifest.freshForLayout(path)
+          .toOption.contains(stamp)
       if (!fresh) {
         stampFile.delete(): Unit
         Similarity.writeLshIndex(
@@ -8075,10 +8102,13 @@ $union
       val stampFile = new java.io.File(s"$path.stamp")
       val stamp = sourceStamp(s"$d/embeddings.parquet")
       lshAppendLock.synchronized {
-        val fresh = stampFile.exists() &&
+        // layout gate FIRST and unconditional: a stale stamp must not
+        // short-circuit past the mismatched-layout wipe (the rebuild
+        // would stage onto the old-layout root and fake certification)
+        val layoutOk = graft.llm.IndexManifest.freshForLayout(path)
+        val fresh = layoutOk && stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.freshForLayout(path)
+            .toOption.contains(stamp)
         if (!fresh) {
           stampFile.delete(): Unit // base overwrite + append are 2 steps
           Similarity.writeLshIndex(
@@ -8399,10 +8429,13 @@ $union
       // (the join_bucketed lesson — no check-then-act race, no reader
       // of a half-built index)
       ivfPqDiskLock.synchronized {
-        val fresh = stampFile.exists() &&
+        // layout gate FIRST and unconditional: a stale stamp must not
+        // short-circuit past the mismatched-layout wipe (the rebuild
+        // would stage onto the old-layout root and fake certification)
+        val layoutOk = graft.llm.IndexManifest.freshForLayout(path)
+        val fresh = layoutOk && stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.freshForLayout(path)
+            .toOption.contains(stamp)
         if (!fresh) {
           val model = pqModelFor(s, d, query.length)
           val (cents, radii) = centroidRadiiFor(s, d)
@@ -8455,10 +8488,13 @@ $union
       val stampFile = new java.io.File(s"$path.stamp")
       val stamp = sourceStamp(s"$d/embeddings.parquet")
       ivfPqAppendLock.synchronized {
-        val fresh = stampFile.exists() &&
+        // layout gate FIRST and unconditional: a stale stamp must not
+        // short-circuit past the mismatched-layout wipe (the rebuild
+        // would stage onto the old-layout root and fake certification)
+        val layoutOk = graft.llm.IndexManifest.freshForLayout(path)
+        val fresh = layoutOk && stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.freshForLayout(path)
+            .toOption.contains(stamp)
         if (!fresh) {
           stampFile.delete(): Unit
           val hist = emb.filter(col("vec_id") % 10 =!= 0)
@@ -8519,10 +8555,13 @@ $union
       val stampFile = new java.io.File(s"$path.stamp")
       val stamp = sourceStamp(s"$d/embeddings.parquet")
       ivfPqDeleteLock.synchronized {
-        val fresh = stampFile.exists() &&
+        // layout gate FIRST and unconditional: a stale stamp must not
+        // short-circuit past the mismatched-layout wipe (the rebuild
+        // would stage onto the old-layout root and fake certification)
+        val layoutOk = graft.llm.IndexManifest.freshForLayout(path)
+        val fresh = layoutOk && stampFile.exists() &&
           scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-            .toOption.contains(stamp) &&
-          graft.llm.IndexManifest.freshForLayout(path)
+            .toOption.contains(stamp)
         if (!fresh) {
           stampFile.delete(): Unit
           val model = pqModelFor(s, d, query.length)
@@ -10267,10 +10306,13 @@ $union
       val stamp = sourceStamp(s"$d/embeddings.parquet")
       lshListingLock.synchronized {
         IndexManifest.withLayout(IndexManifest.ListingLayout) {
-          val fresh = stampFile.exists() &&
+          // layout gate FIRST and unconditional: a stale stamp must not
+          // short-circuit past the mismatched-layout wipe (the rebuild
+          // would stage onto the old-layout root and fake certification)
+          val layoutOk = IndexManifest.freshForLayout(path)
+          val fresh = layoutOk && stampFile.exists() &&
             scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-              .toOption.contains(stamp) &&
-            IndexManifest.freshForLayout(path)
+              .toOption.contains(stamp)
           if (!fresh) {
             stampFile.delete(): Unit
             Similarity.writeLshIndex(
@@ -10319,10 +10361,13 @@ $union
       val stamp = sourceStamp(s"$d/documents.parquet")
       bm25ListingLock.synchronized {
         IndexManifest.withLayout(IndexManifest.ListingLayout) {
-          val fresh = stampFile.exists() &&
+          // layout gate FIRST and unconditional: a stale stamp must not
+          // short-circuit past the mismatched-layout wipe (the rebuild
+          // would stage onto the old-layout root and fake certification)
+          val layoutOk = IndexManifest.freshForLayout(path)
+          val fresh = layoutOk && stampFile.exists() &&
             scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
-              .toOption.contains(stamp) &&
-            IndexManifest.freshForLayout(path)
+              .toOption.contains(stamp)
           if (!fresh) {
             stampFile.delete(): Unit
             val docs = Tables.documents(s, d)

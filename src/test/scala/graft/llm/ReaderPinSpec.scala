@@ -118,6 +118,37 @@ class ReaderPinSpec extends SparkSpec {
     } finally IndexManifest.ReaderPinTtlMs = prev
   }
 
+  test("withPin releases by construction: a body that THROWS mid-scan " +
+      "leaves no pin file, and GC reclaims normally afterwards") {
+    val dir = Files.createTempDirectory("withpin").toString + "/idx"
+    buildBase(dir)
+    def pinFiles = Option(new java.io.File(dir, IndexManifest.PinsDir)
+      .listFiles()).getOrElse(Array.empty).count(_.getName.endsWith(".pin"))
+
+    // happy path: pinned across the full chain, released at exit
+    IndexManifest.withPin(dir) { pin =>
+      val it = Similarity.readLshIndex(spark, dir, Some(pin.version))
+        .select("id").toLocalIterator()
+      val drained = scala.collection.mutable.ArrayBuffer[Long]()
+      drained += it.next().getLong(0)
+      mutationChain(dir)
+      while (it.hasNext) drained += it.next().getLong(0)
+      assert(drained.nonEmpty)
+      assert(pinFiles == 1, "withPin body must run under exactly one pin")
+    }
+    assert(pinFiles == 0, "withPin leaked its pin on normal exit")
+
+    // a throwing body must NOT leak the pin (raw pinCurrent would hold
+    // the version's storage for ReaderPinTtlMs — 24h)
+    intercept[RuntimeException] {
+      IndexManifest.withPin(dir) { _ => throw new RuntimeException("scan died") }
+    }
+    assert(pinFiles == 0, "withPin leaked its pin when the body threw")
+    IndexManifest.expireVersions(dir, keep = 1)
+    assert(IndexManifest.history(dir).size == 1,
+      "expiry blocked by a pin that should have been released")
+  }
+
   test("replaying a commit whose version dir no longer exists fails " +
       "loudly instead of publishing a dangling pointer") {
     val root = Files.createTempDirectory("replay").toString + "/idx"
