@@ -5,23 +5,22 @@ package graft.llm
   * the index lifecycle.
   *
   * Layout: an index ROOT directory holds immutable versioned
-  * subdirectories (`v00001/`, `v00002/`, …) plus ONE small pointer
-  * file, `MANIFEST`, whose content names the current version. Every
-  * mutating verb (build, append, delete, compact) stages a COMPLETE
-  * new version and then commits with a single atomic rename of the
-  * pointer file. Readers resolve the pointer once per query and only
-  * ever see a fully-committed version:
+  * subdirectories (`v00001/`, `v00002/`, …) plus a small POINTER
+  * naming the current version. Every mutating verb (build, append,
+  * delete, compact) stages a COMPLETE new version and then commits
+  * with one atomic pointer operation. Readers resolve the pointer
+  * once per query and only ever see a fully-committed version:
   *
   *   - crash while STAGING → the pointer still names the old version;
-  *     the half-written `stage-v*` dir is invisible garbage (GC'd by
+  *     the half-written stage dir is invisible garbage (GC'd by
   *     the first commit after it ages past [[StageTtlMs]] — never
   *     sooner, because a fresh stage dir may be a concurrent builder
   *     mid-build);
   *   - crash BETWEEN staging and commit → same;
-  *   - crash inside commit after the stage dir's rename but before
-  *     the pointer write → an unreferenced `v*` dir, invisible to
-  *     readers, reaped by the next commit's GC;
-  *   - crash AFTER the pointer rename → the new version serves; the
+  *   - crash inside commit after the stage dir's finalization but
+  *     before the pointer write → an unreferenced `v*` dir, invisible
+  *     to readers, reaped by the next commit's GC;
+  *   - crash AFTER the pointer flip → the new version serves; the
   *     superseded dir is garbage until GC.
   *
   * There is no reachable intermediate state — the three-artifact
@@ -31,17 +30,45 @@ package graft.llm
   * injects failures at the commit failpoint and pins serve
   * bit-equality to either side.
   *
+  * ==Storage backends: posix and object-store==
+  *
+  * Every METADATA operation (pointer, locks, stage reservation,
+  * liveness mtimes, sidecar files) routes through a [[ManifestIo]]
+  * backend chosen per root by its path string:
+  *
+  *   - plain paths (`/data/idx`) → [[PosixManifestIo]]: `java.nio`
+  *     primitives — fsynced `ATOMIC_MOVE` pointer rename,
+  *     `FileChannel.lock` commit lock, atomic-`mkdir` stage
+  *     reservation.
+  *   - schemed paths (`file://…`, `hdfs://…`, `s3a://…`) →
+  *     [[HadoopManifestIo]]: everything through Hadoop
+  *     `FileSystem`/`FileContext`, with the commit protocol rebuilt
+  *     on conditional create (the put-if-absent primitive object
+  *     stores offer): the pointer is a sequence of immutable
+  *     `MANIFEST-<seq>` commit files, stages write straight into
+  *     their final `v<N>` dir claimed by an exclusive `STAGE` marker
+  *     (no directory rename — data files never move or copy), and
+  *     the commit lock is a TTL lease whose races are re-arbitrated
+  *     by the commit file's exclusive create.
+  *
+  * Artifact DATA always moves through Spark's own Hadoop-backed
+  * parquet I/O, so the verbs are backend-blind: the same
+  * build/append/delete/compact code runs on a local disk root and an
+  * `s3a://` root.
+  *
   * ==Carry-forward: two layouts==
   *
   * How a staged version inherits the artifacts it does NOT rewrite is
-  * the ONE mechanism that differs per deployment filesystem, chosen
-  * per ROOT at creation time (pinned in the root's `LAYOUT` file, set
-  * from [[DefaultLayout]] — conf `spark.graft.indexLayout` — by the
-  * first [[stage]]; a root never changes layout mid-life):
+  * chosen per ROOT at creation time (pinned in the root's `LAYOUT`
+  * file, set from [[effectiveLayout]] — conf
+  * `spark.graft.indexLayout` — by the first [[stage]]; a root never
+  * changes layout mid-life):
   *
-  *   - `link` (default; posix filesystems): unchanged artifacts carry
-  *     as HARD LINKS (O(file-count) metadata ops, zero bytes copied).
-  *     Requires `Files.createLink` — local disk, NFS, not S3/GCS.
+  *   - `link` (default on posix roots): unchanged artifacts carry as
+  *     HARD LINKS (O(file-count) metadata ops, zero bytes copied).
+  *     Requires `Files.createLink` — local disk, NFS. Roots on a
+  *     link-less store never get this layout: [[stage]] pins
+  *     `listing` regardless of the session default there.
   *   - `listing` (object stores — the 100 TB deployment): the staged
   *     version records a per-version file LISTING (`FILES`: one
   *     root-relative path per carried artifact location) instead of
@@ -59,42 +86,41 @@ package graft.llm
   * The commit protocol is identical in both layouts; only the
   * carry-forward mechanism changes. [[artifactPaths]] is uniform: a
   * `link` root simply never has a `FILES` listing, so resolution
-  * degenerates to the version's own artifact dir. (The two remaining
-  * rename sites — stage-dir finalization and the pointer flip — are
-  * small metadata objects; on a store with no atomic rename they map
-  * to the usual copy+conditional-put of a log commit. That adapter is
-  * out of scope here; everything CORPUS-scale is rename-free under
-  * `listing`.)
+  * degenerates to the version's own artifact dir.
   *
   * Concurrency contract (readers): commits retain the superseded
   * version ([[RetainVersions]]), so a reader that resolved
   * [[currentDir]] before a commit finishes its lazy scan against
   * intact files — one concurrent commit per in-flight read is safe.
   * Readers that must survive a CHAIN of commits (append → delete →
-  * compact while a lazy scan drains) take a [[pinCurrent]] READER PIN:
-  * a heartbeat file under `root/pins/` naming their version, which
-  * commit-time GC respects until [[ReaderPin.release]] (or staleness
-  * past [[ReaderPinTtlMs]]). Storage is reclaimed by
-  * [[expireVersions]] (explicit, like the catalog's expire-keep-N),
-  * never by a commit racing a pinned reader.
+  * compact while a lazy scan drains) take a [[pinCurrent]] READER PIN
+  * (prefer the scoped [[withPin]]): a heartbeat file under
+  * `root/pins/` naming their version, which commit-time GC respects
+  * until `ReaderPin.release` (or staleness past [[ReaderPinTtlMs]]).
+  * Storage is reclaimed by [[expireVersions]] (explicit, like the
+  * catalog's expire-keep-N), never by a commit racing a pinned
+  * reader.
   *
   * Concurrency contract (writers): two builders racing one root are
   * SAFE and serialize at three points —
   *
-  *   - [[stage]] reserves its version number with an atomic mkdir
-  *     (`stage-v<N>/`), so concurrent stagers never share a dir;
+  *   - [[stage]] reserves its version number with an atomic claim
+  *     (posix: `mkdir stage-v<N>`; object stores: conditional-created
+  *     `v<N>/STAGE` marker), so concurrent stagers never share a dir;
   *   - staged dirs are invisible to a concurrent commit's GC until
   *     [[StageTtlMs]] old — liveness is read from the stage dir's
   *     `STAGE_ACTIVITY` heartbeat (bumped by [[stage]]/[[carry]];
   *     long-running builds call [[touchStage]]) with a full tree walk
-  *     only as the legacy fallback, so GC under the commit lock stays
-  *     O(stage-dirs), not O(stage-tree-files);
+  *     as the fallback when the heartbeat is stale, so GC under the
+  *     commit lock stays O(stage-dirs) on the fast path and never
+  *     reaps a build whose artifact writes are still landing;
   *   - [[commit]] runs under a per-root lock (in-process monitor +
-  *     cross-process file lock on `COMMIT_LOCK`): the lineage is
-  *     re-read inside the critical section, so the resulting order is
-  *     last-commit-wins with EVERY committed version retained in the
-  *     lineage (up to `retain`) — a concurrent commit can reorder, but
-  *     never lose or corrupt, a committed version.
+  *     cross-process file lock on posix, TTL lease on object stores):
+  *     the lineage is re-read inside the critical section, so the
+  *     resulting order is last-commit-wins with EVERY committed
+  *     version retained in the lineage (up to `retain`) — a
+  *     concurrent commit can reorder, but never lose or corrupt, a
+  *     committed version.
   *
   * Plain [[commit]] is last-commit-wins: a commit staged against a
   * base that a concurrent writer superseded still lands (its content
@@ -145,6 +171,22 @@ object IndexManifest {
   val LinkLayout = "link"
   val ListingLayout = "listing"
 
+  // {5,} not {5}: f"v$next%05d" widens past five digits at version
+  // 100000, and the parser must accept every name the formatter can
+  // produce (else stage() recomputes max from 5-digit dirs and
+  // collides, and gc() never reclaims the wide ones)
+  private[llm] val VersionName = "v\\d{5,}".r
+
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.\\-]*:/.*".r
+
+  /** The storage backend for `path`'s root: schemed paths
+    * (`file://`, `hdfs://`, `s3a://`, …) run the Hadoop-`FileSystem`
+    * commit protocol; plain paths run the posix one. See
+    * [[ManifestIo]].
+    */
+  private[llm] def ioFor(path: String): ManifestIo =
+    if (SchemeRe.matches(path)) HadoopManifestIo else PosixManifestIo
+
   /** Layout for NEW roots (existing roots keep their `LAYOUT` file).
     * Set from conf `spark.graft.indexLayout` by the session entry
     * points (Verify / Bench / GraftSession) or the system property of
@@ -177,6 +219,11 @@ object IndexManifest {
     layoutOverride.withValue(Some(layout))(body)
   }
 
+  // the layout a NEW root at `root` would pin right now: link-less
+  // stores always pin listing regardless of the session default
+  private def layoutForNewRoot(root: String): String =
+    if (ioFor(root).supportsLinks) effectiveLayout else ListingLayout
+
   /** Stamp-gate freshness helper for build-once CACHE roots (the
     * query registry's stamp-gated indexes — derived data a gate
     * rebuilds from the fixture whenever stale): an existing root only
@@ -195,9 +242,9 @@ object IndexManifest {
     * Callers hold their gate's lock.
     */
   def freshForLayout(root: String): Boolean = {
-    if (new java.io.File(root).exists() &&
-        layoutOf(root) != effectiveLayout) {
-      Similarity.rmTree(new java.io.File(root))
+    val io = ioFor(root)
+    if (io.exists(root) && layoutOf(root) != layoutForNewRoot(root)) {
+      io.rmTree(root)
       false
     } else exists(root)
   }
@@ -206,9 +253,10 @@ object IndexManifest {
     * marker existed are `link` (what they were built with).
     */
   def layoutOf(root: String): String = {
-    val f = java.nio.file.Paths.get(root, LayoutFile)
-    if (java.nio.file.Files.exists(f))
-      java.nio.file.Files.readString(f).trim match {
+    val io = ioFor(root)
+    val f = s"$root/$LayoutFile"
+    if (io.exists(f))
+      io.readString(f).trim match {
         case ListingLayout => ListingLayout
         case _ => LinkLayout
       }
@@ -219,53 +267,20 @@ object IndexManifest {
     * and eligible for GC. Generous by design: a concurrent builder's
     * stage must never be reaped mid-build, and a 100 TB index build
     * legitimately runs hours (builds longer than the TTL keep
-    * themselves live via [[touchStage]]). Crash garbage costs only
-    * storage, and only until the first commit after the TTL.
+    * themselves live via [[touchStage]] — and even without it, GC
+    * falls back to the stage TREE's newest mtime, which artifact
+    * writes keep fresh). Crash garbage costs only storage, and only
+    * until the first commit after the TTL.
     */
   @volatile var StageTtlMs: Long = 24L * 3600 * 1000
 
   /** Age past which a reader pin with no heartbeat refresh is
-    * considered leaked (reader died without [[ReaderPin.release]])
+    * considered leaked (reader died without `ReaderPin.release`)
     * and stops protecting its version from GC.
     */
   @volatile var ReaderPinTtlMs: Long = 24L * 3600 * 1000
 
-  // per-root in-process commit monitors (File locks exclude PROCESSES;
-  // within one JVM they throw OverlappingFileLockException instead of
-  // blocking, so threads need a real monitor in front)
-  private val rootLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  private def withCommitLock[T](root: String)(body: => T): T = {
-    val key = scala.util.Try(
-      new java.io.File(root).getCanonicalPath).getOrElse(root)
-    rootLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      java.nio.file.Files
-        .createDirectories(java.nio.file.Paths.get(root))
-      val ch = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(root, LockFile),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        // blocks until any other PROCESS's commit ends. Two ALIASES of
-        // one root (symlink, canonicalization failure) take different
-        // in-process monitors but the SAME OS file — the second
-        // thread's lock() then throws OverlappingFileLockException
-        // instead of blocking; treat it as "busy" and wait, which is
-        // what a single monitor would have done
-        var fl: java.nio.channels.FileLock = null
-        while (fl == null)
-          try fl = ch.lock()
-          catch {
-            case _: java.nio.channels.OverlappingFileLockException =>
-              Thread.sleep(20)
-          }
-        try body finally fl.release()
-      } finally ch.close()
-    }
-  }
-
-  /** Test hook: invoked immediately BEFORE the atomic pointer rename.
+  /** Test hook: invoked immediately BEFORE the atomic pointer commit.
     * Crash-injection specs throw here to simulate dying between
     * staging and commit.
     */
@@ -278,15 +293,6 @@ object IndexManifest {
   @volatile private[graft] var linkFn:
       (java.nio.file.Path, java.nio.file.Path) => Unit =
     (to, from) => { java.nio.file.Files.createLink(to, from): Unit }
-
-  private def pointer(root: String) =
-    java.nio.file.Paths.get(root, PointerFile)
-
-  // {5,} not {5}: f"v$next%05d" widens past five digits at version
-  // 100000, and the parser must accept every name the formatter can
-  // produce (else stage() recomputes max from 5-digit dirs and
-  // collides, and gc() never reclaims the wide ones)
-  private val VersionName = "v\\d{5,}".r
 
   /** Default for how many committed versions [[commit]] retains
     * (current plus N−1 predecessors). Two, not one: readers resolve
@@ -308,16 +314,11 @@ object IndexManifest {
   def current(root: String): Option[String] =
     history(root).headOption
 
-  /** Committed lineage, newest first (the MANIFEST's lines). Old
+  /** Committed lineage, newest first (the pointer's lines). Old
     * single-line manifests parse as a one-element history.
     */
-  def history(root: String): Seq[String] = {
-    val p = pointer(root)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.readString(p).linesIterator
-        .map(_.trim).filter(_.nonEmpty).toSeq
-    else Seq.empty
-  }
+  def history(root: String): Seq[String] =
+    ioFor(root).readPointer(root)
 
   def exists(root: String): Boolean = current(root).isDefined
 
@@ -369,21 +370,15 @@ object IndexManifest {
   def artifactNonEmpty(root: String, name: String,
       version: Option[String] = None): Boolean =
     artifactPaths(root, name, version)
-      .exists(p => hasParquet(new java.io.File(p)))
-
-  private def hasParquet(f: java.io.File): Boolean =
-    f.isDirectory && Option(f.listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .exists(c => (c.isFile && c.getName.endsWith(".parquet")) ||
-        hasParquet(c))
+      .exists(p => ioFor(root).hasParquet(p))
 
   private def physicalPaths(root: String, version: String,
       name: String): Seq[String] = {
     val own =
-      if (new java.io.File(root, s"$version/$name").exists())
+      if (ioFor(root).isDirectory(s"$root/$version/$name"))
         Seq(s"$version/$name")
       else Seq.empty
-    (own ++ refsOf(new java.io.File(root, version))
+    (own ++ refsOf(s"$root/$version")
       .collect { case (n, p) if n == name => p }).distinct
   }
 
@@ -391,10 +386,11 @@ object IndexManifest {
     * every `link`-root dir, and `listing` versions that carried
     * nothing).
     */
-  private def refsOf(dir: java.io.File): Seq[(String, String)] = {
-    val f = new java.io.File(dir, ListingFile)
-    if (!f.isFile) Seq.empty
-    else java.nio.file.Files.readString(f.toPath).linesIterator
+  private def refsOf(dir: String): Seq[(String, String)] = {
+    val io = ioFor(dir)
+    val f = s"$dir/$ListingFile"
+    if (!io.exists(f)) Seq.empty
+    else io.readString(f).linesIterator
       .map(_.trim).filter(_.nonEmpty)
       .flatMap { line =>
         line.split("\t", 2) match {
@@ -405,39 +401,38 @@ object IndexManifest {
   }
 
   /** Stage the next version: atomically reserves version number N+1
-    * (N = max over committed, abandoned AND in-flight stage dirs) by
-    * creating `root/stage-v<N+1>/` — mkdir is the reservation, so two
-    * concurrent stagers can NEVER share a dir (the loser's mkdir
-    * throws and it takes the next number). Returns (versionName,
-    * stagedDirPath); [[commit]] renames the stage dir to its final
-    * `v<N>` name. Never touches the pointer. A brand-new root gets
-    * its `LAYOUT` pinned to [[effectiveLayout]] here (existing roots
-    * keep theirs — a root never changes layout mid-life).
+    * (N = max over committed, abandoned AND in-flight stage dirs) via
+    * the backend's claim primitive — posix `mkdir stage-v<N+1>`,
+    * object stores a conditional-created `v<N+1>/STAGE` marker — so
+    * two concurrent stagers can NEVER share a dir (the loser's claim
+    * fails and it takes the next number). Returns (versionName,
+    * stagedDirPath); [[commit]] finalizes the stage under its
+    * committed `v<N>` name (a rename on posix; marker removal on
+    * object stores, where data files never move). Never touches the
+    * pointer. A brand-new root gets its `LAYOUT` pinned here to
+    * [[effectiveLayout]] — forced to `listing` on link-less stores —
+    * (existing roots keep theirs — a root never changes layout
+    * mid-life).
     */
   def stage(root: String): (String, String) = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    val layoutPath = java.nio.file.Paths.get(root, LayoutFile)
-    if (!java.nio.file.Files.exists(layoutPath) &&
-        !java.nio.file.Files.exists(pointer(root)) &&
-        versionDirs(root).isEmpty)
-      try java.nio.file.Files.writeString(layoutPath, effectiveLayout,
-        java.nio.file.StandardOpenOption.CREATE_NEW): Unit
-      catch { // a racing stager pinned it first — theirs stands
-        case _: java.nio.file.FileAlreadyExistsException => ()
-      }
-    var next = (versionDirs(root) ++ stageDirs(root))
-      .map(f => f.getName.dropWhile(!_.isDigit).toInt)
+    val io = ioFor(root)
+    io.mkdirs(root)
+    val layoutPath = s"$root/$LayoutFile"
+    if (!io.exists(layoutPath) && io.readPointer(root).isEmpty &&
+        io.listVersionDirNames(root).isEmpty)
+      // a racing stager may pin it first — theirs stands
+      io.writeExclusive(layoutPath, layoutForNewRoot(root)): Unit
+    var next = (io.listVersionDirNames(root) ++
+        io.listStageDirNames(root).map(io.stageNameToVersion))
+      .map(_.dropWhile(!_.isDigit).toInt)
       .foldLeft(0)(math.max) + 1
     while (true) {
       val name = f"v$next%05d"
-      try {
-        java.nio.file.Files
-          .createDirectory(java.nio.file.Paths.get(root, s"stage-$name"))
-        touchStage(s"$root/stage-$name")
-        return (name, s"$root/stage-$name")
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => next += 1
-      }
+      if (io.reserveStage(root, name)) {
+        val dir = s"$root/${io.stageDirName(name)}"
+        touchStage(dir)
+        return (name, dir)
+      } else next += 1
     }
     throw new IllegalStateException("unreachable")
   }
@@ -447,22 +442,13 @@ object IndexManifest {
     * [[StageTtlMs]] calls it periodically (GC reads this one file's
     * mtime instead of walking the stage tree under the commit lock).
     */
-  def touchStage(stagedDir: String): Unit = {
-    val f = java.nio.file.Paths.get(stagedDir, ActivityFile)
-    try {
-      if (java.nio.file.Files.exists(f))
-        java.nio.file.Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis())): Unit
-      else
-        java.nio.file.Files.createFile(f): Unit
-    } catch { case _: java.io.IOException => () } // liveness is best-effort
-  }
+  def touchStage(stagedDir: String): Unit =
+    ioFor(stagedDir).touch(s"$stagedDir/$ActivityFile")
 
   private def baseOf(stagedDir: String): Option[String] = {
-    val f = java.nio.file.Paths.get(stagedDir, BaseFile)
-    if (java.nio.file.Files.exists(f))
-      Some(java.nio.file.Files.readString(f).trim).filter(_.nonEmpty)
+    val io = ioFor(stagedDir)
+    val f = s"$stagedDir/$BaseFile"
+    if (io.exists(f)) Some(io.readString(f).trim).filter(_.nonEmpty)
     else None
   }
 
@@ -482,6 +468,7 @@ object IndexManifest {
       dir: String)
 
   def mutate[T](root: String, attempts: Int = 5)(body: Mutation => T): T = {
+    val io = ioFor(root)
     var last: ConcurrentCommitException = null
     var i = 0
     while (i < attempts) {
@@ -489,16 +476,15 @@ object IndexManifest {
       // pin the base under the lock: current() cannot move and GC
       // cannot run until the BASE file is on disk, so the pin is
       // never written against an already-reaped version
-      val base = withCommitLock(root) {
+      val base = io.withLock(root) {
         val b = current(root)
-        b.foreach(bv => java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(staged, BaseFile), bv): Unit)
+        b.foreach(bv => io.writeString(s"$staged/$BaseFile", bv))
         b
       }
       try return body(Mutation(base, v, staged))
       catch {
         case e: ConcurrentCommitException =>
-          Similarity.rmTree(new java.io.File(staged))
+          io.rmTree(staged)
           last = e
           i += 1
       }
@@ -507,21 +493,23 @@ object IndexManifest {
   }
 
   /** THE commit: prepend `version` to the committed lineage, truncate
-    * to `retain` versions (default [[RetainVersions]]), write the
-    * lines to a temp file (fsynced), and rename it over `MANIFEST`
-    * atomically (posix rename replaces; the parent dir is fsynced
-    * after the move so the rename survives power loss where the
-    * filesystem allows directory fsync). Version dirs outside the
-    * retained lineage — expired ancestors and abandoned stage dirs
-    * alike — are GC'd after the flip (minus reader-pinned versions
-    * and, on `listing` roots, versions still referenced by a retained
-    * listing); a crash mid-GC leaves only orphan dirs, never
-    * serveable state, and the next commit re-collects them. `retain`
-    * is the reader-overlap window: a reader's resolved version
-    * survives `retain − 1` subsequent commits, so roots whose callers
-    * chain mutations under lazy readers pass the chain length + 1 —
-    * or the reader takes a [[pinCurrent]] pin and needs no counting.
-    * Returns the COMMITTED version name — usually `version`, but a
+    * to `retain` versions (default [[RetainVersions]]), and publish
+    * the new lineage with the backend's atomic pointer primitive
+    * (posix: fsynced temp-file `ATOMIC_MOVE` over `MANIFEST`, with
+    * the parent dir fsynced so the rename survives power loss where
+    * the filesystem allows directory fsync; object stores: a
+    * conditional-created immutable `MANIFEST-<seq>` commit file).
+    * Version dirs outside the retained lineage — expired ancestors
+    * and abandoned stage dirs alike — are GC'd after the flip (minus
+    * reader-pinned versions and, on `listing` roots, versions still
+    * referenced by a retained listing); a crash mid-GC leaves only
+    * orphan dirs, never serveable state, and the next commit
+    * re-collects them. `retain` is the reader-overlap window: a
+    * reader's resolved version survives `retain − 1` subsequent
+    * commits, so roots whose callers chain mutations under lazy
+    * readers pass the chain length + 1 — or the reader takes a
+    * [[pinCurrent]] pin and needs no counting. Returns the COMMITTED
+    * version name — usually `version`, but on posix a
     * double-allocated number (the readdir-vs-rename race) is
     * renumbered inside the lock, so any caller referencing its own
     * commit afterwards must use the returned name. Replaying a commit
@@ -546,7 +534,8 @@ object IndexManifest {
   private def commitImpl(root: String, version: String, retain: Int,
       cas: Option[Option[String]]): String = {
     failpoint(s"commit:$root")
-    withCommitLock(root) {
+    val io = ioFor(root)
+    io.withLock(root) {
       // CAS gate: the lineage is read INSIDE the critical section, so
       // the check and the pointer flip are one atomic step
       val cur = current(root)
@@ -554,44 +543,28 @@ object IndexManifest {
         if (cur != base)
           throw new ConcurrentCommitException(root, base, cur)
       }
-      // finalize the staged dir under its committed name (atomic; a
-      // crash after this rename but before the pointer write leaves an
-      // unreferenced v-dir — invisible to readers, reaped by later GC).
-      // The name may need RE-NUMBERING: stage()'s readdir can race a
-      // concurrent commit's rename and miss that version under BOTH
-      // its names (stage-vN already renamed away, vN enumerated at an
-      // earlier dirent position), double-allocating N. All final-name
-      // renames happen inside this lock, so the existence check here
-      // is authoritative and the next free number cannot be taken by
-      // another committer while we hold it.
-      val stagePath = java.nio.file.Paths.get(root, s"stage-$version")
-      var finalName = version
-      if (java.nio.file.Files.isDirectory(stagePath)) {
-        if (java.nio.file.Files.exists(
-            java.nio.file.Paths.get(root, version)))
-          finalName = f"v${(versionDirs(root) ++ stageDirs(root))
-            .map(_.getName.dropWhile(!_.isDigit).toInt)
-            .foldLeft(0)(math.max) + 1}%05d"
-        java.nio.file.Files.move(stagePath,
-          java.nio.file.Paths.get(root, finalName),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-      }
-      val finalDir = java.nio.file.Paths.get(root, finalName)
+      // finalize the staged dir under its committed name (posix: an
+      // atomic rename, renumbered if the readdir-vs-rename race
+      // double-allocated; object stores: drop the claim marker — the
+      // stage dir already IS the version dir). A crash after this but
+      // before the pointer write leaves an unreferenced v-dir —
+      // invisible to readers, reaped by later GC.
+      val finalName = io.finalizeVersion(root, version)
+      val finalDir = s"$root/$finalName"
       // replay guard: publishing a pointer to a version with no dir
       // (commit re-driven after a crash + GC already reaped it) must
       // fail loudly, not serve a dangling current
-      if (!java.nio.file.Files.isDirectory(finalDir))
+      if (!io.isDirectory(finalDir))
         throw new IllegalStateException(
           s"commit of missing version at $root: $finalName has no " +
             "directory (stage consumed or GC'd — re-run the build, " +
             "don't replay the commit)")
       // builder-private pins don't belong in a committed version
-      java.nio.file.Files.deleteIfExists(finalDir.resolve(BaseFile)): Unit
-      java.nio.file.Files
-        .deleteIfExists(finalDir.resolve(ActivityFile)): Unit
+      io.deleteIfExists(s"$finalDir/$BaseFile")
+      io.deleteIfExists(s"$finalDir/$ActivityFile")
       val retained = (finalName +: history(root)
         .filterNot(_ == finalName)).take(math.max(1, retain))
-      writePointer(root, retained)
+      io.publishPointer(root, retained)
       gc(root)
       // the COMMITTED name — may differ from `version` after a
       // renumber; callers that reference their own commit afterwards
@@ -607,34 +580,14 @@ object IndexManifest {
     * reclaims the immediately-superseded version ([[RetainVersions]]);
     * this verb is how storage is actually released.
     */
-  def expireVersions(root: String, keep: Int = 1): Unit =
-    withCommitLock(root) {
+  def expireVersions(root: String, keep: Int = 1): Unit = {
+    val io = ioFor(root)
+    io.withLock(root) {
       val h = history(root)
       require(h.nonEmpty, s"no committed index at $root")
-      writePointer(root, h.take(math.max(1, keep)))
+      io.publishPointer(root, h.take(math.max(1, keep)))
       gc(root)
     }
-
-  private def writePointer(root: String, lineage: Seq[String]): Unit = {
-    val tmp = java.nio.file.Paths.get(root, s"$PointerFile.tmp")
-    java.nio.file.Files.writeString(tmp, lineage.mkString("\n"))
-    val ch = java.nio.channels.FileChannel.open(tmp,
-      java.nio.file.StandardOpenOption.WRITE)
-    try ch.force(true) finally ch.close()
-    java.nio.file.Files.move(tmp, pointer(root),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // The rename IS the commit: fsync the parent directory so the
-    // directory entry survives power loss too (contents-fsync alone
-    // leaves the rename in the dirty dentry cache). Best-effort —
-    // some filesystems refuse opening a directory for read; there the
-    // old pointer stays serveable, so losing the rename only rewinds
-    // to the previous committed version, never corrupts.
-    try {
-      val dir = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(root),
-        java.nio.file.StandardOpenOption.READ)
-      try dir.force(true) finally dir.close()
-    } catch { case _: java.io.IOException => () }
   }
 
   /** PIN the current version against GC across ANY number of
@@ -643,19 +596,22 @@ object IndexManifest {
     * draining export) must outlive a mutation chain. Taken under the
     * commit lock, so the pin can never be written against a version a
     * racing commit's GC already reaped. The pin is a heartbeat file
-    * (`root/pins/`): call [[ReaderPin.refresh]] from scans that
-    * outlive [[ReaderPinTtlMs]], and ALWAYS [[ReaderPin.release]]
+    * (`root/pins/`): call `ReaderPin.refresh` from scans that
+    * outlive [[ReaderPinTtlMs]], and ALWAYS `ReaderPin.release`
     * when done — a leaked pin holds the version's storage until the
-    * TTL expires it.
+    * TTL expires it. Prefer [[withPin]], which releases in `finally`.
     */
-  def pinCurrent(root: String): ReaderPin = withCommitLock(root) {
-    val v = current(root).getOrElse(throw new IllegalStateException(
-      s"no committed index at $root"))
-    val dir = java.nio.file.Paths.get(root, PinsDir)
-    java.nio.file.Files.createDirectories(dir)
-    val f = dir.resolve(s"pin-${java.util.UUID.randomUUID()}.pin")
-    java.nio.file.Files.writeString(f, v)
-    new ReaderPin(root, v, f)
+  def pinCurrent(root: String): ReaderPin = {
+    val io = ioFor(root)
+    io.withLock(root) {
+      val v = current(root).getOrElse(throw new IllegalStateException(
+        s"no committed index at $root"))
+      val dir = s"$root/$PinsDir"
+      io.mkdirs(dir)
+      val f = s"$dir/pin-${java.util.UUID.randomUUID()}.pin"
+      io.writeString(f, v)
+      new ReaderPin(root, v, f)
+    }
   }
 
   /** [[pinCurrent]] with release BY CONSTRUCTION: the pin is released
@@ -672,7 +628,7 @@ object IndexManifest {
   }
 
   final class ReaderPin private[IndexManifest](val root: String,
-      val version: String, file: java.nio.file.Path) {
+      val version: String, file: String) {
     /** The pinned version's directory (resolve artifacts against it
       * via [[artifactPaths]]`(root, name, Some(version))`).
       */
@@ -681,27 +637,24 @@ object IndexManifest {
       * stay protected.
       */
     def refresh(): Unit =
-      java.nio.file.Files.setLastModifiedTime(file,
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis())): Unit
-    def release(): Unit =
-      java.nio.file.Files.deleteIfExists(file): Unit
+      ioFor(root).setMtime(file, System.currentTimeMillis())
+    def release(): Unit = ioFor(root).deleteIfExists(file)
   }
 
   /** Versions protected by live reader pins; stale pin files (leaked
     * readers) are reaped here as a side effect.
     */
   private def pinnedVersions(root: String): Seq[String] = {
-    val dir = new java.io.File(root, PinsDir)
+    val io = ioFor(root)
+    val dir = s"$root/$PinsDir"
     val cutoff = System.currentTimeMillis() - ReaderPinTtlMs
-    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".pin"))
-      .flatMap { f =>
-        if (f.lastModified() < cutoff) { f.delete(): Unit; None }
-        else scala.util.Try(
-          java.nio.file.Files.readString(f.toPath).trim).toOption
-            .filter(_.nonEmpty)
-      }.toSeq
+    io.listNames(dir).filter(_.endsWith(".pin"))
+      .flatMap { n =>
+        val f = s"$dir/$n"
+        if (io.mtime(f) < cutoff) { io.deleteIfExists(f); None }
+        else scala.util.Try(io.readString(f).trim).toOption
+          .filter(_.nonEmpty)
+      }
   }
 
   /** Remove every version dir outside the REACHABLE set — the
@@ -710,80 +663,66 @@ object IndexManifest {
     * `FILES` still references — plus stage dirs abandoned longer than
     * [[StageTtlMs]]. NEVER a fresh stage dir, which may be a
     * concurrent builder mid-build: liveness reads the
-    * `STAGE_ACTIVITY` heartbeat when present (two stats, no tree
-    * walk under the commit lock) and falls back to the full-tree
-    * newest-mtime walk for legacy stage dirs without one. Callers
-    * outside [[commit]]/[[expireVersions]] must hold the commit lock.
+    * `STAGE_ACTIVITY` heartbeat when fresh (two stats, no tree walk
+    * under the commit lock) and falls back to the full-tree
+    * newest-mtime walk when the heartbeat is stale or absent — a
+    * build whose artifact writes are still landing keeps its tree
+    * fresh even if it never called [[touchStage]]. Callers outside
+    * [[commit]]/[[expireVersions]] must hold the commit lock.
     */
   def gc(root: String): Unit = {
+    val io = ioFor(root)
     val now = System.currentTimeMillis()
     val cutoff = now - StageTtlMs
-    val (liveStages, deadStages) = stageDirs(root).partition { f =>
-      val act = new java.io.File(f, ActivityFile)
-      // heartbeat-fresh is the cheap fast path (two stats, no walk
-      // under the commit lock); a STALE heartbeat falls back to the
-      // full-tree newest-mtime walk before declaring the stage dead —
-      // a build whose write phase outlasts StageTtlMs without calling
-      // touchStage (artifact writes keep the tree fresh) must not be
-      // reaped mid-build by a concurrent commit
-      val hb =
-        if (act.isFile) math.max(act.lastModified(), f.lastModified())
-        else Long.MinValue
-      hb >= cutoff || newestMtime(f) >= cutoff
-    }
+    val (liveStages, deadStages) =
+      io.listStageDirNames(root).partition { n =>
+        val p = s"$root/$n"
+        val act = s"$p/$ActivityFile"
+        // heartbeat-fresh is the cheap fast path; a STALE heartbeat
+        // falls back to the tree walk before declaring the stage dead
+        val hb =
+          if (io.exists(act)) math.max(io.mtime(act), io.mtime(p))
+          else Long.MinValue
+        hb >= cutoff || io.newestMtime(p) >= cutoff
+      }
     val start = (history(root) ++ pinnedVersions(root) ++
-      liveStages.flatMap(f => baseOf(f.getPath))).distinct
+      liveStages.flatMap(n => baseOf(s"$root/$n"))).distinct
     // listing roots: a reachable version's FILES may reference older
     // versions' physical dirs — one hop suffices, refs are physical
     // by construction (carry resolves through the base's listing)
-    val refs = (start.map(v => new java.io.File(root, v)) ++ liveStages)
-      .flatMap(d => refsOf(d).map(_._2.takeWhile(_ != '/')))
+    val refs = (start ++ liveStages)
+      .flatMap(n => refsOf(s"$root/$n").map(_._2.takeWhile(_ != '/')))
     val keep = (start ++ refs).toSet
-    versionDirs(root).filterNot(f => keep.contains(f.getName))
-      .foreach(Similarity.rmTree)
-    deadStages.foreach(Similarity.rmTree)
+    io.listVersionDirNames(root).filterNot(keep.contains)
+      .foreach(n => io.rmTree(s"$root/$n"))
+    // on object stores a stage dir's name IS its version name, and a
+    // committed dir with a leftover claim marker enumerates as a
+    // stage — the keep-set filter protects it; posix stage-v* names
+    // never collide with the keep set
+    deadStages.filterNot(keep.contains)
+      .foreach(n => io.rmTree(s"$root/$n"))
   }
-
-  private def newestMtime(f: java.io.File): Long = {
-    val own = f.lastModified()
-    val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-    kids.foldLeft(own)((m, c) =>
-      math.max(m, if (c.isDirectory) newestMtime(c) else c.lastModified()))
-  }
-
-  private def versionDirs(root: String): Array[java.io.File] =
-    Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory &&
-        VersionName.pattern.matcher(f.getName).matches())
-
-  private val StageName = "stage-v\\d{5,}".r
-
-  private def stageDirs(root: String): Array[java.io.File] =
-    Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory &&
-        StageName.pattern.matcher(f.getName).matches())
 
   /** Hard-link `src`'s tree into `dst` (directories created real,
     * files linked): the carry-forward step for artifacts a new version
-    * leaves unchanged — `link` layout only. Spark job-temp droppings
-    * (`_temporary`, `._*`) are skipped; `_SUCCESS` markers link fine.
+    * leaves unchanged — `link` layout only (a link-less store's
+    * backend throws the documented contract error). Spark job-temp
+    * droppings (`_temporary`, `._*`) are skipped; `_SUCCESS` markers
+    * link fine.
     */
   def linkTree(src: String, dst: String): Unit = {
-    val s = new java.io.File(src)
-    if (!s.exists()) return
-    def walk(from: java.io.File, to: java.io.File): Unit = {
-      if (from.isDirectory) {
-        java.nio.file.Files.createDirectories(to.toPath)
-        from.listFiles().foreach { c =>
-          if (c.getName != "_temporary" && !c.getName.startsWith("."))
-            walk(c, new java.io.File(to, c.getName))
+    val io = ioFor(src)
+    if (!io.exists(src)) return
+    def walk(from: String, to: String): Unit = {
+      if (io.isDirectory(from)) {
+        io.mkdirs(to)
+        io.listNames(from).foreach { n =>
+          if (n != "_temporary" && !n.startsWith("."))
+            walk(s"$from/$n", s"$to/$n")
         }
-      } else
-        linkFn(to.toPath, from.toPath)
+      } else io.createLink(to, from)
     }
-    walk(s, new java.io.File(dst))
+    walk(src, dst)
   }
 
   /** Carry artifact `name` from the base version into a staged
@@ -803,16 +742,17 @@ object IndexManifest {
     touchStage(stagedDir)
     baseOf(stagedDir).orElse(current(root)).foreach { v =>
       if (layoutOf(root) == ListingLayout) {
+        val io = ioFor(root)
         val phys = physicalPaths(root, v, name)
         if (phys.nonEmpty) {
-          val f = java.nio.file.Paths.get(stagedDir, ListingFile)
-          val existing = refsOf(new java.io.File(stagedDir)).toSet
+          val f = s"$stagedDir/$ListingFile"
+          val existing = refsOf(stagedDir).toSet
           val add = phys.map(p => (name, p)).filterNot(existing.contains)
           if (add.nonEmpty)
-            java.nio.file.Files.writeString(f,
+            io.writeString(f,
               (existing.toSeq ++ add)
                 .map { case (n, p) => s"$n\t$p" }.sorted
-                .mkString("", "\n", "\n")): Unit
+                .mkString("", "\n", "\n"))
         }
       } else
         linkTree(s"$root/$v/$name", s"$stagedDir/$name")

@@ -1,0 +1,607 @@
+package graft.llm
+
+/** Storage backend for [[IndexManifest]]'s METADATA operations — the
+  * deployment-filesystem seam. Artifact DATA always moves through
+  * Spark's own Hadoop-backed parquet reader/writer and needs nothing
+  * here; what this trait abstracts is the commit machinery around it:
+  * the pointer publish, the stage-dir reservation, the commit lock,
+  * liveness mtimes, and small sidecar files (`LAYOUT`, `FILES`,
+  * `BASE`, `STAGE_ACTIVITY`, reader pins).
+  *
+  * Two backends, chosen per ROOT by its path string
+  * ([[IndexManifest.ioFor]]):
+  *
+  *   - plain paths (`/data/idx`) → [[PosixManifestIo]]: `java.nio`
+  *     with the posix primitives — `ATOMIC_MOVE` pointer rename,
+  *     `FileChannel.lock` commit lock, atomic `mkdir` stage
+  *     reservation. Byte-identical to the pre-seam behavior.
+  *   - schemed paths (`file://…`, `hdfs://…`, `s3a://…`) →
+  *     [[HadoopManifestIo]]: everything through
+  *     `org.apache.hadoop.fs.FileSystem`/`FileContext`, with commit
+  *     semantics rebuilt on the ONE primitive object stores offer,
+  *     conditional create ([[ManifestIo.writeExclusive]]): the
+  *     pointer becomes a sequence of immutable `MANIFEST-<seq>`
+  *     commit files (create-no-overwrite IS the CAS — the Delta
+  *     LogStore design), stages write straight into their FINAL
+  *     version dir claimed by an exclusive `STAGE` marker (no
+  *     directory rename at commit — data files never move), and the
+  *     commit lock is a TTL LEASE file. Hard links don't exist here,
+  *     so schemed roots always pin the `listing` carry layout.
+  *
+  * Both backends expose the same contract to [[IndexManifest]]; the
+  * verbs (build/append/delete/compact across LSH / IVF / IVF×PQ /
+  * BM25) are backend-blind. HadoopManifestSpec drives the real verbs
+  * over `file://` roots — genuinely through the Hadoop stack, with
+  * the link primitive poisoned — and pins that no plain `MANIFEST`
+  * file, no `stage-v*` dir and no hard link is ever created there.
+  */
+private[graft] sealed trait ManifestIo {
+  /** Whether hard links exist here (carry layout `link` requires it;
+    * roots on link-less stores auto-pin `listing`).
+    */
+  def supportsLinks: Boolean
+
+  // ---- generic small-file / tree primitives
+  def mkdirs(dir: String): Unit
+  def exists(path: String): Boolean
+  def isDirectory(path: String): Boolean
+  /** Child basenames (files and dirs); empty for a missing dir. */
+  def listNames(dir: String): Seq[String]
+  def readString(path: String): String
+  /** Small-file write, overwrite-ok (pins, stamps, listings). */
+  def writeString(path: String, s: String): Unit
+  /** ATOMIC create-no-overwrite: true = this call created the file
+    * with exactly `s`; false = it already existed. The conditional-put
+    * primitive every commit path reduces to.
+    */
+  def writeExclusive(path: String, s: String): Boolean
+  def deleteIfExists(path: String): Unit
+  def rmTree(path: String): Unit
+  /** Epoch-millis mtime; 0 for a missing path (posix convention). */
+  def mtime(path: String): Long
+  def setMtime(path: String, t: Long): Unit
+  /** Create empty or bump mtime to now — the liveness heartbeat. */
+  def touch(path: String): Unit
+  /** Newest mtime anywhere under `path` (the slow liveness confirm). */
+  def newestMtime(path: String): Long
+  /** Any `*.parquet` file anywhere under `path`? */
+  def hasParquet(path: String): Boolean
+  /** Hard-link primitive (layout `link`). Link-less stores throw the
+    * documented contract error, never a raw NIO exception.
+    */
+  def createLink(to: String, from: String): Unit
+
+  // ---- commit-protocol operations
+  /** Per-root critical section for commit / expiry / pin-take: posix
+    * = in-process monitor + `FileChannel.lock`; hadoop = in-process
+    * monitor + TTL lease file (see [[HadoopManifestIo.LeaseTtlMs]]).
+    */
+  def withLock[T](root: String)(body: => T): T
+  /** The committed lineage, newest first; empty for an uncommitted
+    * root.
+    */
+  def readPointer(root: String): Seq[String]
+  /** Publish a new lineage. Caller holds [[withLock]] and has already
+    * CAS-checked; the hadoop backend's exclusive commit-file create
+    * re-verifies and throws [[ConcurrentCommitException]] if a racer
+    * (an expired-lease takeover) got between — the conditional put is
+    * the final arbiter, the lease only reduces contention.
+    */
+  def publishPointer(root: String, lineage: Seq[String]): Unit
+  /** Directory name a stage for `version` lives in (posix:
+    * `stage-v<N>` renamed at commit; hadoop: the final `v<N>` itself,
+    * claimed by marker — object-store data files never move).
+    */
+  def stageDirName(version: String): String
+  /** Atomically claim `version`'s stage dir; false = number taken,
+    * caller tries the next.
+    */
+  def reserveStage(root: String, version: String): Boolean
+  /** Finalize a staged version under the commit lock; returns the
+    * COMMITTED name (posix may renumber on the readdir-vs-rename
+    * double-allocation race; hadoop names are claim-once and never
+    * change). A missing stage dir is a legit commit replay (crash
+    * between finalize and publish) — returns `version` untouched.
+    */
+  def finalizeVersion(root: String, version: String): String
+  /** Names of committed/abandoned version dirs (`v<N>`, not claimed
+    * by a live stage).
+    */
+  def listVersionDirNames(root: String): Seq[String]
+  /** Names of stage dirs (posix `stage-v<N>`; hadoop `v<N>` holding a
+    * `STAGE` marker).
+    */
+  def listStageDirNames(root: String): Seq[String]
+  /** The version a stage-dir name stages (strips the posix prefix). */
+  def stageNameToVersion(name: String): String
+}
+
+/** `java.nio`-backed store for plain (posix-mounted) paths — the
+  * pre-seam semantics, unchanged: single `MANIFEST` pointer replaced
+  * by fsynced `ATOMIC_MOVE`, `stage-v<N>` dirs renamed into place at
+  * commit, `FileChannel` commit lock with the root-alias
+  * `OverlappingFileLockException`-means-busy handling.
+  */
+private[graft] object PosixManifestIo extends ManifestIo {
+  import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+
+  val supportsLinks = true
+
+  def mkdirs(dir: String): Unit =
+    Files.createDirectories(Paths.get(dir)): Unit
+  def exists(path: String): Boolean = Files.exists(Paths.get(path))
+  def isDirectory(path: String): Boolean =
+    Files.isDirectory(Paths.get(path))
+  def listNames(dir: String): Seq[String] =
+    Option(new java.io.File(dir).list()).map(_.toSeq).getOrElse(Seq.empty)
+  def readString(path: String): String = Files.readString(Paths.get(path))
+  def writeString(path: String, s: String): Unit =
+    Files.writeString(Paths.get(path), s): Unit
+  def writeExclusive(path: String, s: String): Boolean =
+    try {
+      Files.writeString(Paths.get(path), s,
+        StandardOpenOption.CREATE_NEW): Unit
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  def deleteIfExists(path: String): Unit =
+    Files.deleteIfExists(Paths.get(path)): Unit
+  def rmTree(path: String): Unit =
+    Similarity.rmTree(new java.io.File(path))
+  def mtime(path: String): Long = new java.io.File(path).lastModified()
+  def setMtime(path: String, t: Long): Unit =
+    new java.io.File(path).setLastModified(t): Unit
+  def touch(path: String): Unit =
+    try {
+      val p = Paths.get(path)
+      if (Files.exists(p))
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis())): Unit
+      else Files.createFile(p): Unit
+    } catch { case _: java.io.IOException => () } // liveness is best-effort
+  def newestMtime(path: String): Long = {
+    def walk(f: java.io.File): Long = {
+      val own = f.lastModified()
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foldLeft(own)((m, c) =>
+          math.max(m, if (c.isDirectory) walk(c) else c.lastModified()))
+    }
+    walk(new java.io.File(path))
+  }
+  def hasParquet(path: String): Boolean = {
+    def walk(f: java.io.File): Boolean =
+      f.isDirectory && Option(f.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .exists(c => (c.isFile && c.getName.endsWith(".parquet")) ||
+          walk(c))
+    walk(new java.io.File(path))
+  }
+  def createLink(to: String, from: String): Unit =
+    IndexManifest.linkFn(Paths.get(to), Paths.get(from))
+
+  // File locks exclude PROCESSES; within one JVM they throw
+  // OverlappingFileLockException instead of blocking, so threads need
+  // a real monitor in front
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def withLock[T](root: String)(body: => T): T = {
+    val key = scala.util.Try(
+      new java.io.File(root).getCanonicalPath).getOrElse(root)
+    rootLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      Files.createDirectories(Paths.get(root))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(root, IndexManifest.LockFile),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        // blocks until any other PROCESS's commit ends. Two ALIASES of
+        // one root (symlink, canonicalization failure) take different
+        // in-process monitors but the SAME OS file — the second
+        // thread's lock() then throws OverlappingFileLockException
+        // instead of blocking; treat it as "busy" and wait, which is
+        // what a single monitor would have done
+        var fl: java.nio.channels.FileLock = null
+        while (fl == null)
+          try fl = ch.lock()
+          catch {
+            case _: java.nio.channels.OverlappingFileLockException =>
+              Thread.sleep(20)
+          }
+        try body finally fl.release()
+      } finally ch.close()
+    }
+  }
+
+  def readPointer(root: String): Seq[String] = {
+    val p = Paths.get(root, IndexManifest.PointerFile)
+    if (Files.exists(p))
+      Files.readString(p).linesIterator
+        .map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq.empty
+  }
+
+  def publishPointer(root: String, lineage: Seq[String]): Unit = {
+    val tmp = Paths.get(root, s"${IndexManifest.PointerFile}.tmp")
+    Files.writeString(tmp, lineage.mkString("\n"))
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
+    Files.move(tmp, Paths.get(root, IndexManifest.PointerFile),
+      StandardCopyOption.ATOMIC_MOVE)
+    // The rename IS the commit: fsync the parent directory so the
+    // directory entry survives power loss too (contents-fsync alone
+    // leaves the rename in the dirty dentry cache). Best-effort —
+    // some filesystems refuse opening a directory for read; there the
+    // old pointer stays serveable, so losing the rename only rewinds
+    // to the previous committed version, never corrupts.
+    try {
+      val dir = java.nio.channels.FileChannel.open(
+        Paths.get(root), StandardOpenOption.READ)
+      try dir.force(true) finally dir.close()
+    } catch { case _: java.io.IOException => () }
+  }
+
+  def stageDirName(version: String): String = s"stage-$version"
+  def stageNameToVersion(name: String): String =
+    name.stripPrefix("stage-")
+
+  def reserveStage(root: String, version: String): Boolean =
+    try {
+      Files.createDirectory(Paths.get(root, stageDirName(version))): Unit
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  def finalizeVersion(root: String, version: String): String = {
+    // The name may need RE-NUMBERING: stage()'s readdir can race a
+    // concurrent commit's rename and miss that version under BOTH its
+    // names (stage-vN already renamed away, vN enumerated at an
+    // earlier dirent position), double-allocating N. All final-name
+    // renames happen inside the commit lock, so the existence check
+    // here is authoritative and the next free number cannot be taken
+    // by another committer while we hold it.
+    val stagePath = Paths.get(root, stageDirName(version))
+    var finalName = version
+    if (Files.isDirectory(stagePath)) {
+      if (Files.exists(Paths.get(root, version)))
+        finalName = f"v${(listVersionDirNames(root) ++
+            listStageDirNames(root).map(stageNameToVersion))
+          .map(_.dropWhile(!_.isDigit).toInt)
+          .foldLeft(0)(math.max) + 1}%05d"
+      Files.move(stagePath, Paths.get(root, finalName),
+        StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+    finalName
+  }
+
+  def listVersionDirNames(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory &&
+        IndexManifest.VersionName.pattern.matcher(f.getName).matches())
+      .map(_.getName).toSeq
+
+  private val StageName = "stage-v\\d{5,}".r
+
+  def listStageDirNames(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory &&
+        StageName.pattern.matcher(f.getName).matches())
+      .map(_.getName).toSeq
+}
+
+/** Hadoop-`FileSystem` store for schemed roots (`file://`, `hdfs://`,
+  * `s3a://`, …) — the object-store deployment. Every primitive the
+  * posix backend gets from the kernel is rebuilt on CONDITIONAL
+  * CREATE, the one atomic primitive the stores share
+  * (put-if-absent: HDFS create-exclusive, S3 `If-None-Match` put, GCS
+  * generation-0 precondition — Hadoop surfaces them through
+  * `FileContext.rename(NONE)`/`create(overwrite=false)`, the Delta
+  * LogStore recipe):
+  *
+  *   - POINTER: immutable `MANIFEST-<seq>%09d` commit files, current
+  *     = highest sequence. Publishing seq N+1 is one conditional
+  *     create — a collision IS a lost CAS and throws
+  *     [[ConcurrentCommitException]] (never a silent overwrite). Old
+  *     commit files beyond [[KeepCommitFiles]] are pruned under the
+  *     lease.
+  *   - STAGING: a version writes straight into its FINAL `v<N>` dir,
+  *     claimed by a conditional-created `STAGE` marker. Commit only
+  *     deletes the marker — NO directory rename, so data files never
+  *     copy (an object-store "rename" is a copy) and the
+  *     double-allocation renumber race is structurally gone (a number
+  *     is claimed exactly once and never changes).
+  *   - LOCK: a TTL lease file (`COMMIT_LOCK`, conditional-created
+  *     with holder token + deadline). A crashed holder's lease is
+  *     taken over after [[LeaseTtlMs]]; a ZOMBIE holder (alive past
+  *     its deadline) cannot corrupt anything because the commit-file
+  *     conditional create re-arbitrates — it loses with a loud
+  *     [[ConcurrentCommitException]], and [[IndexManifest.mutate]]
+  *     rebases.
+  *
+  * Hard links don't exist on object stores, so [[createLink]] throws
+  * the documented contract error and schemed roots ALWAYS pin the
+  * `listing` carry layout ([[IndexManifest.stage]] enforces it).
+  *
+  * Consistency note: this backend expects the store's LIST to reflect
+  * a completed PUT (true of HDFS, and of S3 since the 2020 strong
+  * read-after-write consistency change); pre-2020-style eventually-
+  * consistent stores would need a coordination table instead.
+  */
+private[graft] object HadoopManifestIo extends ManifestIo {
+  import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
+
+  val supportsLinks = false
+
+  /** Commit-lease lifetime: a holder that dies mid-commit blocks the
+    * root for at most this long before a contender takes over. Commit
+    * bodies are metadata-only (the data writes happen BEFORE the
+    * lock), so generous is cheap.
+    */
+  @volatile var LeaseTtlMs: Long = 5L * 60 * 1000
+
+  /** Committed `MANIFEST-<seq>` files retained for readers resolving
+    * concurrently with pruning; only the highest is authoritative.
+    */
+  val KeepCommitFiles = 8
+
+  // Building a Configuration is EXPENSIVE (newHadoopConf() copies the
+  // whole session conf; even the bare constructor re-walks the
+  // default resources) and a single commit makes dozens of io calls —
+  // cache one per session (or one session-less fallback), not one per
+  // call: measured ~420 ms → low-ms per commit on a local FileContext
+  // root.
+  @volatile private var cachedConf
+      : (Option[org.apache.spark.sql.SparkSession],
+        org.apache.hadoop.conf.Configuration) = null
+
+  private def conf(): org.apache.hadoop.conf.Configuration = {
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    val c = cachedConf
+    if (c != null && ((c._1, active) match {
+        case (Some(a), Some(b)) => a eq b
+        case (None, None) => true
+        case _ => false
+      })) c._2
+    else {
+      val fresh = active.map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      cachedConf = (active, fresh)
+      fresh
+    }
+  }
+
+  private def fs(path: String): FileSystem =
+    new Path(path).getFileSystem(conf()) // FileSystem.get caches per scheme
+
+  // FileContext has NO instance cache (unlike FileSystem.get) and
+  // constructing one re-resolves the AbstractFileSystem — cache per
+  // scheme+authority
+  private val fcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileContext]()
+
+  private def fc(uri: java.net.URI): FileContext =
+    fcCache.computeIfAbsent(
+      s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}",
+      _ => FileContext.getFileContext(uri, conf()))
+
+  def mkdirs(dir: String): Unit = fs(dir).mkdirs(new Path(dir)): Unit
+  def exists(path: String): Boolean = fs(path).exists(new Path(path))
+  def isDirectory(path: String): Boolean = {
+    val f = fs(path)
+    val p = new Path(path)
+    f.exists(p) && f.getFileStatus(p).isDirectory
+  }
+  def listNames(dir: String): Seq[String] = {
+    val f = fs(dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName).toSeq
+  }
+  def readString(path: String): String = {
+    val in = fs(path).open(new Path(path))
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+  def writeString(path: String, s: String): Unit = {
+    val out = fs(path).create(new Path(path), true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+  def writeExclusive(path: String, s: String): Boolean = {
+    // write-complete-then-conditional-rename: the destination only
+    // ever appears with its full content (a create(overwrite=false)
+    // alone is visible — empty — from create to close on HDFS).
+    // FileContext.rename defaults to Options.Rename.NONE =
+    // fail-if-destination-exists, atomically where the store offers
+    // it (HDFS); on S3/GCS an adapter maps this to the native
+    // conditional put.
+    val dst = new Path(path)
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val f = fs(path)
+    val out = f.create(tmp, false)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      fc(dst.toUri).rename(tmp, dst)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.nio.file.FileAlreadyExistsException =>
+        f.delete(tmp, false): Unit
+        false
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("exists") =>
+        f.delete(tmp, false): Unit
+        false
+    }
+  }
+  def deleteIfExists(path: String): Unit =
+    fs(path).delete(new Path(path), false): Unit
+  def rmTree(path: String): Unit =
+    fs(path).delete(new Path(path), true): Unit
+  def mtime(path: String): Long = {
+    val f = fs(path)
+    val p = new Path(path)
+    if (f.exists(p)) f.getFileStatus(p).getModificationTime else 0L
+  }
+  def setMtime(path: String, t: Long): Unit =
+    fs(path).setTimes(new Path(path), t, -1)
+  def touch(path: String): Unit =
+    try {
+      val f = fs(path)
+      val p = new Path(path)
+      if (f.exists(p)) f.setTimes(p, System.currentTimeMillis(), -1)
+      else f.create(p, false).close()
+    } catch { case _: java.io.IOException => () } // liveness is best-effort
+  def newestMtime(path: String): Long = {
+    val f = fs(path)
+    def walk(p: Path): Long = {
+      val st = f.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else f.listStatus(p).foldLeft(st.getModificationTime)((m, c) =>
+        math.max(m, walk(c.getPath)))
+    }
+    val p = new Path(path)
+    if (f.exists(p)) walk(p) else 0L
+  }
+  def hasParquet(path: String): Boolean = {
+    val f = fs(path)
+    def walk(p: Path): Boolean =
+      f.listStatus(p).exists { st =>
+        (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+          (st.isDirectory && walk(st.getPath))
+      }
+    val p = new Path(path)
+    f.exists(p) && f.getFileStatus(p).isDirectory && walk(p)
+  }
+  def createLink(to: String, from: String): Unit =
+    throw new UnsupportedOperationException(
+      "hard links do not exist on object stores: index roots on a " +
+        "schemed filesystem use the 'listing' carry layout " +
+        "(spark.graft.indexLayout=listing — pinned automatically for " +
+        s"new roots); this root's LAYOUT says 'link'. Path: $to")
+
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def withLock[T](root: String)(body: => T): T =
+    rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
+      mkdirs(root)
+      val lease = s"$root/${IndexManifest.LockFile}"
+      val token = java.util.UUID.randomUUID().toString
+      var acquired = false
+      while (!acquired) {
+        val deadline = System.currentTimeMillis() + LeaseTtlMs
+        if (writeExclusive(lease, s"$token\t$deadline")) acquired = true
+        else {
+          // somebody holds it: expired ⇒ take over (delete + re-race
+          // the conditional create — exactly one contender wins);
+          // live ⇒ wait
+          val expired = scala.util.Try(readString(lease)).toOption
+            .flatMap(_.split("\t", 2).lift(1))
+            .flatMap(d => scala.util.Try(d.trim.toLong).toOption)
+            .forall(_ < System.currentTimeMillis())
+          if (expired) deleteIfExists(lease)
+          else Thread.sleep(50)
+        }
+      }
+      try body
+      finally {
+        // release only OUR lease — after a TTL takeover the file is a
+        // successor's and must stand
+        if (scala.util.Try(readString(lease)).toOption
+            .exists(_.startsWith(token)))
+          deleteIfExists(lease)
+      }
+    }
+
+  private val CommitName = "MANIFEST-(\\d{9,})".r
+
+  private def commitSeqs(root: String): Seq[(Long, String)] =
+    listNames(root).collect {
+      case n @ CommitName(seq) => (seq.toLong, n)
+    }.sortBy(-_._1)
+
+  def readPointer(root: String): Seq[String] = {
+    // highest parseable commit file wins; an empty one is a burned
+    // sequence number (a writer died between create and content on a
+    // store without atomic conditional rename) — skip it
+    commitSeqs(root).iterator
+      .map { case (_, n) =>
+        scala.util.Try(readString(s"$root/$n")).toOption
+          .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+      }
+      .find(_.nonEmpty)
+      .getOrElse {
+        // legacy single-pointer root (written before this backend)
+        scala.util.Try(readString(s"$root/${IndexManifest.PointerFile}"))
+          .toOption
+          .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+      }
+  }
+
+  def publishPointer(root: String, lineage: Seq[String]): Unit = {
+    val seqs = commitSeqs(root)
+    val next = seqs.headOption.map(_._1).getOrElse(0L) + 1
+    val name = f"MANIFEST-$next%09d"
+    if (!writeExclusive(s"$root/$name", lineage.mkString("\n")))
+      // a racer created this sequence number first: somebody committed
+      // between our CAS check and publish (expired-lease takeover) —
+      // the conditional put is the final arbiter, surface the race
+      throw new ConcurrentCommitException(root, None,
+        readPointer(root).headOption)
+    // prune superseded commit files (readers resolve the max; keep a
+    // tail for scans that listed just before this publish)
+    seqs.drop(KeepCommitFiles - 1)
+      .foreach { case (_, n) => deleteIfExists(s"$root/$n") }
+  }
+
+  /** Stage marker claiming a version dir (`v<N>/STAGE`). */
+  val StageMarkerFile = "STAGE"
+
+  def stageDirName(version: String): String = version
+  def stageNameToVersion(name: String): String = name
+
+  def reserveStage(root: String, version: String): Boolean = {
+    mkdirs(s"$root/$version")
+    // mkdirs is NOT exclusive on Hadoop (true even when pre-existing);
+    // the conditional marker create is the claim
+    writeExclusive(s"$root/$version/$StageMarkerFile",
+      System.currentTimeMillis().toString)
+  }
+
+  def finalizeVersion(root: String, version: String): String = {
+    // data never moves: the stage dir IS the version dir; committing
+    // just drops the claim marker (a crash between this delete and
+    // the pointer publish leaves an unmarked, unreferenced dir — GC'd)
+    deleteIfExists(s"$root/$version/$StageMarkerFile")
+    version
+  }
+
+  def listVersionDirNames(root: String): Seq[String] =
+    versionedDirs(root).collect {
+      case (n, marked) if !marked => n
+    }
+
+  def listStageDirNames(root: String): Seq[String] =
+    versionedDirs(root).collect {
+      case (n, marked) if marked => n
+    }
+
+  private def versionedDirs(root: String): Seq[(String, Boolean)] = {
+    val f = fs(root)
+    val p = new Path(root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory &&
+        IndexManifest.VersionName.pattern.matcher(st.getPath.getName)
+          .matches())
+      .map(st => (st.getPath.getName,
+        f.exists(new Path(st.getPath, StageMarkerFile))))
+  }
+}

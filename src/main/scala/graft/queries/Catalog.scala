@@ -10409,6 +10409,77 @@ $union
       SELECT doc_id, score FROM sc
       ORDER BY score DESC, doc_id LIMIT 20"""))
 
+  /** Object-store BACKEND twin of `doc_bm25_disk_listing`: the same
+    * build → append → delete → compact → serve lifecycle, but the
+    * root is addressed by SCHEME (`file://`), which routes every
+    * manifest metadata operation through
+    * [[graft.llm.HadoopManifestIo]] — sequenced immutable
+    * `MANIFEST-<seq>` commit files (conditional create as the CAS),
+    * stage-into-final-dir claims with no directory rename, TTL-lease
+    * commit lock, listing layout auto-pinned. Keeping this in the
+    * oracle gate means the Hadoop-`FileSystem` protocol is
+    * hash-checked against DuckDB every round, not just spec-checked.
+    * Shares `doc_bm25_disk_listing`'s oracle (identical surviving
+    * corpus and scoring).
+    */
+  private val bm25ObjectStoreLock = new Object
+  val docBm25DiskObjectStore = RegisteredQuery(
+    "doc_bm25_disk_object_store",
+    (s, d) => {
+      import graft.llm.{IndexManifest, Vocabulary}
+      val local = s"/tmp/graft_bm25_objstore_${dirTag(d)}"
+      val path = s"file://$local"
+      val stampFile = new java.io.File(s"$local.stamp")
+      val stamp = sourceStamp(s"$d/documents.parquet")
+      bm25ObjectStoreLock.synchronized {
+        // layout gate FIRST and unconditional (schemed roots pin
+        // listing regardless of the session default, so a link-default
+        // session must not wipe-loop here — freshForLayout compares
+        // against the layout a NEW root at this path would pin)
+        val layoutOk = IndexManifest.freshForLayout(path)
+        val fresh = layoutOk && stampFile.exists() &&
+          scala.util.Try(java.nio.file.Files.readString(stampFile.toPath))
+            .toOption.contains(stamp)
+        if (!fresh) {
+          stampFile.delete(): Unit
+          val docs = Tables.documents(s, d)
+          Vocabulary.writeBm25Index(docs.filter(col("doc_id") % 3 =!= 0),
+            "doc_id", "text", path, buckets = 16)
+          Vocabulary.appendBm25Index(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", path, buckets = 16)
+          Vocabulary.deleteBm25Index(s, path, Seq(1L, 5L))
+          Vocabulary.compactBm25Index(s, path, buckets = 16)
+          java.nio.file.Files.writeString(stampFile.toPath, stamp): Unit
+        }
+      }
+      Vocabulary.bm25Disk(s, path,
+          queryTerms = Seq("dup", "spark", "join"), topK = 20,
+          buckets = 16)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          regexp_split_to_array(trim(regexp_replace(lower(text),
+            '[^\p{L}\p{Nd}]+', ' ', 'g')), ' ') AS toks
+        FROM documents WHERE doc_id NOT IN (1, 5)),
+      d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      hit AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf FROM hit
+        WHERE term IN ('dup', 'spark', 'join') GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id,
+          round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+            (tf.tf * 2.5) /
+            (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4)
+            AS score
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id)
+      SELECT doc_id, score FROM sc
+      ORDER BY score DESC, doc_id LIMIT 20"""))
+
   /** L-2/L-3/L-4/L-5 CONTRACT query — the seeded-sampling cluster's
     * registry entry (previously spec-only): randomSplit partitions the
     * table exactly (counts sum, zero overlap), the same seed
@@ -10534,6 +10605,7 @@ $union
     charEntropy, docRepetition,
     vocabTopk, vocabCoverageQ, docTopTerms, docBm25, docBm25Disk,
     docBm25Append, docBm25Delete, docBm25DiskListing,
+    docBm25DiskObjectStore,
     piiRedact,
     decontaminate, decontaminateBloom, dedupSemantic,
     retrievalHybridRrf, simKnnClassify,

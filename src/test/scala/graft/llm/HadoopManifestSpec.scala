@@ -1,0 +1,259 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Object-store certification of the manifest: index roots addressed
+  * by SCHEME (`file://…` here, the same code path as `hdfs://`/
+  * `s3a://`) run the REAL verbs end-to-end through
+  * [[HadoopManifestIo]] — sequenced immutable `MANIFEST-<seq>` commit
+  * files instead of a renamed pointer, stage-into-final-dir claims
+  * instead of directory renames, a TTL lease instead of a
+  * `FileChannel` lock, and the `listing` carry layout auto-pinned
+  * (hard links poisoned throughout to prove the posix primitive is
+  * never reached). Each lifecycle is value-compared against a plain
+  * posix root built by the identical verbs.
+  */
+class HadoopManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A schemed twin of a fresh temp dir: `file:///…/idx`. */
+  private def schemedTemp(tag: String): (String, String) = {
+    val plain = java.nio.file.Files.createTempDirectory(tag).toString
+    (s"file://$plain/idx", s"$plain/idx")
+  }
+
+  private def poisonLinks[T](body: => T): T = {
+    val prev = IndexManifest.linkFn
+    IndexManifest.linkFn = (to, _) => throw new java.io.IOException(
+      s"hard link attempted on an object-store root: $to")
+    try body finally IndexManifest.linkFn = prev
+  }
+
+  /** The object-store shape invariants every lifecycle must hold:
+    * no mutable `MANIFEST` pointer, no `stage-v*` dir ever left
+    * behind, no multi-linked file, `listing` layout pinned, and a
+    * bounded commit-file tail.
+    */
+  private def assertObjectStoreShape(local: String): Unit = {
+    val names = new java.io.File(local).list().toSeq
+    assert(!names.contains(IndexManifest.PointerFile),
+      s"a mutable MANIFEST pointer appeared on a schemed root: $names")
+    assert(names.exists(_.startsWith("MANIFEST-")),
+      s"no sequenced commit files on a schemed root: $names")
+    assert(!names.exists(_.startsWith("stage-")),
+      s"a posix stage dir appeared on a schemed root: $names")
+    assert(names.count(_.startsWith("MANIFEST-")) <=
+      HadoopManifestIo.KeepCommitFiles,
+      s"commit-file tail unbounded: ${names.filter(_.startsWith("MANIFEST-"))}")
+    assert(IndexManifest.layoutOf(s"file://$local") ==
+      IndexManifest.ListingLayout,
+      "schemed root did not auto-pin the listing layout")
+    def linked(f: java.io.File): Boolean =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).exists(linked)
+      else java.nio.file.Files.getAttribute(f.toPath, "unix:nlink")
+        .asInstanceOf[Number].intValue() > 1
+    assert(!linked(new java.io.File(local)),
+      "a hard-linked file appeared on a schemed root")
+  }
+
+  private def corpus = (0 until 60).map { i =>
+    (i.toLong, s"w$i apple shared${i % 5} " +
+      (if (i % 3 == 0) "banana" else "cherry"))
+  }.toDF("doc_id", "text")
+
+  private def bm25Serve(path: String) =
+    Vocabulary.bm25Disk(spark, path, Seq("apple", "banana"),
+        topK = 10, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("BM25 lifecycle (build/append/delete/compact/serve) on a " +
+      "file:// root matches the posix root verbatim, link-free, " +
+      "with sequenced commit files and no stage-dir renames") {
+    val (root, local) = schemedTemp("hfs_bm25")
+    val twin = java.nio.file.Files
+      .createTempDirectory("hfs_bm25_twin").toString + "/idx"
+    val docs = corpus
+    poisonLinks {
+      // link default in force: the schemed root must IGNORE it and
+      // pin listing (links don't exist on object stores)
+      Vocabulary.writeBm25Index(docs.filter(col("doc_id") < 40),
+        "doc_id", "text", root, buckets = 4)
+      Vocabulary.appendBm25Index(docs.filter(col("doc_id") >= 40),
+        "doc_id", "text", root, buckets = 4)
+      Vocabulary.deleteBm25Index(spark, root,
+        (0 until 60 by 4).map(_.toLong))
+      Vocabulary.compactBm25Index(spark, root, buckets = 4)
+    }
+    IndexManifest.withLayout(IndexManifest.ListingLayout) {
+      Vocabulary.writeBm25Index(docs.filter(col("doc_id") < 40),
+        "doc_id", "text", twin, buckets = 4)
+      Vocabulary.appendBm25Index(docs.filter(col("doc_id") >= 40),
+        "doc_id", "text", twin, buckets = 4)
+      Vocabulary.deleteBm25Index(spark, twin,
+        (0 until 60 by 4).map(_.toLong))
+      Vocabulary.compactBm25Index(spark, twin, buckets = 4)
+    }
+    assert(bm25Serve(root) == bm25Serve(twin),
+      "schemed-root BM25 lifecycle diverged from the posix twin")
+    assertObjectStoreShape(local)
+  }
+
+  private def vecs = (0 until 240).map { i =>
+    val a = i % 3
+    val base = Array.tabulate(8)(j => if (j == a) 1.0 else 0.0)
+    (i.toLong, base.map(_ + 0.01 * ((i * 7 + a) % 5)).toSeq)
+  }.toDF("id", "vec")
+
+  private def annServe(path: String) = {
+    val query = Array.tabulate(8)(j => if (j == 0) 1.0 else 0.05)
+    Similarity.topKAnnDisk(spark, path, query, dim = 8, bits = 4,
+        tables = 4, k = 5, groups = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("LSH ANN lifecycle on a file:// root matches the posix root " +
+      "verbatim and keeps the object-store shape invariants") {
+    val (root, local) = schemedTemp("hfs_lsh")
+    val twin = java.nio.file.Files
+      .createTempDirectory("hfs_lsh_twin").toString + "/idx"
+    val df = vecs
+    def lifecycle(path: String): Unit = {
+      Similarity.writeLshIndex(Similarity.multiTableIndex(
+        df.filter(col("id") % 10 =!= 0), "vec", "id",
+        dim = 8, bits = 4, tables = 4), path, groups = 8)
+      Similarity.appendLshIndex(df.filter(col("id") % 10 === 0),
+        "vec", "id", path, dim = 8, bits = 4, tables = 4, groups = 8)
+      Similarity.deleteFromLshIndex(df.filter(col("id") < 3), "id", path)
+      Similarity.compactLshIndex(spark, path)
+    }
+    poisonLinks { lifecycle(root) }
+    IndexManifest.withLayout(IndexManifest.ListingLayout)(lifecycle(twin))
+    assert(annServe(root) == annServe(twin),
+      "schemed-root LSH lifecycle diverged from the posix twin")
+    assertObjectStoreShape(local)
+  }
+
+  test("a crash before the pointer publish leaves the old version " +
+      "serving bit-identically; the retry lands; commit files stay " +
+      "immutable and bounded") {
+    val (root, local) = schemedTemp("hfs_crash")
+    val docs = corpus
+    poisonLinks {
+      Vocabulary.writeBm25Index(docs, "doc_id", "text", root, buckets = 4)
+      val pre = bm25Serve(root)
+      val preManifest = new java.io.File(local).list()
+        .filter(_.startsWith("MANIFEST-")).sorted.toSeq
+      val preContent = preManifest
+        .map(n => java.nio.file.Files.readString(
+          java.nio.file.Paths.get(local, n)))
+      IndexManifest.failpoint = msg =>
+        if (msg.contains(root)) throw new RuntimeException(
+          s"injected crash before commit-file create: $msg")
+      try {
+        intercept[RuntimeException] {
+          Vocabulary.appendBm25Index(docs.limit(0), "doc_id", "text",
+            root, buckets = 4)
+        }
+      } finally IndexManifest.failpoint = _ => ()
+      assert(bm25Serve(root) == pre,
+        "a crashed append changed the served index on a schemed root")
+      // already-published commit files are IMMUTABLE: the crash must
+      // not have touched them
+      preManifest.zip(preContent).foreach { case (n, c) =>
+        assert(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(local, n)) == c,
+          s"published commit file $n was mutated")
+      }
+      // the retry lands the delta on top
+      Vocabulary.appendBm25Index(docs.filter(col("doc_id") === 0L),
+        "doc_id", "text", root, buckets = 4)
+      assert(IndexManifest.history(root).size == 2)
+      assertObjectStoreShape(local)
+    }
+  }
+
+  test("the commit lease blocks a racing commit while held, is taken " +
+      "over once expired, and a released root commits normally") {
+    val (root, local) = schemedTemp("hfs_lease")
+    poisonLinks {
+      val (v1, d1) = IndexManifest.stage(root)
+      spark.range(1).write.parquet(s"$d1/data")
+      IndexManifest.commit(root, v1): Unit
+
+      // a LIVE foreign lease (deadline in the future) blocks commit
+      val lease = java.nio.file.Paths.get(local, IndexManifest.LockFile)
+      java.nio.file.Files.writeString(lease,
+        s"foreign-holder\t${System.currentTimeMillis() + 60000}"): Unit
+      val (v2, d2) = IndexManifest.stage(root)
+      spark.range(1).write.parquet(s"$d2/data")
+      val done = new java.util.concurrent.CountDownLatch(1)
+      @volatile var err: Throwable = null
+      val t = new Thread(() => {
+        try IndexManifest.commit(root, v2): Unit
+        catch { case x: Throwable => err = x }
+        finally done.countDown()
+      })
+      t.start()
+      Thread.sleep(400)
+      assert(done.getCount == 1,
+        "commit proceeded while a live foreign lease was held")
+      assert(err == null, s"commit threw instead of waiting: $err")
+      java.nio.file.Files.delete(lease) // holder releases
+      assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "commit never acquired the lease after release")
+      assert(err == null, s"commit failed after lease release: $err")
+      assert(IndexManifest.history(root).head == v2)
+
+      // an EXPIRED lease (crashed holder) is taken over without help
+      java.nio.file.Files.writeString(lease,
+        s"dead-holder\t${System.currentTimeMillis() - 1000}"): Unit
+      val (v3, d3) = IndexManifest.stage(root)
+      spark.range(1).write.parquet(s"$d3/data")
+      IndexManifest.commit(root, v3): Unit
+      assert(IndexManifest.history(root).head == v3,
+        "commit did not take over an expired lease")
+      assert(!java.nio.file.Files.exists(lease) ||
+        !java.nio.file.Files.readString(lease).startsWith("dead-holder"),
+        "the expired lease survived takeover")
+      assertObjectStoreShape(local)
+    }
+  }
+
+  test("concurrent content-dependent mutations COMPOSE on a schemed " +
+      "root: CAS rebase lands both deltas, never silently drops one") {
+    val (root, _) = schemedTemp("hfs_cas")
+    val df = vecs
+    poisonLinks {
+      Similarity.writeLshIndex(Similarity.multiTableIndex(
+        df.filter(col("id") >= 6), "vec", "id",
+        dim = 8, bits = 4, tables = 4), root, groups = 8)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def run(body: => Unit): Thread = {
+        val t = new Thread(() => {
+          try { barrier.await(); body }
+          catch { case x: Throwable => errs.add(x): Unit }
+        })
+        t.start(); t
+      }
+      // an append racing a tombstone delete: both must serve afterwards
+      val tA = run(Similarity.appendLshIndex(
+        df.filter(col("id") < 3), "vec", "id", root,
+        dim = 8, bits = 4, tables = 4, groups = 8))
+      val tB = run(Similarity.deleteFromLshIndex(
+        Seq(33L, 42L).toDF("id"), "id", root))
+      tA.join(120000); tB.join(120000)
+      assert(errs.isEmpty, s"racing mutations failed: ${errs.peek()}")
+      val served = annServe(root).map(_._1).toSet
+      assert(Set(0L, 1L, 2L).subsetOf(
+        Similarity.readLshIndex(spark, root).select("id")
+          .collect().map(_.getLong(0)).toSet),
+        "the racing append's delta was dropped")
+      assert(!served.contains(33L) && !served.contains(42L),
+        "the racing delete's tombstones were dropped")
+    }
+  }
+}
