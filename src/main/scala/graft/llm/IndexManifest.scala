@@ -695,10 +695,12 @@ object IndexManifest {
     val keep = (start ++ refs).toSet
     io.listVersionDirNames(root).filterNot(keep.contains)
       .foreach(n => io.rmTree(s"$root/$n"))
-    // on object stores a stage dir's name IS its version name, and a
-    // committed dir with a leftover claim marker enumerates as a
-    // stage — the keep-set filter protects it; posix stage-v* names
-    // never collide with the keep set
+    // on object stores a stage dir's name IS its version name
+    // (committed dirs keep their claim marker but carry the COMMITTED
+    // sentinel, so they enumerate as versions, never stages) — the
+    // keep-set filter is belt-and-braces for a stage whose version
+    // a listing still references; posix stage-v* names never collide
+    // with the keep set
     deadStages.filterNot(keep.contains)
       .foreach(n => io.rmTree(s"$root/$n"))
   }

@@ -306,16 +306,26 @@ private[graft] object PosixManifestIo extends ManifestIo {
   *     commit files beyond [[KeepCommitFiles]] are pruned under the
   *     lease.
   *   - STAGING: a version writes straight into its FINAL `v<N>` dir,
-  *     claimed by a conditional-created `STAGE` marker. Commit only
-  *     deletes the marker — NO directory rename, so data files never
+  *     claimed by a conditional-created `STAGE` marker. The marker
+  *     PERSISTS FOREVER — commit adds a `COMMITTED` sentinel beside it
+  *     (staged ⟺ `STAGE` present ∧ `COMMITTED` absent) — so a version
+  *     name is claimed AT MOST ONCE, EVER: a lagging stager that
+  *     computed the same number as a faster racer finds the claim
+  *     taken even after the racer committed, and can never write into
+  *     (or, on its own CAS-rebase, `rmTree`) a live pointer-referenced
+  *     version dir. NO directory rename anywhere, so data files never
   *     copy (an object-store "rename" is a copy) and the
-  *     double-allocation renumber race is structurally gone (a number
-  *     is claimed exactly once and never changes).
-  *   - LOCK: a TTL lease file (`COMMIT_LOCK`, conditional-created
-  *     with holder token + deadline). A crashed holder's lease is
-  *     taken over after [[LeaseTtlMs]]; a ZOMBIE holder (alive past
-  *     its deadline) cannot corrupt anything because the commit-file
-  *     conditional create re-arbitrates — it loses with a loud
+  *     double-allocation renumber race is structurally gone.
+  *   - LOCK: a TTL lease as GENERATION-NUMBERED conditional-created
+  *     files (`COMMIT_LOCK-<gen>`, holder token + deadline; a legacy
+  *     plain `COMMIT_LOCK` reads as generation 0). Takeover of an
+  *     expired lease is the conditional create of generation N+1 —
+  *     NEVER delete-then-recreate of a shared name, whose delete can
+  *     land on the fresh winner's lease and hand the lock to two
+  *     contenders at once (the ABA every delete-based takeover has).
+  *     A ZOMBIE holder (alive past its deadline) cannot corrupt
+  *     anything because the commit-file conditional create
+  *     re-arbitrates — it loses with a loud
   *     [[ConcurrentCommitException]], and [[IndexManifest.mutate]]
   *     rebases.
   *
@@ -487,35 +497,58 @@ private[graft] object HadoopManifestIo extends ManifestIo {
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  private val LeaseName = (IndexManifest.LockFile + "-(\\d{9,})").r
+
+  /** Lease files newest-generation first; a legacy plain `COMMIT_LOCK`
+    * (written by the pre-generation protocol) reads as generation 0.
+    */
+  private def leaseGens(root: String): Seq[(Long, String)] =
+    listNames(root).collect {
+      case n @ LeaseName(g) => (g.toLong, n)
+      case n if n == IndexManifest.LockFile => (0L, n)
+    }.sortBy(-_._1)
+
   def withLock[T](root: String)(body: => T): T =
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
       mkdirs(root)
-      val lease = s"$root/${IndexManifest.LockFile}"
       val token = java.util.UUID.randomUUID().toString
-      var acquired = false
-      while (!acquired) {
-        val deadline = System.currentTimeMillis() + LeaseTtlMs
-        if (writeExclusive(lease, s"$token\t$deadline")) acquired = true
-        else {
-          // somebody holds it: expired ⇒ take over (delete + re-race
-          // the conditional create — exactly one contender wins);
-          // live ⇒ wait
-          val expired = scala.util.Try(readString(lease)).toOption
+      var mine: String = null
+      while (mine == null) {
+        val leases = leaseGens(root)
+        // the highest generation is the lease; it's live iff its
+        // deadline is in the future (a file deleted between the list
+        // and the read was RELEASED — treat as lapsed)
+        val live = leases.headOption.exists { case (_, n) =>
+          scala.util.Try(readString(s"$root/$n")).toOption
             .flatMap(_.split("\t", 2).lift(1))
             .flatMap(d => scala.util.Try(d.trim.toLong).toOption)
-            .forall(_ < System.currentTimeMillis())
-          if (expired) deleteIfExists(lease)
-          else Thread.sleep(50)
+            .exists(_ >= System.currentTimeMillis())
+        }
+        if (live) Thread.sleep(50)
+        else {
+          // lapsed or absent: take over by conditional-creating the
+          // NEXT generation. Never delete-then-recreate the current
+          // name: between a contender's delete and create, another
+          // contender's delete can land on the FIRST winner's fresh
+          // lease and admit two holders (the ABA race). The exclusive
+          // create of one immutable name admits exactly one.
+          val next = leases.headOption.map(_._1).getOrElse(0L) + 1
+          val name = f"${IndexManifest.LockFile}-$next%09d"
+          val deadline = System.currentTimeMillis() + LeaseTtlMs
+          if (writeExclusive(s"$root/$name", s"$token\t$deadline")) {
+            mine = name
+            // prune superseded generations: anything below ours was
+            // released or expired when ours was created (a higher
+            // generation only ever appears after the lower lapsed),
+            // and a zombie's commit loses at the commit-file CAS
+            leases.foreach { case (_, n) => deleteIfExists(s"$root/$n") }
+          } // else a racer took this generation — re-evaluate its liveness
         }
       }
       try body
-      finally {
-        // release only OUR lease — after a TTL takeover the file is a
-        // successor's and must stand
-        if (scala.util.Try(readString(lease)).toOption
-            .exists(_.startsWith(token)))
-          deleteIfExists(lease)
-      }
+      // release by deleting OUR OWN immutable name — by construction
+      // never a successor's (generations are claimed exactly once)
+      finally deleteIfExists(s"$root/$mine")
     }
 
   private val CommitName = "MANIFEST-(\\d{9,})".r
@@ -561,8 +594,19 @@ private[graft] object HadoopManifestIo extends ManifestIo {
       .foreach { case (_, n) => deleteIfExists(s"$root/$n") }
   }
 
-  /** Stage marker claiming a version dir (`v<N>/STAGE`). */
+  /** Stage marker claiming a version dir (`v<N>/STAGE`). PERSISTS for
+    * the dir's whole life — it is the claimed-exactly-once token.
+    */
   val StageMarkerFile = "STAGE"
+
+  /** Commit sentinel (`v<N>/COMMITTED`): its presence flips a claimed
+    * dir from stage to version. The claim marker is never deleted —
+    * deleting it would let a lagging stager (one that computed this
+    * number before a faster racer committed it) re-claim a LIVE
+    * pointer-referenced dir, write artifacts into it, and `rmTree` it
+    * on its own CAS rebase.
+    */
+  val CommittedMarkerFile = "COMMITTED"
 
   def stageDirName(version: String): String = version
   def stageNameToVersion(name: String): String = name
@@ -570,16 +614,25 @@ private[graft] object HadoopManifestIo extends ManifestIo {
   def reserveStage(root: String, version: String): Boolean = {
     mkdirs(s"$root/$version")
     // mkdirs is NOT exclusive on Hadoop (true even when pre-existing);
-    // the conditional marker create is the claim
+    // the conditional marker create is the claim — and because the
+    // marker persists past commit, a committed dir can NEVER be
+    // re-claimed (the create fails and the stager takes the next
+    // number)
     writeExclusive(s"$root/$version/$StageMarkerFile",
       System.currentTimeMillis().toString)
   }
 
   def finalizeVersion(root: String, version: String): String = {
     // data never moves: the stage dir IS the version dir; committing
-    // just drops the claim marker (a crash between this delete and
-    // the pointer publish leaves an unmarked, unreferenced dir — GC'd)
-    deleteIfExists(s"$root/$version/$StageMarkerFile")
+    // adds the COMMITTED sentinel beside the (persistent) claim
+    // marker. Conditional create = idempotent on commit replay. Only
+    // when the dir exists: Hadoop create() makes parents, and
+    // materializing an empty dir here would defeat commitImpl's
+    // dangling-pointer replay guard (a crash between finalize and
+    // publish leaves STAGE+COMMITTED, an unreferenced version — GC'd).
+    if (isDirectory(s"$root/$version"))
+      writeExclusive(s"$root/$version/$CommittedMarkerFile",
+        System.currentTimeMillis().toString): Unit
     version
   }
 
@@ -601,7 +654,11 @@ private[graft] object HadoopManifestIo extends ManifestIo {
       .filter(st => st.isDirectory &&
         IndexManifest.VersionName.pattern.matcher(st.getPath.getName)
           .matches())
+      // staged ⟺ claimed but not committed. The && short-circuits:
+      // dirs with no claim marker (legacy pre-sentinel roots) pay one
+      // stat and count as versions
       .map(st => (st.getPath.getName,
-        f.exists(new Path(st.getPath, StageMarkerFile))))
+        f.exists(new Path(st.getPath, StageMarkerFile)) &&
+          !f.exists(new Path(st.getPath, CommittedMarkerFile))))
   }
 }

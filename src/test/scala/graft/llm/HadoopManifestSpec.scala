@@ -222,6 +222,91 @@ class HadoopManifestSpec extends SparkSpec {
     }
   }
 
+  test("a committed version name can NEVER be re-claimed: the claim " +
+      "marker persists past commit, so a lagging stager that computed " +
+      "the same number takes the next one instead of clobbering a " +
+      "live version") {
+    val (root, local) = schemedTemp("hfs_reclaim")
+    poisonLinks {
+      val (v1, d1) = IndexManifest.stage(root)
+      spark.range(3).write.parquet(s"$d1/data")
+      IndexManifest.commit(root, v1): Unit
+      // the lagging stager's exact call: reserve the number a racer
+      // already committed. Pre-fix this returned TRUE (the commit had
+      // deleted the STAGE marker), handing the stager a live
+      // pointer-referenced dir to write into — and its CAS-rebase
+      // rmTree would then DELETE the current version
+      assert(!HadoopManifestIo.reserveStage(root, v1),
+        s"a committed version dir ($v1) was re-claimed as a stage")
+      // the committed dir holds both markers and enumerates as a
+      // VERSION, never a stage
+      assert(new java.io.File(s"$local/$v1",
+        HadoopManifestIo.StageMarkerFile).exists())
+      assert(new java.io.File(s"$local/$v1",
+        HadoopManifestIo.CommittedMarkerFile).exists())
+      assert(HadoopManifestIo.listVersionDirNames(root) == Seq(v1))
+      assert(HadoopManifestIo.listStageDirNames(root).isEmpty)
+      // a real stager just moves on to the next free number
+      val (v2, _) = IndexManifest.stage(root)
+      assert(v2 != v1, s"stage() re-allocated the committed number $v1")
+      // a LEGACY dir (pre-sentinel protocol: claim marker deleted at
+      // commit) still counts as a version
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$local/$v1",
+          HadoopManifestIo.StageMarkerFile))
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$local/$v1",
+          HadoopManifestIo.CommittedMarkerFile))
+      assert(HadoopManifestIo.listVersionDirNames(root).contains(v1),
+        "a legacy committed dir (no markers) stopped counting as a version")
+    }
+  }
+
+  test("lease takeover admits exactly one holder: contenders racing " +
+      "over an expired lease from DIFFERENT in-process monitors " +
+      "(alias roots) never overlap inside the critical section") {
+    // two spellings of one root take different in-process monitors but
+    // share the underlying lease files — mutual exclusion rests
+    // entirely on the lease protocol, as it would across processes.
+    // The pre-fix protocol took over by delete-then-recreate of ONE
+    // shared name: contender B's delete could land on contender A's
+    // fresh lease and admit both. Generation-numbered conditional
+    // creates make any interleaving single-holder.
+    val (root, local) = schemedTemp("hfs_alias")
+    HadoopManifestIo.mkdirs(root)
+    // trailing slash: a different in-process monitor key, the same
+    // files (Hadoop Path collapses the duplicate separator)
+    val alias = s"$root/"
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    for (_ <- 0 until 25) {
+      // seed a crashed holder's expired lease — both contenders see a
+      // takeover opportunity at once
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(local, IndexManifest.LockFile),
+        s"dead-holder\t${System.currentTimeMillis() - 1000}"): Unit
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val ts = Seq(root, alias).map { r =>
+        val t = new Thread(() => {
+          barrier.await()
+          HadoopManifestIo.withLock(r) {
+            if (inside.incrementAndGet() > 1) overlaps.incrementAndGet()
+            Thread.sleep(15)
+            inside.decrementAndGet()
+          }
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join(30000))
+      assert(overlaps.get() == 0,
+        "two contenders held the commit lease simultaneously")
+    }
+    // released cleanly: no lease file of any generation survives
+    assert(!new java.io.File(local).list().exists(
+      _.startsWith(IndexManifest.LockFile)),
+      "a lease file leaked past release")
+  }
+
   test("concurrent content-dependent mutations COMPOSE on a schemed " +
       "root: CAS rebase lands both deltas, never silently drops one") {
     val (root, _) = schemedTemp("hfs_cas")
