@@ -47,9 +47,11 @@ package graft.llm
   *     stores offer): the pointer is a sequence of immutable
   *     `MANIFEST-<seq>` commit files, stages write straight into
   *     their final `v<N>` dir claimed by an exclusive `STAGE` marker
-  *     (no directory rename — data files never move or copy), and
-  *     the commit lock is a TTL lease whose races are re-arbitrated
-  *     by the commit file's exclusive create.
+  *     that persists past commit (a `COMMITTED` sentinel flips the
+  *     dir to a version, so a name is claimed at most once, ever; no
+  *     directory rename — data files never move or copy), and the
+  *     commit lock is a generation-numbered TTL lease whose races
+  *     are re-arbitrated by the commit file's exclusive create.
   *
   * Artifact DATA always moves through Spark's own Hadoop-backed
   * parquet I/O, so the verbs are backend-blind: the same
