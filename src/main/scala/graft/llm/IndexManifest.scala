@@ -282,9 +282,11 @@ object IndexManifest {
     */
   @volatile var ReaderPinTtlMs: Long = 24L * 3600 * 1000
 
-  /** Test hook: invoked immediately BEFORE the atomic pointer commit.
-    * Crash-injection specs throw here to simulate dying between
-    * staging and commit.
+  /** Test hook, fired twice per commit: `commit:<root>` on entry
+    * (before the lock — crash-injection specs throw here to simulate
+    * dying between staging and commit) and `publish:<root>` inside
+    * the critical section immediately before the atomic pointer
+    * publish (zombie-lease specs stall here past the lease TTL).
     */
   @volatile private[graft] var failpoint: String => Unit = _ => ()
 
@@ -538,9 +540,14 @@ object IndexManifest {
     failpoint(s"commit:$root")
     val io = ioFor(root)
     io.withLock(root) {
-      // CAS gate: the lineage is read INSIDE the critical section, so
-      // the check and the pointer flip are one atomic step
-      val cur = current(root)
+      // CAS gate: lineage AND publish token from ONE read inside the
+      // critical section — the token pins the publish to exactly the
+      // pointer state this check saw, so even a holder whose lease a
+      // successor took over (a zombie past its TTL) cannot publish a
+      // lineage that drops the successor's commit: its conditional
+      // create of token+1 finds the name taken and throws
+      val (hist, token) = io.readPointerForCommit(root)
+      val cur = hist.headOption
       cas.foreach { base =>
         if (cur != base)
           throw new ConcurrentCommitException(root, base, cur)
@@ -564,9 +571,10 @@ object IndexManifest {
       // builder-private pins don't belong in a committed version
       io.deleteIfExists(s"$finalDir/$BaseFile")
       io.deleteIfExists(s"$finalDir/$ActivityFile")
-      val retained = (finalName +: history(root)
-        .filterNot(_ == finalName)).take(math.max(1, retain))
-      io.publishPointer(root, retained)
+      val retained = (finalName +: hist.filterNot(_ == finalName))
+        .take(math.max(1, retain))
+      failpoint(s"publish:$root")
+      io.publishPointer(root, retained, token)
       gc(root)
       // the COMMITTED name — may differ from `version` after a
       // renumber; callers that reference their own commit afterwards
@@ -585,9 +593,9 @@ object IndexManifest {
   def expireVersions(root: String, keep: Int = 1): Unit = {
     val io = ioFor(root)
     io.withLock(root) {
-      val h = history(root)
+      val (h, token) = io.readPointerForCommit(root)
       require(h.nonEmpty, s"no committed index at $root")
-      io.publishPointer(root, h.take(math.max(1, keep)))
+      io.publishPointer(root, h.take(math.max(1, keep)), token)
       gc(root)
     }
   }

@@ -81,13 +81,29 @@ private[graft] sealed trait ManifestIo {
     * root.
     */
   def readPointer(root: String): Seq[String]
-  /** Publish a new lineage. Caller holds [[withLock]] and has already
-    * CAS-checked; the hadoop backend's exclusive commit-file create
-    * re-verifies and throws [[ConcurrentCommitException]] if a racer
-    * (an expired-lease takeover) got between — the conditional put is
-    * the final arbiter, the lease only reduces contention.
+  /** The lineage plus an opaque PUBLISH TOKEN capturing the pointer
+    * state this read observed. [[publishPointer]] verifies the pointer
+    * has not advanced past the token before publishing — the token,
+    * not the lease, is what makes the CAS check and the publish one
+    * atomic step on stores where the lock is a takeable lease. Call
+    * under [[withLock]], and read the lineage for the CAS check from
+    * THIS result (a separate [[readPointer]] would split the check
+    * from the token).
     */
-  def publishPointer(root: String, lineage: Seq[String]): Unit
+  def readPointerForCommit(root: String): (Seq[String], Long)
+  /** Publish a new lineage, conditional on the pointer still being at
+    * `token`'s state. Caller holds [[withLock]] and CAS-checked
+    * against [[readPointerForCommit]]'s lineage; the hadoop backend's
+    * exclusive create of commit file `token+1` is the final arbiter —
+    * if ANY commit landed after the token was read (an expired-lease
+    * takeover publishing while a zombie holder is still in its body),
+    * that name is taken and this throws [[ConcurrentCommitException]]
+    * instead of silently dropping the interloper's commit from the
+    * lineage. The posix backend ignores the token: its `FileChannel`
+    * lock never expires, so no interloper can exist.
+    */
+  def publishPointer(root: String, lineage: Seq[String],
+      token: Long): Unit
   /** Directory name a stage for `version` lives in (posix:
     * `stage-v<N>` renamed at commit; hadoop: the final `v<N>` itself,
     * claimed by marker — object-store data files never move).
@@ -220,7 +236,11 @@ private[graft] object PosixManifestIo extends ManifestIo {
     else Seq.empty
   }
 
-  def publishPointer(root: String, lineage: Seq[String]): Unit = {
+  def readPointerForCommit(root: String): (Seq[String], Long) =
+    (readPointer(root), 0L) // token unused: the FileLock never expires
+
+  def publishPointer(root: String, lineage: Seq[String],
+      token: Long): Unit = {
     val tmp = Paths.get(root, s"${IndexManifest.PointerFile}.tmp")
     Files.writeString(tmp, lineage.mkString("\n"))
     val ch = java.nio.channels.FileChannel.open(tmp,
@@ -420,32 +440,62 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     finally out.close()
   }
   def writeExclusive(path: String, s: String): Boolean = {
-    // write-complete-then-conditional-rename: the destination only
-    // ever appears with its full content (a create(overwrite=false)
-    // alone is visible — empty — from create to close on HDFS).
-    // FileContext.rename defaults to Options.Rename.NONE =
-    // fail-if-destination-exists, atomically where the store offers
-    // it (HDFS); on S3/GCS an adapter maps this to the native
-    // conditional put.
+    // write-complete-then-atomic-claim: the destination only ever
+    // appears with its full content, and the claim admits exactly one
+    // writer. The claim primitive is per STORE — the whole protocol's
+    // mutual exclusion rests on its atomicity ACROSS PROCESSES:
+    //
+    //   - file:// → the kernel's link(2) on a fully-written temp.
+    //     Hadoop's LOCAL filesystem has NO atomic conditional
+    //     primitive: both rename(Options.Rename.NONE) and
+    //     create(overwrite=false) are userland check-then-act, so two
+    //     processes can both pass the exists check and the second
+    //     rename silently REPLACES the first (the 3-JVM storm caught
+    //     exactly this: two writers both 'acquired' the lease).
+    //     link(2) fails with EEXIST in the kernel — the Delta
+    //     LocalLogStore shape.
+    //   - everything else → write-then-rename(NONE), atomic where the
+    //     store arbitrates it server-side (HDFS does, inside the
+    //     NameNode lock). S3A/GCS deployments must bridge to the
+    //     native conditional put (S3 If-None-Match, GCS generation-0)
+    //     via their committer/LogStore adapter — Hadoop's S3A rename
+    //     is copy+delete and is NOT safe here unaided.
     val dst = new Path(path)
-    val tmp = new Path(dst.getParent,
-      s".${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
-    val f = fs(path)
-    val out = f.create(tmp, false)
-    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    try {
-      fc(dst.toUri).rename(tmp, dst)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-          _: java.nio.file.FileAlreadyExistsException =>
-        f.delete(tmp, false): Unit
-        false
-      case e: java.io.IOException
-          if e.getMessage != null && e.getMessage.contains("exists") =>
-        f.delete(tmp, false): Unit
-        false
+    val uri = dst.toUri
+    if ("file".equalsIgnoreCase(uri.getScheme)) {
+      val dstNio = java.nio.file.Paths.get(uri.getPath)
+      val tmpNio = dstNio.resolveSibling(
+        s".${dstNio.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmpNio,
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      try {
+        java.nio.file.Files.createLink(dstNio, tmpNio): Unit
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmpNio): Unit
+      }
+    } else {
+      val tmp = new Path(dst.getParent,
+        s".${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
+      val f = fs(path)
+      val out = f.create(tmp, false)
+      try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      try {
+        fc(dst.toUri).rename(tmp, dst)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false): Unit
+          false
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("exists") =>
+          f.delete(tmp, false): Unit
+          false
+      }
     }
   }
   def deleteIfExists(path: String): Unit =
@@ -558,11 +608,12 @@ private[graft] object HadoopManifestIo extends ManifestIo {
       case n @ CommitName(seq) => (seq.toLong, n)
     }.sortBy(-_._1)
 
-  def readPointer(root: String): Seq[String] = {
+  private def resolveLineage(root: String,
+      seqs: Seq[(Long, String)]): Seq[String] =
     // highest parseable commit file wins; an empty one is a burned
     // sequence number (a writer died between create and content on a
     // store without atomic conditional rename) — skip it
-    commitSeqs(root).iterator
+    seqs.iterator
       .map { case (_, n) =>
         scala.util.Try(readString(s"$root/$n")).toOption
           .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
@@ -576,21 +627,37 @@ private[graft] object HadoopManifestIo extends ManifestIo {
           .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
       }
+
+  def readPointer(root: String): Seq[String] =
+    resolveLineage(root, commitSeqs(root))
+
+  def readPointerForCommit(root: String): (Seq[String], Long) = {
+    // ONE listing feeds both: the token is the highest sequence seen
+    // (burned empties included — their names are spent), the lineage
+    // is the newest parseable content. Splitting these across two
+    // listings would let a commit land between them and make the
+    // token vouch for a lineage it never saw.
+    val seqs = commitSeqs(root)
+    (resolveLineage(root, seqs),
+      seqs.headOption.map(_._1).getOrElse(0L))
   }
 
-  def publishPointer(root: String, lineage: Seq[String]): Unit = {
-    val seqs = commitSeqs(root)
-    val next = seqs.headOption.map(_._1).getOrElse(0L) + 1
-    val name = f"MANIFEST-$next%09d"
+  def publishPointer(root: String, lineage: Seq[String],
+      token: Long): Unit = {
+    // the commit file's name is FIXED by the token, never recomputed:
+    // re-listing here would hand a zombie (expired-lease holder whose
+    // successor already published) a fresh higher number and let it
+    // publish a lineage that silently drops the successor's commit —
+    // the lost update the token exists to prevent. If anything
+    // committed after the token was read, token+1 is taken and the
+    // conditional create loses loudly.
+    val name = f"MANIFEST-${token + 1}%09d"
     if (!writeExclusive(s"$root/$name", lineage.mkString("\n")))
-      // a racer created this sequence number first: somebody committed
-      // between our CAS check and publish (expired-lease takeover) —
-      // the conditional put is the final arbiter, surface the race
       throw new ConcurrentCommitException(root, None,
         readPointer(root).headOption)
     // prune superseded commit files (readers resolve the max; keep a
     // tail for scans that listed just before this publish)
-    seqs.drop(KeepCommitFiles - 1)
+    commitSeqs(root).drop(KeepCommitFiles)
       .foreach { case (_, n) => deleteIfExists(s"$root/$n") }
   }
 

@@ -8,7 +8,10 @@ import graft.llm.IndexManifest
   * Run as several simultaneous JVMs by ConcurrentIndexWriterSpec —
   * the in-process monitor cannot serialize separate processes, so
   * this path is what actually exercises the cross-process FileLock
-  * on COMMIT_LOCK.
+  * on COMMIT_LOCK. A `file://`-schemed root routes through
+  * [[graft.llm.HadoopManifestIo]] instead (HadoopManifestSpec's
+  * storm): the contended primitives become the generation-numbered
+  * commit lease and the conditional-create commit files.
   *
   * No SparkSession: the manifest protocol is pure filesystem, and the
   * probe must be cheap enough to spawn several times in a spec.
@@ -22,8 +25,11 @@ object CommitStorm {
     val rounds = roundsStr.toInt
     (0 until rounds).foreach { j =>
       val (v, dir) = IndexManifest.stage(root)
+      // a file:// root's stage dir is local disk under the scheme —
+      // write the marker through the plain path
+      val localDir = dir.stripPrefix("file://")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(dir, "data"), s"$tag-round-$j"): Unit
+        java.nio.file.Paths.get(localDir, "data"), s"$tag-round-$j"): Unit
       // retain everything: the parent asserts NO committed version was
       // lost from the lineage by any concurrently racing process
       val landed = IndexManifest.commit(root, v, retain = 1000)

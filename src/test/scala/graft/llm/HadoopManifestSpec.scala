@@ -307,6 +307,139 @@ class HadoopManifestSpec extends SparkSpec {
       "a lease file leaked past release")
   }
 
+  test("a ZOMBIE lease holder cannot drop its successor's commit: " +
+      "publish is pinned to the token read at CAS time, so a holder " +
+      "that outlives its lease loses loudly instead of publishing a " +
+      "lineage missing the takeover's version") {
+    val (root, local) = schemedTemp("hfs_zombie")
+    poisonLinks {
+      val (v1, d1) = IndexManifest.stage(root)
+      spark.range(1).write.parquet(s"$d1/data")
+      IndexManifest.commit(root, v1): Unit
+
+      // token-level pin first (deterministic, no timing): a zombie's
+      // read → a successor's commit → the zombie's publish. Pre-fix,
+      // publishPointer re-listed and took the NEXT free sequence, so
+      // the zombie's lineage (missing the successor's version)
+      // published cleanly — the successor's commit silently vanished.
+      val (histZ, tokenZ) = HadoopManifestIo.readPointerForCommit(root)
+      val (v2, d2) = IndexManifest.stage(root)
+      spark.range(1).write.parquet(s"$d2/data")
+      IndexManifest.commit(root, v2): Unit
+      intercept[ConcurrentCommitException] {
+        HadoopManifestIo.publishPointer(root, "v99999" +: histZ, tokenZ)
+      }
+      assert(IndexManifest.current(root).contains(v2),
+        "the zombie's stale publish displaced the successor's commit")
+
+      // end-to-end: a commit stalled inside the critical section past
+      // the lease TTL, a successor taking over and committing, then
+      // the zombie waking to publish — it must throw, and the
+      // successor's version must survive as current
+      val prevTtl = HadoopManifestIo.LeaseTtlMs
+      HadoopManifestIo.LeaseTtlMs = 400
+      val stalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+      IndexManifest.failpoint = msg =>
+        if (msg == s"publish:$root" && stalled.compareAndSet(false, true))
+          Thread.sleep(1500) // outlive the lease mid-commit, once
+      try {
+        val (vz, dz) = IndexManifest.stage(root)
+        spark.range(1).write.parquet(s"$dz/data")
+        @volatile var zombieErr: Throwable = null
+        val zombie = new Thread(() => {
+          try IndexManifest.commit(root, vz): Unit
+          catch { case t: Throwable => zombieErr = t }
+        })
+        zombie.start()
+        // wait until the zombie is stalled INSIDE the lock, then let
+        // its lease expire and commit over it from this thread. The
+        // zombie holds the in-process monitor for `root`, so the
+        // successor commits through an ALIAS spelling (same files,
+        // different monitor key) — mutual exclusion rests on the
+        // lease alone, as it would across processes
+        while (!stalled.get()) Thread.sleep(10)
+        Thread.sleep(500) // past LeaseTtlMs
+        val (vs, ds) = IndexManifest.stage(s"$root/")
+        spark.range(1).write.parquet(s"$ds/data")
+        IndexManifest.commit(s"$root/", vs): Unit
+        zombie.join(30000)
+        assert(zombieErr != null &&
+          zombieErr.isInstanceOf[ConcurrentCommitException],
+          s"the zombie commit did not lose loudly: $zombieErr")
+        assert(IndexManifest.current(root).contains(vs),
+          "the zombie displaced the successor's commit")
+        assert(IndexManifest.history(root).contains(vs))
+      } finally {
+        IndexManifest.failpoint = _ => ()
+        HadoopManifestIo.LeaseTtlMs = prevTtl
+      }
+      assertObjectStoreShape(local)
+    }
+  }
+
+  test("cross-PROCESS committers on a file:// root: three JVMs race " +
+      "the generation lease and conditional-create commit files; " +
+      "every version lands exactly once, no renumbering") {
+    // the in-process monitor cannot serialize separate processes —
+    // this contends the actual object-store primitives across JVMs:
+    // lease takeover/acquire (generation conditional creates), stage
+    // claims (persistent STAGE markers), and MANIFEST-<seq> publishes
+    val (root, local) = schemedTemp("hfs_storm")
+    val mainClasses = IndexManifest.getClass.getProtectionDomain
+      .getCodeSource.getLocation.getPath
+    val cp = s"$mainClasses:/opt/spark/jars/*"
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val writers = 3
+    val rounds = 4
+    val procs = (0 until writers).map { w =>
+      val logFile = java.nio.file.Files
+        .createTempFile(s"hstorm$w", ".log").toFile
+      val p = new ProcessBuilder(javaBin, "-cp", cp,
+          "graft.tools.CommitStorm", root, s"proc$w", rounds.toString)
+        .redirectErrorStream(true)
+        .redirectOutput(logFile).start()
+      (p, logFile)
+    }
+    val logs = procs.map { case (p, logFile) =>
+      val finished =
+        p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) p.destroyForcibly(): Unit
+      val out = java.nio.file.Files.readString(logFile.toPath)
+      assert(finished, s"hadoop storm JVM hung (killed)\n$out")
+      assert(p.exitValue() == 0, s"hadoop storm JVM failed\n$out")
+      out
+    }
+    val lineage = IndexManifest.history(root)
+    assert(lineage.size == writers * rounds,
+      s"a cross-process commit race dropped a committed version: " +
+        s"${lineage.size} of ${writers * rounds} retained\n" +
+        logs.mkString("\n"))
+    // every (writer, round) landed exactly once, content intact, and
+    // hadoop names NEVER renumber (claimed exactly once)
+    assert(!logs.exists(_.contains("renumbered")),
+      s"an object-store commit renumbered a claimed version:\n" +
+        logs.mkString("\n"))
+    val markers = lineage.map(v => java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$local/$v", "data")))
+    assert(markers.distinct.size == markers.size)
+    for (w <- 0 until writers; j <- 0 until rounds)
+      assert(markers.contains(s"proc$w-round-$j"),
+        s"lost proc$w-round-$j: $markers")
+    // protocol shape held under cross-process contention: every dir
+    // carries both markers, the commit tail is bounded, no lease leaks
+    assertObjectStoreShape(local)
+    lineage.foreach { v =>
+      assert(new java.io.File(s"$local/$v",
+        HadoopManifestIo.StageMarkerFile).exists(), s"$v lost its claim")
+      assert(new java.io.File(s"$local/$v",
+        HadoopManifestIo.CommittedMarkerFile).exists(),
+        s"$v lost its commit sentinel")
+    }
+    assert(!new java.io.File(local).list().exists(
+      _.startsWith(IndexManifest.LockFile)),
+      "a lease generation leaked past the storm")
+  }
+
   test("concurrent content-dependent mutations COMPOSE on a schemed " +
       "root: CAS rebase lands both deltas, never silently drops one") {
     val (root, _) = schemedTemp("hfs_cas")
