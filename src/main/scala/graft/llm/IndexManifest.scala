@@ -703,16 +703,25 @@ object IndexManifest {
     val refs = (start ++ liveStages)
       .flatMap(n => refsOf(s"$root/$n").map(_._2.takeWhile(_ != '/')))
     val keep = (start ++ refs).toSet
+    // FENCED reap: every delete re-checks the lock is still ours
+    // (free — a deadline comparison on lease backends, constant true
+    // on posix). Without it, a ZOMBIE whose publish landed just
+    // before its lease lapsed could run this loop concurrently with
+    // a takeover's next commit and reap the freshly-committed version
+    // its stale keep-set never saw. Skipping is always safe: garbage
+    // costs storage until the next commit's GC, a wrong reap loses a
+    // live version.
+    def reap(n: String): Unit =
+      if (io.lockStillHeld(root)) io.rmTree(s"$root/$n")
     io.listVersionDirNames(root).filterNot(keep.contains)
-      .foreach(n => io.rmTree(s"$root/$n"))
+      .foreach(reap)
     // on object stores a stage dir's name IS its version name
     // (committed dirs keep their claim marker but carry the COMMITTED
     // sentinel, so they enumerate as versions, never stages) — the
     // keep-set filter is belt-and-braces for a stage whose version
     // a listing still references; posix stage-v* names never collide
     // with the keep set
-    deadStages.filterNot(keep.contains)
-      .foreach(n => io.rmTree(s"$root/$n"))
+    deadStages.filterNot(keep.contains).foreach(reap)
   }
 
   /** Hard-link `src`'s tree into `dst` (directories created real,

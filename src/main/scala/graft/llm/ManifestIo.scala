@@ -77,6 +77,18 @@ private[graft] sealed trait ManifestIo {
     * monitor + TTL lease file (see [[HadoopManifestIo.LeaseTtlMs]]).
     */
   def withLock[T](root: String)(body: => T): T
+  /** FENCE for the destructive phase of a [[withLock]] body: does the
+    * critical section this THREAD entered still hold its lock? Posix
+    * is always true (a `FileChannel` lock cannot be lost while held);
+    * the hadoop lease answers by deadline — a successor can only take
+    * over AFTER the deadline, so an unexpired deadline proves no
+    * interloper exists, with zero I/O. A caller with no recorded
+    * lease on this thread (spec-style direct calls that own the root)
+    * is true. GC consults this before every reap: a zombie holder
+    * whose publish happened to land may otherwise race the
+    * successor's next commit and reap its freshly-committed version.
+    */
+  def lockStillHeld(root: String): Boolean = true
   /** The committed lineage, newest first; empty for an uncommitted
     * root.
     */
@@ -558,11 +570,23 @@ private[graft] object HadoopManifestIo extends ManifestIo {
       case n if n == IndexManifest.LockFile => (0L, n)
     }.sortBy(-_._1)
 
+  // this thread's live leases (root → deadline): the lockStillHeld
+  // fence reads the deadline it recorded at acquisition — no I/O
+  private val heldLeases =
+    new ThreadLocal[Map[String, Long]] {
+      override def initialValue(): Map[String, Long] = Map.empty
+    }
+
+  override def lockStillHeld(root: String): Boolean =
+    heldLeases.get.get(root)
+      .forall(_ > System.currentTimeMillis())
+
   def withLock[T](root: String)(body: => T): T =
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
       mkdirs(root)
       val token = java.util.UUID.randomUUID().toString
       var mine: String = null
+      var myDeadline = 0L
       while (mine == null) {
         val leases = leaseGens(root)
         // the highest generation is the lease; it's live iff its
@@ -587,6 +611,7 @@ private[graft] object HadoopManifestIo extends ManifestIo {
           val deadline = System.currentTimeMillis() + LeaseTtlMs
           if (writeExclusive(s"$root/$name", s"$token\t$deadline")) {
             mine = name
+            myDeadline = deadline
             // prune superseded generations: anything below ours was
             // released or expired when ours was created (a higher
             // generation only ever appears after the lower lapsed),
@@ -595,10 +620,14 @@ private[graft] object HadoopManifestIo extends ManifestIo {
           } // else a racer took this generation — re-evaluate its liveness
         }
       }
+      heldLeases.set(heldLeases.get + (root -> myDeadline))
       try body
-      // release by deleting OUR OWN immutable name — by construction
-      // never a successor's (generations are claimed exactly once)
-      finally deleteIfExists(s"$root/$mine")
+      finally {
+        heldLeases.set(heldLeases.get - root)
+        // release by deleting OUR OWN immutable name — by construction
+        // never a successor's (generations are claimed exactly once)
+        deleteIfExists(s"$root/$mine")
+      }
     }
 
   private val CommitName = "MANIFEST-(\\d{9,})".r

@@ -9,7 +9,7 @@ import graft.llm.IndexManifest
   * the in-process monitor cannot serialize separate processes, so
   * this path is what actually exercises the cross-process FileLock
   * on COMMIT_LOCK. A `file://`-schemed root routes through
-  * [[graft.llm.HadoopManifestIo]] instead (HadoopManifestSpec's
+  * `graft.llm.HadoopManifestIo` instead (HadoopManifestSpec's
   * storm): the contended primitives become the generation-numbered
   * commit lease and the conditional-create commit files.
   *

@@ -377,6 +377,43 @@ class HadoopManifestSpec extends SparkSpec {
     }
   }
 
+  test("gc's reaps are lease-fenced: a holder that outlived its lease " +
+      "skips every delete (a zombie's stale keep-set must never reap " +
+      "a successor's freshly-committed version); a live holder reaps") {
+    val (root, local) = schemedTemp("hfs_gcfence")
+    poisonLinks {
+      val (v1, d1) = IndexManifest.stage(root)
+      spark.range(1).write.parquet(s"$d1/data")
+      IndexManifest.commit(root, v1): Unit
+      // an unreferenced version-shaped dir (crash between finalize and
+      // publish): normally reaped by the very next gc
+      val orphan = new java.io.File(s"$local/v00099")
+      assert(orphan.mkdir())
+      java.nio.file.Files.writeString(
+        orphan.toPath.resolve(HadoopManifestIo.StageMarkerFile), "1"): Unit
+      java.nio.file.Files.writeString(
+        orphan.toPath.resolve(HadoopManifestIo.CommittedMarkerFile),
+        "1"): Unit
+      java.nio.file.Files.writeString(
+        orphan.toPath.resolve("junk"), "x"): Unit
+      val prevTtl = HadoopManifestIo.LeaseTtlMs
+      HadoopManifestIo.LeaseTtlMs = 300
+      try {
+        HadoopManifestIo.withLock(root) {
+          Thread.sleep(600) // outlive our own lease: we are the zombie
+          IndexManifest.gc(root)
+        }
+        assert(orphan.isDirectory,
+          "a zombie holder's gc reaped past its lapsed lease")
+      } finally HadoopManifestIo.LeaseTtlMs = prevTtl
+      // a live holder's gc reaps it
+      HadoopManifestIo.withLock(root)(IndexManifest.gc(root))
+      assert(!orphan.exists(),
+        "a live holder's gc failed to reap an unreferenced version")
+      assertObjectStoreShape(local)
+    }
+  }
+
   test("cross-PROCESS committers on a file:// root: three JVMs race " +
       "the generation lease and conditional-create commit files; " +
       "every version lands exactly once, no renumbering") {
