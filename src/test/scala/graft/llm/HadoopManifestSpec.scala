@@ -341,7 +341,9 @@ class HadoopManifestSpec extends SparkSpec {
       val stalled = new java.util.concurrent.atomic.AtomicBoolean(false)
       IndexManifest.failpoint = msg =>
         if (msg == s"publish:$root" && stalled.compareAndSet(false, true))
-          Thread.sleep(1500) // outlive the lease mid-commit, once
+          Thread.sleep(3000) // outlive the lease mid-commit, once —
+          // generous past the TTL so the successor's full takeover +
+          // commit (+ suite-load noise) always lands inside the stall
       try {
         val (vz, dz) = IndexManifest.stage(root)
         spark.range(1).write.parquet(s"$dz/data")
