@@ -712,7 +712,13 @@ object IndexManifest {
     // costs storage until the next commit's GC, a wrong reap loses a
     // live version.
     def reap(n: String): Unit =
-      if (io.lockStillHeld(root)) io.rmTree(s"$root/$n")
+      if (io.lockStillHeld(root)) {
+        if (sys.props.contains("graft.debug.gc"))
+          System.err.println(s"[gc-reap] $root/$n keep=$keep " +
+            s"live=$liveStages dead=$deadStages " +
+            s"versions=${io.listVersionDirNames(root)} t=${System.currentTimeMillis()}")
+        io.rmTree(s"$root/$n")
+      }
     io.listVersionDirNames(root).filterNot(keep.contains)
       .foreach(reap)
     // on object stores a stage dir's name IS its version name

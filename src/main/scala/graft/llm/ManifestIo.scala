@@ -355,11 +355,25 @@ private[graft] object PosixManifestIo extends ManifestIo {
   *     NEVER delete-then-recreate of a shared name, whose delete can
   *     land on the fresh winner's lease and hand the lock to two
   *     contenders at once (the ABA every delete-based takeover has).
-  *     A ZOMBIE holder (alive past its deadline) cannot corrupt
-  *     anything because the commit-file conditional create
-  *     re-arbitrates — it loses with a loud
+  *     Release OVERWRITES the holder's own file with a RELEASED
+  *     marker instead of deleting it, so the head generation persists
+  *     as a high-water mark and numbering is MONOTONIC forever — a
+  *     generation name, once claimed, is never a lease again, closing
+  *     the delete-cycle ABA (a zombie's delayed release destroying a
+  *     later holder's identically-numbered lease). A WON claim is
+  *     then VERIFIED by re-listing: takeover pruning re-frees
+  *     superseded names, and the gap between choosing a generation
+  *     and the create landing is unbounded (cold JVM, GC pause), so a
+  *     late-landing create can claim a long-dead generation while the
+  *     real head is far above — the claim stands only if it is the
+  *     HEAD with a fence-clearing deadline, else it is disowned. A ZOMBIE holder
+  *     (alive past its deadline) cannot corrupt anything because the
+  *     publish is deadline-fenced AND the commit-file conditional
+  *     create re-arbitrates — it loses with a loud
   *     [[ConcurrentCommitException]], and [[IndexManifest.mutate]]
-  *     rebases.
+  *     rebases. Liveness reads of the head lease distinguish
+  *     FileNotFound (pruned → lapsed) from transient IO errors
+  *     (re-polled [[HeadReadRetries]] times before takeover).
   *
   * Hard links don't exist on object stores, so [[createLink]] throws
   * the documented contract error and schemed roots ALWAYS pin the
@@ -379,8 +393,43 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     * root for at most this long before a contender takes over. Commit
     * bodies are metadata-only (the data writes happen BEFORE the
     * lock), so generous is cheap.
+    *
+    * CLOCK-SKEW margin arithmetic: the lease deadline is stamped from
+    * the HOLDER's clock but compared against each CONTENDER's clock,
+    * so with cross-process skew δ a fast-clock contender can take
+    * over up to δ BEFORE the holder's own fence
+    * ([[lockStillHeld]]) sees the deadline pass — two fenced
+    * destructors at once, the exact double-holder window the lease
+    * exists to close. The protocol therefore splits the margin: the
+    * holder's own fence gives up [[LeaseSkewAllowanceMs]] (capped at
+    * TTL/4) EARLY, while takeover still waits for the full deadline,
+    * leaving a guaranteed no-destructor gap of that width between
+    * "holder stops trusting its lease" and "a successor may act".
+    * Deployments must keep |δ| across committers under that gap —
+    * trivially true for NTP-disciplined clusters (ms–s of skew vs a
+    * 75 s gap at the 5-minute default TTL); unsynchronized clocks
+    * need the allowance (or the TTL) raised to cover their skew.
     */
   @volatile var LeaseTtlMs: Long = 5L * 60 * 1000
+
+  /** Cross-process clock-skew budget: the holder's own liveness fence
+    * treats its lease as lost this long BEFORE the stamped deadline
+    * (capped at TTL/4 so short spec TTLs keep a usable window), while
+    * contenders honor the full deadline — see [[LeaseTtlMs]]'s margin
+    * arithmetic.
+    */
+  @volatile var LeaseSkewAllowanceMs: Long = 5000L
+
+  private[llm] def fenceMarginMs: Long =
+    math.min(LeaseSkewAllowanceMs, LeaseTtlMs / 4)
+
+  /** Consecutive unreadable-head retries before a takeover: a
+    * TRANSIENT read failure of a live head lease (store throttling,
+    * an HDFS blip) must not be mistaken for a lapsed lease — only
+    * FileNotFound (pruned/legacy-released) lapses immediately; other
+    * IO errors re-poll this many times first.
+    */
+  val HeadReadRetries = 5
 
   /** Committed `MANIFEST-<seq>` files retained for readers resolving
     * concurrently with pruning; only the highest is authoritative.
@@ -451,6 +500,35 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+  /** Schemes whose write-then-`rename(NONE)` claim is arbitrated
+    * atomically SERVER-SIDE (HDFS inside the NameNode lock and its
+    * proxies/encryption-zone views; Ozone's object-store endpoints).
+    * `file` is handled separately by the kernel `link(2)` path. Every
+    * other scheme must opt in via [[TrustConditionalCreateConf]]
+    * after fronting a NATIVE conditional put.
+    */
+  private val AtomicClaimSchemes =
+    Set("file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs")
+
+  /** Opt-in for schemes outside [[AtomicClaimSchemes]]: set to `true`
+    * (Spark conf or system property) ONLY when the deployment bridges
+    * the store's native conditional put under Hadoop's create/rename
+    * — S3 `If-None-Match` puts, GCS generation-0 preconditions —
+    * because the stock S3A/GCS connectors implement rename as
+    * userland copy+delete, which is check-then-act: two processes
+    * both pass the exists check and the second silently REPLACES the
+    * first's lease/commit file (the exact lost update the 3-JVM storm
+    * proved on Hadoop's local FS before the `link(2)` bridge).
+    */
+  val TrustConditionalCreateConf = "spark.graft.manifest.trustConditionalCreate"
+
+  private def trustConditionalCreate: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => scala.util.Try(
+        s.conf.get(TrustConditionalCreateConf)).toOption)
+      .orElse(sys.props.get(TrustConditionalCreateConf))
+      .exists(_.trim.equalsIgnoreCase("true"))
+
   def writeExclusive(path: String, s: String): Boolean = {
     // write-complete-then-atomic-claim: the destination only ever
     // appears with its full content, and the claim admits exactly one
@@ -466,15 +544,33 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     //     exactly this: two writers both 'acquired' the lease).
     //     link(2) fails with EEXIST in the kernel — the Delta
     //     LocalLogStore shape.
-    //   - everything else → write-then-rename(NONE), atomic where the
-    //     store arbitrates it server-side (HDFS does, inside the
-    //     NameNode lock). S3A/GCS deployments must bridge to the
-    //     native conditional put (S3 If-None-Match, GCS generation-0)
-    //     via their committer/LogStore adapter — Hadoop's S3A rename
-    //     is copy+delete and is NOT safe here unaided.
+    //   - AtomicClaimSchemes → write-then-rename(NONE), atomic because
+    //     the store arbitrates it server-side (HDFS does, inside the
+    //     NameNode lock).
+    //   - anything else (s3a, gs, abfs, …) → REFUSED unless the
+    //     deployment opted in via TrustConditionalCreateConf, because
+    //     running the commit protocol on a copy+delete rename silently
+    //     re-opens every lost-update race the protocol closes. The
+    //     check runs BEFORE any FileSystem access, so the refusal is
+    //     actionable even when the scheme's connector isn't on the
+    //     classpath.
     val dst = new Path(path)
     val uri = dst.toUri
-    if ("file".equalsIgnoreCase(uri.getScheme)) {
+    val scheme = Option(uri.getScheme).map(_.toLowerCase)
+      .getOrElse(Option(FileSystem.getDefaultUri(conf()).getScheme)
+        .map(_.toLowerCase).getOrElse("file"))
+    if (!AtomicClaimSchemes.contains(scheme) && !trustConditionalCreate)
+      throw new UnsupportedOperationException(
+        s"refusing the manifest commit protocol on scheme '$scheme' " +
+          s"($path): its Hadoop rename/create is userland " +
+          "check-then-act, not an atomic conditional put, so " +
+          "concurrent committers can silently lose updates. Front the " +
+          "store's native conditional put (S3 If-None-Match, GCS " +
+          "generation-0 precondition) and opt in with " +
+          s"$TrustConditionalCreateConf=true (Spark conf or system " +
+          "property), or place index roots on " +
+          AtomicClaimSchemes.toSeq.sorted.mkString("/") + ".")
+    if (scheme == "file") {
       val dstNio = java.nio.file.Paths.get(uri.getPath)
       val tmpNio = dstNio.resolveSibling(
         s".${dstNio.getFileName}.tmp-${java.util.UUID.randomUUID()}")
@@ -517,7 +613,11 @@ private[graft] object HadoopManifestIo extends ManifestIo {
   def mtime(path: String): Long = {
     val f = fs(path)
     val p = new Path(path)
-    if (f.exists(p)) f.getFileStatus(p).getModificationTime else 0L
+    // exists-then-stat races a concurrent delete (a zombie commit's
+    // sidecar cleanup vs a successor's GC): missing reads as 0, the
+    // posix convention
+    try if (f.exists(p)) f.getFileStatus(p).getModificationTime else 0L
+    catch { case _: java.io.FileNotFoundException => 0L }
   }
   def setMtime(path: String, t: Long): Unit =
     fs(path).setTimes(new Path(path), t, -1)
@@ -530,12 +630,18 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     } catch { case _: java.io.IOException => () } // liveness is best-effort
   def newestMtime(path: String): Long = {
     val f = fs(path)
-    def walk(p: Path): Long = {
-      val st = f.getFileStatus(p)
-      if (!st.isDirectory) st.getModificationTime
-      else f.listStatus(p).foldLeft(st.getModificationTime)((m, c) =>
-        math.max(m, walk(c.getPath)))
-    }
+    // children may VANISH mid-walk (a lock-free stager's writeExclusive
+    // temp file deleted between our listStatus and the child stat —
+    // this walk runs under the commit lock, stagers don't): a missing
+    // child reads as mtime 0, same as the posix convention, instead of
+    // crashing the GC liveness scan
+    def walk(p: Path): Long =
+      try {
+        val st = f.getFileStatus(p)
+        if (!st.isDirectory) st.getModificationTime
+        else f.listStatus(p).foldLeft(st.getModificationTime)((m, c) =>
+          math.max(m, walk(c.getPath)))
+      } catch { case _: java.io.FileNotFoundException => 0L }
     val p = new Path(path)
     if (f.exists(p)) walk(p) else 0L
   }
@@ -578,8 +684,23 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     }
 
   override def lockStillHeld(root: String): Boolean =
+    // the holder gives up a skew allowance EARLY while takeover waits
+    // for the full deadline: the gap between the two is the
+    // no-destructor window that absorbs cross-process clock skew
+    // (see LeaseTtlMs's margin arithmetic)
     heldLeases.get.get(root)
-      .forall(_ > System.currentTimeMillis())
+      .forall(_ - fenceMarginMs > System.currentTimeMillis())
+
+  /** Release marker written over a holder's own lease file. The file
+    * SURVIVES release (overwrite, never delete): its generation number
+    * is the persistent high-water mark that keeps generations truly
+    * MONOTONIC across acquire/release cycles. The old delete-based
+    * release emptied the listing, restarting numbering at 1 — and a
+    * reused generation name re-admits the delete-ABA: a zombie's
+    * delayed release could delete a LATER holder's identically-named
+    * lease and hand the lock to two contenders at once.
+    */
+  private val ReleasedMarker = "RELEASED"
 
   def withLock[T](root: String)(body: => T): T =
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
@@ -587,36 +708,93 @@ private[graft] object HadoopManifestIo extends ManifestIo {
       val token = java.util.UUID.randomUUID().toString
       var mine: String = null
       var myDeadline = 0L
+      // consecutive unreadable-head tally: a TRANSIENT read failure of
+      // a live head (store throttling, an HDFS blip) must not trigger
+      // takeover inside the holder's deadline — only FileNotFound
+      // (pruned) lapses immediately; other IO errors re-poll
+      // HeadReadRetries times before the head is declared dead
+      var failName: String = null
+      var fails = 0
       while (mine == null) {
         val leases = leaseGens(root)
         // the highest generation is the lease; it's live iff its
-        // deadline is in the future (a file deleted between the list
-        // and the read was RELEASED — treat as lapsed)
-        val live = leases.headOption.exists { case (_, n) =>
-          scala.util.Try(readString(s"$root/$n")).toOption
-            .flatMap(_.split("\t", 2).lift(1))
-            .flatMap(d => scala.util.Try(d.trim.toLong).toOption)
-            .exists(_ >= System.currentTimeMillis())
+        // deadline field parses and is in the future (a RELEASED
+        // overwrite parses as no deadline — lapsed)
+        val head = leases.headOption
+        // 1 = live, 0 = lapsed, -1 = indeterminate (transient error)
+        val state: Int = head match {
+          case None => 0
+          case Some((_, n)) =>
+            try {
+              val content = readString(s"$root/$n")
+              failName = null; fails = 0
+              val live = content.split("\t", 2).lift(1)
+                .flatMap(d => scala.util.Try(d.trim.toLong).toOption)
+                .exists(_ >= System.currentTimeMillis())
+              if (live) 1 else 0
+            } catch {
+              case _: java.io.FileNotFoundException => 0 // pruned
+              case _: java.io.IOException =>
+                if (n == failName) fails += 1
+                else { failName = n; fails = 1 }
+                if (fails >= HeadReadRetries) 0 else -1
+            }
         }
-        if (live) Thread.sleep(50)
+        if (state != 0) Thread.sleep(50)
         else {
           // lapsed or absent: take over by conditional-creating the
           // NEXT generation. Never delete-then-recreate the current
           // name: between a contender's delete and create, another
           // contender's delete can land on the FIRST winner's fresh
           // lease and admit two holders (the ABA race). The exclusive
-          // create of one immutable name admits exactly one.
+          // create of one immutable name admits exactly one — and
+          // because release keeps the head file (as a RELEASED
+          // marker), generations never restart: a name, once claimed,
+          // is never a lease again.
           val next = leases.headOption.map(_._1).getOrElse(0L) + 1
           val name = f"${IndexManifest.LockFile}-$next%09d"
           val deadline = System.currentTimeMillis() + LeaseTtlMs
           if (writeExclusive(s"$root/$name", s"$token\t$deadline")) {
-            mine = name
-            myDeadline = deadline
-            // prune superseded generations: anything below ours was
-            // released or expired when ours was created (a higher
-            // generation only ever appears after the lower lapsed),
-            // and a zombie's commit loses at the commit-file CAS
-            leases.foreach { case (_, n) => deleteIfExists(s"$root/$n") }
+            // CLAIM VERIFY — the create alone is not proof of
+            // headship: the gap between the LISTING that chose this
+            // generation and the conditional create LANDING is
+            // unbounded (a cold JVM's classloading, a GC pause, store
+            // throttling), and takeover pruning re-frees superseded
+            // names — so this create may have landed on a LONG-DEAD
+            // generation while the real head is far above. The 3-JVM
+            // cold-start storm caught exactly that: a late-starting
+            // process claimed the pruned generation 1 while
+            // generation 6 was live, double-held the root, and its
+            // GC reaped the live holder's freshly-committed version.
+            // Re-list: the claim stands only if it IS the head (the
+            // head file always survives — release overwrites, never
+            // deletes — so a stale claim always sees its superior).
+            // Also require the deadline to still clear the fence
+            // margin, so a slow-landing claim can't start life as an
+            // instant zombie.
+            val fresh = leaseGens(root)
+            if (fresh.headOption.exists(_._1 > next) ||
+                System.currentTimeMillis() >= deadline - fenceMarginMs) {
+              // stale claim: disown it (RELEASED keeps monotonicity)
+              // and re-evaluate the real head
+              try writeString(s"$root/$name", s"$ReleasedMarker\t$token")
+              catch { case _: java.io.IOException => () }
+            } else {
+              mine = name
+              myDeadline = deadline
+              if (sys.props.contains("graft.debug.gc"))
+                System.err.println(s"[lease] ACQ $name " +
+                  s"tok=${token.take(8)} dl=$deadline " +
+                  s"t=${System.currentTimeMillis()}")
+              // prune superseded generations (all strictly below
+              // ours, from the FRESH listing): released markers,
+              // expired zombies, the legacy plain lock. Re-claims of
+              // pruned names are disowned by the verify above, and
+              // our file persists as the floor until a HIGHER
+              // generation supersedes it.
+              fresh.filter(_._1 < next)
+                .foreach { case (_, n) => deleteIfExists(s"$root/$n") }
+            }
           } // else a racer took this generation — re-evaluate its liveness
         }
       }
@@ -624,9 +802,19 @@ private[graft] object HadoopManifestIo extends ManifestIo {
       try body
       finally {
         heldLeases.set(heldLeases.get - root)
-        // release by deleting OUR OWN immutable name — by construction
-        // never a successor's (generations are claimed exactly once)
-        deleteIfExists(s"$root/$mine")
+        // RELEASE BY OVERWRITE of our own immutable name, never a
+        // delete: the surviving file keeps generation numbers
+        // monotonic (see ReleasedMarker), so a zombie's delayed
+        // release can never destroy a later holder's lease — at worst
+        // it re-materializes its own long-superseded generation as a
+        // RELEASED stub below the current head, harmless and pruned
+        // by the next takeover. Best-effort: an unreleased lease just
+        // waits out its TTL.
+        if (sys.props.contains("graft.debug.gc"))
+          System.err.println(s"[lease] REL $mine tok=${token.take(8)} " +
+            s"t=${System.currentTimeMillis()}")
+        try writeString(s"$root/$mine", s"$ReleasedMarker\t$token")
+        catch { case _: java.io.IOException => () }
       }
     }
 
@@ -673,6 +861,19 @@ private[graft] object HadoopManifestIo extends ManifestIo {
 
   def publishPointer(root: String, lineage: Seq[String],
       token: Long): Unit = {
+    // FENCE FIRST: a holder past its lease deadline may already have
+    // a successor whose ≥ KeepCommitFiles commits PRUNED
+    // MANIFEST-(token+1) — the zombie's conditional create of that
+    // name would then SUCCEED yet be invisible (readers resolve the
+    // max sequence): the silent lost update the token exists to make
+    // loud, pushed KeepCommitFiles commits out. Inside the deadline
+    // no successor can exist, so token+1 is genuinely the next
+    // sequence and cannot have been pruned (pruning only happens in
+    // LATER publishes). Threads with no recorded lease (spec-style
+    // direct calls) pass and are arbitrated by the create below.
+    if (!lockStillHeld(root))
+      throw new ConcurrentCommitException(root, None,
+        readPointer(root).headOption)
     // the commit file's name is FIXED by the token, never recomputed:
     // re-listing here would hand a zombie (expired-lease holder whose
     // successor already published) a fresh higher number and let it
@@ -681,12 +882,31 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     // committed after the token was read, token+1 is taken and the
     // conditional create loses loudly.
     val name = f"MANIFEST-${token + 1}%09d"
+    if (sys.props.contains("graft.debug.gc"))
+      System.err.println(s"[publish] $name head=${lineage.headOption} " +
+        s"t=${System.currentTimeMillis()}")
     if (!writeExclusive(s"$root/$name", lineage.mkString("\n")))
       throw new ConcurrentCommitException(root, None,
         readPointer(root).headOption)
+    // belt-and-braces behind the fence (covers a pathological stall
+    // BETWEEN the deadline check and the create): re-list — the prune
+    // below needs this listing anyway, so the guard is free — and if
+    // a HIGHER sequence already exists whose resolved lineage does
+    // not carry our head version (i.e. no successor built on our
+    // commit; with the default retain ≥ 2 a rebase always carries
+    // it), our create landed on a pruned name and is invisible:
+    // un-publish it and lose loudly instead of silently.
+    val after = commitSeqs(root)
+    if (after.headOption.exists(_._1 > token + 1)) {
+      val visible = resolveLineage(root, after)
+      if (!lineage.headOption.exists(visible.contains)) {
+        deleteIfExists(s"$root/$name")
+        throw new ConcurrentCommitException(root, None, visible.headOption)
+      }
+    }
     // prune superseded commit files (readers resolve the max; keep a
     // tail for scans that listed just before this publish)
-    commitSeqs(root).drop(KeepCommitFiles)
+    after.drop(KeepCommitFiles)
       .foreach { case (_, n) => deleteIfExists(s"$root/$n") }
   }
 
@@ -745,16 +965,32 @@ private[graft] object HadoopManifestIo extends ManifestIo {
   private def versionedDirs(root: String): Seq[(String, Boolean)] = {
     val f = fs(root)
     val p = new Path(root)
+    val stageGraceCutoff =
+      System.currentTimeMillis() - IndexManifest.StageTtlMs
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
       .filter(st => st.isDirectory &&
         IndexManifest.VersionName.pattern.matcher(st.getPath.getName)
           .matches())
-      // staged ⟺ claimed but not committed. The && short-circuits:
-      // dirs with no claim marker (legacy pre-sentinel roots) pay one
-      // stat and count as versions
-      .map(st => (st.getPath.getName,
-        f.exists(new Path(st.getPath, StageMarkerFile)) &&
-          !f.exists(new Path(st.getPath, CommittedMarkerFile))))
+      // staged ⟺ claimed but not committed — with one grace case: a
+      // FRESH dir carrying NO markers at all is a reservation
+      // MID-CLAIM (reserveStage's mkdirs landed, its conditional
+      // STAGE-marker create has not yet), and classifying it as a
+      // legacy version would let a concurrent commit's GC reap it as
+      // unreferenced out from under the stager (the hostile-storm
+      // race). Marker-less dirs therefore count as STAGES until
+      // StageTtlMs old — protected by the same liveness rules as any
+      // stage — and only then as versions (true legacy pre-sentinel
+      // dirs are old by definition; referenced ones are in the
+      // lineage keep-set regardless)
+      .map { st =>
+        val hasStage = f.exists(new Path(st.getPath, StageMarkerFile))
+        val committed =
+          f.exists(new Path(st.getPath, CommittedMarkerFile))
+        val staged =
+          if (hasStage) !committed
+          else !committed && st.getModificationTime >= stageGraceCutoff
+        (st.getPath.getName, staged)
+      }
   }
 }

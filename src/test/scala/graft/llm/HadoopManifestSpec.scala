@@ -175,6 +175,23 @@ class HadoopManifestSpec extends SparkSpec {
     }
   }
 
+  /** Conditional-create a foreign lease at the next free generation
+    * (the head slot — generations are monotonic, so a foreign holder
+    * is whoever owns the highest number).
+    */
+  private def seedForeignLease(local: String, content: String)
+      : java.nio.file.Path = {
+    val gens = new java.io.File(local).list().toSeq
+      .collect { case n if n.startsWith(s"${IndexManifest.LockFile}-") =>
+        n.stripPrefix(s"${IndexManifest.LockFile}-").toLong
+      }
+    val next = (0L +: gens).max + 1
+    val p = java.nio.file.Paths.get(local,
+      f"${IndexManifest.LockFile}-$next%09d")
+    java.nio.file.Files.writeString(p, content): Unit
+    p
+  }
+
   test("the commit lease blocks a racing commit while held, is taken " +
       "over once expired, and a released root commits normally") {
     val (root, local) = schemedTemp("hfs_lease")
@@ -183,10 +200,10 @@ class HadoopManifestSpec extends SparkSpec {
       spark.range(1).write.parquet(s"$d1/data")
       IndexManifest.commit(root, v1): Unit
 
-      // a LIVE foreign lease (deadline in the future) blocks commit
-      val lease = java.nio.file.Paths.get(local, IndexManifest.LockFile)
-      java.nio.file.Files.writeString(lease,
-        s"foreign-holder\t${System.currentTimeMillis() + 60000}"): Unit
+      // a LIVE foreign lease (deadline in the future) at the HEAD
+      // generation blocks commit
+      val lease = seedForeignLease(local,
+        s"foreign-holder\t${System.currentTimeMillis() + 60000}")
       val (v2, d2) = IndexManifest.stage(root)
       spark.range(1).write.parquet(s"$d2/data")
       val done = new java.util.concurrent.CountDownLatch(1)
@@ -208,15 +225,15 @@ class HadoopManifestSpec extends SparkSpec {
       assert(IndexManifest.history(root).head == v2)
 
       // an EXPIRED lease (crashed holder) is taken over without help
-      java.nio.file.Files.writeString(lease,
-        s"dead-holder\t${System.currentTimeMillis() - 1000}"): Unit
+      val dead = seedForeignLease(local,
+        s"dead-holder\t${System.currentTimeMillis() - 1000}")
       val (v3, d3) = IndexManifest.stage(root)
       spark.range(1).write.parquet(s"$d3/data")
       IndexManifest.commit(root, v3): Unit
       assert(IndexManifest.history(root).head == v3,
         "commit did not take over an expired lease")
-      assert(!java.nio.file.Files.exists(lease) ||
-        !java.nio.file.Files.readString(lease).startsWith("dead-holder"),
+      assert(!java.nio.file.Files.exists(dead) ||
+        !java.nio.file.Files.readString(dead).startsWith("dead-holder"),
         "the expired lease survived takeover")
       assertObjectStoreShape(local)
     }
@@ -250,13 +267,21 @@ class HadoopManifestSpec extends SparkSpec {
       val (v2, _) = IndexManifest.stage(root)
       assert(v2 != v1, s"stage() re-allocated the committed number $v1")
       // a LEGACY dir (pre-sentinel protocol: claim marker deleted at
-      // commit) still counts as a version
+      // commit) still counts as a version — once past the fresh-dir
+      // grace window (a FRESH marker-less dir is a reservation
+      // mid-claim and counts as a stage, so GC can't reap it between
+      // reserveStage's mkdirs and its marker create; legacy dirs are
+      // old by definition)
       java.nio.file.Files.delete(
         java.nio.file.Paths.get(s"$local/$v1",
           HadoopManifestIo.StageMarkerFile))
       java.nio.file.Files.delete(
         java.nio.file.Paths.get(s"$local/$v1",
           HadoopManifestIo.CommittedMarkerFile))
+      assert(HadoopManifestIo.listStageDirNames(root).contains(v1),
+        "a fresh marker-less dir must count as a mid-claim stage")
+      assert(new java.io.File(s"$local/$v1").setLastModified(
+        System.currentTimeMillis() - IndexManifest.StageTtlMs - 60000))
       assert(HadoopManifestIo.listVersionDirNames(root).contains(v1),
         "a legacy committed dir (no markers) stopped counting as a version")
     }
@@ -280,10 +305,9 @@ class HadoopManifestSpec extends SparkSpec {
     val inside = new java.util.concurrent.atomic.AtomicInteger(0)
     val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
     for (_ <- 0 until 25) {
-      // seed a crashed holder's expired lease — both contenders see a
-      // takeover opportunity at once
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(local, IndexManifest.LockFile),
+      // seed a crashed holder's expired lease at the head generation —
+      // both contenders see a takeover opportunity at once
+      seedForeignLease(local,
         s"dead-holder\t${System.currentTimeMillis() - 1000}"): Unit
       val barrier = new java.util.concurrent.CyclicBarrier(2)
       val ts = Seq(root, alias).map { r =>
@@ -301,11 +325,26 @@ class HadoopManifestSpec extends SparkSpec {
       assert(overlaps.get() == 0,
         "two contenders held the commit lease simultaneously")
     }
-    // released cleanly: no lease file of any generation survives
-    assert(!new java.io.File(local).list().exists(
-      _.startsWith(IndexManifest.LockFile)),
-      "a lease file leaked past release")
+    // released cleanly: whatever lease files survive are RELEASED
+    // stubs (release OVERWRITES the holder's own file — the surviving
+    // head generation is the monotonic high-water mark; a live or
+    // expired holder token here would be a leak)
+    assertLeasesReleased(local)
   }
+
+  /** Every surviving `COMMIT_LOCK*` file must be a RELEASED stub —
+    * the monotonic-generation high-water mark, never a live/expired
+    * holder token leaked past its critical section.
+    */
+  private def assertLeasesReleased(local: String): Unit =
+    new java.io.File(local).list().toSeq
+      .filter(_.startsWith(IndexManifest.LockFile))
+      .foreach { n =>
+        val content = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(local, n))
+        assert(content.startsWith("RELEASED"),
+          s"lease $n leaked past release with holder content: $content")
+      }
 
   test("a ZOMBIE lease holder cannot drop its successor's commit: " +
       "publish is pinned to the token read at CAS time, so a holder " +
@@ -474,9 +513,289 @@ class HadoopManifestSpec extends SparkSpec {
         HadoopManifestIo.CommittedMarkerFile).exists(),
         s"$v lost its commit sentinel")
     }
-    assert(!new java.io.File(local).list().exists(
-      _.startsWith(IndexManifest.LockFile)),
-      "a lease generation leaked past the storm")
+    assertLeasesReleased(local)
+  }
+
+  test("the commit protocol REFUSES schemes without an atomic claim " +
+      "primitive (s3a/gs/abfs) with an actionable error, BEFORE any " +
+      "store access; the documented conf opts back in") {
+    // the gate must fire before FileSystem resolution: no s3a
+    // connector exists in this container, so reaching the store would
+    // fail with a classpath error instead of the actionable refusal
+    val e = intercept[UnsupportedOperationException] {
+      HadoopManifestIo.writeExclusive(
+        "s3a://bucket/idx/COMMIT_LOCK-000000001", "x")
+    }
+    assert(e.getMessage.contains("'s3a'") &&
+      e.getMessage.contains(HadoopManifestIo.TrustConditionalCreateConf) &&
+      e.getMessage.contains("If-None-Match"),
+      s"refusal not actionable: ${e.getMessage}")
+    intercept[UnsupportedOperationException] {
+      HadoopManifestIo.writeExclusive(
+        "gs://bucket/idx/MANIFEST-000000001", "x")
+    }
+    intercept[UnsupportedOperationException] {
+      HadoopManifestIo.writeExclusive(
+        "abfs://c@a.dfs.example/idx/MANIFEST-000000001", "x")
+    }
+    // opt-in (deployment fronted a native conditional put) lifts the
+    // gate: the call proceeds to the connector — whose ABSENCE here
+    // proves the gate no longer fired (any classpath error, never the
+    // refusal)
+    val key = HadoopManifestIo.TrustConditionalCreateConf
+    val prev = sys.props.get(key)
+    sys.props(key) = "true"
+    try {
+      val past = intercept[Exception] {
+        HadoopManifestIo.writeExclusive(
+          "fakestore://bucket/idx/MANIFEST-000000001", "x")
+      }
+      assert(!past.isInstanceOf[UnsupportedOperationException],
+        s"opt-in did not lift the refusal: $past")
+    } finally prev match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props -= key: Unit
+    }
+    // the Spark-conf spelling opts in too
+    spark.conf.set(key, "true")
+    try {
+      val past = intercept[Exception] {
+        HadoopManifestIo.writeExclusive(
+          "fakestore://bucket/idx/MANIFEST-000000001", "x")
+      }
+      assert(!past.isInstanceOf[UnsupportedOperationException])
+    } finally spark.conf.unset(key)
+    // file:// (kernel link(2)) and the refusal-after-unset both hold
+    intercept[UnsupportedOperationException] {
+      HadoopManifestIo.writeExclusive(
+        "fakestore://bucket/idx/MANIFEST-000000001", "x")
+    }
+  }
+
+  test("lease generations are MONOTONIC across acquire/release " +
+      "cycles — release keeps the head file as a RELEASED high-water " +
+      "stub, so a generation name is never a lease twice (the " +
+      "delete-cycle ABA regression)") {
+    val (root, local) = schemedTemp("hfs_gen")
+    HadoopManifestIo.mkdirs(root)
+    def lockFiles: Seq[String] = new java.io.File(local).list().toSeq
+      .filter(_.startsWith(IndexManifest.LockFile)).sorted
+    def headGen: Long = lockFiles
+      .collect { case n if n.startsWith(s"${IndexManifest.LockFile}-") =>
+        n.stripPrefix(s"${IndexManifest.LockFile}-").toLong }
+      .foldLeft(0L)(math.max)
+    (1 to 7).foreach { i =>
+      HadoopManifestIo.withLock(root) {}
+      assert(headGen == i,
+        s"generation restarted or skipped after cycle $i: $lockFiles " +
+          "(the pre-fix release DELETED its file, emptying the listing " +
+          "and re-admitting generation 1 — the ABA the advice flagged)")
+    }
+    // steady state: exactly the head survives, as a RELEASED stub
+    assert(lockFiles == Seq(f"${IndexManifest.LockFile}-${7L}%09d"),
+      s"superseded generations not pruned: $lockFiles")
+    assertLeasesReleased(local)
+    // a zombie's DELAYED release re-materializing its superseded
+    // generation (an overwrite of its own old name) must not disturb
+    // a LIVE head holder: contenders key on the highest generation
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(local,
+      f"${IndexManifest.LockFile}-${3L}%09d"), "RELEASED\tzombie"): Unit
+    val live = seedForeignLease(local,
+      s"foreign\t${System.currentTimeMillis() + 60000}")
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() =>
+      HadoopManifestIo.withLock(root)(entered.countDown()))
+    t.start()
+    Thread.sleep(400)
+    assert(entered.getCount == 1,
+      "a contender ignored a live head lease (stale low-generation " +
+        "stubs confused the head selection)")
+    java.nio.file.Files.delete(live)
+    assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "contender never acquired after the live head released")
+    t.join(30000)
+  }
+
+  test("a TRANSIENT unreadable head lease is retried, not treated as " +
+      "lapsed: takeover happens only after HeadReadRetries consecutive " +
+      "failures (FileNotFound — a pruned lease — still lapses fast)") {
+    val (root, local) = schemedTemp("hfs_ioretry")
+    HadoopManifestIo.mkdirs(root)
+    // a LIVE foreign head lease written THROUGH the hadoop backend, so
+    // LocalFileSystem records a .crc sidecar...
+    val name = f"${IndexManifest.LockFile}-${1L}%09d"
+    HadoopManifestIo.writeString(s"$root/$name",
+      s"foreign\t${System.currentTimeMillis() + 3600000}")
+    // ...then corrupt the content bytes behind its back: every read
+    // now throws ChecksumException — an IOException that is NOT
+    // FileNotFound, the S3-throttling/HDFS-blip shape. Pre-fix, ONE
+    // failed read classified a live lease as lapsed and took over
+    // inside the holder's deadline (re-admitting concurrent fenced GC
+    // reaps); post-fix the contender re-polls HeadReadRetries times
+    // before declaring the head dead.
+    val raw = java.nio.file.Paths.get(local, name)
+    val bytes = java.nio.file.Files.readAllBytes(raw)
+    bytes(0) = (bytes(0) ^ 0x5a).toByte
+    java.nio.file.Files.write(raw, bytes): Unit
+    val t0 = System.nanoTime()
+    HadoopManifestIo.withLock(root) {}
+    val ms = (System.nanoTime() - t0) / 1000000
+    // 5 consecutive failures with a 50 ms poll between = ≥200 ms of
+    // patience before the takeover (generous lower bound for CI noise)
+    assert(ms >= 150,
+      s"takeover after ${ms}ms — a transient read failure was treated " +
+        "as an immediately-lapsed lease")
+    assert(headGenOf(local) == 2L, "takeover did not use the next generation")
+    assertLeasesReleased(local)
+  }
+
+  private def headGenOf(local: String): Long =
+    new java.io.File(local).list().toSeq
+      .collect { case n if n.startsWith(s"${IndexManifest.LockFile}-") =>
+        n.stripPrefix(s"${IndexManifest.LockFile}-").toLong }
+      .foldLeft(0L)(math.max)
+
+  test("the holder's fence gives up a skew allowance EARLY while " +
+      "takeover honors the full deadline — the no-destructor gap that " +
+      "absorbs cross-process clock skew") {
+    val (root, _) = schemedTemp("hfs_skew")
+    HadoopManifestIo.mkdirs(root)
+    val prevTtl = HadoopManifestIo.LeaseTtlMs
+    HadoopManifestIo.LeaseTtlMs = 4000 // fence margin = min(5000, 1000)
+    try {
+      assert(HadoopManifestIo.fenceMarginMs == 1000)
+      HadoopManifestIo.withLock(root) {
+        assert(HadoopManifestIo.lockStillHeld(root),
+          "a fresh lease must pass its own fence")
+        Thread.sleep(3300) // inside the deadline, inside the margin
+        assert(!HadoopManifestIo.lockStillHeld(root),
+          "the fence trusted the lease inside the skew-allowance window")
+        // ...while a CONTENDER at the same instant still honors the
+        // full stamped deadline: the lease file is live to it, so no
+        // successor can be acting while we merely stopped destructing
+        val head = new java.io.File(
+          root.stripPrefix("file://")).list().toSeq
+          .filter(_.startsWith(s"${IndexManifest.LockFile}-")).sorted.last
+        val deadline = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(root.stripPrefix("file://"), head))
+          .split("\t", 2)(1).trim.toLong
+        assert(deadline > System.currentTimeMillis(),
+          "no gap: the contender-visible deadline had already passed " +
+            "when the holder's fence gave up")
+      }
+    } finally HadoopManifestIo.LeaseTtlMs = prevTtl
+  }
+
+  test("HOSTILE cross-process storm: three JVMs, a shrunken lease " +
+      "TTL and injected zombie publish-stalls — every stalled commit " +
+      "loses LOUDLY and rebases, no committed version is ever lost") {
+    val (root, local) = schemedTemp("hfs_zstorm")
+    val mainClasses = IndexManifest.getClass.getProtectionDomain
+      .getCodeSource.getLocation.getPath
+    val cp = s"$mainClasses:/opt/spark/jars/*"
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val writers = 3
+    val rounds = 8
+    val ttlMs = 700
+    val stallEvery = 5
+    val procs = (0 until writers).map { w =>
+      val logFile = java.nio.file.Files
+        .createTempFile(s"hzstorm$w", ".log").toFile
+      val p = new ProcessBuilder(javaBin, "-cp", cp,
+          "graft.tools.CommitStorm", root, s"zproc$w", rounds.toString,
+          ttlMs.toString, stallEvery.toString)
+        .redirectErrorStream(true)
+        .redirectOutput(logFile).start()
+      (p, logFile)
+    }
+    val logs = procs.map { case (p, logFile) =>
+      val finished =
+        p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) p.destroyForcibly(): Unit
+      val out = java.nio.file.Files.readString(logFile.toPath)
+      assert(finished, s"hostile storm JVM hung (killed)\n$out")
+      assert(p.exitValue() == 0, s"hostile storm JVM failed\n$out")
+      out
+    }
+    // the hostile machinery actually fired: zombies stalled past the
+    // TTL and their commits lost loudly, then rebased to completion
+    assert(logs.exists(_.contains("stalling past the lease TTL")),
+      "no zombie stall was injected — the hostile path went unexercised")
+    assert(logs.exists(_.contains("rebasing")),
+      "no stalled commit lost loudly — the publish fence never fired")
+    val lineage = IndexManifest.history(root)
+    assert(lineage.size == writers * rounds,
+      s"a takeover interleaving dropped a committed version: " +
+        s"${lineage.size} of ${writers * rounds} retained\n" +
+        logs.mkString("\n"))
+    assert(!logs.exists(_.contains("renumbered")),
+      "an object-store commit renumbered a claimed version")
+    val markers = lineage.map(v => java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$local/$v", "data")))
+    assert(markers.distinct.size == markers.size,
+      s"duplicate markers in lineage: $markers")
+    for (w <- 0 until writers; j <- 0 until rounds)
+      assert(markers.contains(s"zproc$w-round-$j"),
+        s"lost zproc$w-round-$j: $markers")
+    assertObjectStoreShape(local)
+    assertLeasesReleased(local)
+  }
+
+  test("reader pins on a file:// root: a pinned lazy scan drains " +
+      "intact across a 3-commit mutation chain, release + expiry " +
+      "reclaims, and a leaked pin lapses by mtime") {
+    val (root, local) = schemedTemp("hfs_pin")
+    val df = vecs
+    poisonLinks {
+      Similarity.writeLshIndex(Similarity.multiTableIndex(
+        df.filter(col("id") % 10 =!= 0), "vec", "id",
+        dim = 8, bits = 4, tables = 4), root, groups = 8)
+      def chain(): Unit = {
+        Similarity.appendLshIndex(df.filter(col("id") % 10 === 0),
+          "vec", "id", root, dim = 8, bits = 4, tables = 4, groups = 8)
+        Similarity.deleteFromLshIndex(Seq(3L, 33L).toDF("id"), "id", root)
+        Similarity.compactLshIndex(spark, root)
+      }
+      val pin = IndexManifest.pinCurrent(root)
+      val expected = Similarity.readLshIndex(spark, root,
+          Some(pin.version))
+        .select("id").collect().map(_.getLong(0)).sorted
+      val it = Similarity.readLshIndex(spark, root, Some(pin.version))
+        .select("id").toLocalIterator()
+      val drained = scala.collection.mutable.ArrayBuffer[Long]()
+      drained += it.next().getLong(0)
+      chain() // 3 commits land mid-drain — one past default retain
+      assert(!IndexManifest.history(root).contains(pin.version),
+        "chain too short: pinned version still in lineage, pin untested")
+      assert(new java.io.File(s"$local/${pin.version}").isDirectory,
+        "hadoop-backend GC reaped a reader-pinned version")
+      while (it.hasNext) drained += it.next().getLong(0)
+      assert(drained.toArray.sorted.sameElements(expected),
+        "pinned drain lost or changed rows on the hadoop backend")
+      pin.release()
+      IndexManifest.expireVersions(root, keep = 1)
+      assert(!new java.io.File(s"$local/${pin.version}").exists(),
+        "released pin still held its version on the hadoop backend")
+
+      // a LEAKED pin lapses by mtime (the hadoop liveness signal) and
+      // stops blocking GC; deletes and expiry then reclaim normally
+      val leaked = IndexManifest.pinCurrent(root)
+      val prevPinTtl = IndexManifest.ReaderPinTtlMs
+      try {
+        IndexManifest.ReaderPinTtlMs = 50
+        Thread.sleep(120)
+        chain()
+        // expiry drops the carry-listing references too (on a listing
+        // root a superseded version legitimately survives while a
+        // retained FILES listing still points at it); with the pin
+        // lapsed, nothing protects the dir — a LIVE pin would have
+        IndexManifest.expireVersions(root, keep = 1)
+        assert(!new java.io.File(s"$local/${leaked.version}").exists(),
+          "a stale (leaked) pin still blocked hadoop-backend GC " +
+            "past its TTL")
+      } finally IndexManifest.ReaderPinTtlMs = prevPinTtl
+      assertObjectStoreShape(local)
+    }
   }
 
   test("concurrent content-dependent mutations COMPOSE on a schemed " +
