@@ -11,26 +11,29 @@ replacement protocol instead:
   - invariants: tools/sf1_invariants.py replays the oracle semantics
     in output-linear cost (run separately; its PASS covers the six
     queries listed there).
-  - measured-recall: sim_neardup_lsh's exact-pair recall protocol
-    (BASELINE.md r12: 0.9956 with per-block structure analysis; LSH
-    is approximate by design and its exact twin is the ground truth).
+  - lsh-replay: sim_neardup_lsh is approximate BY DESIGN, so its
+    oracle is the pipeline spec, not the exact pair set:
+    tools/sf1_lsh_replay.py recomputes the entire multiprobe pipeline
+    independently (JVM-dumped planes, signatures, margin-directed
+    probes, bucket join, exact cosine) and asserts PAIR-SET EQUALITY
+    with the dump — exact, not sampled, not recall-measured (it also
+    reports recall vs the exact twin for the record).
   - replay: tools/sf1_replay_extra.py recomputes the FULL expected
     pair set independently (FastSS deletion neighborhoods for
     fuzzy_join_names, blocked numpy cosine for sim_neardup_exact) and
     asserts set+score equality — exact, not sampled.
 
 The replacement protocols are RUN by this script, not assumed:
-sf1_invariants.py and sf1_replay_extra.py are subprocessed once each
-and their exit status propagates into the per-query rows — a failing
-(or missing) replay tool marks its queries FAILED, never 'ok'.
-sim_neardup_lsh's measured-recall protocol is a one-off adjudication
-recorded in BASELINE.md, not a rerunnable script, so its row says
-'delegated' (counted separately in the summary, never in 'ok').
+sf1_invariants.py, sf1_replay_extra.py and sf1_lsh_replay.py are
+subprocessed once each and their exit status propagates into the
+per-query rows — a failing (or missing) replay tool marks its queries
+FAILED, never 'ok'. (Through r16 sim_neardup_lsh was 'delegated' to a
+one-off measured-recall adjudication; the r17 pipeline replay made it
+a rerunnable exact check, so zero delegated rows remain.)
 
 Every query gets a row in CORRECTNESS_sf1.json:
-  {"status": "ok" | "delegated" | "MISMATCH" | "TIMEOUT" | "ERROR"
-             | "FAILED",
-   "via": "duckdb" | "invariants" | "replay" | "measured-recall",
+  {"status": "ok" | "MISMATCH" | "TIMEOUT" | "ERROR" | "FAILED",
+   "via": "duckdb" | "invariants" | "replay" | "lsh-replay",
    "secs": float}
 
 Oracle results are cached by check_correctness.py keyed by
@@ -52,8 +55,10 @@ INVARIANTS = {
     "dedup_pairs", "dedup_components", "dedup_elect_quality",
     "dedup_jaccard_exact", "split_leakfree", "dedup_incremental",
 }
-# approximate-by-design: certified by the measured-recall protocol
-MEASURED = {"sim_neardup_lsh"}
+# approximate-by-design: certified by the exact PIPELINE replay
+# (tools/sf1_lsh_replay.py — pair-set equality with the multiprobe
+# spec, recall vs the exact twin reported for the record)
+LSH_REPLAY = {"sim_neardup_lsh"}
 # quadratic DuckDB self-joins with exact independent replays
 REPLAY = {"fuzzy_join_names", "sim_neardup_exact"}
 
@@ -104,18 +109,12 @@ def main():
     rep = [n for n in names if n in REPLAY]
     if rep:
         run_protocol("sf1_replay_extra.py", "replay", rep)
-    for n in (m for m in names if m in MEASURED):
-        # adjudicated once against the exact twin (BASELINE.md r12:
-        # recall 0.9956 with per-block structure analysis); no
-        # rerunnable script exists, so never claim 'ok' here
-        results[n] = {"status": "delegated", "via": "measured-recall",
-                      "secs": 0.0,
-                      "detail": "BASELINE.md sim_neardup_lsh recall "
-                                "protocol (r12)"}
-        print(f"[protocol] {n}: delegated (measured-recall)", flush=True)
+    lsh = [n for n in names if n in LSH_REPLAY]
+    if lsh:
+        run_protocol("sf1_lsh_replay.py", "lsh-replay", lsh)
 
     for i, name in enumerate(names):
-        if name in INVARIANTS or name in MEASURED or name in REPLAY:
+        if name in INVARIANTS or name in LSH_REPLAY or name in REPLAY:
             continue
         t0 = time.time()
         try:
