@@ -728,6 +728,21 @@ object IndexManifest {
     // a listing still references; posix stage-v* names never collide
     // with the keep set
     deadStages.filterNot(keep.contains).foreach(reap)
+    // orphaned claim temps: the hadoop backend's conditional create
+    // writes `.<name>.tmp-<uuid>` beside its destination and deletes
+    // it in a finally — a writer KILLED between the write and the
+    // cleanup leaks the temp forever (UUID-suffixed, so kills
+    // accumulate unbounded root litter an object store bills for).
+    // Sweep root-level dot-temps once they age past the stage TTL
+    // (an in-flight create's temp lives milliseconds; posix roots
+    // simply never match the pattern). Fenced like every reap.
+    io.listNames(root)
+      .filter(n => n.startsWith(".") && n.contains(".tmp-"))
+      .foreach { n =>
+        val p = s"$root/$n"
+        if (io.mtime(p) < cutoff && io.lockStillHeld(root))
+          io.deleteIfExists(p)
+      }
   }
 
   /** Hard-link `src`'s tree into `dst` (directories created real,

@@ -741,6 +741,101 @@ class HadoopManifestSpec extends SparkSpec {
     assertLeasesReleased(local)
   }
 
+  test("SIGKILL mid-commit: a writer killed dead never loses an " +
+      "ACKNOWLEDGED commit, survivors wait out the orphaned lease, " +
+      "the root heals with a fresh commit, and leaked claim temps " +
+      "are swept once stale") {
+    // in-process crash specs throw at failpoints; this one kills the
+    // PROCESS (SIGKILL — no finally blocks, no lease release, no temp
+    // cleanup) at a random point mid-storm. The durability contract
+    // under test: every commit a writer REPORTED as committed (its
+    // log line was flushed) must survive in the lineage with intact
+    // content, no matter who dies when.
+    val (root, local) = schemedTemp("hfs_kill")
+    val mainClasses = IndexManifest.getClass.getProtectionDomain
+      .getCodeSource.getLocation.getPath
+    val cp = s"$mainClasses:/opt/spark/jars/*"
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val writers = 3
+    val rounds = 40
+    val ttlMs = 700
+    val procs = (0 until writers).map { w =>
+      val logFile = java.nio.file.Files
+        .createTempFile(s"hkill$w", ".log").toFile
+      val p = new ProcessBuilder(javaBin, "-cp", cp,
+          "graft.tools.CommitStorm", root, s"kproc$w", rounds.toString,
+          ttlMs.toString)
+        .redirectErrorStream(true)
+        .redirectOutput(logFile).start()
+      (p, logFile)
+    }
+    Thread.sleep(1500) // mid-flight for a ~20 s 3-way storm
+    val victim = procs.head._1
+    victim.destroyForcibly(): Unit
+    victim.waitFor()
+    val logs = procs.map { case (p, logFile) =>
+      if (p != victim) {
+        val finished =
+          p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+        if (!finished) p.destroyForcibly(): Unit
+        val out = java.nio.file.Files.readString(logFile.toPath)
+        assert(finished, s"survivor hung after the kill\n$out")
+        assert(p.exitValue() == 0, s"survivor failed after the kill\n$out")
+      }
+      java.nio.file.Files.readString(logFile.toPath)
+    }
+    val Committed = "committed (v\\d+)".r
+    val victimAck = Committed.findAllMatchIn(logs.head)
+      .map(_.group(1)).toSeq
+    assert(victimAck.size < rounds,
+      "the victim finished before the kill — raise rounds or kill earlier")
+    // 1. acknowledged durability: every commit ANY writer reported —
+    // including the victim's flushed lines — is in the lineage with
+    // its content intact
+    val lineage = IndexManifest.history(root)
+    val ack = logs.flatMap(l =>
+      Committed.findAllMatchIn(l).map(_.group(1)))
+    ack.foreach { v =>
+      assert(lineage.contains(v),
+        s"acknowledged commit $v vanished from the lineage after a kill")
+      assert(new java.io.File(s"$local/$v", "data").isFile,
+        s"acknowledged commit $v lost its content after a kill")
+    }
+    // survivors completed every round
+    for (w <- 1 until writers; j <- 0 until rounds) {
+      val marker = s"kproc$w-round-$j"
+      assert(lineage.exists(v => scala.util.Try(
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$local/$v", "data")))
+        .toOption.contains(marker)), s"survivor round $marker lost")
+    }
+    // 2. the root HEALS: a fresh commit from this JVM succeeds (an
+    // orphaned lease, if the victim died holding it, is read from its
+    // file and waited out — the survivors already proved that by
+    // finishing; this proves it again from a cold process)
+    val (vh, dh) = IndexManifest.stage(root)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$local/$vh", "data"), "heal"): Unit
+    assert(IndexManifest.commit(root, vh, retain = 1000) == vh)
+    assert(IndexManifest.current(root).contains(vh))
+    assertObjectStoreShape(local)
+    // 3. leaked claim temps (a SIGKILL inside writeExclusive leaves
+    // `.<name>.tmp-<uuid>` behind) are swept by GC once they age past
+    // the stage TTL — seed one deterministically, age it, and commit
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(local,
+      ".MANIFEST-000000099.tmp-deadbeef"), "orphan"): Unit
+    val tmpPath = java.nio.file.Paths.get(local,
+      ".MANIFEST-000000099.tmp-deadbeef")
+    assert(new java.io.File(tmpPath.toString).setLastModified(
+      System.currentTimeMillis() - IndexManifest.StageTtlMs - 60000))
+    val (vs, _) = IndexManifest.stage(root)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$local/$vs", "data"), "sweep"): Unit
+    IndexManifest.commit(root, vs, retain = 1000): Unit
+    assert(!java.nio.file.Files.exists(tmpPath),
+      "gc did not sweep a stale orphaned claim temp")
+  }
+
   test("reader pins on a file:// root: a pinned lazy scan drains " +
       "intact across a 3-commit mutation chain, release + expiry " +
       "reclaims, and a leaked pin lapses by mtime") {
