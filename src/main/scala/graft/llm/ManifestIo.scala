@@ -213,9 +213,20 @@ private[graft] object PosixManifestIo extends ManifestIo {
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  // this thread's held roots: a nested withLock on the same root
+  // would self-deadlock in the OverlappingFileLockException busy-wait
+  // below (its own lock never releases) — fail fast instead
+  private val heldRoots = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
   def withLock[T](root: String)(body: => T): T = {
     val key = scala.util.Try(
       new java.io.File(root).getCanonicalPath).getOrElse(root)
+    if (heldRoots.get.contains(key))
+      throw new IllegalStateException(
+        s"reentrant withLock on $root: the commit lock is not " +
+          "reentrant — restructure the caller to take the lock once")
     rootLocks.computeIfAbsent(key, _ => new Object).synchronized {
       Files.createDirectories(Paths.get(root))
       val ch = java.nio.channels.FileChannel.open(
@@ -235,7 +246,11 @@ private[graft] object PosixManifestIo extends ManifestIo {
             case _: java.nio.channels.OverlappingFileLockException =>
               Thread.sleep(20)
           }
-        try body finally fl.release()
+        heldRoots.set(heldRoots.get + key)
+        try body finally {
+          heldRoots.set(heldRoots.get - key)
+          fl.release()
+        }
       } finally ch.close()
     }
   }
@@ -702,7 +717,13 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     */
   private val ReleasedMarker = "RELEASED"
 
-  def withLock[T](root: String)(body: => T): T =
+  def withLock[T](root: String)(body: => T): T = {
+    // the lease is NOT reentrant: a nested acquisition would see its
+    // own live head and poll it forever — fail fast instead
+    if (heldLeases.get.contains(root))
+      throw new IllegalStateException(
+        s"reentrant withLock on $root: the commit lease is not " +
+          "reentrant — restructure the caller to take the lock once")
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
       mkdirs(root)
       val token = java.util.UUID.randomUUID().toString
@@ -817,6 +838,7 @@ private[graft] object HadoopManifestIo extends ManifestIo {
         catch { case _: java.io.IOException => () }
       }
     }
+  }
 
   private val CommitName = "MANIFEST-(\\d{9,})".r
 

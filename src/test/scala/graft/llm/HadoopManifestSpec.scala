@@ -741,6 +741,31 @@ class HadoopManifestSpec extends SparkSpec {
     assertLeasesReleased(local)
   }
 
+  test("withLock is loudly NON-reentrant on both backends: a nested " +
+      "acquisition fails fast instead of spinning forever on its own " +
+      "live lease / file lock") {
+    val (root, _) = schemedTemp("hfs_reent")
+    HadoopManifestIo.mkdirs(root)
+    val e = intercept[IllegalStateException] {
+      HadoopManifestIo.withLock(root) {
+        HadoopManifestIo.withLock(root) {}
+      }
+    }
+    assert(e.getMessage.contains("reentrant"))
+    // the outer lock released normally: a fresh acquisition works
+    HadoopManifestIo.withLock(root) {}
+    // posix twin (would busy-wait on OverlappingFileLockException)
+    val plain = java.nio.file.Files
+      .createTempDirectory("posix_reent").toString + "/idx"
+    val e2 = intercept[IllegalStateException] {
+      PosixManifestIo.withLock(plain) {
+        PosixManifestIo.withLock(plain) {}
+      }
+    }
+    assert(e2.getMessage.contains("reentrant"))
+    PosixManifestIo.withLock(plain) {}
+  }
+
   test("SIGKILL mid-commit: a writer killed dead never loses an " +
       "ACKNOWLEDGED commit, survivors wait out the orphaned lease, " +
       "the root heals with a fresh commit, and leaked claim temps " +
