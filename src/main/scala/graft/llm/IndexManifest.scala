@@ -426,8 +426,8 @@ object IndexManifest {
         io.listVersionDirNames(root).isEmpty)
       // a racing stager may pin it first — theirs stands
       io.writeExclusive(layoutPath, layoutForNewRoot(root)): Unit
-    var next = (io.listVersionDirNames(root) ++
-        io.listStageDirNames(root).map(io.stageNameToVersion))
+    val (versionDirs, stageDirs, _) = io.classifiedRootListing(root)
+    var next = (versionDirs ++ stageDirs.map(io.stageNameToVersion))
       .map(_.dropWhile(!_.isDigit).toInt)
       .foldLeft(0)(math.max) + 1
     while (true) {
@@ -684,8 +684,13 @@ object IndexManifest {
     val io = ioFor(root)
     val now = System.currentTimeMillis()
     val cutoff = now - StageTtlMs
+    // ONE root scan feeds the stage partition, the version reap list
+    // and the temp sweep — a root holds hundreds of dirs at two
+    // marker-stats each, and this runs under the commit lock
+    val (versionDirs, stageDirs, rootFiles) =
+      io.classifiedRootListing(root)
     val (liveStages, deadStages) =
-      io.listStageDirNames(root).partition { n =>
+      stageDirs.partition { n =>
         val p = s"$root/$n"
         val act = s"$p/$ActivityFile"
         // heartbeat-fresh is the cheap fast path; a STALE heartbeat
@@ -716,10 +721,10 @@ object IndexManifest {
         if (sys.props.contains("graft.debug.gc"))
           System.err.println(s"[gc-reap] $root/$n keep=$keep " +
             s"live=$liveStages dead=$deadStages " +
-            s"versions=${io.listVersionDirNames(root)} t=${System.currentTimeMillis()}")
+            s"versions=$versionDirs t=${System.currentTimeMillis()}")
         io.rmTree(s"$root/$n")
       }
-    io.listVersionDirNames(root).filterNot(keep.contains)
+    versionDirs.filterNot(keep.contains)
       .foreach(reap)
     // on object stores a stage dir's name IS its version name
     // (committed dirs keep their claim marker but carry the COMMITTED
@@ -736,7 +741,7 @@ object IndexManifest {
     // Sweep root-level dot-temps once they age past the stage TTL
     // (an in-flight create's temp lives milliseconds; posix roots
     // simply never match the pattern). Fenced like every reap.
-    io.listNames(root)
+    rootFiles
       .filter(n => n.startsWith(".") && n.contains(".tmp-"))
       .foreach { n =>
         val p = s"$root/$n"

@@ -140,6 +140,21 @@ private[graft] sealed trait ManifestIo {
     * `STAGE` marker).
     */
   def listStageDirNames(root: String): Seq[String]
+  /** ONE root scan classified three ways: (versionDirNames,
+    * stageDirNames, non-directory child names). `gc` and [[IndexManifest]]'s
+    * `stage()` need all of these together, and a root can hold
+    * hundreds of dirs at two marker-stats each — one pass beats
+    * three. Default composes the two listings (plus a name scan) for
+    * backends without a cheaper combined form.
+    */
+  def classifiedRootListing(root: String)
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val versions = listVersionDirNames(root)
+    val stages = listStageDirNames(root)
+    val dirs = (versions ++ stages).toSet
+    (versions, stages,
+      listNames(root).filterNot(n => dirs.contains(n) || isDirectory(s"$root/$n")))
+  }
   /** The version a stage-dir name stages (strips the posix prefix). */
   def stageNameToVersion(name: String): String
 }
@@ -335,6 +350,18 @@ private[graft] object PosixManifestIo extends ManifestIo {
       .filter(f => f.isDirectory &&
         StageName.pattern.matcher(f.getName).matches())
       .map(_.getName).toSeq
+
+  override def classifiedRootListing(root: String)
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val all = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
+    val (dirs, files) = all.partition(_.isDirectory)
+    (dirs.map(_.getName).filter(n =>
+       IndexManifest.VersionName.pattern.matcher(n).matches()),
+     dirs.map(_.getName).filter(n =>
+       StageName.pattern.matcher(n).matches()),
+     files.map(_.getName))
+  }
 }
 
 /** Hadoop-`FileSystem` store for schemed roots (`file://`, `hdfs://`,
@@ -511,9 +538,24 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     finally in.close()
   }
   def writeString(path: String, s: String): Unit = {
-    val out = fs(path).create(new Path(path), true)
-    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val uri = new Path(path).toUri
+    if ("file".equalsIgnoreCase(uri.getScheme)) {
+      // nio, not LocalFileSystem: the checksummed create forks a
+      // chmod per file on containers without native libhadoop
+      // (~10-20 ms each), and these are the protocol's hottest small
+      // writes (lease release, pins, FILES listings). Drop any stale
+      // checksum sidecar a pre-existing fs-written file left behind,
+      // or ChecksumFileSystem reads of the overwrite would fail.
+      val p = java.nio.file.Paths.get(uri.getPath)
+      java.nio.file.Files.write(p,
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      java.nio.file.Files.deleteIfExists(
+        p.resolveSibling(s".${p.getFileName}.crc")): Unit
+    } else {
+      val out = fs(path).create(new Path(path), true)
+      try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
   /** Schemes whose write-then-`rename(NONE)` claim is arbitrated
     * atomically SERVER-SIDE (HDFS inside the NameNode lock and its
@@ -975,25 +1017,35 @@ private[graft] object HadoopManifestIo extends ManifestIo {
   }
 
   def listVersionDirNames(root: String): Seq[String] =
-    versionedDirs(root).collect {
+    scanRoot(root)._1.collect {
       case (n, marked) if !marked => n
     }
 
   def listStageDirNames(root: String): Seq[String] =
-    versionedDirs(root).collect {
+    scanRoot(root)._1.collect {
       case (n, marked) if marked => n
     }
 
-  private def versionedDirs(root: String): Seq[(String, Boolean)] = {
+  override def classifiedRootListing(root: String)
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val (dirs, files) = scanRoot(root)
+    (dirs.collect { case (n, marked) if !marked => n },
+     dirs.collect { case (n, marked) if marked => n },
+     files)
+  }
+
+  /** One root listing → (version-named dirs with their staged
+    * classification, non-directory child names).
+    */
+  private def scanRoot(root: String)
+      : (Seq[(String, Boolean)], Seq[String]) = {
     val f = fs(root)
     val p = new Path(root)
     val stageGraceCutoff =
       System.currentTimeMillis() - IndexManifest.StageTtlMs
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(st => st.isDirectory &&
-        IndexManifest.VersionName.pattern.matcher(st.getPath.getName)
-          .matches())
+    if (!f.exists(p)) (Seq.empty, Seq.empty)
+    else {
+      val (dirs, files) = f.listStatus(p).toSeq.partition(_.isDirectory)
       // staged ⟺ claimed but not committed — with one grace case: a
       // FRESH dir carrying NO markers at all is a reservation
       // MID-CLAIM (reserveStage's mkdirs landed, its conditional
@@ -1005,14 +1057,19 @@ private[graft] object HadoopManifestIo extends ManifestIo {
       // stage — and only then as versions (true legacy pre-sentinel
       // dirs are old by definition; referenced ones are in the
       // lineage keep-set regardless)
-      .map { st =>
-        val hasStage = f.exists(new Path(st.getPath, StageMarkerFile))
-        val committed =
-          f.exists(new Path(st.getPath, CommittedMarkerFile))
-        val staged =
-          if (hasStage) !committed
-          else !committed && st.getModificationTime >= stageGraceCutoff
-        (st.getPath.getName, staged)
-      }
+      val classified = dirs
+        .filter(st => IndexManifest.VersionName.pattern
+          .matcher(st.getPath.getName).matches())
+        .map { st =>
+          val hasStage = f.exists(new Path(st.getPath, StageMarkerFile))
+          val committed =
+            f.exists(new Path(st.getPath, CommittedMarkerFile))
+          val staged =
+            if (hasStage) !committed
+            else !committed && st.getModificationTime >= stageGraceCutoff
+          (st.getPath.getName, staged)
+        }
+      (classified, files.map(_.getPath.getName))
+    }
   }
 }

@@ -621,11 +621,16 @@ class HadoopManifestSpec extends SparkSpec {
       "failures (FileNotFound — a pruned lease — still lapses fast)") {
     val (root, local) = schemedTemp("hfs_ioretry")
     HadoopManifestIo.mkdirs(root)
-    // a LIVE foreign head lease written THROUGH the hadoop backend, so
-    // LocalFileSystem records a .crc sidecar...
+    // a LIVE foreign head lease written through raw LocalFileSystem
+    // (checksummed), so it records a .crc sidecar...
     val name = f"${IndexManifest.LockFile}-${1L}%09d"
-    HadoopManifestIo.writeString(s"$root/$name",
-      s"foreign\t${System.currentTimeMillis() + 3600000}")
+    val lfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val lout = lfs.create(
+      new org.apache.hadoop.fs.Path(s"$root/$name"), true)
+    lout.write(s"foreign\t${System.currentTimeMillis() + 3600000}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    lout.close()
     // ...then corrupt the content bytes behind its back: every read
     // now throws ChecksumException — an IOException that is NOT
     // FileNotFound, the S3-throttling/HDFS-blip shape. Pre-fix, ONE
