@@ -694,11 +694,18 @@ object IndexManifest {
         val p = s"$root/$n"
         val act = s"$p/$ActivityFile"
         // heartbeat-fresh is the cheap fast path; a STALE heartbeat
-        // falls back to the tree walk before declaring the stage dead
+        // falls back to the tree walk before declaring the stage dead.
+        // A tree whose newest mtime reads 0 is UNKNOWN (synthetic
+        // object-store dir entries, or the dir vanished mid-walk) —
+        // unknown counts as LIVE: skipping a reap costs storage until
+        // a readable signal appears, a wrong reap loses a build.
         val hb =
           if (io.exists(act)) math.max(io.mtime(act), io.mtime(p))
           else Long.MinValue
-        hb >= cutoff || io.newestMtime(p) >= cutoff
+        hb >= cutoff || {
+          val nm = io.newestMtime(p)
+          nm >= cutoff || nm == 0L
+        }
       }
     val start = (history(root) ++ pinnedVersions(root) ++
       liveStages.flatMap(n => baseOf(s"$root/$n"))).distinct

@@ -465,13 +465,19 @@ private[graft] object HadoopManifestIo extends ManifestIo {
   private[llm] def fenceMarginMs: Long =
     math.min(LeaseSkewAllowanceMs, LeaseTtlMs / 4)
 
-  /** Consecutive unreadable-head retries before a takeover: a
-    * TRANSIENT read failure of a live head lease (store throttling,
-    * an HDFS blip) must not be mistaken for a lapsed lease — only
-    * FileNotFound (pruned/legacy-released) lapses immediately; other
-    * IO errors re-poll this many times first.
+  /** How long a contender keeps re-polling an UNREADABLE head lease
+    * before declaring it dead: a full [[LeaseTtlMs]] from the FIRST
+    * failed read. That is the only safe bound — any live lease's
+    * deadline is at most its create time + TTL ≤ firstFailure + TTL,
+    * so waiting the TTL out guarantees the holder's deadline has
+    * passed even if the file never becomes readable again. A
+    * fixed-count retry (the first cut used 5×50 ms) converts a
+    * ~300 ms store-throttling burst into a takeover INSIDE a live
+    * holder's deadline — two fence-valid holders at once, the
+    * double-holder the lease exists to prevent. FileNotFound
+    * (pruned) still lapses immediately.
     */
-  val HeadReadRetries = 5
+  def headReadPatienceMs: Long = LeaseTtlMs
 
   /** Committed `MANIFEST-<seq>` files retained for readers resolving
     * concurrently with pruning; only the highest is authoritative.
@@ -761,7 +767,13 @@ private[graft] object HadoopManifestIo extends ManifestIo {
 
   def withLock[T](root: String)(body: => T): T = {
     // the lease is NOT reentrant: a nested acquisition would see its
-    // own live head and poll it forever — fail fast instead
+    // own live head and poll it forever — fail fast instead. The
+    // guard keys on the EXACT spelling (like heldLeases and the
+    // fence): alias spellings deliberately take distinct in-process
+    // monitors so the alias specs can simulate cross-process
+    // contention through the lease files alone — a nested alias
+    // acquisition behaves like any foreign contender and waits out
+    // the TTL rather than being named reentrant.
     if (heldLeases.get.contains(root))
       throw new IllegalStateException(
         s"reentrant withLock on $root: the commit lease is not " +
@@ -771,13 +783,15 @@ private[graft] object HadoopManifestIo extends ManifestIo {
       val token = java.util.UUID.randomUUID().toString
       var mine: String = null
       var myDeadline = 0L
-      // consecutive unreadable-head tally: a TRANSIENT read failure of
-      // a live head (store throttling, an HDFS blip) must not trigger
+      // unreadable-head patience: a TRANSIENT read failure of a live
+      // head (store throttling, an HDFS blip) must not trigger
       // takeover inside the holder's deadline — only FileNotFound
-      // (pruned) lapses immediately; other IO errors re-poll
-      // HeadReadRetries times before the head is declared dead
+      // (pruned) lapses immediately; other IO errors re-poll until a
+      // full TTL has passed since the FIRST failure, the only bound
+      // that provably outlives any live holder's deadline (see
+      // headReadPatienceMs)
       var failName: String = null
-      var fails = 0
+      var firstFailAt = 0L
       while (mine == null) {
         val leases = leaseGens(root)
         // the highest generation is the lease; it's live iff its
@@ -790,7 +804,7 @@ private[graft] object HadoopManifestIo extends ManifestIo {
           case Some((_, n)) =>
             try {
               val content = readString(s"$root/$n")
-              failName = null; fails = 0
+              failName = null
               val live = content.split("\t", 2).lift(1)
                 .flatMap(d => scala.util.Try(d.trim.toLong).toOption)
                 .exists(_ >= System.currentTimeMillis())
@@ -798,9 +812,13 @@ private[graft] object HadoopManifestIo extends ManifestIo {
             } catch {
               case _: java.io.FileNotFoundException => 0 // pruned
               case _: java.io.IOException =>
-                if (n == failName) fails += 1
-                else { failName = n; fails = 1 }
-                if (fails >= HeadReadRetries) 0 else -1
+                if (n != failName) {
+                  failName = n
+                  firstFailAt = System.currentTimeMillis()
+                }
+                if (System.currentTimeMillis() - firstFailAt >=
+                  headReadPatienceMs) 0
+                else -1
             }
         }
         if (state != 0) Thread.sleep(50)
@@ -954,19 +972,26 @@ private[graft] object HadoopManifestIo extends ManifestIo {
         readPointer(root).headOption)
     // belt-and-braces behind the fence (covers a pathological stall
     // BETWEEN the deadline check and the create): re-list — the prune
-    // below needs this listing anyway, so the guard is free — and if
-    // a HIGHER sequence already exists whose resolved lineage does
-    // not carry our head version (i.e. no successor built on our
-    // commit; with the default retain ≥ 2 a rebase always carries
-    // it), our create landed on a pruned name and is invisible:
-    // un-publish it and lose loudly instead of silently.
+    // below needs this listing anyway, so the guard is free. Our
+    // create is a RECREATE OF A PRUNED NAME (invisible to readers,
+    // who resolve the max sequence) exactly when the head is already
+    // ≥ KeepCommitFiles past us — the minimum distance at which a
+    // publish can have pruned token+1. In that case nobody can ever
+    // have resolved our file (it has never been the max): un-publish
+    // it and lose loudly. A SMALLER gap means our create landed first
+    // and successors rebased past it — that commit is REAL and may
+    // already be built upon, so disowning it would make the caller
+    // re-apply a delta the chain already carries (a double-apply);
+    // return success instead. The residual ambiguity (a landed
+    // commit overtaken by ≥ KeepCommitFiles successors before this
+    // very next statement) needs a TTL-scale pause inside a
+    // three-statement window — and even then the disown deletes a
+    // file no reader can resolve any more.
     val after = commitSeqs(root)
-    if (after.headOption.exists(_._1 > token + 1)) {
-      val visible = resolveLineage(root, after)
-      if (!lineage.headOption.exists(visible.contains)) {
-        deleteIfExists(s"$root/$name")
-        throw new ConcurrentCommitException(root, None, visible.headOption)
-      }
+    if (after.headOption.exists(_._1 - (token + 1) >= KeepCommitFiles)) {
+      deleteIfExists(s"$root/$name")
+      throw new ConcurrentCommitException(root, None,
+        resolveLineage(root, after).headOption)
     }
     // prune superseded commit files (readers resolve the max; keep a
     // tail for scans that listed just before this publish)
@@ -1056,7 +1081,14 @@ private[graft] object HadoopManifestIo extends ManifestIo {
       // StageTtlMs old — protected by the same liveness rules as any
       // stage — and only then as versions (true legacy pre-sentinel
       // dirs are old by definition; referenced ones are in the
-      // lineage keep-set regardless)
+      // lineage keep-set regardless). A dir whose mtime reads 0 is
+      // UNKNOWN, not old — stores with synthetic directory entries
+      // (S3A prefix-inferred dirs when marker retention is off)
+      // report 0, and "unknown" must classify as a protected stage,
+      // never as reapable legacy junk. Opted-in object-store
+      // deployments should retain directory markers
+      // (fs.s3a.directory.marker.retention=keep) so fresh mkdirs
+      // carry real PUT times.
       val classified = dirs
         .filter(st => IndexManifest.VersionName.pattern
           .matcher(st.getPath.getName).matches())
@@ -1066,7 +1098,8 @@ private[graft] object HadoopManifestIo extends ManifestIo {
             f.exists(new Path(st.getPath, CommittedMarkerFile))
           val staged =
             if (hasStage) !committed
-            else !committed && st.getModificationTime >= stageGraceCutoff
+            else !committed && (st.getModificationTime == 0L ||
+              st.getModificationTime >= stageGraceCutoff)
           (st.getPath.getName, staged)
         }
       (classified, files.map(_.getPath.getName))

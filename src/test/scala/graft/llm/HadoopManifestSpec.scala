@@ -617,10 +617,14 @@ class HadoopManifestSpec extends SparkSpec {
   }
 
   test("a TRANSIENT unreadable head lease is retried, not treated as " +
-      "lapsed: takeover happens only after HeadReadRetries consecutive " +
-      "failures (FileNotFound — a pruned lease — still lapses fast)") {
+      "lapsed: takeover waits out a FULL lease TTL from the first " +
+      "failed read — the only bound that provably outlives any live " +
+      "holder's deadline (FileNotFound — a pruned lease — still " +
+      "lapses fast)") {
     val (root, local) = schemedTemp("hfs_ioretry")
     HadoopManifestIo.mkdirs(root)
+    val prevTtl = HadoopManifestIo.LeaseTtlMs
+    HadoopManifestIo.LeaseTtlMs = 600
     // a LIVE foreign head lease written through raw LocalFileSystem
     // (checksummed), so it records a .crc sidecar...
     val name = f"${IndexManifest.LockFile}-${1L}%09d"
@@ -633,25 +637,26 @@ class HadoopManifestSpec extends SparkSpec {
     lout.close()
     // ...then corrupt the content bytes behind its back: every read
     // now throws ChecksumException — an IOException that is NOT
-    // FileNotFound, the S3-throttling/HDFS-blip shape. Pre-fix, ONE
-    // failed read classified a live lease as lapsed and took over
-    // inside the holder's deadline (re-admitting concurrent fenced GC
-    // reaps); post-fix the contender re-polls HeadReadRetries times
-    // before declaring the head dead.
-    val raw = java.nio.file.Paths.get(local, name)
-    val bytes = java.nio.file.Files.readAllBytes(raw)
-    bytes(0) = (bytes(0) ^ 0x5a).toByte
-    java.nio.file.Files.write(raw, bytes): Unit
-    val t0 = System.nanoTime()
-    HadoopManifestIo.withLock(root) {}
-    val ms = (System.nanoTime() - t0) / 1000000
-    // 5 consecutive failures with a 50 ms poll between = ≥200 ms of
-    // patience before the takeover (generous lower bound for CI noise)
-    assert(ms >= 150,
-      s"takeover after ${ms}ms — a transient read failure was treated " +
-        "as an immediately-lapsed lease")
-    assert(headGenOf(local) == 2L, "takeover did not use the next generation")
-    assertLeasesReleased(local)
+    // FileNotFound, the S3-throttling/HDFS-blip shape. Pre-fix, a
+    // short burst of failed reads classified a live lease as lapsed
+    // and took over inside the holder's deadline (re-admitting
+    // concurrent fenced GC reaps); post-fix the contender waits out a
+    // full TTL from the first failure, past any live deadline.
+    try {
+      val raw = java.nio.file.Paths.get(local, name)
+      val bytes = java.nio.file.Files.readAllBytes(raw)
+      bytes(0) = (bytes(0) ^ 0x5a).toByte
+      java.nio.file.Files.write(raw, bytes): Unit
+      val t0 = System.nanoTime()
+      HadoopManifestIo.withLock(root) {}
+      val ms = (System.nanoTime() - t0) / 1000000
+      assert(ms >= HadoopManifestIo.LeaseTtlMs - 100,
+        s"takeover after ${ms}ms — an unreadable live head was usurped " +
+          s"inside the ${HadoopManifestIo.LeaseTtlMs}ms TTL patience")
+      assert(headGenOf(local) == 2L,
+        "takeover did not use the next generation")
+      assertLeasesReleased(local)
+    } finally HadoopManifestIo.LeaseTtlMs = prevTtl
   }
 
   private def headGenOf(local: String): Long =
