@@ -704,6 +704,16 @@ object IndexManifest {
           else Long.MinValue
         hb >= cutoff || {
           val nm = io.newestMtime(p)
+          // unknown-counts-as-live is silent storage on stores whose
+          // dir trees never yield a readable mtime (S3A synthetic dir
+          // entries with marker retention off) — make the leak
+          // observable each time a stage survives SOLELY by this rule
+          if (nm == 0L)
+            System.err.println(s"[gc] stage $p survives via the " +
+              "unknown-mtime (newestMtime==0) rule — if this repeats " +
+              "for the same dir it is leaking storage; on s3a set " +
+              "fs.s3a.directory.marker.retention=keep so stage trees " +
+              "carry readable mtimes")
           nm >= cutoff || nm == 0L
         }
       }

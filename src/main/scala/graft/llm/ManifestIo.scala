@@ -553,6 +553,11 @@ private[graft] object HadoopManifestIo extends ManifestIo {
       // checksum sidecar a pre-existing fs-written file left behind,
       // or ChecksumFileSystem reads of the overwrite would fail.
       val p = java.nio.file.Paths.get(uri.getPath)
+      // fs.create auto-creates missing parents and the hdfs:// branch
+      // below inherits that — keep the nio fast path contract-equal
+      // rather than scheme-divergent
+      Option(p.getParent).foreach(d =>
+        java.nio.file.Files.createDirectories(d): Unit)
       java.nio.file.Files.write(p,
         s.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
       java.nio.file.Files.deleteIfExists(
@@ -585,12 +590,20 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     */
   val TrustConditionalCreateConf = "spark.graft.manifest.trustConditionalCreate"
 
-  private def trustConditionalCreate: Boolean =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .flatMap(s => scala.util.Try(
-        s.conf.get(TrustConditionalCreateConf)).toOption)
+  private def trustConditionalCreate: Boolean = {
+    // consult the thread-local ACTIVE session first, then the global
+    // DEFAULT session (background/executor threads have no active
+    // one — a deployment that opted in via Spark conf must not get
+    // spurious refusals off the driver thread), then system props
+    def fromSession(s: Option[org.apache.spark.sql.SparkSession]) =
+      s.flatMap(x => scala.util.Try(
+        x.conf.get(TrustConditionalCreateConf)).toOption)
+    fromSession(org.apache.spark.sql.SparkSession.getActiveSession)
+      .orElse(fromSession(
+        org.apache.spark.sql.SparkSession.getDefaultSession))
       .orElse(sys.props.get(TrustConditionalCreateConf))
       .exists(_.trim.equalsIgnoreCase("true"))
+  }
 
   def writeExclusive(path: String, s: String): Boolean = {
     // write-complete-then-atomic-claim: the destination only ever
@@ -646,6 +659,31 @@ private[graft] object HadoopManifestIo extends ManifestIo {
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally {
         java.nio.file.Files.deleteIfExists(tmpNio): Unit
+      }
+    } else if (!AtomicClaimSchemes.contains(scheme)) {
+      // TRUSTED CONDITIONAL PUT (the opt-in above vouched for it):
+      // object stores have no rename primitive at all — S3A's is a
+      // userland copy+delete — so the write-temp-then-rename shape
+      // below cannot run here. The bridged connector makes
+      // create(overwrite=false) the store's native conditional put
+      // (S3 If-None-Match, GCS generation-0): the object appears
+      // all-or-nothing when the PUT completes at close(), and the
+      // STORE arbitrates the exclusivity there — a loser surfaces
+      // FileAlreadyExists from create() or close(). A writer dying
+      // before close() leaves NOTHING (not even a burned name): the
+      // PUT never completed.
+      val f = fs(path)
+      try {
+        val out = f.create(dst, false)
+        try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("exists") =>
+          false
       }
     } else {
       val tmp = new Path(dst.getParent,
@@ -967,28 +1005,42 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     if (sys.props.contains("graft.debug.gc"))
       System.err.println(s"[publish] $name head=${lineage.headOption} " +
         s"t=${System.currentTimeMillis()}")
+    // failpoint: a TTL-scale stall between the deadline fence above
+    // and the conditional create below (the first leg of the
+    // documented ambiguity window) — spec-injected only
+    IndexManifest.failpoint(s"publish-pre-create:$root")
     if (!writeExclusive(s"$root/$name", lineage.mkString("\n")))
       throw new ConcurrentCommitException(root, None,
         readPointer(root).headOption)
+    // failpoint: a stall between the landed create and the re-list
+    // below (the second leg of the ambiguity window)
+    IndexManifest.failpoint(s"publish-post-create:$root")
     // belt-and-braces behind the fence (covers a pathological stall
     // BETWEEN the deadline check and the create): re-list — the prune
     // below needs this listing anyway, so the guard is free. Our
     // create is a RECREATE OF A PRUNED NAME (invisible to readers,
     // who resolve the max sequence) exactly when the head is already
     // ≥ KeepCommitFiles past us — the minimum distance at which a
-    // publish can have pruned token+1. In that case nobody can ever
-    // have resolved our file (it has never been the max): un-publish
-    // it and lose loudly. A SMALLER gap means our create landed first
-    // and successors rebased past it — that commit is REAL and may
-    // already be built upon, so disowning it would make the caller
-    // re-apply a delta the chain already carries (a double-apply);
-    // return success instead. The residual ambiguity (a landed
-    // commit overtaken by ≥ KeepCommitFiles successors before this
-    // very next statement) needs a TTL-scale pause inside a
-    // three-statement window — and even then the disown deletes a
-    // file no reader can resolve any more.
+    // publish can have pruned token+1. A SMALLER gap means our create
+    // landed first and successors rebased past it: that commit is
+    // REAL and may already be built upon — return success. AT the
+    // gap, the distance alone cannot distinguish the two (a landed
+    // commit can be overtaken by ≥ KeepCommitFiles successors inside
+    // this window), but the CURRENT lineage can: successors rebase on
+    // what they resolve, so a commit that landed first is IN the
+    // retained history — and version names are claimed at most once
+    // ever, so containment is exact. Only a commit the chain does NOT
+    // carry is disowned: it has never been the max sequence, so no
+    // reader can ever have resolved it, and the caller rebases
+    // loudly. Residual: a commit carried then EXPIRED out of every
+    // retained lineage inside this same window would still disown and
+    // double-apply on rebase — that needs ≥ KeepCommitFiles successor
+    // publishes AND retain-expiry of a version that was the head at
+    // our create, all within a three-statement stall; the disowned
+    // file itself remains unresolvable either way.
     val after = commitSeqs(root)
-    if (after.headOption.exists(_._1 - (token + 1) >= KeepCommitFiles)) {
+    if (after.headOption.exists(_._1 - (token + 1) >= KeepCommitFiles) &&
+        !lineage.headOption.exists(resolveLineage(root, after).contains)) {
       deleteIfExists(s"$root/$name")
       throw new ConcurrentCommitException(root, None,
         resolveLineage(root, after).headOption)

@@ -63,7 +63,12 @@ object CommitStorm {
       while (landed == null) {
         val (v, dir) = IndexManifest.stage(root)
         staged = v
-        java.nio.file.Files.writeString(
+        // schemed roots write the artifact through the store's own IO
+        // (a mock-s3 root has no local path to reach around to);
+        // plain posix roots keep the raw nio write
+        if (dir.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*"))
+          HadoopManifestIo.writeString(s"$dir/data", s"$tag-round-$j")
+        else java.nio.file.Files.writeString(
           localPath(dir).resolve("data"), s"$tag-round-$j"): Unit
         // retain everything: the parent asserts NO committed version
         // was lost from the lineage by any concurrently racing process

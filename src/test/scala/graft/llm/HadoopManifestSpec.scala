@@ -751,6 +751,179 @@ class HadoopManifestSpec extends SparkSpec {
     assertLeasesReleased(local)
   }
 
+  test("the trustConditionalCreate opt-in is visible on threads with " +
+      "NO active SparkSession: the global default session's conf " +
+      "counts, so background/executor threads get the opted-in path, " +
+      "not a spurious refusal") {
+    val key = HadoopManifestIo.TrustConditionalCreateConf
+    spark.conf.set(key, "true")
+    try {
+      @volatile var res: Throwable = null
+      val t = new Thread(() => {
+        // threads INHERIT the active session (InheritableThreadLocal);
+        // clear it so this thread models an executor/background
+        // thread that only has the global default session
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        try HadoopManifestIo.writeExclusive(
+          "fakestore://bucket/idx/MANIFEST-000000001", "x"): Unit
+        catch { case x: Throwable => res = x }
+      })
+      t.start(); t.join(30000)
+      assert(res != null, "fakestore resolved — the probe is broken")
+      assert(!res.isInstanceOf[UnsupportedOperationException],
+        s"a session-less thread got the refusal despite the default " +
+          s"session's opt-in: $res")
+    } finally spark.conf.unset(key)
+  }
+
+  test("writeString on a file:// root auto-creates missing parent " +
+      "directories — contract-equal with fs.create and the schemed " +
+      "branch, not a latent scheme-dependent divergence") {
+    val (root, local) = schemedTemp("hfs_wsparent")
+    HadoopManifestIo.writeString(s"$root/a/b/c.txt", "x")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(local, "a/b/c.txt")) == "x")
+  }
+
+  test("publish ambiguity window, landed-first leg: a commit whose " +
+      "MANIFEST create LANDS, then stalls a TTL-scale pause while " +
+      ">= KeepCommitFiles successors rebase past it, is SUCCESS — " +
+      "the re-list reads the lineage back and sees the chain carries " +
+      "it, so no disown, no rebase, no double-apply") {
+    val (root, local) = schemedTemp("hfs_fp_carried")
+    val prevTtl = HadoopManifestIo.LeaseTtlMs
+    HadoopManifestIo.LeaseTtlMs = 400
+    val stalled = new java.util.concurrent.CountDownLatch(1)
+    val resume = new java.util.concurrent.CountDownLatch(1)
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      val (v1, d1) = IndexManifest.stage(root)
+      HadoopManifestIo.writeString(s"$d1/data", "base")
+      IndexManifest.commit(root, v1, retain = 1000): Unit
+      IndexManifest.failpoint = msg =>
+        if (msg == s"publish-post-create:$root" &&
+            once.compareAndSet(false, true)) {
+          stalled.countDown()
+          resume.await()
+        }
+      val (v2, d2) = IndexManifest.stage(root)
+      HadoopManifestIo.writeString(s"$d2/data", "stalled-commit")
+      @volatile var err: Throwable = null
+      val zombie = new Thread(() => {
+        try IndexManifest.commit(root, v2, retain = 1000): Unit
+        catch { case x: Throwable => err = x }
+      })
+      zombie.start()
+      assert(stalled.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "the publish never reached its post-create failpoint")
+      // the zombie's MANIFEST file landed BEFORE the stall — let its
+      // lease lapse, then drive KeepCommitFiles successors through an
+      // alias spelling (same files, different in-process monitor);
+      // each takes over the expired lease, resolves the zombie's
+      // commit as head, and rebases on top of it
+      Thread.sleep(HadoopManifestIo.LeaseTtlMs + 200)
+      val successors = (1 to HadoopManifestIo.KeepCommitFiles).map { i =>
+        val (vs, ds) = IndexManifest.stage(s"$root/")
+        HadoopManifestIo.writeString(s"$ds/data", s"succ-$i")
+        IndexManifest.commit(s"$root/", vs, retain = 1000)
+      }
+      resume.countDown()
+      zombie.join(30000)
+      assert(err == null,
+        s"a landed-first commit overtaken inside the window was " +
+          s"disowned instead of returned as success: $err")
+      val lineage = IndexManifest.history(root)
+      assert(lineage.contains(v2),
+        "the landed-first commit vanished from the lineage")
+      assert(successors.forall(lineage.contains),
+        "a successor's commit was dropped")
+      // exactly ONE copy of the stalled delta — the disown-then-rebase
+      // path would have landed 'stalled-commit' twice
+      val markers = lineage.map(v => java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$local/$v", "data")))
+      assert(markers.count(_ == "stalled-commit") == 1,
+        s"double-apply: $markers")
+      assert(markers.distinct.size == markers.size)
+    } finally {
+      IndexManifest.failpoint = _ => ()
+      HadoopManifestIo.LeaseTtlMs = prevTtl
+      resume.countDown()
+    }
+  }
+
+  test("publish ambiguity window, invisible-recreate leg: a zombie " +
+      "stalled BETWEEN the deadline fence and its MANIFEST create, " +
+      "whose name is then published AND pruned by successors, " +
+      "recreates a pruned name — the re-list disowns it (the chain " +
+      "does not carry it), the file is deleted, and no reader could " +
+      "ever have resolved it (it was never the max sequence)") {
+    val (root, local) = schemedTemp("hfs_fp_invisible")
+    val prevTtl = HadoopManifestIo.LeaseTtlMs
+    HadoopManifestIo.LeaseTtlMs = 400
+    val stalled = new java.util.concurrent.CountDownLatch(1)
+    val resume = new java.util.concurrent.CountDownLatch(1)
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      val (v1, d1) = IndexManifest.stage(root)
+      HadoopManifestIo.writeString(s"$d1/data", "base")
+      IndexManifest.commit(root, v1, retain = 1000): Unit
+      IndexManifest.failpoint = msg =>
+        if (msg == s"publish-pre-create:$root" &&
+            once.compareAndSet(false, true)) {
+          stalled.countDown()
+          resume.await()
+        }
+      val (vz, dz) = IndexManifest.stage(root)
+      HadoopManifestIo.writeString(s"$dz/data", "invisible-commit")
+      @volatile var err: Throwable = null
+      val zombie = new Thread(() => {
+        try IndexManifest.commit(root, vz, retain = 1000): Unit
+        catch { case x: Throwable => err = x }
+      })
+      zombie.start()
+      assert(stalled.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "the publish never reached its pre-create failpoint")
+      // the zombie has NOT created its MANIFEST yet. Let its lease
+      // lapse, then drive KeepCommitFiles+1 successors: the first
+      // publishes the very sequence number the zombie computed, the
+      // last one's prune drops that name — so the zombie's delayed
+      // create RECREATES a pruned name and succeeds
+      Thread.sleep(HadoopManifestIo.LeaseTtlMs + 200)
+      val successors =
+        (1 to HadoopManifestIo.KeepCommitFiles + 1).map { i =>
+          val (vs, ds) = IndexManifest.stage(s"$root/")
+          HadoopManifestIo.writeString(s"$ds/data", s"succ-$i")
+          IndexManifest.commit(s"$root/", vs, retain = 1000)
+        }
+      resume.countDown()
+      zombie.join(30000)
+      assert(err != null && err.isInstanceOf[ConcurrentCommitException],
+        s"an invisible recreate-of-a-pruned-name did not lose " +
+          s"loudly: $err")
+      // the disowned file is GONE, and the lineage never carried the
+      // zombie's version — no silent drop, no phantom commit
+      val lineage = IndexManifest.history(root)
+      assert(!lineage.contains(vz),
+        "a never-resolvable commit leaked into the lineage")
+      assert(successors.forall(lineage.contains),
+        "a successor's commit was dropped")
+      val names = new java.io.File(local).list().toSeq
+        .filter(_.startsWith("MANIFEST-")).sorted
+      // every surviving commit file resolves to a lineage WITHOUT the
+      // zombie's version: its disowned file really is unresolvable
+      names.foreach { n =>
+        val content = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(local, n))
+        assert(!content.linesIterator.map(_.trim).contains(vz),
+          s"disowned commit $vz still resolvable via $n")
+      }
+    } finally {
+      IndexManifest.failpoint = _ => ()
+      HadoopManifestIo.LeaseTtlMs = prevTtl
+      resume.countDown()
+    }
+  }
+
   test("withLock is loudly NON-reentrant on both backends: a nested " +
       "acquisition fails fast instead of spinning forever on its own " +
       "live lease / file lock") {
