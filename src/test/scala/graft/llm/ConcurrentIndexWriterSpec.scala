@@ -178,6 +178,110 @@ class ConcurrentIndexWriterSpec extends SparkSpec {
     assert(new java.io.File(IndexManifest.currentDir(r)).isDirectory)
   }
 
+  test("SIGKILL mid-commit on the POSIX backend: the FileChannel " +
+      "lock dies with its process (survivors proceed immediately), " +
+      "no acknowledged commit is lost, the pointer is never torn, " +
+      "the root heals from a cold process, and orphaned stage dirs " +
+      "are swept once stale") {
+    // the hadoop SIGKILL spec proves the lease heals; this proves the
+    // posix machinery — stage-v* claims, the fsynced ATOMIC_MOVE
+    // pointer, FileChannel-lock release by OS contract — heals too.
+    // A SIGKILL runs no finally blocks: no lock release call, no temp
+    // cleanup, no stage GC.
+    val r = root()
+    val mainClasses = IndexManifest.getClass.getProtectionDomain
+      .getCodeSource.getLocation.getPath
+    val cp = s"$mainClasses:/opt/spark/jars/*"
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val writers = 3
+    val rounds = 200
+    val procs = (0 until writers).map { w =>
+      val logFile = java.nio.file.Files
+        .createTempFile(s"pkill$w", ".log").toFile
+      val p = new ProcessBuilder(javaBin, "-cp", cp,
+          "graft.tools.CommitStorm", r, s"pk$w", rounds.toString)
+        .redirectErrorStream(true)
+        .redirectOutput(logFile).start()
+      (p, logFile)
+    }
+    // adaptive kill point: wait until the victim has ACKNOWLEDGED at
+    // least one commit (so the kill lands mid-storm, past JVM
+    // startup), then SIGKILL it dead
+    val (victim, victimLog) = procs.head
+    val deadline = System.currentTimeMillis() + 60000
+    while (victim.isAlive &&
+        !java.nio.file.Files.readString(victimLog.toPath)
+          .contains("committed") &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(25)
+    victim.destroyForcibly(): Unit
+    victim.waitFor(): Unit
+    val logs = procs.map { case (p, logFile) =>
+      if (p ne victim) {
+        val finished =
+          p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+        if (!finished) p.destroyForcibly(): Unit
+        val out = java.nio.file.Files.readString(logFile.toPath)
+        assert(finished,
+          s"a survivor hung after the kill — the dead writer's " +
+            s"FileChannel lock was not released by the OS\n$out")
+        assert(p.exitValue() == 0, s"survivor failed after the kill\n$out")
+      }
+      java.nio.file.Files.readString(logFile.toPath)
+    }
+    val Committed = "committed (v\\d+)".r
+    val victimAck = Committed.findAllMatchIn(logs.head)
+      .map(_.group(1)).toSeq
+    assert(victimAck.nonEmpty, "kill landed before any victim commit")
+    assert(victimAck.size < rounds,
+      "the victim finished before the kill — raise rounds")
+    // 1. acknowledged durability across a torn pointer write: every
+    // commit ANY writer reported is in the lineage with content
+    val lineage = IndexManifest.history(r)
+    logs.flatMap(l => Committed.findAllMatchIn(l).map(_.group(1)))
+      .foreach { v =>
+        assert(lineage.contains(v),
+          s"acknowledged posix commit $v vanished after a SIGKILL")
+        assert(new java.io.File(s"$r/$v", "data").isFile,
+          s"acknowledged posix commit $v lost its content")
+      }
+    // survivors completed every round
+    for (w <- 1 until writers; j <- 0 until rounds)
+      assert(lineage.exists(v => scala.util.Try(markerOf(r, v))
+        .toOption.contains(s"pk$w-round-$j")),
+        s"survivor round pk$w-round-$j lost")
+    // the pointer was never torn: it resolves to a real intact dir
+    assert(new java.io.File(IndexManifest.currentDir(r)).isDirectory)
+    // 2. the root HEALS from a cold process, with no TTL to wait out
+    // (the posix lock died with its holder)
+    val t0 = System.nanoTime()
+    val vh = stageMarked(r, "heal")
+    IndexManifest.commit(r, vh, retain = 1000): Unit
+    val healMs = (System.nanoTime() - t0) / 1000000
+    assert(IndexManifest.current(r).contains(vh))
+    assert(healMs < 30000, s"posix heal took ${healMs}ms — something " +
+      "waited on a dead writer's lock")
+    // 3. a stage dir the victim may have died holding (plus one
+    // seeded deterministically) is swept once past the stage TTL
+    val orphan = new java.io.File(r, "stage-v99999")
+    assert(orphan.mkdir())
+    java.nio.file.Files.writeString(
+      orphan.toPath.resolve("data"), "orphan"): Unit
+    assert(orphan.setLastModified(
+      System.currentTimeMillis() - IndexManifest.StageTtlMs - 60000))
+    // age the CONTENTS too: GC liveness reads the tree's newest mtime
+    assert(new java.io.File(orphan, "data").setLastModified(
+      System.currentTimeMillis() - IndexManifest.StageTtlMs - 60000))
+    IndexManifest.commit(r, stageMarked(r, "sweep"), retain = 1000): Unit
+    assert(!orphan.exists(),
+      "gc did not sweep a stale orphaned posix stage dir")
+    // a publish temp a killed writer left behind is consumed by the
+    // next publish (fixed name, truncating write + move) — after the
+    // heal commits above it must be gone
+    assert(!new java.io.File(r, s"${IndexManifest.PointerFile}.tmp")
+      .exists(), "a publish temp survived subsequent publishes")
+  }
+
   test("racing MUTATION VERBS compose: a tombstone delete and an " +
       "append land concurrently and the served index reflects BOTH " +
       "(CAS + rebase-retry, not last-commit-wins)") {
