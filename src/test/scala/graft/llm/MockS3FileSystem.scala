@@ -100,17 +100,30 @@ class MockS3FileSystem extends FileSystem {
   }
 
   private def status(f: Path): FileStatus = {
+    // ONE atomic stat, no check-then-read: a concurrent delete (a
+    // GC's rmTree racing another process's root scan) must surface as
+    // the FileNotFoundException a real connector maps 404 to — the
+    // under-load storm loop caught the isRegularFile-then-size TOCTOU
+    // leaking a raw NoSuchFileException that no protocol handler
+    // catches
     val b = backing(f)
     val q = makeQualified(f)
-    if (Files.isRegularFile(b))
-      new FileStatus(Files.size(b), false, 1, 64L * 1024 * 1024,
-        Files.getLastModifiedTime(b).toMillis, q)
-    else if (Files.isDirectory(b) || key(f).isEmpty)
-      // synthetic prefix entry: NO readable mtime (marker retention
-      // off) — the hostile shape GC's unknown-counts-as-live rule is
-      // for. The bucket root always exists.
-      new FileStatus(0, true, 1, 0, 0L, q)
-    else throw new FileNotFoundException(s"mocks3: no object at $f")
+    try {
+      val attrs = Files.readAttributes(b,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      if (attrs.isRegularFile)
+        new FileStatus(attrs.size(), false, 1, 64L * 1024 * 1024,
+          attrs.lastModifiedTime().toMillis, q)
+      else
+        // synthetic prefix entry: NO readable mtime (marker retention
+        // off) — the hostile shape GC's unknown-counts-as-live rule
+        // is for
+        new FileStatus(0, true, 1, 0, 0L, q)
+    } catch {
+      case _: java.nio.file.NoSuchFileException =>
+        if (key(f).isEmpty) new FileStatus(0, true, 1, 0, 0L, q)
+        else throw new FileNotFoundException(s"mocks3: no object at $f")
+    }
   }
 
   override def getFileStatus(f: Path): FileStatus = status(f)
@@ -153,9 +166,13 @@ class MockS3FileSystem extends FileSystem {
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val b = backing(f)
-    if (!Files.isRegularFile(b))
-      throw new FileNotFoundException(s"mocks3: no object at $f")
-    new FSDataInputStream(new SeekableBytes(Files.readAllBytes(b)))
+    try new FSDataInputStream(new SeekableBytes(Files.readAllBytes(b)))
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new FileNotFoundException(s"mocks3: no object at $f")
+      case e: IOException if Files.isDirectory(b) =>
+        throw new FileNotFoundException(s"mocks3: $f is a prefix: $e")
+    }
   }
 
   /** Commit a fully-buffered PUT. Conditional (`If-None-Match`) PUTs
@@ -294,9 +311,14 @@ class MockS3FileSystem extends FileSystem {
     val b = backing(f)
     if (!Files.exists(b)) false
     else if (Files.isDirectory(b)) {
-      val children = Files.list(b)
-      val nonEmpty = try children.findFirst().isPresent
-        finally children.close()
+      val nonEmpty =
+        try {
+          val children = Files.list(b)
+          try children.findFirst().isPresent
+          finally children.close()
+        } catch { // prefix vanished under us: nothing left to delete
+          case _: java.nio.file.NoSuchFileException => return false
+        }
       if (nonEmpty && !recursive)
         throw new IOException(s"mocks3: prefix $f is not empty")
       deleteTree(b)
@@ -315,12 +337,15 @@ class MockS3FileSystem extends FileSystem {
   override def setTimes(f: Path, mtime: Long, atime: Long): Unit = {
     // S3's COPY-onto-itself metadata refresh: works on objects only
     val b = backing(f)
-    if (!Files.isRegularFile(b))
-      throw new FileNotFoundException(
-        s"mocks3: setTimes on a missing object / synthetic prefix: $f")
-    if (mtime >= 0)
-      Files.setLastModifiedTime(b,
-        java.nio.file.attribute.FileTime.fromMillis(mtime)): Unit
+    try {
+      if (mtime >= 0)
+        Files.setLastModifiedTime(b,
+          java.nio.file.attribute.FileTime.fromMillis(mtime)): Unit
+    } catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new FileNotFoundException(
+          s"mocks3: setTimes on a missing object: $f")
+    }
   }
 
   /** Byte-array input with the Seekable/PositionedReadable surface

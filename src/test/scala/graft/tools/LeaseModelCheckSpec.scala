@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The lease/publish protocol model-checked: exhaustive interleaving
+  * exploration (every schedule of abstract writers over an abstract
+  * conditional-create store, every zombie stall length, every
+  * deadline boundary) asserting the two safety invariants at every
+  * reachable state — plus NEGATIVE CONTROLS that switch individual
+  * protocol fixes off and require the explorer to FIND the race each
+  * fix closes, proving the checker sees the bug class it guards.
+  * Storms ([[graft.llm.HadoopManifestSpec]], `tools/hostile_loop.py`)
+  * sample this space probabilistically under load; the explorer
+  * enumerates it.
+  */
+class LeaseModelCheckSpec extends AnyFunSuite {
+  import LeaseModelCheck._
+
+  test("FULL protocol, 2 writers x 1 round: every reachable state " +
+      "satisfies single-holder and durable-lineage (exhaustive)") {
+    val r = explore(Config(writers = 2, rounds = 1))
+    assert(r.violation.isEmpty, s"violation: ${r.violation}")
+    assert(r.states > 100000, s"suspiciously small space: ${r.states}")
+  }
+
+  test("FULL protocol, 2 writers x 2 rounds (rebases, pruning, gc " +
+      "across rounds): exhaustively safe") {
+    val r = explore(Config(writers = 2, rounds = 2))
+    assert(r.violation.isEmpty, s"violation: ${r.violation}")
+    assert(r.states > 1000000, s"suspiciously small space: ${r.states}")
+  }
+
+  test("NEGATIVE control — claim verification off re-admits the r17 " +
+      "recycled-generation double-holder: the explorer must find a " +
+      "single-holder (or gc-reap) violation") {
+    val r = explore(Config(writers = 2, rounds = 2,
+      knobs = Knobs(claimVerify = false)))
+    assert(r.violation.nonEmpty,
+      s"explorer missed the recycled-generation race " +
+        s"(${r.states} states) — it cannot see the bug class it guards")
+  }
+
+  test("NEGATIVE control — publish fence AND readback-disown off " +
+      "re-admit the pruned-name lost update: a zombie's recreate of " +
+      "a pruned commit file acks a lineage no reader resolves") {
+    val r = explore(Config(writers = 2, rounds = 2, keep = 1,
+      knobs = Knobs(fencePublish = false, readbackDisown = false)))
+    assert(r.violation.nonEmpty &&
+      r.violation.get._1.contains("durable-lineage"),
+      s"explorer missed the pruned-name lost update " +
+        s"(${r.states} states): ${r.violation}")
+  }
+
+  test("NEGATIVE control — the publish fence is LOAD-BEARING, not " +
+      "redundant with the readback disown: fence off (disown still " +
+      "on) lets a zombie publish a genuinely-newest commit (gap 0, " +
+      "so the readback cannot object) while the live holder's " +
+      "in-flight GC, keep-set snapped before that publish, reaps the " +
+      "acked version — the explorer must find it") {
+    // the checker REFUTED the first draft of this spec, which claimed
+    // the readback subsumed the fence: its 55-step counterexample is
+    // why publishPointer fences BEFORE the create instead of relying
+    // on the re-list alone
+    val r = explore(Config(writers = 2, rounds = 2, keep = 1,
+      knobs = Knobs(fencePublish = false)))
+    assert(r.violation.nonEmpty &&
+      r.violation.get._1.contains("durable-lineage"),
+      s"explorer missed the zombie-publish-vs-live-holder-gc race " +
+        s"(${r.states} states): ${r.violation}")
+  }
+}
