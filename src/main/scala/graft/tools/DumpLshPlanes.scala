@@ -12,7 +12,7 @@ package graft.tools
   * No SparkSession — plane generation is pure JVM.
   *
   * args: dim bits tables [seedPrefix]
-  * stdout: {"t0": [[...],...], "t1": ...}
+  * stdout: {"t0": [ [...], ...], "t1": ...}
   */
 object DumpLshPlanes {
   def main(args: Array[String]): Unit = {

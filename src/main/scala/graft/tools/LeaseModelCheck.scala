@@ -21,7 +21,7 @@ package graft.tools
   *
   * THE MODEL. The store is an immutable map with exactly the
   * primitives the real backend reduces to, each a single atomic
-  * scheduler step: conditional create ([[graft.llm.ManifestIo]]
+  * scheduler step: conditional create (`graft.llm.ManifestIo`'s
   * `writeExclusive`), overwrite, delete, and an atomic
   * list+read snapshot (the real list-then-read races resolve through
   * FNF-skip semantics and are the storms' territory; the checker
