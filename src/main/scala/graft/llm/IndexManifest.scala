@@ -595,7 +595,11 @@ object IndexManifest {
     io.withLock(root) {
       val (h, token) = io.readPointerForCommit(root)
       require(h.nonEmpty, s"no committed index at $root")
-      io.publishPointer(root, h.take(math.max(1, keep)), token)
+      // headIsNewClaim=false: a trim's head is a pre-existing version,
+      // so publishPointer's carried-lineage disambiguation must not
+      // treat successor containment as proof this publish landed
+      io.publishPointer(root, h.take(math.max(1, keep)), token,
+        headIsNewClaim = false)
       gc(root)
     }
   }
@@ -680,6 +684,11 @@ object IndexManifest {
     * fresh even if it never called [[touchStage]]. Callers outside
     * [[commit]]/[[expireVersions]] must hold the commit lock.
     */
+  // stage dirs already warned about via the unknown-mtime rule — the
+  // leak signal prints once per process, not once per commit
+  private val unknownMtimeWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def gc(root: String): Unit = {
     val io = ioFor(root)
     val now = System.currentTimeMillis()
@@ -707,11 +716,13 @@ object IndexManifest {
           // unknown-counts-as-live is silent storage on stores whose
           // dir trees never yield a readable mtime (S3A synthetic dir
           // entries with marker retention off) — make the leak
-          // observable each time a stage survives SOLELY by this rule
-          if (nm == 0L)
+          // observable when a stage survives SOLELY by this rule.
+          // Warn once per (dir) per process: gc runs on every commit,
+          // and a single leaked dir must not spam a line per commit.
+          if (nm == 0L && unknownMtimeWarned.add(p))
             System.err.println(s"[gc] stage $p survives via the " +
-              "unknown-mtime (newestMtime==0) rule — if this repeats " +
-              "for the same dir it is leaking storage; on s3a set " +
+              "unknown-mtime (newestMtime==0) rule — if it is still " +
+              "there next sweep it is leaking storage; on s3a set " +
               "fs.s3a.directory.marker.retention=keep so stage trees " +
               "carry readable mtimes")
           nm >= cutoff || nm == 0L

@@ -113,9 +113,19 @@ private[graft] sealed trait ManifestIo {
     * instead of silently dropping the interloper's commit from the
     * lineage. The posix backend ignores the token: its `FileChannel`
     * lock never expires, so no interloper can exist.
+    *
+    * `headIsNewClaim` declares whether `lineage.head` is a FRESHLY
+    * CLAIMED version name this publish introduces (a commit — the
+    * default) or a pre-existing version (a retention trim,
+    * [[IndexManifest.expireVersions]]). The hadoop backend's
+    * recreate-of-a-pruned-name disambiguation relies on version names
+    * being claimed at most once ever, which makes lineage containment
+    * of a NEW head exact proof the publish landed first; a trim's
+    * head is carried by every successor regardless, so a trim can
+    * never use that proof and always loses loudly on the gap.
     */
   def publishPointer(root: String, lineage: Seq[String],
-      token: Long): Unit
+      token: Long, headIsNewClaim: Boolean = true): Unit
   /** Directory name a stage for `version` lives in (posix:
     * `stage-v<N>` renamed at commit; hadoop: the final `v<N>` itself,
     * claimed by marker — object-store data files never move).
@@ -282,7 +292,7 @@ private[graft] object PosixManifestIo extends ManifestIo {
     (readPointer(root), 0L) // token unused: the FileLock never expires
 
   def publishPointer(root: String, lineage: Seq[String],
-      token: Long): Unit = {
+      token: Long, headIsNewClaim: Boolean = true): Unit = {
     val tmp = Paths.get(root, s"${IndexManifest.PointerFile}.tmp")
     Files.writeString(tmp, lineage.mkString("\n"))
     val ch = java.nio.channels.FileChannel.open(tmp,
@@ -587,6 +597,15 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     * both pass the exists check and the second silently REPLACES the
     * first's lease/commit file (the exact lost update the 3-JVM storm
     * proved on Hadoop's local FS before the `link(2)` bridge).
+    *
+    * BRIDGE CONTRACT: the connector must surface a LOST conditional
+    * put (S3/GCS `412 Precondition Failed` on `If-None-Match` /
+    * generation-0) as Hadoop's `FileAlreadyExistsException` from
+    * `create(overwrite=false)` or the stream's `close()` — that is
+    * the shape [[writeExclusive]] recognizes as "racer won" and
+    * returns `false` for; any other exception propagates as a real
+    * error (it is NOT treated as a lost race). MockS3FileSystem, the
+    * certification twin, enforces exactly this shape.
     */
   val TrustConditionalCreateConf = "spark.graft.manifest.trustConditionalCreate"
 
@@ -672,6 +691,11 @@ private[graft] object HadoopManifestIo extends ManifestIo {
       // FileAlreadyExists from create() or close(). A writer dying
       // before close() leaves NOTHING (not even a burned name): the
       // PUT never completed.
+      // lost races surface ONLY as FileAlreadyExistsException — the
+      // pinned bridge contract (see TrustConditionalCreateConf). No
+      // message sniffing here: a transient store error whose text
+      // happens to contain "exists" must stay a loud error, not get
+      // silently converted into a lost race.
       val f = fs(path)
       try {
         val out = f.create(dst, false)
@@ -681,9 +705,6 @@ private[graft] object HadoopManifestIo extends ManifestIo {
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
             _: java.nio.file.FileAlreadyExistsException => false
-        case e: java.io.IOException
-            if e.getMessage != null && e.getMessage.contains("exists") =>
-          false
       }
     } else {
       val tmp = new Path(dst.getParent,
@@ -980,7 +1001,7 @@ private[graft] object HadoopManifestIo extends ManifestIo {
   }
 
   def publishPointer(root: String, lineage: Seq[String],
-      token: Long): Unit = {
+      token: Long, headIsNewClaim: Boolean = true): Unit = {
     // FENCE FIRST: a holder past its lease deadline may already have
     // a successor whose ≥ KeepCommitFiles commits PRUNED
     // MANIFEST-(token+1) — the zombie's conditional create of that
@@ -1032,18 +1053,27 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     // ever, so containment is exact. Only a commit the chain does NOT
     // carry is disowned: it has never been the max sequence, so no
     // reader can ever have resolved it, and the caller rebases
-    // loudly. Residual: a commit carried then EXPIRED out of every
-    // retained lineage inside this same window would still disown and
-    // double-apply on rebase — that needs ≥ KeepCommitFiles successor
-    // publishes AND retain-expiry of a version that was the head at
-    // our create, all within a three-statement stall; the disowned
-    // file itself remains unresolvable either way.
+    // loudly. The carried-success shortcut applies ONLY to publishes
+    // whose head is a freshly claimed name (headIsNewClaim — commits):
+    // a retention TRIM's head is a pre-existing version every
+    // successor's lineage carries regardless, so containment proves
+    // nothing there and a zombie trim must keep losing loudly rather
+    // than reporting an unresolvable trim as applied. Residual for
+    // commits: one carried then EXPIRED out of every retained lineage
+    // inside this same window would still disown and double-apply on
+    // rebase — that needs ≥ KeepCommitFiles successor publishes AND
+    // retain-expiry of a version that was the head at our create, all
+    // within a three-statement stall; the disowned file itself
+    // remains unresolvable either way.
     val after = commitSeqs(root)
-    if (after.headOption.exists(_._1 - (token + 1) >= KeepCommitFiles) &&
-        !lineage.headOption.exists(resolveLineage(root, after).contains)) {
-      deleteIfExists(s"$root/$name")
-      throw new ConcurrentCommitException(root, None,
-        resolveLineage(root, after).headOption)
+    if (after.headOption.exists(_._1 - (token + 1) >= KeepCommitFiles)) {
+      val resolved = resolveLineage(root, after)
+      if (!(headIsNewClaim &&
+          lineage.headOption.exists(resolved.contains))) {
+        deleteIfExists(s"$root/$name")
+        throw new ConcurrentCommitException(root, None,
+          resolved.headOption)
+      }
     }
     // prune superseded commit files (readers resolve the max; keep a
     // tail for scans that listed just before this publish)

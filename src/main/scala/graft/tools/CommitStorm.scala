@@ -37,8 +37,11 @@ object CommitStorm {
     * `file:///p` and `file:/p`, and `stripPrefix("file://")` passes
     * the second through as a bogus relative `file:` path.
     */
+  private def isSchemed(dir: String): Boolean =
+    dir.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
+
   private def localPath(dir: String): java.nio.file.Path =
-    if (dir.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*"))
+    if (isSchemed(dir))
       java.nio.file.Paths.get(new java.net.URI(dir).getPath)
     else java.nio.file.Paths.get(dir)
 
@@ -66,7 +69,7 @@ object CommitStorm {
         // schemed roots write the artifact through the store's own IO
         // (a mock-s3 root has no local path to reach around to);
         // plain posix roots keep the raw nio write
-        if (dir.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*"))
+        if (isSchemed(dir))
           HadoopManifestIo.writeString(s"$dir/data", s"$tag-round-$j")
         else java.nio.file.Files.writeString(
           localPath(dir).resolve("data"), s"$tag-round-$j"): Unit

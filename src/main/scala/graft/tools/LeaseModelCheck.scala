@@ -425,6 +425,12 @@ object LeaseModelCheck {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length == 1) {
+      System.err.println("usage: LeaseModelCheck [writers rounds " +
+        "[keep] [ttl] [attempts] [maxGens]] (no args = standard " +
+        "configs)")
+      sys.exit(2)
+    }
     val configs =
       if (args.nonEmpty)
         Seq((args.mkString("_"), Config(

@@ -924,6 +924,65 @@ class HadoopManifestSpec extends SparkSpec {
     }
   }
 
+  test("publish ambiguity window, retention-TRIM leg: a zombie " +
+      "expireVersions whose create recreates a pruned name must lose " +
+      "LOUDLY — its head is a pre-existing version every successor " +
+      "carries, so lineage containment proves nothing and reporting " +
+      "the unresolvable trim as applied would be a silent no-op") {
+    val (root, _) = schemedTemp("hfs_fp_trim")
+    val prevTtl = HadoopManifestIo.LeaseTtlMs
+    HadoopManifestIo.LeaseTtlMs = 400
+    val stalled = new java.util.concurrent.CountDownLatch(1)
+    val resume = new java.util.concurrent.CountDownLatch(1)
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      (0 until 3).foreach { i =>
+        val (v, d) = IndexManifest.stage(root)
+        HadoopManifestIo.writeString(s"$d/data", s"base-$i")
+        IndexManifest.commit(root, v, retain = 1000): Unit
+      }
+      IndexManifest.failpoint = msg =>
+        if (msg == s"publish-pre-create:$root" &&
+            once.compareAndSet(false, true)) {
+          stalled.countDown()
+          resume.await()
+        }
+      @volatile var err: Throwable = null
+      val zombie = new Thread(() => {
+        try IndexManifest.expireVersions(root, keep = 1)
+        catch { case x: Throwable => err = x }
+      })
+      zombie.start()
+      assert(stalled.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "the trim never reached its pre-create failpoint")
+      Thread.sleep(HadoopManifestIo.LeaseTtlMs + 200)
+      // successors bury AND PRUNE the name the zombie trim computed
+      val successors =
+        (1 to HadoopManifestIo.KeepCommitFiles + 1).map { i =>
+          val (vs, ds) = IndexManifest.stage(s"$root/")
+          HadoopManifestIo.writeString(s"$ds/data", s"succ-$i")
+          IndexManifest.commit(s"$root/", vs, retain = 1000)
+        }
+      resume.countDown()
+      zombie.join(30000)
+      assert(err != null && err.isInstanceOf[ConcurrentCommitException],
+        s"a zombie trim that recreated a pruned name reported " +
+          s"success — retention silently not applied: $err")
+      // nothing was trimmed by the zombie: the full successor chain
+      // is still the resolved lineage
+      val lineage = IndexManifest.history(root)
+      assert(successors.forall(lineage.contains),
+        "a successor's commit was dropped by the zombie trim")
+      // retention then applies cleanly from a healthy caller
+      IndexManifest.expireVersions(root, keep = 1)
+      assert(IndexManifest.history(root).size == 1)
+    } finally {
+      IndexManifest.failpoint = _ => ()
+      HadoopManifestIo.LeaseTtlMs = prevTtl
+      resume.countDown()
+    }
+  }
+
   test("withLock is loudly NON-reentrant on both backends: a nested " +
       "acquisition fails fast instead of spinning forever on its own " +
       "live lease / file lock") {
