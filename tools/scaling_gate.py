@@ -28,6 +28,24 @@ def bench_full(path):
     raise SystemExit(f"no bench_full line in {path}")
 
 
+# Queries whose RESULT SIZE (not their plan) is super-linear in the
+# input by construction — their wall time tracks their output, so the
+# linear-work gate does not apply. Each entry must say why; a plan
+# regression on these would still show as a jump vs the recorded
+# exponent, which BASELINE.md tracks per round.
+OUTPUT_BOUND = {
+    "sim_neardup_exact": "exact all-pairs cosine — the ground-truth "
+        "twin LSH recall is certified against; quadratic by definition "
+        "(the scale path is sim_neardup_lsh)",
+    "fuzzy_join_names": "exact-recall edit-distance-<=1 join; the true "
+        "pair count grows super-linearly as the numeric name space "
+        "densifies (the oracle's quadratic all-pairs agrees on output)",
+    "join_null_safe": "many-to-many pair counting over 5 null-safe "
+        "keys — output pairs are |cust|x|supp|/5 by construction; the "
+        "query certifies <=> join semantics, not a scale path",
+}
+
+
 def main():
     small, big = bench_full(sys.argv[1]), bench_full(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
@@ -43,13 +61,19 @@ def main():
     flagged = 0
     for name, ts, tb, r, e in rows:
         judged = ts >= FLOOR
-        flag = " <-- SUPER-LINEAR" if judged and e > 1.05 else (
-            "  (machinery-dominated, not judged)" if not judged else "")
-        if judged and e > 1.05:
+        if name in OUTPUT_BOUND:
+            flag = "  (output-bound by design, not judged)"
+        elif judged and e > 1.05:
+            flag = " <-- SUPER-LINEAR"
             flagged += 1
+        elif not judged:
+            flag = "  (machinery-dominated, not judged)"
+        else:
+            flag = ""
         print(f"{name:34s} {ts:8.3f} {tb:8.3f} {r:7.2f} {e:6.2f}{flag}")
     print(f"\n{flagged} judged queries super-linear (exp > 1.05, "
-          f"t_small >= {FLOOR}s)")
+          f"t_small >= {FLOOR}s); output-bound-by-design exempt: "
+          f"{sorted(n for n in OUTPUT_BOUND if n in big)}")
 
 
 if __name__ == "__main__":
