@@ -427,19 +427,30 @@ object LeaseModelCheck {
   def main(args: Array[String]): Unit = {
     if (args.length == 1) {
       System.err.println("usage: LeaseModelCheck [writers rounds " +
-        "[keep] [ttl] [attempts] [maxGens]] (no args = standard " +
-        "configs)")
+        "[keep] [ttl] [attempts] [maxGens] [off=knob,knob]] — knobs: " +
+        "claimVerify releaseOverwrite fencePublish readbackDisown; " +
+        "no args = standard configs")
       sys.exit(2)
     }
     val configs =
-      if (args.nonEmpty)
+      if (args.nonEmpty) {
+        val off = args.find(_.startsWith("off="))
+          .map(_.stripPrefix("off=").split(",").toSet)
+          .getOrElse(Set.empty[String])
+        val pos = args.filterNot(_.startsWith("off="))
         Seq((args.mkString("_"), Config(
-          writers = args(0).toInt,
-          rounds = args(1).toInt,
-          keep = if (args.length > 2) args(2).toInt else 2,
-          ttl = if (args.length > 3) args(3).toInt else 4,
-          maxAttempts = if (args.length > 4) args(4).toInt else 2,
-          maxGens = if (args.length > 5) args(5).toInt else 6)))
+          writers = pos(0).toInt,
+          rounds = pos(1).toInt,
+          keep = if (pos.length > 2) pos(2).toInt else 2,
+          ttl = if (pos.length > 3) pos(3).toInt else 4,
+          maxAttempts = if (pos.length > 4) pos(4).toInt else 2,
+          maxGens = if (pos.length > 5) pos(5).toInt else 6,
+          knobs = Knobs(
+            claimVerify = !off("claimVerify"),
+            releaseOverwrite = !off("releaseOverwrite"),
+            fencePublish = !off("fencePublish"),
+            readbackDisown = !off("readbackDisown")))))
+      }
       else Seq(
         ("2w1r", Config(writers = 2, rounds = 1)),
         ("2w2r", Config(writers = 2, rounds = 2)),

@@ -40,6 +40,19 @@ class LeaseModelCheckSpec extends AnyFunSuite {
         s"(${r.states} states) — it cannot see the bug class it guards")
   }
 
+  test("NEGATIVE control — release-by-DELETE re-admits the ABA: with " +
+      "the RELEASED-stub overwrite off, a release empties the listing " +
+      "and generation numbers restart, so a stale claim's verify " +
+      "listing can be headless and it stands as a second fence-true " +
+      "holder — the explorer must find it") {
+    val r = explore(Config(writers = 2, rounds = 2,
+      knobs = Knobs(releaseOverwrite = false)))
+    assert(r.violation.nonEmpty &&
+      r.violation.get._1.contains("single-holder"),
+      s"explorer missed the delete-release ABA " +
+        s"(${r.states} states): ${r.violation}")
+  }
+
   test("NEGATIVE control — publish fence AND readback-disown off " +
       "re-admit the pruned-name lost update: a zombie's recreate of " +
       "a pruned commit file acks a lineage no reader resolves") {
