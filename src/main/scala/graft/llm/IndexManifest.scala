@@ -684,10 +684,13 @@ object IndexManifest {
     * fresh even if it never called [[touchStage]]. Callers outside
     * [[commit]]/[[expireVersions]] must hold the commit lock.
     */
-  // stage dirs already warned about via the unknown-mtime rule — the
-  // leak signal prints once per process, not once per commit
-  private val unknownMtimeWarned =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // per-dir count of unknown-mtime survivals: the warn prints on
+  // power-of-two occurrences (1st, 2nd, 4th, 8th, …), so a persistent
+  // leak stays VISIBLE (with its recurrence count) while a
+  // high-commit-rate root logs O(log n) lines, not one per commit
+  private val unknownMtimeSurvivals =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
 
   def gc(root: String): Unit = {
     val io = ioFor(root)
@@ -716,15 +719,21 @@ object IndexManifest {
           // unknown-counts-as-live is silent storage on stores whose
           // dir trees never yield a readable mtime (S3A synthetic dir
           // entries with marker retention off) — make the leak
-          // observable when a stage survives SOLELY by this rule.
-          // Warn once per (dir) per process: gc runs on every commit,
-          // and a single leaked dir must not spam a line per commit.
-          if (nm == 0L && unknownMtimeWarned.add(p))
-            System.err.println(s"[gc] stage $p survives via the " +
-              "unknown-mtime (newestMtime==0) rule — if it is still " +
-              "there next sweep it is leaking storage; on s3a set " +
-              "fs.s3a.directory.marker.retention=keep so stage trees " +
-              "carry readable mtimes")
+          // observable when a stage survives SOLELY by this rule,
+          // with its recurrence visible (a persistent leak keeps
+          // logging, with the count) but log volume bounded
+          if (nm == 0L) {
+            val n = unknownMtimeSurvivals
+              .computeIfAbsent(p, _ =>
+                new java.util.concurrent.atomic.AtomicLong())
+              .incrementAndGet()
+            if ((n & (n - 1)) == 0L) // powers of two: 1, 2, 4, 8, …
+              System.err.println(s"[gc] stage $p survives via the " +
+                s"unknown-mtime (newestMtime==0) rule (occurrence $n" +
+                ") — a repeating count here is a storage leak; on " +
+                "s3a set fs.s3a.directory.marker.retention=keep so " +
+                "stage trees carry readable mtimes")
+          }
           nm >= cutoff || nm == 0L
         }
       }

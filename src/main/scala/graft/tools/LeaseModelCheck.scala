@@ -425,7 +425,7 @@ object LeaseModelCheck {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length == 1) {
+    if (args.length == 1 && !args(0).startsWith("off=")) {
       System.err.println("usage: LeaseModelCheck [writers rounds " +
         "[keep] [ttl] [attempts] [maxGens] [off=knob,knob]] — knobs: " +
         "claimVerify releaseOverwrite fencePublish readbackDisown; " +
@@ -434,10 +434,22 @@ object LeaseModelCheck {
     }
     val configs =
       if (args.nonEmpty) {
-        val off = args.find(_.startsWith("off="))
-          .map(_.stripPrefix("off=").split(",").toSet)
-          .getOrElse(Set.empty[String])
+        val KnownKnobs = Set("claimVerify", "releaseOverwrite",
+          "fencePublish", "readbackDisown")
+        val off = args.filter(_.startsWith("off="))
+          .flatMap(_.stripPrefix("off=").split(",")).toSet
+        val unknown = off -- KnownKnobs
         val pos = args.filterNot(_.startsWith("off="))
+        // a typo'd knob must not silently explore the fully-fixed
+        // model and report a clean "negative control"
+        if (unknown.nonEmpty || pos.length < 2) {
+          System.err.println(
+            if (unknown.nonEmpty)
+              s"unknown knob(s): ${unknown.mkString(",")} — known: " +
+                KnownKnobs.toSeq.sorted.mkString(",")
+            else "need at least <writers> <rounds>")
+          sys.exit(2)
+        }
         Seq((args.mkString("_"), Config(
           writers = pos(0).toInt,
           rounds = pos(1).toInt,

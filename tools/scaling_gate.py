@@ -59,21 +59,26 @@ def main():
     rows.sort(key=lambda r: -r[4])
     print(f"{'query':34s} {'t_small':>8s} {'t_big':>8s} {'ratio':>7s} {'exp':>6s}")
     flagged = 0
+    exempted = []
     for name, ts, tb, r, e in rows:
         judged = ts >= FLOOR
-        if name in OUTPUT_BOUND:
+        if not judged:
+            flag = "  (machinery-dominated, not judged)"
+        elif name in OUTPUT_BOUND:
+            # only record an exemption where it actually MATTERED
+            # (the query would otherwise have been judged)
             flag = "  (output-bound by design, not judged)"
-        elif judged and e > 1.05:
+            if e > 1.05:
+                exempted.append(name)
+        elif e > 1.05:
             flag = " <-- SUPER-LINEAR"
             flagged += 1
-        elif not judged:
-            flag = "  (machinery-dominated, not judged)"
         else:
             flag = ""
         print(f"{name:34s} {ts:8.3f} {tb:8.3f} {r:7.2f} {e:6.2f}{flag}")
     print(f"\n{flagged} judged queries super-linear (exp > 1.05, "
-          f"t_small >= {FLOOR}s); output-bound-by-design exempt: "
-          f"{sorted(n for n in OUTPUT_BOUND if n in big)}")
+          f"t_small >= {FLOOR}s); output-bound-by-design exemptions "
+          f"that mattered: {sorted(exempted)}")
 
 
 if __name__ == "__main__":
