@@ -443,11 +443,20 @@ object IndexManifest {
 
   /** Bump the stage dir's liveness heartbeat. [[stage]] and [[carry]]
     * call it; a builder whose WRITE phase alone can outlast
-    * [[StageTtlMs]] calls it periodically (GC reads this one file's
-    * mtime instead of walking the stage tree under the commit lock).
+    * [[StageTtlMs]] calls it periodically (GC reads this one file
+    * instead of walking the stage tree under the commit lock). The
+    * wall-clock stamp is written as the file's CONTENT, not just its
+    * mtime: on stores that expose no readable mtimes (S3A synthetic
+    * dir entries with marker retention off) the content is the only
+    * liveness channel GC can read, and it is what makes the heartbeat
+    * AUTHORITATIVE there — a stamped stage whose stamp goes stale is
+    * reaped instead of leaking forever (see [[gc]]). Best-effort like
+    * the old mtime touch: liveness must never fail a build.
     */
   def touchStage(stagedDir: String): Unit =
-    ioFor(stagedDir).touch(s"$stagedDir/$ActivityFile")
+    try ioFor(stagedDir).writeString(s"$stagedDir/$ActivityFile",
+      System.currentTimeMillis().toString)
+    catch { case _: java.io.IOException => () }
 
   private def baseOf(stagedDir: String): Option[String] = {
     val io = ioFor(stagedDir)
@@ -477,16 +486,28 @@ object IndexManifest {
     var i = 0
     while (i < attempts) {
       val (v, staged) = stage(root)
-      // pin the base under the lock: current() cannot move and GC
-      // cannot run until the BASE file is on disk, so the pin is
-      // never written against an already-reaped version
-      val base = io.withLock(root) {
-        val b = current(root)
-        b.foreach(bv => io.writeString(s"$staged/$BaseFile", bv))
-        b
-      }
-      try return body(Mutation(base, v, staged))
-      catch {
+      try {
+        // pin the base under the lock: current() cannot move and GC
+        // cannot run until the BASE file is on disk, so the pin is
+        // never written against an already-reaped version. FENCED like
+        // pinCurrent: on lease backends a builder stalled past its
+        // lease deadline inside this window could pin a base a
+        // takeover already reaped — carry() would then silently carry
+        // NOTHING (refsOf of a missing dir reads empty) and only the
+        // commit-time CAS would catch it; the fence turns that into an
+        // immediate loud rebase instead
+        val base = io.withLock(root) {
+          val b = current(root)
+          // failpoint: a TTL-scale stall inside the base-pin window
+          // (between resolving current and the fence) — spec-injected
+          failpoint(s"base-pin:$root")
+          b.foreach(bv => io.writeString(s"$staged/$BaseFile", bv))
+          if (!io.lockStillHeld(root))
+            throw new ConcurrentCommitException(root, b, current(root))
+          b
+        }
+        return body(Mutation(base, v, staged))
+      } catch {
         case e: ConcurrentCommitException =>
           io.rmTree(staged)
           last = e
@@ -614,18 +635,52 @@ object IndexManifest {
     * outlive [[ReaderPinTtlMs]], and ALWAYS `ReaderPin.release`
     * when done — a leaked pin holds the version's storage until the
     * TTL expires it. Prefer [[withPin]], which releases in `finally`.
+    *
+    * PIN FENCE: on lease backends the lock is a TTL lease, so "taken
+    * under the commit lock" alone is not enough — a pinner stalled
+    * past its lease deadline between resolving `current` and the pin
+    * file landing (a zombie pinner) could pin a version a takeover's
+    * trim + GC already reaped, and then hand the caller a pin whose
+    * dir is gone. After the pin file lands, the fence re-checks the
+    * lease (`ManifestIo.lockStillHeld`, a deadline comparison, no
+    * I/O; constant true on posix where the lock never expires): still
+    * held ⇒ no takeover has existed since our read, the version is
+    * intact and the landed pin now protects it; lapsed ⇒ the pin is
+    * deleted and the whole acquisition retries against the fresh
+    * current. Enumerated by `graft.tools.LeaseModelCheck`'s reader
+    * role: with this fence off, invariant I3 (a pinned version stays
+    * readable until release or TTL lapse) is violated.
     */
   def pinCurrent(root: String): ReaderPin = {
     val io = ioFor(root)
-    io.withLock(root) {
-      val v = current(root).getOrElse(throw new IllegalStateException(
-        s"no committed index at $root"))
-      val dir = s"$root/$PinsDir"
-      io.mkdirs(dir)
-      val f = s"$dir/pin-${java.util.UUID.randomUUID()}.pin"
-      io.writeString(f, v)
-      new ReaderPin(root, v, f)
+    var last: ConcurrentCommitException = null
+    var i = 0
+    while (i < 5) {
+      val pinned = io.withLock(root) {
+        val v = current(root).getOrElse(throw new IllegalStateException(
+          s"no committed index at $root"))
+        val dir = s"$root/$PinsDir"
+        io.mkdirs(dir)
+        // failpoint: a TTL-scale stall between resolving the version
+        // and the pin file landing (the zombie-pinner window) —
+        // spec-injected only
+        failpoint(s"pin-pre-write:$root")
+        val f = s"$dir/pin-${java.util.UUID.randomUUID()}.pin"
+        io.writeString(f, v)
+        if (io.lockStillHeld(root)) Some(new ReaderPin(root, v, f))
+        else {
+          io.deleteIfExists(f)
+          last = new ConcurrentCommitException(root, Some(v),
+            current(root))
+          None
+        }
+      }
+      pinned match {
+        case Some(p) => return p
+        case None => i += 1
+      }
     }
+    throw last
   }
 
   /** [[pinCurrent]] with release BY CONSTRUCTION: the pin is released
@@ -648,10 +703,21 @@ object IndexManifest {
       */
     def dir: String = s"$root/$version"
     /** Heartbeat: scans longer than [[ReaderPinTtlMs]] call this to
-      * stay protected.
+      * stay protected. A refresh AFTER the TTL already lapsed can find
+      * the pin file reaped by a concurrent GC — that reader's
+      * protection ended at the lapse, so this fails LOUDLY (the
+      * version may already be gone; continuing the scan would serve
+      * missing files) instead of silently "refreshing" nothing.
       */
-    def refresh(): Unit =
-      ioFor(root).setMtime(file, System.currentTimeMillis())
+    def refresh(): Unit = {
+      val io = ioFor(root)
+      if (!io.exists(file))
+        throw new IllegalStateException(
+          s"reader pin $file lapsed past ReaderPinTtlMs and was " +
+            s"reaped — version $version is no longer protected; " +
+            "release the scan and re-pin")
+      io.setMtime(file, System.currentTimeMillis())
+    }
     def release(): Unit = ioFor(root).deleteIfExists(file)
   }
 
@@ -681,16 +747,51 @@ object IndexManifest {
     * under the commit lock) and falls back to the full-tree
     * newest-mtime walk when the heartbeat is stale or absent — a
     * build whose artifact writes are still landing keeps its tree
-    * fresh even if it never called [[touchStage]]. Callers outside
-    * [[commit]]/[[expireVersions]] must hold the commit lock.
+    * fresh even if it never called [[touchStage]]. On stores whose
+    * trees expose NO readable mtimes, the content-stamped heartbeat
+    * is AUTHORITATIVE for stamped stages (stale stamp ⇒ dead), and a
+    * stage with no readable signal at all survives only the
+    * [[UnknownMtimeGraceMs]] window from first observation — a
+    * killed pre-heartbeat writer's dir is bounded storage, never a
+    * permanent leak. Callers outside [[commit]]/[[expireVersions]]
+    * must hold the commit lock.
     */
-  // per-dir count of unknown-mtime survivals: the warn prints on
-  // power-of-two occurrences (1st, 2nd, 4th, 8th, …), so a persistent
-  // leak stays VISIBLE (with its recurrence count) while a
-  // high-commit-rate root logs O(log n) lines, not one per commit
+  /** Grace window for stage dirs with NO readable liveness signal at
+    * all — no heartbeat file (a writer killed between [[stage]]'s
+    * reservation and its first [[touchStage]]) or a legacy empty-touch
+    * heartbeat, AND a tree whose newest mtime reads 0 (mtime-less
+    * object stores). Such a dir survives GC from its FIRST OBSERVATION
+    * until this window lapses, then is reaped: without the bound, a
+    * killed pre-heartbeat writer's stage leaks FOREVER on stores that
+    * never expose mtimes. Generous by design — a LIVE builder writes a
+    * content-stamped heartbeat within milliseconds of reservation
+    * ([[stage]] calls [[touchStage]]), so anything still signal-less
+    * after days is crash garbage, not a build.
+    */
+  @volatile var UnknownMtimeGraceMs: Long = 7L * 24 * 3600 * 1000
+
+  // per-dir first-observation time + survival count for stages alive
+  // SOLELY via the no-readable-signal rule: the count makes the
+  // survival visible (warns on power-of-two occurrences — 1, 2, 4, 8,
+  // … — so a persistent survivor keeps logging with bounded volume),
+  // the first-seen time bounds it (reaped past UnknownMtimeGraceMs).
+  // Entries are evicted the first gc pass the stage no longer
+  // survives via this rule (reaped, committed, or a readable signal
+  // appeared), so a long-lived driver churning many roots cannot
+  // accumulate unbounded entries.
+  private final class UnknownSurvival(val firstSeen: Long) {
+    val count = new java.util.concurrent.atomic.AtomicLong()
+  }
+
+  /** The wall-clock stamp [[touchStage]] writes as heartbeat CONTENT
+    * — the liveness channel that survives mtime-less stores. Reads 0
+    * for legacy empty-touch files, unparseable content, or a file
+    * that vanished mid-read (best-effort, like every liveness read).
+    */
+  private def heartbeatStamp(io: ManifestIo, act: String): Long =
+    scala.util.Try(io.readString(act).trim.toLong).getOrElse(0L)
   private val unknownMtimeSurvivals =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      java.util.concurrent.atomic.AtomicLong]()
+    new java.util.concurrent.ConcurrentHashMap[String, UnknownSurvival]()
 
   def gc(root: String): Unit = {
     val io = ioFor(root)
@@ -701,42 +802,75 @@ object IndexManifest {
     // marker-stats each, and this runs under the commit lock
     val (versionDirs, stageDirs, rootFiles) =
       io.classifiedRootListing(root)
+    // stages that survived THIS pass solely via the no-signal rule —
+    // everything else's counter is evicted below
+    val unknownSurvivors = scala.collection.mutable.Set[String]()
     val (liveStages, deadStages) =
       stageDirs.partition { n =>
         val p = s"$root/$n"
         val act = s"$p/$ActivityFile"
         // heartbeat-fresh is the cheap fast path; a STALE heartbeat
         // falls back to the tree walk before declaring the stage dead.
-        // A tree whose newest mtime reads 0 is UNKNOWN (synthetic
-        // object-store dir entries, or the dir vanished mid-walk) —
-        // unknown counts as LIVE: skipping a reap costs storage until
-        // a readable signal appears, a wrong reap loses a build.
+        // The heartbeat reads BOTH channels — file mtime and the
+        // wall-clock stamp touchStage writes as content — so it stays
+        // readable on stores whose mtimes read 0.
+        val actExists = io.exists(act)
         val hb =
-          if (io.exists(act)) math.max(io.mtime(act), io.mtime(p))
+          if (actExists)
+            math.max(math.max(io.mtime(act), heartbeatStamp(io, act)),
+              io.mtime(p))
           else Long.MinValue
         hb >= cutoff || {
           val nm = io.newestMtime(p)
-          // unknown-counts-as-live is silent storage on stores whose
-          // dir trees never yield a readable mtime (S3A synthetic dir
-          // entries with marker retention off) — make the leak
-          // observable when a stage survives SOLELY by this rule,
-          // with its recurrence visible (a persistent leak keeps
-          // logging, with the count) but log volume bounded
-          if (nm == 0L) {
-            val n = unknownMtimeSurvivals
-              .computeIfAbsent(p, _ =>
-                new java.util.concurrent.atomic.AtomicLong())
-              .incrementAndGet()
-            if ((n & (n - 1)) == 0L) // powers of two: 1, 2, 4, 8, …
-              System.err.println(s"[gc] stage $p survives via the " +
-                s"unknown-mtime (newestMtime==0) rule (occurrence $n" +
-                ") — a repeating count here is a storage leak; on " +
-                "s3a set fs.s3a.directory.marker.retention=keep so " +
-                "stage trees carry readable mtimes")
+          if (nm >= cutoff) true // artifact writes still landing
+          else if (nm > 0L) false // readable and stale → dead
+          else if (actExists && hb > 0L)
+            // the tree exposes no mtimes but the stage IS stamped and
+            // every readable channel of the stamp is stale: the
+            // heartbeat is AUTHORITATIVE for stamped stages (every
+            // live builder refreshes it via touchStage/carry) — dead,
+            // not the old leak-forever "unknown counts as live"
+            false
+          else {
+            // NO readable signal anywhere: a writer killed between
+            // stage reservation and its first heartbeat, or a legacy
+            // empty-touch heartbeat on an mtime-less store. Live
+            // through a generous grace window from first observation,
+            // then reaped — bounded storage, never a permanent leak.
+            val s = unknownMtimeSurvivals.computeIfAbsent(p,
+              _ => new UnknownSurvival(now))
+            val expired = now - s.firstSeen > UnknownMtimeGraceMs
+            if (expired)
+              System.err.println(s"[gc] stage $p carried no readable " +
+                s"liveness signal for ${now - s.firstSeen} ms — past " +
+                s"UnknownMtimeGraceMs ($UnknownMtimeGraceMs), reaping")
+            else {
+              unknownSurvivors += p
+              val c = s.count.incrementAndGet()
+              if ((c & (c - 1)) == 0L) // powers of two: 1, 2, 4, 8, …
+                System.err.println(s"[gc] stage $p survives via the " +
+                  s"no-readable-signal grace window (occurrence $c, " +
+                  s"first seen ${now - s.firstSeen} ms ago, reaped " +
+                  s"after $UnknownMtimeGraceMs ms) — on s3a set " +
+                  "fs.s3a.directory.marker.retention=keep so stage " +
+                  "trees carry readable mtimes")
+            }
+            !expired
           }
-          nm >= cutoff || nm == 0L
         }
       }
+    // evict counters whose stage no longer survives via the rule —
+    // reaped below, committed away, or now carrying a readable signal
+    locally {
+      val it = unknownMtimeSurvivals.keySet().iterator()
+      val prefix = s"$root/"
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.startsWith(prefix) && !k.stripPrefix(prefix).contains('/')
+            && !unknownSurvivors.contains(k))
+          it.remove()
+      }
+    }
     val start = (history(root) ++ pinnedVersions(root) ++
       liveStages.flatMap(n => baseOf(s"$root/$n"))).distinct
     // listing roots: a reachable version's FILES may reference older

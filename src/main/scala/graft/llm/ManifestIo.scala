@@ -1064,7 +1064,18 @@ private[graft] object HadoopManifestIo extends ManifestIo {
     // rebase — that needs ≥ KeepCommitFiles successor publishes AND
     // retain-expiry of a version that was the head at our create, all
     // within a three-statement stall; the disowned file itself
-    // remains unresolvable either way.
+    // remains unresolvable either way. PRECONDITION the containment
+    // proof rests on: "claimed at most once ever" holds while the
+    // claim marker lives, but the marker dies with its version dir —
+    // GC reaps unreferenced dirs and stage() allocates max(existing)+1
+    // — so after FULL retention turnover (every version that existed
+    // at our create expired and reaped) a pruned name can be re-claimed
+    // by a different writer, making containment non-exact for a zombie
+    // stalled across BOTH that turnover and the readback. That stacks
+    // the double-apply residual above with a TTL-scale stall plus a
+    // complete lineage turnover inside the same three-statement
+    // window; accepted as the same documented residual, and the
+    // failure mode stays a loud rebase, never a silent drop.
     val after = commitSeqs(root)
     if (after.headOption.exists(_._1 - (token + 1) >= KeepCommitFiles)) {
       val resolved = resolveLineage(root, after)

@@ -1194,4 +1194,143 @@ class HadoopManifestSpec extends SparkSpec {
         "the racing delete's tombstones were dropped")
     }
   }
+
+  test("PIN FENCE: a zombie pinner — stalled past its lease TTL " +
+      "between resolving current and the pin write, while a takeover " +
+      "commits and expires the version it resolved — must NOT hand " +
+      "out a pin naming the reaped version; it deletes the landed pin " +
+      "and retries against the fresh current") {
+    val (root, local) = schemedTemp("hfs_pinfence")
+    val prevTtl = HadoopManifestIo.LeaseTtlMs
+    HadoopManifestIo.LeaseTtlMs = 400
+    val stalled = new java.util.concurrent.CountDownLatch(1)
+    val resume = new java.util.concurrent.CountDownLatch(1)
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      val (v1, d1) = IndexManifest.stage(root)
+      HadoopManifestIo.writeString(s"$d1/data", "v1")
+      IndexManifest.commit(root, v1): Unit
+      IndexManifest.failpoint = msg =>
+        if (msg == s"pin-pre-write:$root" &&
+            once.compareAndSet(false, true)) {
+          stalled.countDown()
+          resume.await()
+        }
+      @volatile var pin: IndexManifest.ReaderPin = null
+      @volatile var err: Throwable = null
+      val zombie = new Thread(() => {
+        try pin = IndexManifest.pinCurrent(root)
+        catch { case x: Throwable => err = x }
+      })
+      zombie.start()
+      assert(stalled.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "pinCurrent never reached its pin-pre-write failpoint")
+      // zombie holds current=v1 in hand; lapse its lease, then a
+      // takeover (alias spelling: same files, different in-process
+      // monitor) commits twice and expires history, reaping v1
+      Thread.sleep(HadoopManifestIo.LeaseTtlMs + 200)
+      val (v2, d2) = IndexManifest.stage(s"$root/")
+      HadoopManifestIo.writeString(s"$d2/data", "v2")
+      IndexManifest.commit(s"$root/", v2): Unit
+      val (v3, d3) = IndexManifest.stage(s"$root/")
+      HadoopManifestIo.writeString(s"$d3/data", "v3")
+      IndexManifest.commit(s"$root/", v3): Unit
+      IndexManifest.expireVersions(s"$root/", keep = 1)
+      assert(!new java.io.File(s"$local/$v1").exists(),
+        "setup failed: v1 was not reaped before the zombie resumed")
+      resume.countDown()
+      zombie.join(30000)
+      assert(err == null, s"fenced pinCurrent threw instead of " +
+        s"retrying: $err")
+      assert(pin != null, "pinCurrent returned no pin")
+      // the pin must name the takeover's surviving current, and its
+      // dir must exist — NOT the reaped v1
+      assert(pin.version != v1,
+        "zombie pinner handed out a pin naming a reaped version")
+      assert(IndexManifest.current(root).contains(pin.version))
+      assert(new java.io.File(s"$local/${pin.version}").isDirectory,
+        "the returned pin's version dir does not exist")
+      // no orphan pin file naming v1 was left behind by the fence
+      val pinContents = Option(new java.io.File(
+        s"$local/${IndexManifest.PinsDir}").listFiles())
+        .getOrElse(Array.empty).toSeq
+        .map(f => java.nio.file.Files.readString(f.toPath).trim)
+      assert(!pinContents.contains(v1),
+        s"the fenced pin write leaked a pin naming reaped $v1")
+      // and the pin actually protects across a further expiry
+      val (v4, d4) = IndexManifest.stage(root)
+      HadoopManifestIo.writeString(s"$d4/data", "v4")
+      IndexManifest.commit(root, v4): Unit
+      IndexManifest.expireVersions(root, keep = 1)
+      assert(new java.io.File(s"$local/${pin.version}").isDirectory,
+        "the re-pinned version was reaped despite the live pin")
+      pin.release()
+    } finally {
+      IndexManifest.failpoint = _ => ()
+      HadoopManifestIo.LeaseTtlMs = prevTtl
+      resume.countDown()
+    }
+  }
+
+  test("BASE-PIN FENCE: a mutate() builder stalled past its lease TTL " +
+      "inside the base-pin window — while a takeover commits and " +
+      "expires the base it resolved — rebases loudly onto the fresh " +
+      "current instead of silently carrying from a reaped dir") {
+    val (root, local) = schemedTemp("hfs_basefence")
+    val prevTtl = HadoopManifestIo.LeaseTtlMs
+    HadoopManifestIo.LeaseTtlMs = 400
+    val stalled = new java.util.concurrent.CountDownLatch(1)
+    val resume = new java.util.concurrent.CountDownLatch(1)
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      val (v1, d1) = IndexManifest.stage(root)
+      HadoopManifestIo.writeString(s"$d1/data", "v1")
+      IndexManifest.commit(root, v1): Unit
+      IndexManifest.failpoint = msg =>
+        if (msg == s"base-pin:$root" &&
+            once.compareAndSet(false, true)) {
+          stalled.countDown()
+          resume.await()
+        }
+      @volatile var seenBases: List[Option[String]] = Nil
+      @volatile var err: Throwable = null
+      val zombie = new Thread(() => {
+        try IndexManifest.mutate(root) { m =>
+          seenBases = seenBases :+ m.base
+          HadoopManifestIo.writeString(s"${m.dir}/data", "delta")
+          IndexManifest.commitCas(root, m.version, m.base): Unit
+        } catch { case x: Throwable => err = x }
+      })
+      zombie.start()
+      assert(stalled.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "mutate never reached its base-pin failpoint")
+      Thread.sleep(HadoopManifestIo.LeaseTtlMs + 200)
+      val (v2, d2) = IndexManifest.stage(s"$root/")
+      HadoopManifestIo.writeString(s"$d2/data", "v2")
+      IndexManifest.commit(s"$root/", v2): Unit
+      val (v3, d3) = IndexManifest.stage(s"$root/")
+      HadoopManifestIo.writeString(s"$d3/data", "v3")
+      IndexManifest.commit(s"$root/", v3): Unit
+      IndexManifest.expireVersions(s"$root/", keep = 1)
+      assert(!new java.io.File(s"$local/$v1").exists(),
+        "setup failed: v1 was not reaped before the zombie resumed")
+      resume.countDown()
+      zombie.join(30000)
+      assert(err == null, s"fenced mutate threw instead of rebasing: $err")
+      // the FIRST attempt's stale base (v1) was fenced before the body
+      // ever ran: the body only ever saw a base that still existed
+      assert(seenBases.nonEmpty && !seenBases.contains(Some(v1)),
+        s"mutate body ran against the reaped base $v1: $seenBases")
+      assert(IndexManifest.history(root).nonEmpty)
+      val cur = IndexManifest.currentDir(root)
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(
+          s"$local/${IndexManifest.current(root).get}", "data")) == "delta",
+        s"the mutation's delta is not the current version at $cur")
+    } finally {
+      IndexManifest.failpoint = _ => ()
+      HadoopManifestIo.LeaseTtlMs = prevTtl
+      resume.countDown()
+    }
+  }
 }

@@ -33,11 +33,17 @@ class IndexManifestSpec extends SparkSpec {
 
   /** Age a whole tree past the stage TTL — GC's abandonment signal is
     * the NEWEST mtime anywhere in the stage tree, so every file must
-    * look idle, not just the top dir.
+    * look idle, not just the top dir. The heartbeat file carries its
+    * stamp as CONTENT too (touchStage — the mtime-less-store channel),
+    * so aging rewrites that as well: a crashed builder's heartbeat
+    * goes stale on both channels in real time, and fast-forwarding
+    * must match.
     */
   private def ageTree(f: java.io.File): Unit = {
-    assert(f.setLastModified(System.currentTimeMillis()
-      - IndexManifest.StageTtlMs - 60000))
+    val old = System.currentTimeMillis() - IndexManifest.StageTtlMs - 60000
+    if (f.getName == IndexManifest.ActivityFile)
+      Files.writeString(f.toPath, old.toString): Unit
+    assert(f.setLastModified(old))
     Option(f.listFiles()).getOrElse(Array.empty).foreach(ageTree)
   }
 
@@ -194,9 +200,13 @@ class IndexManifestSpec extends SparkSpec {
     val (_, staged) = IndexManifest.stage(path)
     val stageName = new java.io.File(staged).getName
     // the long build never called touchStage after stage(): age the
-    // heartbeat AND the dir past the TTL, but keep one freshly-written
-    // artifact file — the tree walk must find it and keep the stage
+    // heartbeat — BOTH channels, the mtime and the wall-clock stamp
+    // touchStage writes as content — and the dir past the TTL, but
+    // keep one freshly-written artifact file — the tree walk must
+    // find it and keep the stage
     val old = System.currentTimeMillis() - IndexManifest.StageTtlMs - 60000
+    Files.writeString(java.nio.file.Paths.get(staged,
+      IndexManifest.ActivityFile), old.toString): Unit
     assert(new java.io.File(staged, IndexManifest.ActivityFile)
       .setLastModified(old))
     assert(new java.io.File(staged).setLastModified(old))

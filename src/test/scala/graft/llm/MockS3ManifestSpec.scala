@@ -442,4 +442,76 @@ class MockS3ManifestSpec extends SparkSpec {
       }
     assertMockShape(root, local)
   }
+
+  test("GC leak contract on an mtime-less store: a killed " +
+      "PRE-HEARTBEAT writer's stage (no readable signal anywhere) " +
+      "survives only the UnknownMtimeGraceMs window, then is reaped; " +
+      "a STAMPED stage is governed by its content heartbeat — stale " +
+      "stamp reaped at StageTtlMs, fresh stamp survives") {
+    val (root, local) = mockRoot("gcleak")
+    val io = HadoopManifestIo
+    val prevTtl = IndexManifest.StageTtlMs
+    val prevGrace = IndexManifest.UnknownMtimeGraceMs
+    try {
+      // a committed version so gc has a lineage to keep
+      val (v1, d1) = IndexManifest.stage(root)
+      io.writeString(s"$d1/data", "base")
+      IndexManifest.commit(root, v1): Unit
+
+      // zero every object mtime a walk could read — the mtime-less
+      // store shape (real S3 exposes Last-Modified, but the hostile
+      // contract here is "no readable mtime channel at all")
+      def zeroMtimes(stageLocal: String): Unit = {
+        def walk(f: java.io.File): Unit = {
+          if (f.isFile)
+            java.nio.file.Files.setLastModifiedTime(f.toPath,
+              java.nio.file.attribute.FileTime.fromMillis(0)): Unit
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+        }
+        walk(new java.io.File(stageLocal))
+      }
+
+      // CASE A: killed pre-heartbeat — STAGE marker only, no
+      // STAGE_ACTIVITY (the reservation-to-first-touch kill window)
+      assert(io.reserveStage(root, "v00090"))
+      zeroMtimes(s"$local/v00090")
+      IndexManifest.StageTtlMs = 50
+      IndexManifest.UnknownMtimeGraceMs = 400
+      Thread.sleep(80) // past the stage TTL; only the grace rule holds it
+      IndexManifest.gc(root)
+      assert(new java.io.File(s"$local/v00090").exists(),
+        "a no-signal stage was reaped INSIDE its grace window")
+      Thread.sleep(450) // past the grace window
+      IndexManifest.gc(root)
+      assert(!new java.io.File(s"$local/v00090").exists(),
+        "a killed pre-heartbeat writer's stage leaked past the " +
+          "grace window — the unknown-mtime leak is back")
+
+      // CASE B: stamped stage — content heartbeat authoritative on
+      // the mtime-less store. Fresh stamp survives even with zero
+      // mtimes; once the stamp goes stale the stage is reaped at the
+      // NEXT pass, no grace needed
+      IndexManifest.StageTtlMs = 300
+      val (v9, d9) = IndexManifest.stage(root) // touchStage stamps it
+      io.writeString(s"$d9/data", "half-built")
+      zeroMtimes(s"$local/$v9") // mtimes gone; the content stamp remains
+      IndexManifest.gc(root)
+      assert(new java.io.File(s"$local/$v9").exists(),
+        "a freshly content-stamped stage was reaped on a store with " +
+          "zero mtimes")
+      Thread.sleep(380) // the content stamp is now past StageTtlMs
+      IndexManifest.gc(root)
+      assert(!new java.io.File(s"$local/$v9").exists(),
+        "a stamped stage with a stale heartbeat leaked on the " +
+          "mtime-less store — the heartbeat is not authoritative")
+
+      // the committed lineage was never touched
+      assert(IndexManifest.current(root).contains(v1))
+      assert(new java.io.File(s"$local/$v1/data").exists())
+      assertMockShape(root, local)
+    } finally {
+      IndexManifest.StageTtlMs = prevTtl
+      IndexManifest.UnknownMtimeGraceMs = prevGrace
+    }
+  }
 }

@@ -103,6 +103,12 @@ class ReaderPinSpec extends SparkSpec {
       mutationChain(dir)
       assert(!new java.io.File(leaked.dir).exists(),
         "a stale (leaked) pin still blocked GC past its TTL")
+      // a refresh AFTER the lapse (pin file already reaped) must fail
+      // LOUDLY — protection ended at the lapse, and silently
+      // "refreshing" nothing would let the reader keep scanning a
+      // version that is already gone
+      val lapsed = intercept[IllegalStateException](leaked.refresh())
+      assert(lapsed.getMessage.contains("no longer protected"))
 
       // refresh() keeps a long-lived scan protected past the TTL
       IndexManifest.ReaderPinTtlMs = 60000
