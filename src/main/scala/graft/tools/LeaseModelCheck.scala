@@ -5,8 +5,8 @@ package graft.tools
   * `withLock` / `publishPointer`, ManifestIo.scala) — the
   * deterministic complement to the probabilistic `CommitStorm`
   * hunts. Storms find schedules by luck under load; this enumerates
-  * EVERY schedule of abstract writers over an abstract store (within
-  * bounds) and asserts the protocol's two safety invariants at every
+  * EVERY schedule of abstract actors over an abstract store (within
+  * bounds) and asserts the protocol's safety invariants at every
   * reachable state:
   *
   *   - I1 `single-holder`: never two simultaneously FENCE-TRUE
@@ -15,9 +15,20 @@ package graft.tools
   *     double-holder reap a live holder's fresh commit through GC.
   *   - I2 `durable-lineage`: once a publish is acknowledged, its
   *     version key exists AND the resolved lineage (highest present
-  *     commit file) contains it, forever (retain = everything in the
-  *     model) — no committed version is ever silently dropped, by a
-  *     zombie publish, a prune, or a stale-keep-set GC reap.
+  *     commit file) contains it, forever — no committed version is
+  *     ever silently dropped, by a zombie publish, a prune, or a
+  *     stale-keep-set GC reap. Versions dropped by an ACKED retention
+  *     trim are exempt (that drop is the trim's contract).
+  *   - I3 `pin-readability`: a version resolvable at pin time stays
+  *     materialized from the moment `pinCurrent` RETURNS until the
+  *     reader releases the pin or lets it lapse past the pin TTL —
+  *     the reader-pin contract (`IndexManifest.pinCurrent` /
+  *     `ReaderPin.refresh` / `release` vs GC reaps and pin expiry).
+  *   - I4 `trim-soundness`: a version dropped by an ACKED
+  *     `expireVersions` trim never resolves again — an acked trim is
+  *     APPLIED, never the r18 zombie-trim false success (reported
+  *     applied while its commit file is unresolvable junk below the
+  *     head).
   *
   * THE MODEL. The store is an immutable map with exactly the
   * primitives the real backend reduces to, each a single atomic
@@ -25,7 +36,7 @@ package graft.tools
   * `writeExclusive`), overwrite, delete, and an atomic
   * list+read snapshot (the real list-then-read races resolve through
   * FNF-skip semantics and are the storms' territory; the checker
-  * covers op-level interleavings). Writers run the REAL algorithm
+  * covers op-level interleavings). WRITERS run the REAL algorithm
   * step-for-step — acquire (list → conditional-create next
   * generation → claim-verify against a fresh listing → prune
   * superseded generations), publish (deadline fence as its OWN step,
@@ -34,20 +45,42 @@ package graft.tools
   * conditional create of `MANIFEST-(token+1)`, the re-list with the
   * gap + lineage-carry disown check, tail pruning), a stale-keep-set
   * GC sweep with the per-reap fence re-check, and release by
-  * overwrite. A writer that throws `ConcurrentCommitException`
-  * rebases with a fresh version id, exactly like
-  * `IndexManifest.mutate`. Time is a logical clock advanced by a
-  * TICK action that jumps to the next deadline boundary
-  * (`d - margin`, `d + 1`) — an unboundedly-stalled writer is any
-  * schedule that stops stepping it, so zombie stalls of EVERY length
-  * at EVERY point come free with exhaustiveness.
+  * overwrite. A TRIMMER's last round runs `expireVersions` instead of
+  * a commit: same lock/fence/publish machinery, but the published
+  * head is a PRE-EXISTING version, so the carried-success shortcut is
+  * off (`headIsNewClaim=false` — knob `trimNotCarried`). READERS run
+  * `pinCurrent`: the same lease acquisition, resolve the lineage
+  * head, write the pin file, the post-write PIN FENCE (knob
+  * `pinFence`), then lock release; afterwards they nondeterministically
+  * refresh the pin (resetting its TTL) or release it, while GC sweeps
+  * stale pins and keeps live-pinned versions. A writer that throws
+  * `ConcurrentCommitException` rebases with a fresh version id,
+  * exactly like `IndexManifest.mutate`. Time is a logical clock
+  * advanced by a TICK action that jumps to the next deadline boundary
+  * (`d - margin`, `d + 1`, pin lapse) — an unboundedly-stalled actor
+  * is any schedule that stops stepping it, so zombie stalls of EVERY
+  * length at EVERY point come free with exhaustiveness.
+  *
+  * SYMMETRY REDUCTION. Identically-programmed actors (committing
+  * writers among themselves, readers among themselves; a trimmer is
+  * its own class) are interchangeable up to id: every reachable state
+  * is memoized under its CANONICAL key — the lexicographic minimum
+  * over all within-class id permutations (ids rewritten in version
+  * names, lease holder fields, pin files and actor order). Safety
+  * invariants are permutation-invariant, so pruning a state whose
+  * canonical twin was visited is sound; the reduction divides the
+  * space by up to |class|! and is what makes 3-writer configs WITH
+  * rebases converge.
   *
   * KNOBS ([[LeaseModelCheck.Knobs]]) re-open each closed race so the
   * spec can prove the explorer actually SEES the bug class it guards
   * (negative controls): `claimVerify=false` re-admits the
   * recycled-generation double-holder, `releaseOverwrite=false`
   * re-admits the delete-release ABA, `fencePublish=false +
-  * readbackDisown=false` re-admits the pruned-name lost update.
+  * readbackDisown=false` re-admits the pruned-name lost update,
+  * `trimNotCarried=false` re-admits the r18 zombie-trim false
+  * success, `pinFence=false` re-admits the zombie-pinner
+  * pin-of-a-reaped-version.
   *
   * Run as a main: `runMain graft.tools.LeaseModelCheck` explores the
   * standard configurations and prints one JSON line per config.
@@ -61,7 +94,9 @@ object LeaseModelCheck {
       claimVerify: Boolean = true,
       releaseOverwrite: Boolean = true,
       fencePublish: Boolean = true,
-      readbackDisown: Boolean = true)
+      readbackDisown: Boolean = true,
+      trimNotCarried: Boolean = true,
+      pinFence: Boolean = true)
 
   final case class Config(
       writers: Int = 2,
@@ -77,12 +112,36 @@ object LeaseModelCheck {
       // safety: all states within the bound are still visited)
       maxGens: Int = 6,
       maxStates: Int = 60_000_000,
-      knobs: Knobs = Knobs())
+      // the LAST writer's LAST round is a retention trim
+      // (expireVersions keep=1) instead of a commit
+      trim: Boolean = false,
+      // rounds for the trimmer actor (-1 = same as `rounds`): a pure
+      // trimmer (trimmerRounds=1) trims without seeding commits
+      trimmerRounds: Int = -1,
+      // reader actors appended after the writers, each performing one
+      // pinCurrent → {refresh | release} lifecycle
+      readers: Int = 0,
+      pinTtl: Int = 4, // ReaderPinTtlMs analogue
+      symmetry: Boolean = true,
+      knobs: Knobs = Knobs()) {
+    def actors: Int = writers + readers
+    def isReader(id: Int): Boolean = id >= writers
+    def roundsOf(id: Int): Int =
+      if (isReader(id)) 1
+      else if (trim && id == writers - 1 && trimmerRounds > 0)
+        trimmerRounds
+      else rounds
+    /** Is actor `id`'s round `round` a trim? */
+    def isTrimRound(id: Int, round: Int): Boolean =
+      trim && !isReader(id) && id == writers - 1 &&
+        round == roundsOf(id) - 1
+  }
 
   /** Store keys: `L<gen>` lease files, `M<seq>` commit files,
-    * `V<vid>` version dirs. Lease content: `H:<writer>:<deadline>`
-    * (holder) or `R` (released stub). Commit content: comma-joined
-    * lineage, newest first.
+    * `V<vid>` version dirs, `P<readerId>` reader pin files. Lease
+    * content: `H:<writer>:<deadline>` (holder) or `R` (released
+    * stub). Commit content: comma-joined lineage, newest first. Pin
+    * content: `<vid>:<deadline>`.
     */
   type Store = Map[String, String]
 
@@ -101,7 +160,15 @@ object LeaseModelCheck {
       .map(m => s(s"M$m").split(",").filter(_.nonEmpty).toList)
       .getOrElse(Nil)
 
-  /** Writer program counters, in protocol order. */
+  /** Live (unlapsed) pin files: reader id → pinned vid. */
+  private def livePins(s: Store): Map[String, String] =
+    s.collect {
+      case (k, v) if k.startsWith("P") =>
+        val i = v.lastIndexOf(':')
+        (k, v.substring(0, i), v.substring(i + 1).toInt)
+    }.collect { case (k, ver, dl) if dl >= 0 => (k, ver) }.toMap
+
+  /** Actor program counters, in protocol order. */
   private val AcqList = 0; private val AcqCreate = 1
   private val AcqVerify = 2; private val AcqPrune = 3
   private val Scan = 4; private val Fence = 5
@@ -110,6 +177,9 @@ object LeaseModelCheck {
   private val GcSnap = 10; private val GcReap = 11
   private val Release = 12
   private val Done = 13; private val Failed = 14
+  // reader program (pinCurrent body runs between AcqPrune and Release)
+  private val PinRead = 15; private val PinWrite = 16
+  private val PinFence = 17; private val RdHold = 18
 
   final case class W(
       pc: Int,
@@ -124,18 +194,34 @@ object LeaseModelCheck {
       lineage: List[String],
       pruneQ: List[String], // pending single-op deletes
       keepSet: Set[String], // gc's snapshot keep-set
-      acked: List[String]) {
+      acked: List[String],
+      // trim bookkeeping: versions the in-flight trim would drop;
+      // versions whose truncation ever LANDED as a resolvable commit
+      // file (I2 exemption — a successor may carry the truncation
+      // even if the trim itself later disowns: the trim then reports
+      // failure-but-applied, the loud side of the ambiguity); and
+      // versions ACKED trims dropped (I4 subject)
+      trimDropped: List[String] = Nil,
+      landedDrop: List[String] = Nil,
+      ackedDrop: List[String] = Nil,
+      // reader bookkeeping
+      pinVer: String = "",
+      pinDl: Int = -1,
+      pinAcked: Boolean = false, // pinCurrent RETURNED this pin
+      everLapsed: Boolean = false, // pin TTL lapsed while held
+      released: Boolean = false) { // reader released (or learned of
+      // the lapse from a loud refresh) — protection over by contract
     def vid(id: Int): String = s"w$id-r$round-a$attempt"
   }
 
   /** TIME is relative (timed-automata region style): every deadline —
-    * in lease contents and writer records — is stored as an offset
+    * in lease/pin contents and actor records — is stored as an offset
     * from "now", a TICK jumps to the next boundary (fence give-up at
-    * `d - margin`, lapse at `d + 1`) and decrements every deadline,
-    * clamped at -1 (all offsets below 0 are semantically identical:
-    * not live, not fence-true). Dropping the absolute clock merges
-    * every time-shifted copy of a state, which is what makes the
-    * space finite and exhaustively explorable.
+    * `d - margin`, lapse at `d + 1`, pin lapse) and decrements every
+    * deadline, clamped at -1 (all offsets below 0 are semantically
+    * identical: not live, not fence-true). Dropping the absolute
+    * clock merges every time-shifted copy of a state, which is what
+    * makes the space finite and exhaustively explorable.
     */
   final case class State(store: Store, ws: Vector[W]) {
     def key: String = {
@@ -151,7 +237,13 @@ object LeaseModelCheck {
           .append(w.lineage.mkString("+")).append(',')
           .append(w.pruneQ.mkString("+")).append(',')
           .append(w.keepSet.toSeq.sorted.mkString("+")).append(',')
-          .append(w.acked.mkString("+")).append('|')
+          .append(w.acked.mkString("+")).append(',')
+          .append(w.trimDropped.mkString("+")).append(',')
+          .append(w.landedDrop.mkString("+")).append(',')
+          .append(w.ackedDrop.mkString("+")).append(',')
+          .append(w.pinVer).append(',').append(w.pinDl).append(',')
+          .append(w.pinAcked).append(',').append(w.everLapsed)
+          .append(',').append(w.released).append('|')
       }
       sb.toString
     }
@@ -161,11 +253,13 @@ object LeaseModelCheck {
       states: Long,
       violation: Option[(String, List[String])]) // (invariant, trace)
 
-  /** One atomic step of writer `id`. Mirrors ManifestIo.scala's
-    * withLock (lines ~770-900) and publishPointer (~945-1010); the
-    * comment on each case names the real statement it models.
+  /** Atomic successor states of actor `id` (usually one; a reader
+    * holding its pin branches between refresh and release). Mirrors
+    * ManifestIo.scala's withLock / publishPointer and
+    * IndexManifest.pinCurrent / expireVersions / gc; the comment on
+    * each case names the real statement it models.
     */
-  private def step(cfg: Config, st: State, id: Int): State = {
+  private def steps(cfg: Config, st: State, id: Int): Seq[State] = {
     val w = st.ws(id)
     val s = st.store
     def upd(w2: W, s2: Store = s): State =
@@ -174,6 +268,7 @@ object LeaseModelCheck {
     // flag set — the release itself is its own atomic step, exactly
     // like the real withLock finally block
     def lose(): State = upd(w.copy(pc = Release, rebasing = true))
+    val isTrim = cfg.isTrimRound(id, w.round)
     w.pc match {
       case AcqList =>
         // leaseGens + head liveness read (one snapshot): live head →
@@ -186,9 +281,9 @@ object LeaseModelCheck {
             case _ => false // RELEASED stub parses as no deadline
           }
         }
-        if (live) upd(w) // busy-poll; state unchanged → memo-pruned
-        else upd(w.copy(pc = AcqCreate,
-          next = gens.headOption.map(_._1).getOrElse(0) + 1))
+        if (live) Seq(upd(w)) // busy-poll; unchanged → memo-pruned
+        else Seq(upd(w.copy(pc = AcqCreate,
+          next = gens.headOption.map(_._1).getOrElse(0) + 1)))
       case AcqCreate =>
         // deadline stamp + conditional create of L<next>. The gap
         // between the LISTING that chose `next` (AcqList, arbitrarily
@@ -196,8 +291,9 @@ object LeaseModelCheck {
         // unbounded cold-JVM window of the r17 double-holder.
         val k = s"L${w.next}"
         if (w.next > cfg.maxGens) // generation bound: park, truncating
-          upd(w.copy(pc = Failed, holding = false, deadline = -1))
-        else if (s.contains(k)) upd(w.copy(pc = AcqList)) // racer took it
+          Seq(upd(w.copy(pc = Failed, holding = false, deadline = -1)))
+        else if (s.contains(k)) // racer took it
+          Seq(upd(w.copy(pc = AcqList)))
         else {
           val dl = cfg.ttl // now + TTL, relative
           // pre-fix protocols (claimVerify off) became holder right
@@ -205,12 +301,12 @@ object LeaseModelCheck {
           // verifies against a fresh listing first
           val stalePrunes = leaseGens(s).collect {
             case (g, kk) if g < w.next => kk }.toList
-          upd(w.copy(pc = if (cfg.knobs.claimVerify) AcqVerify
+          Seq(upd(w.copy(pc = if (cfg.knobs.claimVerify) AcqVerify
               else AcqPrune,
             deadline = dl,
             holding = !cfg.knobs.claimVerify,
             pruneQ = if (cfg.knobs.claimVerify) Nil else stalePrunes),
-            s.updated(k, s"H:$id:$dl"))
+            s.updated(k, s"H:$id:$dl")))
         }
       case AcqVerify =>
         // CLAIM VERIFY (the r17 recycled-generation fix): fresh
@@ -219,99 +315,197 @@ object LeaseModelCheck {
         val headGen = fresh.headOption.map(_._1).getOrElse(0)
         if (headGen > w.next || w.deadline <= cfg.margin) {
           // disown own claim as RELEASED, re-evaluate
-          upd(w.copy(pc = AcqList, holding = false, deadline = -1),
-            s.updated(s"L${w.next}", "R"))
+          Seq(upd(w.copy(pc = AcqList, holding = false, deadline = -1),
+            s.updated(s"L${w.next}", "R")))
         } else
-          upd(w.copy(pc = AcqPrune, holding = true,
+          Seq(upd(w.copy(pc = AcqPrune, holding = true,
             pruneQ = fresh.collect {
-              case (g, k) if g < w.next => k }.toList))
+              case (g, k) if g < w.next => k }.toList)))
       case AcqPrune =>
-        // prune superseded generations, one delete per step
+        // prune superseded generations, one delete per step; then the
+        // lock body begins — commit/trim scan for writers, pinCurrent
+        // for readers
         w.pruneQ match {
-          case k :: rest => upd(w.copy(pruneQ = rest), s - k)
-          case Nil => upd(w.copy(pc = Scan))
+          case k :: rest => Seq(upd(w.copy(pruneQ = rest), s - k))
+          case Nil => Seq(upd(w.copy(
+            pc = if (cfg.isReader(id)) PinRead else Scan)))
         }
       case Scan =>
         // readPointerForCommit: ONE listing feeds token (max seq) and
-        // lineage. The staged version dir (STAGE + COMMITTED markers,
-        // data) also materializes here — finalize happens inside the
-        // lock, before publish, in the real commitImpl.
+        // lineage. For a COMMIT, the staged version dir (STAGE +
+        // COMMITTED markers, data) also materializes here — finalize
+        // happens inside the lock, before publish, in the real
+        // commitImpl. For a TRIM (expireVersions) nothing is staged:
+        // the publish head is a PRE-EXISTING version, and the trim's
+        // would-be drops are recorded for the I4 check.
         val token = commitSeqs(s).headOption.getOrElse(0)
-        upd(w.copy(pc = Fence, token = token,
-          lineage = resolveLineage(s)),
-          s.updated(s"V${w.vid(id)}", "x"))
+        val lin = resolveLineage(s)
+        if (isTrim) {
+          if (lin.isEmpty)
+            // real expireVersions require()s a committed root —
+            // vacuous here, release and move on
+            Seq(upd(w.copy(pc = Release)))
+          else
+            Seq(upd(w.copy(pc = Fence, token = token, lineage = lin,
+              trimDropped = lin.drop(1))))
+        } else
+          Seq(upd(w.copy(pc = Fence, token = token, lineage = lin),
+            s.updated(s"V${w.vid(id)}", "x")))
       case Fence =>
         // publishPointer's lockStillHeld fence — its OWN step, so the
         // scheduler can stall arbitrarily long between the fence
         // passing and the create landing (the ambiguity window)
         if (cfg.knobs.fencePublish && !(w.deadline > cfg.margin))
-          lose()
-        else upd(w.copy(pc = PubCreate))
+          Seq(lose())
+        else Seq(upd(w.copy(pc = PubCreate)))
       case PubCreate =>
-        // conditional create of MANIFEST-(token+1) — the CAS
+        // conditional create of MANIFEST-(token+1) — the CAS. A trim
+        // publishes the TRUNCATED pre-existing lineage (keep=1); a
+        // commit prepends its fresh vid.
         val k = s"M${w.token + 1}"
-        if (s.contains(k)) lose()
-        else upd(w.copy(pc = PubVerify),
-          s.updated(k, (w.vid(id) :: w.lineage).mkString(",")))
+        val content =
+          if (isTrim) w.lineage.take(1)
+          else w.vid(id) :: w.lineage
+        if (s.contains(k)) Seq(lose())
+        else Seq(upd(w.copy(pc = PubVerify,
+          // a trim's truncation is RESOLVABLE from this instant: a
+          // successor may scan and carry it even if we later disown —
+          // record the drops as legitimately-intentional forever
+          landedDrop = if (isTrim) (w.trimDropped ::: w.landedDrop)
+            else w.landedDrop),
+          s.updated(k, content.mkString(","))))
       case PubVerify =>
-        // re-list: gap >= keep AND the current lineage does NOT carry
-        // us → recreate-of-a-pruned-name → disown; carried (or no
-        // gap) → success (ACK) and queue tail prunes
+        // re-list: gap >= keep AND NOT (head-is-new-claim AND the
+        // current lineage carries it) → recreate-of-a-pruned-name →
+        // disown. A COMMIT's head is its freshly-claimed vid, so
+        // containment is exact proof the publish landed first; a
+        // TRIM's head is a pre-existing version every successor
+        // carries regardless, so the shortcut is off
+        // (headIsNewClaim=false — ManifestIo.publishPointer) and a
+        // zombie trim must lose loudly. Knob trimNotCarried=false
+        // re-opens the r18 bug (trims taking the shortcut).
         val seqs = commitSeqs(s)
         val gap = seqs.headOption.exists(_ - (w.token + 1) >= cfg.keep)
-        val carried = resolveLineage(s).contains(w.vid(id))
-        if (cfg.knobs.readbackDisown && gap && !carried)
-          upd(w.copy(pc = Disown))
+        val headVid = if (isTrim) w.lineage.head else w.vid(id)
+        val carried = resolveLineage(s).contains(headVid)
+        val headIsNewClaim = if (isTrim) !cfg.knobs.trimNotCarried
+          else true
+        if (cfg.knobs.readbackDisown && gap &&
+            !(headIsNewClaim && carried))
+          Seq(upd(w.copy(pc = Disown)))
         else
-          upd(w.copy(pc = PubPrune,
-            acked = w.vid(id) :: w.acked,
-            pruneQ = seqs.drop(cfg.keep).map(x => s"M$x").toList))
+          Seq(upd(w.copy(pc = PubPrune,
+            acked = if (isTrim) w.acked else w.vid(id) :: w.acked,
+            ackedDrop = if (isTrim) w.trimDropped ::: w.ackedDrop
+              else w.ackedDrop,
+            pruneQ = seqs.drop(cfg.keep).map(x => s"M$x").toList)))
       case Disown =>
         // deleteIfExists of the never-resolvable commit file, then
-        // lose loudly (its own step: other writers can interleave
-        // between the delete and our release)
-        lose().copy(store = s - s"M${w.token + 1}")
+        // head for Release with the rebasing flag. The store delete
+        // and the pc advance are ONE step here although the real code
+        // has an interleavable gap between deleteIfExists and the
+        // withLock-finally release: the advance alone has no
+        // observable store effect (the release overwrite is still its
+        // own step below), so merging them loses no distinguishable
+        // interleaving.
+        Seq(lose().copy(store = s - s"M${w.token + 1}"))
       case PubPrune =>
         w.pruneQ match {
-          case k :: rest => upd(w.copy(pruneQ = rest), s - k)
-          case Nil => upd(w.copy(pc = GcSnap))
+          case k :: rest => Seq(upd(w.copy(pruneQ = rest), s - k))
+          case Nil => Seq(upd(w.copy(pc = GcSnap)))
         }
       case GcSnap =>
         // gc's snapshot (IndexManifest.gc): ONE scan feeds the
         // keep-set and the reap candidates; a zombie's snapshot can
         // be stale by the time its reaps run — the per-reap fence is
-        // what makes that safe
-        val keep = resolveLineage(s).toSet
-        upd(w.copy(pc = GcReap,
+        // what makes that safe. The scan also performs
+        // pinnedVersions's sweep: stale pin files (TTL lapsed) are
+        // reaped, LIVE pins' versions join the keep-set — the same
+        // single pass as the real code, under the same lock.
+        val stalePinKeys = s.keysIterator.filter { k =>
+          k.startsWith("P") && {
+            val v = s(k)
+            v.substring(v.lastIndexOf(':') + 1).toInt < 0
+          }
+        }.toList
+        val s2 = stalePinKeys.foldLeft(s)(_ - _)
+        val keep = resolveLineage(s2).toSet ++ livePins(s2).values
+        Seq(upd(w.copy(pc = GcReap,
           keepSet = keep,
-          pruneQ = s.keysIterator.collect {
+          pruneQ = s2.keysIterator.collect {
             case k if k.startsWith("V") && !keep.contains(k.drop(1)) =>
               k
-          }.toList.sorted))
+          }.toList.sorted), s2))
       case GcReap =>
         w.pruneQ match {
           case k :: rest =>
             // FENCED reap: every delete re-checks the lease
             // (lockStillHeld) — a lapsed holder skips
             val fenceOk = w.deadline > cfg.margin
-            upd(w.copy(pruneQ = rest),
-              if (fenceOk) s - k else s)
-          case Nil => upd(w.copy(pc = Release))
+            Seq(upd(w.copy(pruneQ = rest),
+              if (fenceOk) s - k else s))
+          case Nil => Seq(upd(w.copy(pc = Release)))
         }
+      case PinRead =>
+        // pinCurrent's current(root) under the lock: the lineage head
+        // is the version to pin; an empty root cannot be pinned
+        // (real code throws) — release and finish
+        resolveLineage(s).headOption match {
+          case None => Seq(upd(w.copy(pc = Release)))
+          case Some(v) =>
+            Seq(upd(w.copy(pc = PinWrite, pinVer = v)))
+        }
+      case PinWrite =>
+        // the pin file lands (writeString — unconditional, uuid name
+        // so never contended). With the PIN FENCE off, pinCurrent
+        // returns right here — the pre-fix shape
+        val s2 = s.updated(s"P$id", s"${w.pinVer}:${cfg.pinTtl}")
+        if (cfg.knobs.pinFence)
+          Seq(upd(w.copy(pc = PinFence, pinDl = cfg.pinTtl), s2))
+        else
+          Seq(upd(w.copy(pc = Release, pinDl = cfg.pinTtl,
+            pinAcked = true), s2))
+      case PinFence =>
+        // the post-write lease fence (IndexManifest.pinCurrent): still
+        // held ⇒ no takeover existed since the read — the pin stands
+        // and pinCurrent returns it; lapsed ⇒ delete the pin and
+        // rebase the whole acquisition
+        if (w.deadline > cfg.margin)
+          Seq(upd(w.copy(pc = Release, pinAcked = true)))
+        else
+          Seq(upd(w.copy(pc = Release, rebasing = true, pinVer = "",
+            pinDl = -1), s - s"P$id"))
+      case RdHold =>
+        // the reader holds its returned pin: it may REFRESH (reset the
+        // pin TTL — contract-valid only before a lapse; a refresh that
+        // finds the pin file reaped fails loudly in the real code, so
+        // the reader LEARNS protection is over) or RELEASE. Both
+        // interleave freely with writers' GC sweeps.
+        val refresh =
+          if (s.contains(s"P$id"))
+            upd(w.copy(pinDl = cfg.pinTtl),
+              s.updated(s"P$id", s"${w.pinVer}:${cfg.pinTtl}"))
+          else // reaped: loud IllegalStateException → reader stops
+            upd(w.copy(pc = Done, released = true))
+        val release =
+          upd(w.copy(pc = Done, released = true), s - s"P$id")
+        Seq(refresh, release)
       case Release =>
         val s2 = release(cfg, s, w)
         val base = w.copy(holding = false, rebasing = false,
           deadline = -1, next = 0, token = 0, lineage = Nil,
-          keepSet = Set.empty)
+          keepSet = Set.empty, trimDropped = Nil)
         val w2 =
           if (w.rebasing) {
             if (w.attempt + 1 >= cfg.maxAttempts)
               base.copy(pc = Failed)
             else base.copy(pc = AcqList, attempt = w.attempt + 1)
-          } else if (w.round + 1 >= cfg.rounds) base.copy(pc = Done)
+          } else if (cfg.isReader(id))
+            base.copy(pc = if (w.pinAcked) RdHold else Done)
+          else if (w.round + 1 >= cfg.roundsOf(id)) base.copy(pc = Done)
           else base.copy(pc = AcqList, round = w.round + 1, attempt = 0)
-        upd(w2, s2)
-      case _ => st
+        Seq(upd(w2, s2))
+      case _ => Seq(st)
     }
   }
 
@@ -325,24 +519,33 @@ object LeaseModelCheck {
   }
 
   /** The next time boundary as a DELTA from now: a holder's fence
-    * give-up (`d - margin`) or a lease lapse (`d + 1`). Ticking jumps
-    * straight to the nearest one — intermediate instants change no
-    * comparison, so they would only multiply states.
+    * give-up (`d - margin`), a lease lapse (`d + 1`), or a pin lapse
+    * (`d + 1`). Ticking jumps straight to the nearest one —
+    * intermediate instants change no comparison, so they would only
+    * multiply states.
     */
   private def nextTick(cfg: Config, st: State): Option[Int] = {
-    val deadlines =
+    val leaseDls =
       st.store.valuesIterator.collect {
         case v if v.startsWith("H:") => v.split(":")(2).toInt
       }.toSeq ++
         st.ws.collect { case w if w.holding => w.deadline }
-    val deltas = deadlines.flatMap(d =>
-      Seq(d - cfg.margin, d + 1)).filter(_ > 0)
+    val pinDls =
+      st.store.collect { case (k, v) if k.startsWith("P") =>
+        v.substring(v.lastIndexOf(':') + 1).toInt }.toSeq ++
+        st.ws.collect { case w if w.pinDl >= 0 => w.pinDl }
+    val deltas = leaseDls.flatMap(d =>
+      Seq(d - cfg.margin, d + 1)).filter(_ > 0) ++
+      pinDls.map(_ + 1).filter(_ > 0)
     if (deltas.isEmpty) None else Some(deltas.min)
   }
 
   /** Advance time by `delta`: every relative deadline decrements,
     * clamped at -1 (all sub-zero offsets are semantically identical —
-    * not live, not fence-true — so clamping merges them).
+    * not live, not fence-true — so clamping merges them). A reader
+    * whose HELD pin crosses below 0 here records the lapse
+    * (`everLapsed`): its I3 protection contractually ends at this
+    * boundary, whether or not GC ever sweeps the stale file.
     */
   private def applyTick(st: State, delta: Int): State = {
     def adj(d: Int): Int = math.max(-1, d - delta)
@@ -350,9 +553,18 @@ object LeaseModelCheck {
       case (k, v) if v.startsWith("H:") =>
         val p = v.split(":")
         (k, s"H:${p(1)}:${adj(p(2).toInt)}")
+      case (k, v) if k.startsWith("P") =>
+        val i = v.lastIndexOf(':')
+        (k, s"${v.substring(0, i)}:${adj(v.substring(i + 1).toInt)}")
       case kv => kv
     }
-    State(s2, st.ws.map(w => w.copy(deadline = adj(w.deadline))))
+    State(s2, st.ws.map { w =>
+      val lapsedNow = w.pinAcked && !w.released &&
+        w.pinDl >= 0 && adj(w.pinDl) < 0
+      w.copy(deadline = adj(w.deadline),
+        pinDl = if (w.pinDl >= 0) adj(w.pinDl) else w.pinDl,
+        everLapsed = w.everLapsed || lapsedNow)
+    })
   }
 
   private def checkInvariants(cfg: Config, st: State)
@@ -363,10 +575,23 @@ object LeaseModelCheck {
     if (fenceTrue > 1)
       return Some(s"single-holder violated: $fenceTrue fence-true " +
         "holders")
-    // I2: every acknowledged version stays materialized AND in the
-    // resolved lineage (model retains everything)
     val lineage = resolveLineage(st.store).toSet
-    for (w <- st.ws; v <- w.acked) {
+    // versions an ACKED trim dropped — the I4 subject
+    val trimmedAway = st.ws.iterator.flatMap(_.ackedDrop).toSet
+    // I2 exemption: every version whose truncation ever LANDED as a
+    // resolvable commit file. Wider than the acked set on purpose: a
+    // zombie trim's landed truncation can be scanned and carried by a
+    // successor's commit BEFORE the trim disowns — the trim then
+    // reports failure while its effect stands (failure-but-applied,
+    // the loud side of the ambiguity headIsNewClaim=false chooses;
+    // the reverse — applied-report-while-unresolvable — is the r18
+    // bug I4 guards). Either way the drop was the expireVersions
+    // caller's stated intent, so it is never a durable-lineage loss.
+    val exemptI2 = st.ws.iterator.flatMap(_.landedDrop).toSet
+    // I2: every acknowledged version stays materialized AND in the
+    // resolved lineage (model retains everything), unless a trim
+    // dropped it
+    for (w <- st.ws; v <- w.acked if !exemptI2.contains(v)) {
       if (!st.store.contains(s"V$v"))
         return Some(s"durable-lineage violated: acked $v's version " +
           "dir was reaped")
@@ -374,24 +599,119 @@ object LeaseModelCheck {
         return Some(s"durable-lineage violated: acked $v left the " +
           "resolved lineage")
     }
+    // I4: an acked trim is APPLIED — its dropped versions never
+    // resolve again (commits only prepend onto what they resolve, so
+    // a dropped version re-resolving means the trim's ack was false:
+    // the r18 zombie-trim bug)
+    val resurrected = trimmedAway.intersect(lineage)
+    if (resurrected.nonEmpty)
+      return Some("trim-soundness violated: acked trim's dropped " +
+        s"versions resolve again: ${resurrected.toSeq.sorted.mkString(",")}")
+    // I3: from the moment pinCurrent RETURNS until release or pin-TTL
+    // lapse, the pinned version stays materialized
+    for (w <- st.ws
+         if w.pinAcked && !w.released && !w.everLapsed) {
+      if (!st.store.contains(s"V${w.pinVer}"))
+        return Some("pin-readability violated: pinned version " +
+          s"${w.pinVer} was reaped while the pin was live")
+    }
     None
   }
 
-  /** Exhaustive DFS with state memoization. Invariants are checked
-    * at EVERY reachable state; the first violation returns its
-    * schedule (step labels, oldest first).
+  // ---------- symmetry reduction ----------
+
+  /** Within-class id permutations: committing writers are mutually
+    * interchangeable (the trimmer, whose program differs, is its own
+    * class), readers likewise. Identity excluded.
+    */
+  private def permutations(cfg: Config): Seq[Array[Int]] = {
+    val committers =
+      (0 until (if (cfg.trim) cfg.writers - 1 else cfg.writers)).toList
+    val readers = (cfg.writers until cfg.actors).toList
+    def perms(xs: List[Int]): Seq[Map[Int, Int]] =
+      xs.permutations.map(p => xs.zip(p).toMap).toSeq
+    val all = for {
+      pw <- perms(committers)
+      pr <- perms(readers)
+    } yield {
+      val m = pw ++ pr
+      Array.tabulate(cfg.actors)(i => m.getOrElse(i, i))
+    }
+    all.filterNot(_.zipWithIndex.forall { case (v, i) => v == i })
+  }
+
+  private def renameVid(v: String, perm: Array[Int]): String =
+    if (v.nonEmpty && v.charAt(0) == 'w') {
+      val dash = v.indexOf('-')
+      if (dash > 1) {
+        val id = v.substring(1, dash)
+        if (id.forall(_.isDigit)) {
+          val i = id.toInt
+          if (i < perm.length) s"w${perm(i)}${v.substring(dash)}" else v
+        } else v
+      } else v
+    } else v
+
+  private def renameState(st: State, perm: Array[Int]): State = {
+    def rv(v: String): String = renameVid(v, perm)
+    val s2: Store = st.store.map {
+      case (k, v) if k.startsWith("V") =>
+        ("V" + rv(k.drop(1)), v)
+      case (k, v) if k.startsWith("P") =>
+        val id = k.drop(1).toInt
+        val i = v.lastIndexOf(':')
+        (s"P${perm(id)}", s"${rv(v.substring(0, i))}${v.substring(i)}")
+      case (k, v) if k.startsWith("M") =>
+        (k, v.split(",").filter(_.nonEmpty).map(rv).mkString(","))
+      case (k, v) if v.startsWith("H:") =>
+        val p = v.split(":")
+        (k, s"H:${perm(p(1).toInt)}:${p(2)}")
+      case kv => kv
+    }
+    val ws2 = Vector.tabulate(st.ws.length) { newId =>
+      val oldId = perm.indexOf(newId)
+      val w = st.ws(oldId)
+      w.copy(
+        lineage = w.lineage.map(rv),
+        pruneQ = w.pruneQ.map(k =>
+          if (k.startsWith("V")) "V" + rv(k.drop(1)) else k),
+        keepSet = w.keepSet.map(rv),
+        acked = w.acked.map(rv),
+        trimDropped = w.trimDropped.map(rv),
+        landedDrop = w.landedDrop.map(rv),
+        ackedDrop = w.ackedDrop.map(rv),
+        pinVer = rv(w.pinVer))
+    }
+    State(s2, ws2)
+  }
+
+  /** The memoization key: lexicographic minimum over all within-class
+    * id permutations. Safety invariants are permutation-invariant, so
+    * pruning a state whose canonical twin was visited is sound.
+    */
+  private def canonicalKey(perms: Seq[Array[Int]], st: State): String =
+    if (perms.isEmpty) st.key
+    else perms.foldLeft(st.key) { (best, p) =>
+      val k = renameState(st, p).key
+      if (k < best) k else best
+    }
+
+  /** Exhaustive DFS with canonical-state memoization. Invariants are
+    * checked at EVERY reachable state; the first violation returns
+    * its schedule (step labels, oldest first).
     */
   def explore(cfg: Config): Result = {
     val init = State(Map.empty,
-      Vector.tabulate(cfg.writers)(_ => W(AcqList, 0, 0, 0, -1,
+      Vector.tabulate(cfg.actors)(_ => W(AcqList, 0, 0, 0, -1,
         holding = false, rebasing = false, 0, Nil, Nil, Set.empty,
         Nil)))
+    val perms = if (cfg.symmetry) permutations(cfg) else Seq.empty
     val visited = new java.util.HashSet[String]()
     var states = 0L
     // explicit stack of (state, trace)
     val stack = new java.util.ArrayDeque[(State, List[String])]()
     stack.push((init, Nil))
-    visited.add(init.key): Unit
+    visited.add(canonicalKey(perms, init)): Unit
     while (!stack.isEmpty) {
       val (st, trace) = stack.pop()
       states += 1
@@ -405,19 +725,20 @@ object LeaseModelCheck {
         case Some(v) => return Result(states, Some((v, trace.reverse)))
         case None =>
       }
-      // successor: step each live writer
-      for (id <- 0 until cfg.writers) {
+      // successor: step each live actor (a step may branch)
+      for (id <- 0 until cfg.actors) {
         val pc = st.ws(id).pc
         if (pc != Done && pc != Failed) {
-          val nxt = step(cfg, st, id)
-          if (visited.add(nxt.key))
-            stack.push((nxt, s"w$id@pc$pc" :: trace))
+          for (nxt <- steps(cfg, st, id)) {
+            if (visited.add(canonicalKey(perms, nxt)))
+              stack.push((nxt, s"w$id@pc$pc" :: trace))
+          }
         }
       }
       // successor: time jump to the next deadline boundary
       nextTick(cfg, st).foreach { d =>
         val nxt = applyTick(st, d)
-        if (visited.add(nxt.key))
+        if (visited.add(canonicalKey(perms, nxt)))
           stack.push((nxt, s"tick+$d" :: trace))
       }
     }
@@ -425,30 +746,46 @@ object LeaseModelCheck {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length == 1 && !args(0).startsWith("off=")) {
+    val KnownKnobs = Set("claimVerify", "releaseOverwrite",
+      "fencePublish", "readbackDisown", "trimNotCarried", "pinFence")
+    val KnownFlags = Set("trim", "nosym")
+    def usage(): Nothing = {
       System.err.println("usage: LeaseModelCheck [writers rounds " +
-        "[keep] [ttl] [attempts] [maxGens] [off=knob,knob]] — knobs: " +
-        "claimVerify releaseOverwrite fencePublish readbackDisown; " +
-        "no args = standard configs")
+        "[keep] [ttl] [attempts] [maxGens]] [off=knob,knob] [trim] " +
+        "[trimmerRounds=N] [readers=N] [pinTtl=N] [nosym] — knobs: " +
+        KnownKnobs.toSeq.sorted.mkString(" ") +
+        "; no args = standard configs")
       sys.exit(2)
     }
     val configs =
       if (args.nonEmpty) {
-        val KnownKnobs = Set("claimVerify", "releaseOverwrite",
-          "fencePublish", "readbackDisown")
         val off = args.filter(_.startsWith("off="))
           .flatMap(_.stripPrefix("off=").split(",")).toSet
-        val unknown = off -- KnownKnobs
-        val pos = args.filterNot(_.startsWith("off="))
+        val kv = args.collect {
+          case a if a.contains('=') && !a.startsWith("off=") =>
+            val Array(k, v) = a.split("=", 2); (k, v)
+        }.toMap
+        val flags = args.filter(a => !a.contains('=')
+          && !a.forall(_.isDigit)).toSet
+        val pos = args.filter(_.forall(_.isDigit))
+        val unknownKnobs = off -- KnownKnobs
+        val unknownFlags = flags -- KnownFlags
+        val unknownKv = kv.keySet --
+          Set("trimmerRounds", "readers", "pinTtl")
         // a typo'd knob must not silently explore the fully-fixed
         // model and report a clean "negative control"
-        if (unknown.nonEmpty || pos.length < 2) {
-          System.err.println(
-            if (unknown.nonEmpty)
-              s"unknown knob(s): ${unknown.mkString(",")} — known: " +
-                KnownKnobs.toSeq.sorted.mkString(",")
-            else "need at least <writers> <rounds>")
-          sys.exit(2)
+        if (unknownKnobs.nonEmpty || unknownFlags.nonEmpty ||
+            unknownKv.nonEmpty || pos.length < 2) {
+          if (unknownKnobs.nonEmpty)
+            System.err.println(
+              s"unknown knob(s): ${unknownKnobs.mkString(",")}")
+          if (unknownFlags.nonEmpty)
+            System.err.println(
+              s"unknown flag(s): ${unknownFlags.mkString(",")}")
+          if (unknownKv.nonEmpty)
+            System.err.println(
+              s"unknown option(s): ${unknownKv.mkString(",")}")
+          usage()
         }
         Seq((args.mkString("_"), Config(
           writers = pos(0).toInt,
@@ -457,20 +794,37 @@ object LeaseModelCheck {
           ttl = if (pos.length > 3) pos(3).toInt else 4,
           maxAttempts = if (pos.length > 4) pos(4).toInt else 2,
           maxGens = if (pos.length > 5) pos(5).toInt else 6,
+          trim = flags("trim"),
+          trimmerRounds = kv.get("trimmerRounds").map(_.toInt)
+            .getOrElse(-1),
+          readers = kv.get("readers").map(_.toInt).getOrElse(0),
+          pinTtl = kv.get("pinTtl").map(_.toInt).getOrElse(4),
+          symmetry = !flags("nosym"),
           knobs = Knobs(
             claimVerify = !off("claimVerify"),
             releaseOverwrite = !off("releaseOverwrite"),
             fencePublish = !off("fencePublish"),
-            readbackDisown = !off("readbackDisown")))))
+            readbackDisown = !off("readbackDisown"),
+            trimNotCarried = !off("trimNotCarried"),
+            pinFence = !off("pinFence")))))
       }
       else Seq(
         ("2w1r", Config(writers = 2, rounds = 1)),
         ("2w2r", Config(writers = 2, rounds = 2)),
-        // three-way contention: rebases off and a tighter generation
-        // bound keep the space tractable; acquisition/lease races
-        // need no rebase to manifest
-        ("3w1r", Config(writers = 3, rounds = 1, maxAttempts = 1,
-          maxGens = 5)))
+        // three-way contention WITH rebases — converges under the
+        // writer-symmetry reduction (pre-reduction this blew the
+        // budget and ran with maxAttempts=1)
+        ("3w1r_rebase", Config(writers = 3, rounds = 1,
+          maxAttempts = 2, maxGens = 6)),
+        // the retention-trim verb: one committer (4 rounds, keep=1 so
+        // prune-recreates are reachable) + a pure trimmer
+        ("trim", Config(writers = 2, rounds = 4, trimmerRounds = 1,
+          trim = true, keep = 1, maxGens = 8)),
+        // the reader-pin protocol: commits + a trim (so versions
+        // actually leave the lineage and GC has something to reap)
+        // + one pinning reader
+        ("1w3r_trim_1reader", Config(writers = 1, rounds = 3,
+          trim = true, readers = 1, maxGens = 7)))
     configs.foreach { case (name, cfg) =>
       val t0 = System.nanoTime()
       val r = explore(cfg)

@@ -17,17 +17,29 @@ class LeaseModelCheckSpec extends AnyFunSuite {
   import LeaseModelCheck._
 
   test("FULL protocol, 2 writers x 1 round: every reachable state " +
-      "satisfies single-holder and durable-lineage (exhaustive)") {
+      "satisfies single-holder and durable-lineage (exhaustive, " +
+      "symmetry-reduced)") {
     val r = explore(Config(writers = 2, rounds = 1))
     assert(r.violation.isEmpty, s"violation: ${r.violation}")
-    assert(r.states > 100000, s"suspiciously small space: ${r.states}")
+    assert(r.states > 80000, s"suspiciously small space: ${r.states}")
   }
 
   test("FULL protocol, 2 writers x 2 rounds (rebases, pruning, gc " +
       "across rounds): exhaustively safe") {
     val r = explore(Config(writers = 2, rounds = 2))
     assert(r.violation.isEmpty, s"violation: ${r.violation}")
-    assert(r.states > 1000000, s"suspiciously small space: ${r.states}")
+    assert(r.states > 800000, s"suspiciously small space: ${r.states}")
+  }
+
+  test("SYMMETRY reduction is sound on a config the unreduced " +
+      "explorer also finishes: same verdict, strictly fewer states") {
+    val reduced = explore(Config(writers = 2, rounds = 1))
+    val full = explore(Config(writers = 2, rounds = 1,
+      symmetry = false))
+    assert(reduced.violation.isEmpty && full.violation.isEmpty)
+    assert(reduced.states < full.states,
+      s"reduction did not shrink the space: ${reduced.states} vs " +
+        s"${full.states}")
   }
 
   test("NEGATIVE control — claim verification off re-admits the r17 " +
@@ -79,6 +91,64 @@ class LeaseModelCheckSpec extends AnyFunSuite {
     assert(r.violation.nonEmpty &&
       r.violation.get._1.contains("durable-lineage"),
       s"explorer missed the zombie-publish-vs-live-holder-gc race " +
+        s"(${r.states} states): ${r.violation}")
+  }
+
+  // trim config small enough for the suite: one committer (3 rounds,
+  // keep=1 so prune-recreates are reachable) + a pure trimmer. The
+  // deeper 2w(4r)+trimmer config is part of the main's standard runs.
+  private val trimCfg = Config(writers = 2, rounds = 3,
+    trimmerRounds = 1, trim = true, keep = 1, maxGens = 8)
+
+  test("TRIM verb (expireVersions), full protocol: trims interleaved " +
+      "with commits, zombie trims, prune-recreates — exhaustively " +
+      "safe, including trim-soundness (an acked trim is applied) and " +
+      "durable-lineage with trim-dropped versions exempted") {
+    val r = explore(trimCfg)
+    assert(r.violation.isEmpty, s"violation: ${r.violation}")
+    assert(r.states > 100000, s"suspiciously small space: ${r.states}")
+  }
+
+  test("NEGATIVE control — trims taking the carried-success shortcut " +
+      "(headIsNewClaim=true for trims) re-admit the r18 zombie-trim " +
+      "false success: a stalled trim's recreate-of-a-pruned-name acks " +
+      "'applied' while the resolved lineage still carries every " +
+      "version it claimed to drop — the explorer must find it") {
+    // the 4-round committer depth is what makes the schedule
+    // reachable: the trim's computed name must be published AND
+    // pruned by successors before the zombie's create lands
+    val r = explore(Config(writers = 2, rounds = 4, trimmerRounds = 1,
+      trim = true, keep = 1, maxGens = 8,
+      knobs = Knobs(trimNotCarried = false)))
+    assert(r.violation.nonEmpty &&
+      r.violation.get._1.contains("trim-soundness"),
+      s"explorer missed the zombie-trim false success " +
+        s"(${r.states} states): ${r.violation}")
+  }
+
+  // reader config: commits + a trim (so versions actually leave the
+  // lineage and GC has something to reap) + one pinning reader
+  private val readerCfg = Config(writers = 1, rounds = 3, trim = true,
+    readers = 1, maxGens = 7)
+
+  test("READER-PIN protocol, full: pinCurrent (lease + pin write + " +
+      "pin fence) vs commits, trims, GC reaps and pin-TTL expiry — " +
+      "exhaustively safe: a version resolvable at pin time stays " +
+      "materialized from pinCurrent's return until release or lapse") {
+    val r = explore(readerCfg)
+    assert(r.violation.isEmpty, s"violation: ${r.violation}")
+    assert(r.states > 1000000, s"suspiciously small space: ${r.states}")
+  }
+
+  test("NEGATIVE control — pin fence off re-admits the zombie " +
+      "pinner: a reader stalled past its lease TTL between resolving " +
+      "current and the pin write pins a version a takeover's trim+GC " +
+      "already reaped, then hands out a dead pin — the explorer must " +
+      "find the pin-readability violation") {
+    val r = explore(readerCfg.copy(knobs = Knobs(pinFence = false)))
+    assert(r.violation.nonEmpty &&
+      r.violation.get._1.contains("pin-readability"),
+      s"explorer missed the zombie-pinner race " +
         s"(${r.states} states): ${r.violation}")
   }
 }
