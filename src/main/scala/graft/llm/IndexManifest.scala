@@ -887,13 +887,28 @@ object IndexManifest {
     // its stale keep-set never saw. Skipping is always safe: garbage
     // costs storage until the next commit's GC, a wrong reap loses a
     // live version.
+    // BEST-EFFORT per reap, matching the fence's philosophy: skipping
+    // is always safe (garbage costs storage until the next commit's
+    // GC re-collects it), so a store-throttled rmTree must not fail
+    // the commit/expiry verb that triggered this sweep — especially
+    // not AFTER its publish already landed
     def reap(n: String): Unit =
       if (io.lockStillHeld(root)) {
         if (sys.props.contains("graft.debug.gc"))
           System.err.println(s"[gc-reap] $root/$n keep=$keep " +
             s"live=$liveStages dead=$deadStages " +
             s"versions=$versionDirs t=${System.currentTimeMillis()}")
-        io.rmTree(s"$root/$n")
+        try io.rmTree(s"$root/$n")
+        catch {
+          case _: java.io.IOException =>
+            try io.rmTree(s"$root/$n") // one inline retry (SDK shape)
+            catch {
+              case e: java.io.IOException =>
+                System.err.println(s"[gc] transient reap failure on " +
+                  s"$root/$n (${e.getMessage}) — skipped, " +
+                  "re-collected by the next gc pass")
+            }
+        }
       }
     versionDirs.filterNot(keep.contains)
       .foreach(reap)
@@ -917,7 +932,8 @@ object IndexManifest {
       .foreach { n =>
         val p = s"$root/$n"
         if (io.mtime(p) < cutoff && io.lockStillHeld(root))
-          io.deleteIfExists(p)
+          try io.deleteIfExists(p)
+          catch { case _: java.io.IOException => () } // litter; retried
       }
   }
 

@@ -931,9 +931,18 @@ private[graft] object HadoopManifestIo extends ManifestIo {
               // expired zombies, the legacy plain lock. Re-claims of
               // pruned names are disowned by the verify above, and
               // our file persists as the floor until a HIGHER
-              // generation supersedes it.
+              // generation supersedes it. BEST-EFFORT per delete
+              // (one inline retry, then skip): this is litter
+              // control — head resolution reads only the max
+              // generation, so a store-throttled delete must not
+              // fail a WON acquisition (the transient-fault nemesis
+              // showed that failing here orphans the fresh holder
+              // lease and burns a generation per retry); lingering
+              // stubs are re-pruned by later takeovers.
               fresh.filter(_._1 < next)
-                .foreach { case (_, n) => deleteIfExists(s"$root/$n") }
+                .foreach { case (_, n) =>
+                  bestEffortDelete(s"$root/$n")
+                }
             }
           } // else a racer took this generation — re-evaluate its liveness
         }
@@ -1087,10 +1096,30 @@ private[graft] object HadoopManifestIo extends ManifestIo {
       }
     }
     // prune superseded commit files (readers resolve the max; keep a
-    // tail for scans that listed just before this publish)
+    // tail for scans that listed just before this publish).
+    // BEST-EFFORT per delete (one inline retry, then skip): the
+    // publish above is already durable — a store-throttled tail
+    // delete must not turn a LANDED commit into a reported failure
+    // (the caller would have to run the landed-check recovery for
+    // what is only litter); a skipped name is re-pruned by the next
+    // publish's drop(KeepCommitFiles).
     after.drop(KeepCommitFiles)
-      .foreach { case (_, n) => deleteIfExists(s"$root/$n") }
+      .foreach { case (_, n) => bestEffortDelete(s"$root/$n") }
   }
+
+  /** Litter-control delete: one inline retry on a transient store
+    * error (the SDK-retry shape a throttled DELETE gets in real
+    * deployments), then SKIP — never fail the protocol verb over
+    * cosmetic cleanup. Certified by the nemesis hostile loop, which
+    * bounds the commit tail under once-per-key fault injection.
+    */
+  private def bestEffortDelete(path: String): Unit =
+    try deleteIfExists(path)
+    catch {
+      case _: java.io.IOException =>
+        try deleteIfExists(path)
+        catch { case _: java.io.IOException => () }
+    }
 
   /** Stage marker claiming a version dir (`v<N>/STAGE`). PERSISTS for
     * the dir's whole life — it is the claimed-exactly-once token.

@@ -60,27 +60,76 @@ object CommitStorm {
           Thread.sleep(HadoopManifestIo.LeaseTtlMs * 2 + 200)
         }
     }
+    // Transient-fault nemesis support (-Dgraft.storm.retryTransient):
+    // under injected store throttling (MockS3FileSystem's
+    // transientFaults) any protocol statement can fail LOUDLY with a
+    // plain IOException. The recovery recipe an operator (or an SDK's
+    // retry layer) runs is encoded here and certified by the nemesis
+    // hostile loop, at the granularity real clients retry:
+    //
+    //   - idempotent statements (stage, artifact writes, reads)
+    //     simply retry — the protocol's conditional creates make
+    //     stage() converge on the same reservation;
+    //   - commit() is NOT blindly retriable: a fault AFTER the
+    //     publish (post-publish GC, prunes) leaves the commit
+    //     durable, so the landed check runs FIRST and only a
+    //     not-landed commit is retried — with the SAME staged version
+    //     (finalizeVersion is replay-idempotent by design). Blind
+    //     whole-round re-driving would double-apply post-publish
+    //     faults and livelock under per-key fault injection.
+    val retryTransient = sys.props.get("graft.storm.retryTransient")
+      .exists(_ == "true")
+    def retryIO[T](what: String)(body: => T): T = {
+      var i = 0
+      while (true) {
+        try return body
+        catch {
+          case e: java.io.IOException if retryTransient && i < 100 =>
+            i += 1
+            println(s"[storm] $tag transient fault in $what " +
+              s"(${e.getMessage}) — retrying")
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+    def landedCheck(v: String): Boolean =
+      retryIO("landed-check")(IndexManifest.history(root).contains(v))
     (0 until rounds).foreach { j =>
       var landed: String = null
       var staged: String = null
       while (landed == null) {
-        val (v, dir) = IndexManifest.stage(root)
+        val (v, dir) = retryIO("stage")(IndexManifest.stage(root))
         staged = v
         // schemed roots write the artifact through the store's own IO
         // (a mock-s3 root has no local path to reach around to);
         // plain posix roots keep the raw nio write
-        if (isSchemed(dir))
-          HadoopManifestIo.writeString(s"$dir/data", s"$tag-round-$j")
-        else java.nio.file.Files.writeString(
-          localPath(dir).resolve("data"), s"$tag-round-$j"): Unit
+        retryIO("write") {
+          if (isSchemed(dir))
+            HadoopManifestIo.writeString(s"$dir/data", s"$tag-round-$j")
+          else java.nio.file.Files.writeString(
+            localPath(dir).resolve("data"), s"$tag-round-$j"): Unit
+        }
         // retain everything: the parent asserts NO committed version
         // was lost from the lineage by any concurrently racing process
-        try landed = IndexManifest.commit(root, v, retain = 1000)
-        catch {
-          case _: ConcurrentCommitException =>
-            // a zombie stall lost to its takeover (or a CAS race):
-            // the loud-loss contract — rebase and re-drive the round
-            println(s"[storm] $tag round $j lost the race as $v — rebasing")
+        var committing = true
+        while (committing && landed == null) {
+          try landed = IndexManifest.commit(root, v, retain = 1000)
+          catch {
+            case _: ConcurrentCommitException =>
+              // a zombie stall lost to its takeover (or a CAS race):
+              // the loud-loss contract — rebase and re-drive the round
+              println(s"[storm] $tag round $j lost the race as $v " +
+                "— rebasing")
+              committing = false
+            case e: java.io.IOException if retryTransient =>
+              println(s"[storm] $tag round $j transient fault in " +
+                s"commit (${e.getMessage}) — checking whether it landed")
+              if (landedCheck(v)) {
+                landed = v
+                println(s"[storm] $tag round $j landed despite the " +
+                  "fault (post-publish)")
+              } // else: not landed — retry the commit, same version
+          }
         }
       }
       println(s"[storm] $tag committed $landed (round $j)" +

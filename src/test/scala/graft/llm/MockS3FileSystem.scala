@@ -126,7 +126,10 @@ class MockS3FileSystem extends FileSystem {
     }
   }
 
-  override def getFileStatus(f: Path): FileStatus = status(f)
+  override def getFileStatus(f: Path): FileStatus = {
+    MockS3FileSystem.maybeFault("stat", key(f))
+    status(f)
+  }
 
   override def listStatus(f: Path): Array[FileStatus] = {
     // S3 LIST semantics: a page never errors on concurrent deletes —
@@ -134,6 +137,7 @@ class MockS3FileSystem extends FileSystem {
     // out of the result, so stat failures on enumerated children are
     // skipped, and a prefix that vanishes under the listing reads as
     // the empty page it now is
+    MockS3FileSystem.maybeFault("list", key(f))
     val b = backing(f)
     if (Files.isRegularFile(b)) Array(status(f))
     else if (Files.isDirectory(b)) {
@@ -165,6 +169,7 @@ class MockS3FileSystem extends FileSystem {
   }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    MockS3FileSystem.maybeFault("get", key(f))
     val b = backing(f)
     try new FSDataInputStream(new SeekableBytes(Files.readAllBytes(b)))
     catch {
@@ -214,6 +219,9 @@ class MockS3FileSystem extends FileSystem {
   override def create(f: Path, permission: FsPermission,
       overwrite: Boolean, bufferSize: Int, replication: Short,
       blockSize: Long, progress: Progressable): FSDataOutputStream = {
+    // faulted at create(), never at close(): the PUT must stay
+    // all-or-nothing — a faulted create is cleanly not-started
+    MockS3FileSystem.maybeFault("put", key(f))
     val dst = backing(f)
     if (Files.isDirectory(dst))
       throw new FileAlreadyExistsException(s"mocks3: $f is a prefix")
@@ -308,6 +316,7 @@ class MockS3FileSystem extends FileSystem {
   }
 
   override def delete(f: Path, recursive: Boolean): Boolean = {
+    MockS3FileSystem.maybeFault("delete", key(f))
     val b = backing(f)
     if (!Files.exists(b)) false
     else if (Files.isDirectory(b)) {
@@ -336,6 +345,7 @@ class MockS3FileSystem extends FileSystem {
 
   override def setTimes(f: Path, mtime: Long, atime: Long): Unit = {
     // S3's COPY-onto-itself metadata refresh: works on objects only
+    MockS3FileSystem.maybeFault("touch", key(f))
     val b = backing(f)
     try {
       if (mtime >= 0)
@@ -404,4 +414,30 @@ object MockS3FileSystem {
     */
   @volatile var allowCopyRename: Boolean =
     sys.props.get("mocks3.allowCopyRename").exists(_ == "true")
+
+  /** TRANSIENT-FAULT NEMESIS (`-Dmocks3.transientFaults=true`): every
+    * distinct (operation, key) pair throws ONE plain `IOException` —
+    * the S3 throttling / 5xx shape — BEFORE the operation applies,
+    * then succeeds on retry. Deterministic (once per pair per JVM),
+    * so a faulted run still terminates and its verification is
+    * reproducible. The protocol's stated contract under this nemesis
+    * (`ManifestIo` bridge contract): transient reads re-poll inside
+    * the lease patience window, every mutate either succeeds or fails
+    * LOUDLY, lineage never corrupts, no silent lost update — and a
+    * plain IOException is never treated as a lost race (only
+    * FileAlreadyExists is). Faults are injected before the op applies,
+    * never between apply and ack, so a faulted op is cleanly NOT
+    * DONE — the indeterminate-PUT shape is out of scope here and
+    * covered by the publish ambiguity-window failpoints instead.
+    */
+  @volatile var transientFaults: Boolean =
+    sys.props.get("mocks3.transientFaults").exists(_ == "true")
+
+  private val faulted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[llm] def maybeFault(op: String, key: String): Unit =
+    if (transientFaults && faulted.add(s"$op:$key"))
+      throw new IOException(
+        s"mocks3: injected transient fault ($op $key) — retry")
 }

@@ -17,9 +17,20 @@ Modes:
             arbitrated at close(), no rename; requires test-classes on
             the classpath and the trustConditionalCreate opt-in, both
             wired here)
+  nemesis — mocks3 plus TRANSIENT-FAULT injection: every distinct
+            (op, key) throws one plain IOException before the op
+            applies (-Dmocks3.transientFaults). Storm JVMs run the
+            documented recovery recipe (-Dgraft.storm.retryTransient:
+            on a loud commit fault, check whether the version landed —
+            post-publish faults leave it durable — else re-drive), so
+            the FULL completeness verification still applies: under
+            throttling, every mutate either succeeds or fails loudly
+            and converges on retry, lineage never corrupts, no silent
+            lost update, no double-apply. The iteration additionally
+            asserts faults actually fired.
 
 Usage:
-  python3 tools/hostile_loop.py <file|mocks3> <iterations>
+  python3 tools/hostile_loop.py <file|mocks3|nemesis> <iterations>
       [rounds=8] [ttl_ms=700] [stall_every=5] [spinners=24]
 
 This is how round 17 caught the recycled-generation double-holder and
@@ -59,9 +70,12 @@ def storm_procs(mode, root, backing_base, rounds, ttl, stall_every):
         cmd = [os.path.join(os.environ.get("JAVA_HOME", "/usr"),
                             "bin", "java"),
                "-cp", cp]
-        if mode == "mocks3":
+        if mode in ("mocks3", "nemesis"):
             cmd += ["-Dspark.graft.manifest.trustConditionalCreate=true",
                     f"-Dmocks3.backing={backing_base}"]
+        if mode == "nemesis":
+            cmd += ["-Dmocks3.transientFaults=true",
+                    "-Dgraft.storm.retryTransient=true"]
         cmd += ["graft.tools.CommitStorm", root, f"p{w}",
                 str(rounds), str(ttl), str(stall_every)]
         procs.append((subprocess.Popen(cmd, stdout=log, stderr=log),
@@ -104,11 +118,13 @@ def main():
     ttl = int(sys.argv[4]) if len(sys.argv) > 4 else 700
     stall_every = int(sys.argv[5]) if len(sys.argv) > 5 else 5
     n_spin = int(sys.argv[6]) if len(sys.argv) > 6 else 24
-    assert mode in ("file", "mocks3")
+    assert mode in ("file", "mocks3", "nemesis")
     base = tempfile.mkdtemp(prefix=f"hostile_{mode}_")
     spinners = spawn_spinners(n_spin)
     stalls = 0
     rebases = 0
+    faults = 0
+    procs = []
     try:
         for it in range(iterations):
             tag = f"it{it}-{uuid.uuid4().hex[:6]}"
@@ -132,16 +148,39 @@ def main():
             all_logs = "".join(logs)
             stalls += all_logs.count("stalling past the lease TTL")
             rebases += all_logs.count("rebasing")
+            it_faults = all_logs.count("injected transient fault")
+            faults += it_faults
+            if mode == "nemesis":
+                assert it_faults > 0, \
+                    "nemesis iteration injected no faults — the " \
+                    "nemesis is not armed"
+            for _, logname in procs:
+                os.unlink(logname)
+            procs = []
             print(json.dumps({
                 "iter": it, "ok": True, "wall_s": round(time.time() - t0, 1),
-                "stalls": stalls, "rebases": rebases}), flush=True)
+                "stalls": stalls, "rebases": rebases, "faults": faults}),
+                flush=True)
             shutil.rmtree(os.path.join(base, tag), ignore_errors=True)
         print(json.dumps({
             "mode": mode, "iterations": iterations, "rounds": rounds,
             "ttl_ms": ttl, "stall_every": stall_every,
             "spinners": n_spin, "total_stalls": stalls,
-            "total_rebases": rebases, "result": "CLEAN"}), flush=True)
+            "total_rebases": rebases, "total_faults": faults,
+            "result": "CLEAN"}), flush=True)
     finally:
+        # a failed assertion must not leave storm JVMs mutating the
+        # shared backing dir behind the report, nor leak their logs
+        for p, logname in procs:
+            try:
+                p.kill()
+                p.wait(timeout=30)
+            except Exception:
+                pass
+            try:
+                os.unlink(logname)
+            except OSError:
+                pass
         for s in spinners:
             s.kill()
         shutil.rmtree(base, ignore_errors=True)
