@@ -802,9 +802,12 @@ object IndexManifest {
     // marker-stats each, and this runs under the commit lock
     val (versionDirs, stageDirs, rootFiles) =
       io.classifiedRootListing(root)
-    // stages that survived THIS pass solely via the no-signal rule —
-    // everything else's counter is evicted below
-    val unknownSurvivors = scala.collection.mutable.Set[String]()
+    // stages that ENTERED the no-signal branch this pass (survivors
+    // AND grace-expired ones — an expired stage whose reap the lease
+    // fence then skips must keep its firstSeen, or the next pass
+    // would restart its grace window); everything else's counter is
+    // evicted below
+    val unknownSeen = scala.collection.mutable.Set[String]()
     val (liveStages, deadStages) =
       stageDirs.partition { n =>
         val p = s"$root/$n"
@@ -839,13 +842,13 @@ object IndexManifest {
             // then reaped — bounded storage, never a permanent leak.
             val s = unknownMtimeSurvivals.computeIfAbsent(p,
               _ => new UnknownSurvival(now))
+            unknownSeen += p
             val expired = now - s.firstSeen > UnknownMtimeGraceMs
             if (expired)
               System.err.println(s"[gc] stage $p carried no readable " +
                 s"liveness signal for ${now - s.firstSeen} ms — past " +
                 s"UnknownMtimeGraceMs ($UnknownMtimeGraceMs), reaping")
             else {
-              unknownSurvivors += p
               val c = s.count.incrementAndGet()
               if ((c & (c - 1)) == 0L) // powers of two: 1, 2, 4, 8, …
                 System.err.println(s"[gc] stage $p survives via the " +
@@ -859,15 +862,15 @@ object IndexManifest {
           }
         }
       }
-    // evict counters whose stage no longer survives via the rule —
-    // reaped below, committed away, or now carrying a readable signal
+    // evict counters whose stage left the no-signal rule — reaped,
+    // committed away, or now carrying a readable signal
     locally {
       val it = unknownMtimeSurvivals.keySet().iterator()
       val prefix = s"$root/"
       while (it.hasNext) {
         val k = it.next()
         if (k.startsWith(prefix) && !k.stripPrefix(prefix).contains('/')
-            && !unknownSurvivors.contains(k))
+            && !unknownSeen.contains(k))
           it.remove()
       }
     }
