@@ -167,6 +167,15 @@ object IndexManifest {
   val BaseFile = "BASE"
   /** Stage-dir liveness heartbeat (see [[touchStage]]). */
   val ActivityFile = "STAGE_ACTIVITY"
+  /** GC-written durable first-observation marker for stage dirs with
+    * NO readable liveness signal (see [[UnknownMtimeGraceMs]]):
+    * content = epoch millis of the first gc pass that observed the
+    * signal-less dir. Persisted beside the stage so the grace bound
+    * survives driver restarts — the in-memory survival map dies with
+    * the JVM, and one-JVM-per-job deployments would otherwise restart
+    * the window forever (the exact leak the window exists to bound).
+    */
+  val FirstSeenFile = "GC_FIRST_SEEN"
   /** Root subdir holding reader-pin heartbeat files. */
   val PinsDir = "pins"
 
@@ -273,6 +282,21 @@ object IndexManifest {
     * falls back to the stage TREE's newest mtime, which artifact
     * writes keep fresh). Crash garbage costs only storage, and only
     * until the first commit after the TTL.
+    *
+    * CLOCK-SKEW ASSUMPTION: on mtime-less stores the content stamp
+    * [[touchStage]] writes is the authoritative liveness channel, so
+    * stage liveness there compares the WRITER's wall clock (stamped
+    * into the heartbeat) against the GC HOST's wall clock. Skew
+    * between the two eats directly into the TTL: a builder whose
+    * clock runs `s` ms behind the GC host looks `s` ms staler than it
+    * is. The 24 h default tolerates any realistic NTP drift; when
+    * tuning this knob DOWN, keep it well above (max cross-host clock
+    * skew + the builder's heartbeat interval), or a live builder's
+    * fresh stamps read as stale and its stage is reapable. Relatedly,
+    * a live builder whose [[touchStage]] writes persistently FAIL
+    * (swallowed, liveness is best-effort — but warned on repetition)
+    * loses the stamped-heartbeat protection and survives only via
+    * tree mtimes where the store exposes them.
     */
   @volatile var StageTtlMs: Long = 24L * 3600 * 1000
 
@@ -281,6 +305,15 @@ object IndexManifest {
     * and stops protecting its version from GC.
     */
   @volatile var ReaderPinTtlMs: Long = 24L * 3600 * 1000
+
+  /** [[pinCurrent]] acquisition attempts before giving up with
+    * [[ConcurrentCommitException]]. Each retry means the pinner's OWN
+    * lease lapsed mid-acquisition (the pin fence fired) — a TTL-scale
+    * stall, not ordinary contention — so consecutive failures signal
+    * something pathological about this process's scheduling; matches
+    * [[mutate]]'s default rebase bound.
+    */
+  val PinAcquireAttempts = 5
 
   /** Test hook, fired twice per commit: `commit:<root>` on entry
     * (before the lock — crash-injection specs throw here to simulate
@@ -451,12 +484,39 @@ object IndexManifest {
     * liveness channel GC can read, and it is what makes the heartbeat
     * AUTHORITATIVE there — a stamped stage whose stamp goes stale is
     * reaped instead of leaking forever (see [[gc]]). Best-effort like
-    * the old mtime touch: liveness must never fail a build.
+    * the old mtime touch: liveness must never fail a build — but a
+    * PERSISTENTLY failing heartbeat is exactly the shape that loses a
+    * long build its stamped-liveness protection on mtime-less stores
+    * (see [[StageTtlMs]]), so repeated consecutive failures WARN
+    * (once per power-of-two occurrence, bounded volume) instead of
+    * staying silent. The counter resets on the first success.
     */
   def touchStage(stagedDir: String): Unit =
-    try ioFor(stagedDir).writeString(s"$stagedDir/$ActivityFile",
-      System.currentTimeMillis().toString)
-    catch { case _: java.io.IOException => () }
+    try {
+      ioFor(stagedDir).writeString(s"$stagedDir/$ActivityFile",
+        System.currentTimeMillis().toString)
+      touchFailures.remove(stagedDir): Unit
+    } catch {
+      case e: java.io.IOException =>
+        val c = touchFailures
+          .computeIfAbsent(stagedDir,
+            _ => new java.util.concurrent.atomic.AtomicLong())
+          .incrementAndGet()
+        if ((c & (c - 1)) == 0L) // powers of two: 1, 2, 4, 8, …
+          System.err.println(s"[touchStage] heartbeat write failed " +
+            s"for $stagedDir ($c consecutive failures: " +
+            s"${e.getMessage}) — on a store with no readable tree " +
+            "mtimes this build is losing its liveness protection " +
+            s"and becomes reapable ${StageTtlMs} ms after its last " +
+            "successful stamp")
+    }
+
+  // consecutive touchStage failures per stage dir; entries are
+  // removed on the first success (and the dir itself is transient),
+  // so the map stays bounded
+  private val touchFailures =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
 
   private def baseOf(stagedDir: String): Option[String] = {
     val io = ioFor(stagedDir)
@@ -592,6 +652,9 @@ object IndexManifest {
       // builder-private pins don't belong in a committed version
       io.deleteIfExists(s"$finalDir/$BaseFile")
       io.deleteIfExists(s"$finalDir/$ActivityFile")
+      // a stage GC once observed signal-less (paused writer) can still
+      // commit — its first-seen marker is builder-lifecycle litter too
+      io.deleteIfExists(s"$finalDir/$FirstSeenFile")
       val retained = (finalName +: hist.filterNot(_ == finalName))
         .take(math.max(1, retain))
       failpoint(s"publish:$root")
@@ -650,12 +713,24 @@ object IndexManifest {
     * current. Enumerated by `graft.tools.LeaseModelCheck`'s reader
     * role: with this fence off, invariant I3 (a pinned version stays
     * readable until release or TTL lapse) is violated.
+    *
+    * THROWS [[ConcurrentCommitException]] after [[PinAcquireAttempts]]
+    * consecutive fence failures (each one means this pinner stalled
+    * past its lease TTL inside the acquisition — pathological
+    * scheduling, not contention): a pinner that cannot PROVE its pin
+    * landed before any takeover must fail loudly rather than return a
+    * pin naming a possibly-reaped version. The exhausted retry leaves
+    * no pin file behind (each failed attempt deletes its own), and
+    * the model checker's reader role covers the exhaustion path: a
+    * reader that parks without acking never enters invariant I3's
+    * protection claim. Also throws `IllegalStateException` on an
+    * empty root (nothing committed to pin).
     */
   def pinCurrent(root: String): ReaderPin = {
     val io = ioFor(root)
     var last: ConcurrentCommitException = null
     var i = 0
-    while (i < 5) {
+    while (i < PinAcquireAttempts) {
       val pinned = io.withLock(root) {
         val v = current(root).getOrElse(throw new IllegalStateException(
           s"no committed index at $root"))
@@ -708,15 +783,27 @@ object IndexManifest {
       * protection ended at the lapse, so this fails LOUDLY (the
       * version may already be gone; continuing the scan would serve
       * missing files) instead of silently "refreshing" nothing.
+      * Exists-then-setMtime is not atomic, so a GC reap landing
+      * BETWEEN the two could otherwise no-op the setMtime silently
+      * (object-store mtime bumps on a missing key swallow the miss) —
+      * the post-setMtime existence re-check closes that window and
+      * keeps the failure loud. The residual exposure is only a reap
+      * landing after the re-check, i.e. strictly after this refresh
+      * observed itself lapsed-and-reaped would have thrown — contract-
+      * equivalent to the reader checking one instant earlier.
       */
     def refresh(): Unit = {
       val io = ioFor(root)
-      if (!io.exists(file))
-        throw new IllegalStateException(
-          s"reader pin $file lapsed past ReaderPinTtlMs and was " +
-            s"reaped — version $version is no longer protected; " +
-            "release the scan and re-pin")
+      def lapsed(): Nothing = throw new IllegalStateException(
+        s"reader pin $file lapsed past ReaderPinTtlMs and was " +
+          s"reaped — version $version is no longer protected; " +
+          "release the scan and re-pin")
+      if (!io.exists(file)) lapsed()
       io.setMtime(file, System.currentTimeMillis())
+      // re-check: a GC reap interleaved between the exists probe and
+      // the mtime bump leaves the bump a silent no-op on stores that
+      // swallow the miss — protection already ended, so say so loudly
+      if (!io.exists(file)) lapsed()
     }
     def release(): Unit = ioFor(root).deleteIfExists(file)
   }
@@ -763,7 +850,12 @@ object IndexManifest {
     * object stores). Such a dir survives GC from its FIRST OBSERVATION
     * until this window lapses, then is reaped: without the bound, a
     * killed pre-heartbeat writer's stage leaks FOREVER on stores that
-    * never expose mtimes. Generous by design — a LIVE builder writes a
+    * never expose mtimes. First observation is DURABLE — persisted as
+    * a [[FirstSeenFile]] marker in the stage dir by the first gc pass
+    * to see it, so the bound holds across driver restarts (fresh
+    * drivers in a one-JVM-per-job deployment age the stage from the
+    * marker, not from their own first sighting).
+    * Generous by design — a LIVE builder writes a
     * content-stamped heartbeat within milliseconds of reservation
     * ([[stage]] calls [[touchStage]]), so anything still signal-less
     * after days is crash garbage, not a build.
@@ -792,6 +884,43 @@ object IndexManifest {
     scala.util.Try(io.readString(act).trim.toLong).getOrElse(0L)
   private val unknownMtimeSurvivals =
     new java.util.concurrent.ConcurrentHashMap[String, UnknownSurvival]()
+
+  /** Durable first-observation for the no-signal grace window. The
+    * in-memory survival map dies with the driver, and the common
+    * one-JVM-per-job deployment would restart the 7-day window on
+    * every run — exactly the leak the window exists to bound. So the
+    * FIRST gc pass to observe a signal-less stage persists the
+    * observation as a marker file inside the stage dir (content =
+    * epoch millis, best-effort like every liveness write), and every
+    * later driver ages the stage from the marker's stamp instead of
+    * its own first sighting. The marker can never EXTEND a live
+    * build's exposure: this branch is only reached when the stage
+    * tree exposes no readable liveness at all, and on stores that DO
+    * expose mtimes the marker's own mtime routes the stage into the
+    * ordinary readable-and-stale reap path (strictly sooner than the
+    * grace). A marker stamped in the future (clock skew between GC
+    * hosts) clamps to `now` — skew can delay the reap, never make it
+    * early.
+    */
+  private def persistedFirstSeen(io: ManifestIo, stageDir: String,
+      now: Long): Long = {
+    val f = s"$stageDir/$FirstSeenFile"
+    scala.util.Try(io.readString(f).trim.toLong).toOption
+      .filter(t => t > 0L && t <= now)
+      .getOrElse {
+        try io.writeString(f, now.toString)
+        catch { case _: java.io.IOException => () } // best-effort
+        now
+      }
+  }
+
+  /** Test hook: drop the in-process no-signal survival map, simulating
+    * a FRESH driver JVM observing the root for the first time (the
+    * durable-grace contract: the [[FirstSeenFile]] marker, not this
+    * map, is what bounds the leak across drivers).
+    */
+  private[graft] def forgetUnknownSurvivalsForTest(): Unit =
+    unknownMtimeSurvivals.clear()
 
   def gc(root: String): Unit = {
     val io = ioFor(root)
@@ -838,10 +967,12 @@ object IndexManifest {
             // NO readable signal anywhere: a writer killed between
             // stage reservation and its first heartbeat, or a legacy
             // empty-touch heartbeat on an mtime-less store. Live
-            // through a generous grace window from first observation,
-            // then reaped — bounded storage, never a permanent leak.
+            // through a generous grace window from FIRST OBSERVATION
+            // — persisted as a marker in the stage dir so the bound
+            // holds across driver restarts — then reaped: bounded
+            // storage, never a permanent leak.
             val s = unknownMtimeSurvivals.computeIfAbsent(p,
-              _ => new UnknownSurvival(now))
+              _ => new UnknownSurvival(persistedFirstSeen(io, p, now)))
             unknownSeen += p
             val expired = now - s.firstSeen > UnknownMtimeGraceMs
             if (expired)

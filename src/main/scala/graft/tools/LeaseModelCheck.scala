@@ -29,6 +29,27 @@ package graft.tools
   *     APPLIED, never the r18 zombie-trim false success (reported
   *     applied while its commit file is unresolvable junk below the
   *     head).
+  *   - I5 `holder-accountability`: a LIVE holder-stamped lease always
+  *     belongs to an actor that is holding or mid-acquisition on that
+  *     generation — an acquisition that claimed either records its
+  *     holder or releases, never walks away orphaning its own live
+  *     claim (the r19 nemesis catch: a transient fault on a throttled
+  *     litter delete failing the acquisition AFTER the claim landed;
+  *     each recovery retry then burns a generation against its own
+  *     orphan — the livelock the best-effort-delete fix closes).
+  *     Lapsed leases are exempt: crash recovery is the TTL's job.
+  *
+  * TRANSIENT FAULTS (`faults=N`): up to N litter deletes
+  * (lease-generation prunes, commit-tail prunes, GC reaps) may throw
+  * before applying — the S3-throttling shape the `nemesis` storm mode
+  * injects. With the `bestEffortLitter` fix ON the delete is skipped
+  * and the verb continues; OFF re-opens the pre-fix failure routing
+  * (an acquisition-time fault abandons WITHOUT releasing — I5's
+  * negative control). Creates and publishes are excluded by design:
+  * their documented recovery (idempotent re-drive / landed-check)
+  * replays the same step, which adds no distinguishable interleaving
+  * to an exhaustive explorer; the storms certify that recovery at the
+  * real-code level.
   *
   * THE MODEL. The store is an immutable map with exactly the
   * primitives the real backend reduces to, each a single atomic
@@ -96,7 +117,15 @@ object LeaseModelCheck {
       fencePublish: Boolean = true,
       readbackDisown: Boolean = true,
       trimNotCarried: Boolean = true,
-      pinFence: Boolean = true)
+      pinFence: Boolean = true,
+      // litter deletes (lease-generation prunes, commit-tail prunes,
+      // GC reaps) are BEST-EFFORT: a transient store fault skips the
+      // delete and the verb continues (IndexManifest's catch + inline
+      // retry). Off = the pre-fix shape the r19 nemesis caught: a
+      // throttled cosmetic delete throws OUT of the acquisition,
+      // orphaning the actor's own freshly-claimed holder lease
+      // (invariant I5 fires)
+      bestEffortLitter: Boolean = true)
 
   final case class Config(
       writers: Int = 2,
@@ -122,6 +151,16 @@ object LeaseModelCheck {
       // pinCurrent → {refresh | release} lifecycle
       readers: Int = 0,
       pinTtl: Int = 4, // ReaderPinTtlMs analogue
+      // transient-fault budget: up to this many store LITTER DELETES
+      // (the ops whose recovery is non-trivial — see
+      // Knobs.bestEffortLitter) may fault across a schedule, the
+      // nemesis's once-per-(op,key) IOException shape. Creates and
+      // publishes are excluded by design: their documented recovery
+      // (idempotent re-drive / landed-check) replays the SAME step,
+      // which adds no distinguishable interleaving to an exhaustive
+      // explorer — the storms' retryTransient recipe certifies that
+      // path at the real-code level.
+      faults: Int = 0,
       symmetry: Boolean = true,
       knobs: Knobs = Knobs()) {
     def actors: Int = writers + readers
@@ -223,9 +262,11 @@ object LeaseModelCheck {
     * clock merges every time-shifted copy of a state, which is what
     * makes the space finite and exhaustively explorable.
     */
-  final case class State(store: Store, ws: Vector[W]) {
+  final case class State(store: Store, ws: Vector[W],
+      faults: Int = 0) {
     def key: String = {
       val sb = new StringBuilder
+      sb.append(faults).append('!')
       store.toSeq.sorted.foreach { case (k, v) =>
         sb.append(k).append('=').append(v).append(';') }
       ws.foreach { w =>
@@ -251,7 +292,15 @@ object LeaseModelCheck {
 
   final case class Result(
       states: Long,
-      violation: Option[(String, List[String])]) // (invariant, trace)
+      violation: Option[(String, List[String])], // (invariant, trace)
+      // coverage, so specs can assert a config actually EXERCISED the
+      // machinery it claims to verify (a fault budget that never
+      // fires, or an exhaustion path that is unreachable, would
+      // otherwise report a vacuous clean)
+      faultsFired: Long = 0, // max faults consumed on any one schedule
+      readerExhausted: Boolean = false) // some reader parked Failed
+      // without acking a pin — pinCurrent's bounded-retry exhaustion
+      // (the loud ConcurrentCommitException path) was reached
 
   /** Atomic successor states of actor `id` (usually one; a reader
     * holding its pin branches between refresh and release). Mirrors
@@ -264,6 +313,12 @@ object LeaseModelCheck {
     val s = st.store
     def upd(w2: W, s2: Store = s): State =
       st.copy(store = s2, ws = st.ws.updated(id, w2))
+    // a successor where a transient store fault consumed one unit of
+    // the fault budget before the op applied (the nemesis's
+    // IOException-before-apply shape)
+    def updFault(w2: W, s2: Store = s): State =
+      st.copy(store = s2, ws = st.ws.updated(id, w2),
+        faults = st.faults - 1)
     // ConcurrentCommitException: head for Release with the rebasing
     // flag set — the release itself is its own atomic step, exactly
     // like the real withLock finally block
@@ -326,7 +381,22 @@ object LeaseModelCheck {
         // lock body begins — commit/trim scan for writers, pinCurrent
         // for readers
         w.pruneQ match {
-          case k :: rest => Seq(upd(w.copy(pruneQ = rest), s - k))
+          case k :: rest =>
+            val ok = upd(w.copy(pruneQ = rest), s - k)
+            if (st.faults <= 0) Seq(ok)
+            else if (cfg.knobs.bestEffortLitter)
+              // transient fault on the litter delete (and on its one
+              // inline retry): the delete is SKIPPED and the verb
+              // continues — litter costs storage until a later prune
+              Seq(ok, updFault(w.copy(pruneQ = rest)))
+            else
+              // PRE-FIX shape (the r19 nemesis catch): the throttled
+              // cosmetic delete throws OUT of the acquisition — the
+              // actor retries per the recovery recipe, leaving its
+              // own freshly-claimed lease a live orphaned holder
+              // until TTL; each retry burns a generation (I5 fires)
+              Seq(ok, updFault(w.copy(pc = AcqList, holding = false,
+                deadline = -1, pruneQ = Nil)))
           case Nil => Seq(upd(w.copy(
             pc = if (cfg.isReader(id)) PinRead else Scan)))
         }
@@ -411,7 +481,18 @@ object LeaseModelCheck {
         Seq(lose().copy(store = s - s"M${w.token + 1}"))
       case PubPrune =>
         w.pruneQ match {
-          case k :: rest => Seq(upd(w.copy(pruneQ = rest), s - k))
+          case k :: rest =>
+            val ok = upd(w.copy(pruneQ = rest), s - k)
+            if (st.faults <= 0) Seq(ok)
+            else if (cfg.knobs.bestEffortLitter)
+              // best-effort commit-tail prune: fault skips the delete
+              Seq(ok, updFault(w.copy(pruneQ = rest)))
+            else
+              // pre-fix: the throw propagates out of the withLock
+              // BODY, so the finally still releases — the verb fails
+              // AFTER its publish acked (failure-but-applied, loud
+              // but safe; no orphaned lease here)
+              Seq(ok, updFault(w.copy(pc = Release, pruneQ = Nil)))
           case Nil => Seq(upd(w.copy(pc = GcSnap)))
         }
       case GcSnap =>
@@ -442,8 +523,18 @@ object LeaseModelCheck {
             // FENCED reap: every delete re-checks the lease
             // (lockStillHeld) — a lapsed holder skips
             val fenceOk = w.deadline > cfg.margin
-            Seq(upd(w.copy(pruneQ = rest),
-              if (fenceOk) s - k else s))
+            val ok = upd(w.copy(pruneQ = rest),
+              if (fenceOk) s - k else s)
+            if (st.faults <= 0 || !fenceOk) Seq(ok)
+            else if (cfg.knobs.bestEffortLitter)
+              // best-effort reap: a store-throttled rmTree skips —
+              // garbage until the next gc pass re-collects it
+              Seq(ok, updFault(w.copy(pruneQ = rest)))
+            else
+              // pre-fix: gc throws out of the commit's withLock body
+              // (post-publish — the acked commit is durable); the
+              // finally releases the lease
+              Seq(ok, updFault(w.copy(pc = Release, pruneQ = Nil)))
           case Nil => Seq(upd(w.copy(pc = Release)))
         }
       case PinRead =>
@@ -564,7 +655,7 @@ object LeaseModelCheck {
       w.copy(deadline = adj(w.deadline),
         pinDl = if (w.pinDl >= 0) adj(w.pinDl) else w.pinDl,
         everLapsed = w.everLapsed || lapsedNow)
-    })
+    }, st.faults)
   }
 
   private def checkInvariants(cfg: Config, st: State)
@@ -575,6 +666,30 @@ object LeaseModelCheck {
     if (fenceTrue > 1)
       return Some(s"single-holder violated: $fenceTrue fence-true " +
         "holders")
+    // I5 holder-accountability: a LIVE holder-stamped lease always
+    // belongs to an actor that is either standing as the holder or
+    // still mid-acquisition on that very generation — an acquisition
+    // that claimed either records its holder or releases; it never
+    // walks away leaving its own live claim orphaned. (The shape the
+    // r19 nemesis caught: a faulted litter delete failing the
+    // acquisition AFTER the claim landed. A lapsed lease — dl < 0 —
+    // is exempt: crash/stall recovery is the TTL's job, not this
+    // invariant's.)
+    for ((k, v) <- st.store
+         if k.startsWith("L") && v.startsWith("H:")) {
+      val p = v.split(":")
+      val aid = p(1).toInt
+      if (p(2).toInt >= 0) {
+        val a = st.ws(aid)
+        val gen = k.drop(1).toInt
+        val midAcq =
+          (a.pc == AcqVerify || a.pc == AcqPrune) && a.next == gen
+        if (!a.holding && !midAcq)
+          return Some("holder-accountability violated: live lease " +
+            s"L$gen names actor $aid which is neither holding nor " +
+            "mid-acquisition (orphaned holder lease)")
+      }
+    }
     val lineage = resolveLineage(st.store).toSet
     // versions an ACKED trim dropped — the I4 subject
     val trimmedAway = st.ws.iterator.flatMap(_.ackedDrop).toSet
@@ -682,7 +797,7 @@ object LeaseModelCheck {
         ackedDrop = w.ackedDrop.map(rv),
         pinVer = rv(w.pinVer))
     }
-    State(s2, ws2)
+    State(s2, ws2, st.faults)
   }
 
   /** The memoization key: lexicographic minimum over all within-class
@@ -704,10 +819,12 @@ object LeaseModelCheck {
     val init = State(Map.empty,
       Vector.tabulate(cfg.actors)(_ => W(AcqList, 0, 0, 0, -1,
         holding = false, rebasing = false, 0, Nil, Nil, Set.empty,
-        Nil)))
+        Nil)), cfg.faults)
     val perms = if (cfg.symmetry) permutations(cfg) else Seq.empty
     val visited = new java.util.HashSet[String]()
     var states = 0L
+    var minFaultsLeft = cfg.faults
+    var readerExhausted = false
     // explicit stack of (state, trace)
     val stack = new java.util.ArrayDeque[(State, List[String])]()
     stack.push((init, Nil))
@@ -715,6 +832,11 @@ object LeaseModelCheck {
     while (!stack.isEmpty) {
       val (st, trace) = stack.pop()
       states += 1
+      if (st.faults < minFaultsLeft) minFaultsLeft = st.faults
+      if (!readerExhausted)
+        readerExhausted = (cfg.writers until cfg.actors).exists { i =>
+          val r = st.ws(i); r.pc == Failed && !r.pinAcked
+        }
       if (states > cfg.maxStates)
         throw new IllegalStateException(
           s"state budget exceeded (${cfg.maxStates}) — shrink the config")
@@ -722,7 +844,8 @@ object LeaseModelCheck {
         System.err.println(s"[explore] $states states, " +
           s"frontier ${stack.size}")
       checkInvariants(cfg, st) match {
-        case Some(v) => return Result(states, Some((v, trace.reverse)))
+        case Some(v) => return Result(states, Some((v, trace.reverse)),
+          cfg.faults - minFaultsLeft, readerExhausted)
         case None =>
       }
       // successor: step each live actor (a step may branch)
@@ -742,18 +865,19 @@ object LeaseModelCheck {
           stack.push((nxt, s"tick+$d" :: trace))
       }
     }
-    Result(states, None)
+    Result(states, None, cfg.faults - minFaultsLeft, readerExhausted)
   }
 
   def main(args: Array[String]): Unit = {
     val KnownKnobs = Set("claimVerify", "releaseOverwrite",
-      "fencePublish", "readbackDisown", "trimNotCarried", "pinFence")
+      "fencePublish", "readbackDisown", "trimNotCarried", "pinFence",
+      "bestEffortLitter")
     val KnownFlags = Set("trim", "nosym")
     def usage(): Nothing = {
       System.err.println("usage: LeaseModelCheck [writers rounds " +
         "[keep] [ttl] [attempts] [maxGens]] [off=knob,knob] [trim] " +
-        "[trimmerRounds=N] [readers=N] [pinTtl=N] [nosym] — knobs: " +
-        KnownKnobs.toSeq.sorted.mkString(" ") +
+        "[trimmerRounds=N] [readers=N] [pinTtl=N] [faults=N] [nosym]" +
+        " — knobs: " + KnownKnobs.toSeq.sorted.mkString(" ") +
         "; no args = standard configs")
       sys.exit(2)
     }
@@ -771,7 +895,7 @@ object LeaseModelCheck {
         val unknownKnobs = off -- KnownKnobs
         val unknownFlags = flags -- KnownFlags
         val unknownKv = kv.keySet --
-          Set("trimmerRounds", "readers", "pinTtl")
+          Set("trimmerRounds", "readers", "pinTtl", "faults")
         // a typo'd knob must not silently explore the fully-fixed
         // model and report a clean "negative control"
         if (unknownKnobs.nonEmpty || unknownFlags.nonEmpty ||
@@ -799,6 +923,7 @@ object LeaseModelCheck {
             .getOrElse(-1),
           readers = kv.get("readers").map(_.toInt).getOrElse(0),
           pinTtl = kv.get("pinTtl").map(_.toInt).getOrElse(4),
+          faults = kv.get("faults").map(_.toInt).getOrElse(0),
           symmetry = !flags("nosym"),
           knobs = Knobs(
             claimVerify = !off("claimVerify"),
@@ -806,7 +931,8 @@ object LeaseModelCheck {
             fencePublish = !off("fencePublish"),
             readbackDisown = !off("readbackDisown"),
             trimNotCarried = !off("trimNotCarried"),
-            pinFence = !off("pinFence")))))
+            pinFence = !off("pinFence"),
+            bestEffortLitter = !off("bestEffortLitter")))))
       }
       else Seq(
         ("2w1r", Config(writers = 2, rounds = 1)),
@@ -824,14 +950,19 @@ object LeaseModelCheck {
         // actually leave the lineage and GC has something to reap)
         // + one pinning reader
         ("1w3r_trim_1reader", Config(writers = 1, rounds = 3,
-          trim = true, readers = 1, maxGens = 7)))
+          trim = true, readers = 1, maxGens = 7)),
+        // transient faults on litter deletes (the nemesis shape),
+        // best-effort fix ON: exhaustively safe incl. I5
+        ("2w2r_faults2", Config(writers = 2, rounds = 2, faults = 2)))
     configs.foreach { case (name, cfg) =>
       val t0 = System.nanoTime()
       val r = explore(cfg)
       val ms = (System.nanoTime() - t0) / 1000000
       println(s"""{"config":"$name","states":${r.states},""" +
         s""""violation":${r.violation.map(v =>
-          "\"" + v._1 + "\"").getOrElse("null")},"ms":$ms}""")
+          "\"" + v._1 + "\"").getOrElse("null")},""" +
+        s""""faultsFired":${r.faultsFired},""" +
+        s""""readerExhausted":${r.readerExhausted},"ms":$ms}""")
       r.violation.foreach { case (inv, trace) =>
         System.err.println(s"$name VIOLATION: $inv")
         trace.foreach(t => System.err.println(s"  $t"))

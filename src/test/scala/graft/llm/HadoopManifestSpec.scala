@@ -1272,6 +1272,50 @@ class HadoopManifestSpec extends SparkSpec {
     }
   }
 
+  test("PIN-RETRY EXHAUSTION: a pinner whose lease lapses on EVERY " +
+      "acquisition attempt (pathological scheduling, not contention) " +
+      "fails loudly with ConcurrentCommitException after " +
+      "PinAcquireAttempts fenced attempts — it never returns a pin " +
+      "it cannot prove, and leaves no pin litter behind") {
+    val (root, local) = schemedTemp("hfs_pinexhaust")
+    val prevTtl = HadoopManifestIo.LeaseTtlMs
+    HadoopManifestIo.LeaseTtlMs = 300
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    try {
+      val (v1, d1) = IndexManifest.stage(root)
+      HadoopManifestIo.writeString(s"$d1/data", "v1")
+      IndexManifest.commit(root, v1): Unit
+      IndexManifest.failpoint = msg =>
+        if (msg == s"pin-pre-write:$root") {
+          hits.incrementAndGet(): Unit
+          // stall past the lease TTL on EVERY attempt — the
+          // post-write pin fence must fail each time, and the
+          // bounded retry must exhaust rather than spin forever
+          Thread.sleep(HadoopManifestIo.LeaseTtlMs + 150)
+        }
+      val err = intercept[ConcurrentCommitException] {
+        IndexManifest.pinCurrent(root)
+      }
+      assert(hits.get() == IndexManifest.PinAcquireAttempts,
+        s"expected ${IndexManifest.PinAcquireAttempts} fenced " +
+          s"attempts, saw ${hits.get()} ($err)")
+      // every failed attempt deleted its own pin file — exhaustion
+      // leaves no litter naming a version it never protected
+      val pins = Option(new java.io.File(
+        s"$local/${IndexManifest.PinsDir}").listFiles())
+        .getOrElse(Array.empty).toSeq
+      assert(pins.isEmpty, s"exhausted pinCurrent leaked pins: $pins")
+      // the root is healthy: with the stall gone, pinning succeeds
+      IndexManifest.failpoint = _ => ()
+      val pin = IndexManifest.pinCurrent(root)
+      assert(pin.version == v1)
+      pin.release()
+    } finally {
+      IndexManifest.failpoint = _ => ()
+      HadoopManifestIo.LeaseTtlMs = prevTtl
+    }
+  }
+
   test("BASE-PIN FENCE: a mutate() builder stalled past its lease TTL " +
       "inside the base-pin window — while a takeover commits and " +
       "expires the base it resolved — rebases loudly onto the fresh " +

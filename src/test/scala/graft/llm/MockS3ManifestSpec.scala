@@ -27,6 +27,13 @@ class MockS3ManifestSpec extends SparkSpec {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
+    // materialize the shared session BEFORE the opt-in prop lands:
+    // SparkConf snapshots every spark.* system property at session
+    // creation, so a session born with the prop set would carry the
+    // opt-in in its conf FOREVER (outliving the afterAll removal) and
+    // leak trust into suites that assert the refusal — an
+    // order-dependent flake whenever this suite runs first
+    spark.sparkContext: Unit
     sys.props("mocks3.backing") = backingBase
     sys.props(HadoopManifestIo.TrustConditionalCreateConf) = "true"
   }
@@ -508,6 +515,75 @@ class MockS3ManifestSpec extends SparkSpec {
       // the committed lineage was never touched
       assert(IndexManifest.current(root).contains(v1))
       assert(new java.io.File(s"$local/$v1/data").exists())
+      assertMockShape(root, local)
+    } finally {
+      IndexManifest.StageTtlMs = prevTtl
+      IndexManifest.UnknownMtimeGraceMs = prevGrace
+    }
+  }
+
+  test("DURABLE grace clock: the no-signal window's first " +
+      "observation persists as a GC_FIRST_SEEN marker, so a FRESH " +
+      "driver (new JVM — simulated by dropping the in-process " +
+      "survival map) ages the stage from the ORIGINAL sighting: " +
+      "inside the window it still survives, past it the fresh driver " +
+      "reaps it in ONE gc pass — one-JVM-per-job deployments no " +
+      "longer restart the 7-day window forever") {
+    val (root, local) = mockRoot("gcdurable")
+    val io = HadoopManifestIo
+    val prevTtl = IndexManifest.StageTtlMs
+    val prevGrace = IndexManifest.UnknownMtimeGraceMs
+    try {
+      val (v1, d1) = IndexManifest.stage(root)
+      io.writeString(s"$d1/data", "base")
+      IndexManifest.commit(root, v1): Unit
+
+      def zeroMtimes(stageLocal: String): Unit = {
+        def walk(f: java.io.File): Unit = {
+          if (f.isFile)
+            java.nio.file.Files.setLastModifiedTime(f.toPath,
+              java.nio.file.attribute.FileTime.fromMillis(0)): Unit
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+        }
+        walk(new java.io.File(stageLocal))
+      }
+
+      // killed pre-heartbeat: STAGE marker only, no STAGE_ACTIVITY,
+      // on a store exposing no readable mtimes
+      assert(io.reserveStage(root, "v00080"))
+      zeroMtimes(s"$local/v00080")
+      IndexManifest.StageTtlMs = 50
+      IndexManifest.UnknownMtimeGraceMs = 400
+      Thread.sleep(80) // past the stage TTL; only the grace rule holds
+      IndexManifest.gc(root) // FIRST observation — persists the marker
+      val marker = new java.io.File(
+        s"$local/v00080/${IndexManifest.FirstSeenFile}")
+      assert(marker.isFile, "first observation was not persisted")
+      val stamped =
+        java.nio.file.Files.readString(marker.toPath).trim.toLong
+      assert(stamped > 0L, s"unparseable first-seen stamp: $stamped")
+      // keep the store mtime-less: the marker's CONTENT is the
+      // channel, its own mtime must not become a liveness signal here
+      zeroMtimes(s"$local/v00080")
+
+      // FRESH DRIVER inside the window: survives (ages from the
+      // marker, which also proves the read path tolerates re-reads)
+      IndexManifest.forgetUnknownSurvivalsForTest()
+      IndexManifest.gc(root)
+      assert(new java.io.File(s"$local/v00080").exists(),
+        "a fresh driver reaped a no-signal stage INSIDE its window")
+
+      // FRESH DRIVER past the window: reaps within ONE pass. The
+      // pre-fix in-memory clock restarted the window per driver, so
+      // this stage would have leaked forever under short-lived drivers
+      Thread.sleep(450)
+      IndexManifest.forgetUnknownSurvivalsForTest()
+      IndexManifest.gc(root)
+      assert(!new java.io.File(s"$local/v00080").exists(),
+        "a fresh driver restarted the grace window — the no-signal " +
+          "leak is unbounded again for one-JVM-per-job deployments")
+
+      assert(IndexManifest.current(root).contains(v1))
       assertMockShape(root, local)
     } finally {
       IndexManifest.StageTtlMs = prevTtl

@@ -5,7 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The lease/publish protocol model-checked: exhaustive interleaving
   * exploration (every schedule of abstract writers over an abstract
   * conditional-create store, every zombie stall length, every
-  * deadline boundary) asserting the two safety invariants at every
+  * deadline boundary, and — `faults=N` — transient store faults on
+  * litter deletes) asserting the safety invariants I1–I5 at every
   * reachable state — plus NEGATIVE CONTROLS that switch individual
   * protocol fixes off and require the explorer to FIND the race each
   * fix closes, proving the checker sees the bug class it guards.
@@ -134,10 +135,43 @@ class LeaseModelCheckSpec extends AnyFunSuite {
   test("READER-PIN protocol, full: pinCurrent (lease + pin write + " +
       "pin fence) vs commits, trims, GC reaps and pin-TTL expiry — " +
       "exhaustively safe: a version resolvable at pin time stays " +
-      "materialized from pinCurrent's return until release or lapse") {
+      "materialized from pinCurrent's return until release or lapse; " +
+      "AND the bounded-retry EXHAUSTION path is reachable (a reader " +
+      "that parks without acking never claims I3 protection — the " +
+      "loud ConcurrentCommitException side, spec-pinned in " +
+      "HadoopManifestSpec's PIN-RETRY EXHAUSTION test)") {
     val r = explore(readerCfg)
     assert(r.violation.isEmpty, s"violation: ${r.violation}")
     assert(r.states > 1000000, s"suspiciously small space: ${r.states}")
+    assert(r.readerExhausted,
+      "pin-retry exhaustion unreachable in the reader config — the " +
+        "clean I3 verdict no longer covers the give-up path")
+  }
+
+  test("TRANSIENT FAULTS on litter deletes (the r19 nemesis shape, " +
+      "S3-throttling IOException before the op applies), best-effort " +
+      "fix ON: exhaustively safe including I5 holder-accountability, " +
+      "with the fault budget actually consumed (non-vacuous)") {
+    val r = explore(Config(writers = 2, rounds = 1, faults = 1))
+    assert(r.violation.isEmpty, s"violation: ${r.violation}")
+    assert(r.faultsFired > 0,
+      s"the fault budget never fired (${r.states} states) — the " +
+        "clean verdict is vacuous")
+  }
+
+  test("NEGATIVE control — best-effort litter deletes OFF re-admits " +
+      "the nemesis-found orphaned-lease shape: a throttled " +
+      "lease-generation prune throws out of a WON acquisition, " +
+      "leaving the actor's own live holder lease orphaned (each " +
+      "recovery retry then burns a generation against its own " +
+      "orphan — the livelock). The explorer must find the " +
+      "holder-accountability violation") {
+    val r = explore(Config(writers = 2, rounds = 1, faults = 1,
+      knobs = Knobs(bestEffortLitter = false)))
+    assert(r.violation.nonEmpty &&
+      r.violation.get._1.contains("holder-accountability"),
+      s"explorer missed the orphaned-lease shape " +
+        s"(${r.states} states): ${r.violation}")
   }
 
   test("NEGATIVE control — pin fence off re-admits the zombie " +

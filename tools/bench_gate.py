@@ -68,9 +68,10 @@ def main():
     for name in sorted(set(cq) & set(pq)):
         c, p = cq[name], pq[name]
         if c > 2 * p and c - p > 0.3:
+            ratio = f"{c / p:.2f}x" if p > 0 else "inf"
             failures.append(
                 f"query {name}: {c:.3f}s vs prior {p:.3f}s "
-                f"({c / p:.2f}x) exceeds the 2x per-query gate")
+                f"({ratio}) exceeds the 2x per-query gate")
 
     verdict = {
         "gate": "bench",
