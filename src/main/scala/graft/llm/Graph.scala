@@ -271,24 +271,35 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, broadcastThreshold: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(broadcastThreshold >= 0 && broadcastThreshold < Int.MaxValue,
+      s"broadcastThreshold must be in [0, Int.MaxValue), got " +
+        s"$broadcastThreshold (0 = always use the distributed layout)")
     val e = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Label state is one (long, long) row per node — the same dual
+    // layout as [[pageRank]]/connectedComponents: with a BOUNDED node
+    // set (≤ broadcastThreshold, 8 B/id = 32 MB at the default) the
+    // rounds run on dense primitive arrays (labels broadcast per
+    // round, edges packed once, one shuffle-free mapPartitions job per
+    // round — the keyed-join loop pays ~1 s/round of join + double
+    // aggregation + materialization plan fixed cost at ANY data
+    // size); above it the keyed-join loop is the scale path. The
+    // limit caps the mode probe's fetch at threshold+1 rows, so an
+    // over-threshold graph costs one spilled row, not an OOM.
     var labels = e.select(col("a").as("id"))
       .union(e.select(col("b").as("id")))
       .distinct().withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Label state is one (long, long) row per node — when the node set
-    // is bounded (≤ broadcastThreshold, 16 B/node = 64 MB at the
-    // default — the pageRank/connectedComponents dual-layout gate) the
-    // per-round label join BROADCASTS, so the corpus-sized edge list is
-    // never shuffled per round: each round costs one map-side broadcast
-    // probe + the (node, label) count aggregate. Above the threshold
-    // the keyed-join loop is the scale path and runs unchanged.
-    val bounded = labels.count() <= broadcastThreshold
-    def maybeBc(df: DataFrame): DataFrame =
-      if (bounded) broadcast(df) else df
+    val probe = labels.select(col("id"))
+      .limit(broadcastThreshold.toInt + 1).collect()
+    if (probe.length <= broadcastThreshold) {
+      val result = lpDense(e, probe.map(_.getLong(0)), iters)
+      labels.unpersist(blocking = false)
+      e.unpersist()
+      return result
+    }
     (1 to iters).foreach { _ =>
       // winner pick as an AGGREGATE, not a window: max_by over the
       // (n, −lbl) struct is exactly "most frequent, smallest label on
@@ -296,7 +307,7 @@ object Graph {
       // never ties), aggregates partially map-side, and drops the
       // per-round exchange+sort a row_number window costs
       val picked = e
-        .join(maybeBc(labels.select(col("id").as("b"), col("lbl"))), "b")
+        .join(labels.select(col("id").as("b"), col("lbl")), "b")
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("n"))
         .groupBy(col("a"))
         .agg(max_by(col("lbl"),
@@ -308,7 +319,7 @@ object Graph {
       // iteration and the final action recomputes early rounds 2^k
       // times (longer runs would swap in the durable rotating
       // checkpoints of connectedComponents)
-      labels = prev.join(maybeBc(picked), Seq("id"), "left")
+      labels = prev.join(picked, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       labels.count(): Unit
@@ -316,6 +327,109 @@ object Graph {
     }
     e.unpersist()
     labels
+  }
+
+  /** Bounded-vertex-state label propagation: node ids as a sorted
+    * primitive long array, each edge packed ONCE into a dense
+    * (dstIdx<<32|srcIdx) long and HASH-PARTITIONED BY dstIdx — every
+    * node's incoming edges land wholly in one partition, so a round's
+    * winner pick (most frequent neighbor label, smallest on ties) is
+    * complete per partition and needs NO cross-partition merge of
+    * (node, label) count state. Each round is then one shuffle-free
+    * mapPartitions job over a per-round labels broadcast, collecting
+    * ≤ 2·n longs of (nodeIdx, winner) pairs — the same bounded-collect
+    * contract as [[pageRank]]'s broadcast mode. Same semantics as the
+    * keyed-join loop (synchronous rounds, deterministic counts and
+    * tie-breaks); edges stay DISTRIBUTED — only vertex state is
+    * bounded. Caveat shared with any per-key gather: a single node of
+    * extreme in-degree concentrates its edges in one partition (the
+    * groupBy(dst) skew shape); the threshold gate bounds the vertex
+    * state, not a hub's degree.
+    */
+  private def lpDense(e: DataFrame, idsIn: Array[Long],
+      iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    val sc = spark.sparkContext
+    val ids = idsIn.clone()
+    java.util.Arrays.sort(ids)
+    val bcIds = sc.broadcast(ids)
+    val nParts = math.max(1, e.rdd.getNumPartitions)
+    val packed = e.rdd.mapPartitions { rows =>
+      val idArr = bcIds.value
+      rows.map { r =>
+        val si = java.util.Arrays.binarySearch(idArr, r.getLong(0))
+        val di = java.util.Arrays.binarySearch(idArr, r.getLong(1))
+        (di, (di.toLong << 32) | (si.toLong & 0xffffffffL))
+      }
+    }.partitionBy(new org.apache.spark.HashPartitioner(nParts))
+      .mapPartitions({ kvs =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        kvs.foreach(kv => buf += kv._2)
+        val arr = buf.result()
+        java.util.Arrays.sort(arr) // groups runs by dstIdx (high bits)
+        Iterator.single(arr)
+      }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nn = ids.length
+    var labels = ids.clone()
+    var it = 0
+    while (it < iters) {
+      val bcL = sc.broadcast(labels)
+      val winners = packed.mapPartitions { arrs =>
+        val lv = bcL.value
+        val out = new scala.collection.mutable.ArrayBuilder.ofLong
+        var scratch = new Array[Long](64)
+        arrs.foreach { arr =>
+          var i = 0
+          while (i < arr.length) {
+            val d = (arr(i) >>> 32).toInt
+            var len = 0
+            while (i < arr.length && (arr(i) >>> 32).toInt == d) {
+              if (len == scratch.length)
+                scratch = java.util.Arrays.copyOf(scratch, len * 2)
+              scratch(len) = lv((arr(i) & 0xffffffffL).toInt)
+              len += 1; i += 1
+            }
+            // most frequent, ties to smallest: ascending scan with a
+            // strict > keeps the first (= smallest) label on count ties
+            java.util.Arrays.sort(scratch, 0, len)
+            var best = scratch(0); var bestC = 0; var k = 0
+            while (k < len) {
+              var c = 1
+              while (k + c < len && scratch(k + c) == scratch(k)) c += 1
+              if (c > bestC) { bestC = c; best = scratch(k) }
+              k += c
+            }
+            out += d.toLong
+            out += best
+          }
+        }
+        Iterator.single(out.result())
+      }.collect()
+      val next = labels.clone()
+      winners.foreach { arr =>
+        var i = 0
+        while (i < arr.length) {
+          next(arr(i).toInt) = arr(i + 1)
+          i += 2
+        }
+      }
+      labels = next
+      bcL.destroy()
+      it += 1
+    }
+    packed.unpersist(false)
+    // result ships ONCE as a torrent broadcast over a range RDD — the
+    // prBroadcast shape: tasks carry offsets, not embedded rows
+    val bcLbl = sc.broadcast(labels)
+    val slices = math.max(1, nn / 100000)
+    val rows = sc.range(0L, nn.toLong, 1L, slices).mapPartitions { idx =>
+      val (idArr, lblArr) = (bcIds.value, bcLbl.value)
+      idx.map(i => Row(idArr(i.toInt), lblArr(i.toInt)))
+    }
+    spark.createDataFrame(rows,
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("lbl", LongType, nullable = false))))
   }
 
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =

@@ -87,6 +87,38 @@ class GraphSpec extends SparkSpec {
     assert(d == Set((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
   }
 
+  test("label propagation dense and distributed layouts agree exactly") {
+    // broadcastThreshold = 0 forces the keyed-join path; the default
+    // runs the dense packed-array rounds — integer labels must agree
+    // bit-for-bit (same counts, same smallest-label tie-breaks)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L), (20L, 21L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    for (iters <- Seq(1, 3)) {
+      val dense = Graph.labelPropagation(edges, "src", "dst", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Graph.labelPropagation(edges, "src", "dst", iters,
+          broadcastThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dense == dist, s"iters=$iters dense=$dense dist=$dist")
+    }
+  }
+
+  test("label propagation drops null edge endpoints in both layouts") {
+    val dirty = Seq((Some(1L), Some(2L)), (None, Some(3L)),
+        (Some(2L), None), (Some(2L), Some(1L)))
+      .toDF("src", "dst")
+    Seq(4000000L, 0L).foreach { bt =>
+      val got = Graph.labelPropagation(dirty, "src", "dst", iters = 2,
+          broadcastThreshold = bt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == Set(1L, 2L), s"bt=$bt: ${got.keySet}")
+      // 1 and 2 point at each other: each adopts the other's label in
+      // round 1, then back in round 2
+      assert(got == Map(1L -> 1L, 2L -> 2L), s"bt=$bt: $got")
+    }
+  }
+
   test("label propagation equals the synchronous reference simulation") {
     // two cliques bridged by one edge; undirected = both directions
     val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
