@@ -102,9 +102,11 @@ object Vocabulary {
     val terms = explodedTerms(df, idCol, textCol)
     val tf = terms.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docFreq = terms.groupBy(col("term"))
-      .agg(countDistinct(col("id")).as("df"))
-    tf.join(docFreq, Seq("term"))
+    // df from the tf frame (its rows ARE the distinct (id, term)
+    // pairs): one corpus scan instead of two, no countDistinct expand,
+    // no re-join — same rewrite as topTermsPerDoc
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
       .withColumn("tfidf",
         col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)))
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
@@ -464,11 +466,15 @@ object Vocabulary {
     val terms = explodedTerms(df, idCol, textCol)
     val tf = terms.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docFreq = terms.groupBy(col("term"))
-      .agg(countDistinct(col("id")).as("df"))
+    // document frequency FROM the tf frame: its rows are exactly the
+    // distinct (id, term) pairs, so df(term) = its per-term row count —
+    // a window count on the vocabulary-sized frame replaces a second
+    // corpus scan + countDistinct expand + re-join (the one-scan
+    // discipline of jaccardJoinExact)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("tf").desc, col("df").asc, col("term"))
-    tf.join(docFreq, Seq("term"))
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
       .withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= k)
       .select(col("id"), col("rn"), col("term"), col("tf"), col("df"))
@@ -503,14 +509,25 @@ object Vocabulary {
         """transform(sequence(0, size(toks) - 2),
            i -> struct(toks[i] AS a, toks[i + 1] AS b))""")).as("p"))
       .select(col("id"), col("p.a").as("a"), col("p.b").as("b"))
-    val cab = big.groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("cab"))
-    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     val v = toks.select(explode(col("toks")).as("t"))
       .filter(length(col("t")) > 0)
       .agg(countDistinct(col("t")).as("v"))
-    big.join(cab, Seq("a", "b"))
-      .join(ca, Seq("a"))
+    // LM counts as WINDOW COUNTS on the single exploded bigram frame
+    // (the jaccardJoinExact one-scan idiom): cab = count per (a, b),
+    // ca = count per a — identical to the groupBy+join form (sum of
+    // per-(a,b) counts grouped by a IS the per-a row count), but the
+    // corpus is tokenized once, not three times, and the bigram rows
+    // cross the network once (the join form exchanged them by (a, b)
+    // and again by (a)). ca first: its hash(a) partitioning satisfies
+    // the (a, b) window's clustering, so the second window adds only
+    // a local re-sort, no second exchange.
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"))
+    val wAB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("b"))
+    big
+      .withColumn("ca", count(lit(1)).over(wA))
+      .withColumn("cab", count(lit(1)).over(wAB))
       .crossJoin(broadcast(v))
       .select(col("id"),
         log((col("cab").cast("double") + lit(1.0)) /

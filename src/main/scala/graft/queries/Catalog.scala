@@ -6725,9 +6725,12 @@ object Catalog {
         .select(col("doc_id"),
           explode(graft.llm.Dedup.shinglesOfTokens(col("toks"), 3))
             .as("g"))
-      val first = grams.groupBy(col("g"))
-        .agg(min(col("doc_id")).as("first_id"))
-      grams.join(first, "g")
+      // first-claimant per gram as a WINDOW MIN on the same exploded
+      // frame (the jaccardJoinExact one-scan idiom): the groupBy+join
+      // form consumed `grams` twice — two tokenize+shingle scans of
+      // the corpus and an extra exchange for the re-join on g
+      grams.withColumn("first_id", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           count(when(col("first_id") === col("doc_id"), 1))
@@ -10497,18 +10500,33 @@ $union
     (s, d) => {
       import graft.relational.Sampling
       val df = Tables.orders(s, d).select(col("o_orderkey"))
-      val total = df.count()
       val Array(a1, b1) = Sampling.randomSplit(df, Array(0.8, 0.2), 42L)
       val Array(a2, _) = Sampling.randomSplit(df, Array(0.8, 0.2), 42L)
-      val na1 = a1.count(); val nb1 = b1.count()
-      val overlap = a1.join(b1, "o_orderkey").count()
-      val splitSame =
-        a1.exceptAll(a2).count() + a2.exceptAll(a1).count() == 0L
       val s1 = Sampling.sample(df, 0.3, 7L)
       val s2 = Sampling.sample(df, 0.3, 7L)
-      val sampleSame =
-        s1.exceptAll(s2).count() + s2.exceptAll(s1).count() == 0L
-      val sN = s1.count()
+      // The nine contract probes are INDEPENDENT actions on seeded,
+      // deterministic frames — run them as concurrent jobs (the
+      // overlap-independent-jobs idiom, spark_optimization_guide §2.6:
+      // FIFO scheduling backfills each job's straggler tail with the
+      // next job's tasks). Results are identical to the sequential
+      // form; only the wall-clock sum of fixed per-job costs drops.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val probes = Future.sequence(Seq(
+        Future(df.count()),
+        Future(a1.count()), Future(b1.count()),
+        Future(a1.join(b1, "o_orderkey").count()),
+        Future(a1.exceptAll(a2).count()), Future(a2.exceptAll(a1).count()),
+        Future(s1.exceptAll(s2).count()), Future(s2.exceptAll(s1).count()),
+        Future(s1.count())))
+      val Seq(total, na1, nb1, overlap, exA, exB, sxA, sxB, sN) =
+        try Await.result(probes, Duration.Inf)
+        finally pool.shutdown()
+      val splitSame = exA + exB == 0L
+      val sampleSame = sxA + sxB == 0L
       val parts = Sampling.repartitionForRows(df, total)
         .rdd.getNumPartitions
       val heuristicOk =

@@ -18,8 +18,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema-pinned read: the first read of a fixture file infers the
+    * schema from its footer; later reads of the SAME bytes (size+mtime
+    * stamp) pass it back via `.schema(...)`, which skips the per-call
+    * driver-side footer inference — a fixed metadata tax on every one
+    * of the registry's several hundred table reads. This is catalog
+    * metadata (what a real warehouse keeps in its metastore), never
+    * data or results: a regenerated fixture changes the stamp and
+    * re-infers, and the DATA path is untouched either way.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val f = new java.io.File(p)
+    // only plain local files get the pinned-schema fast path — scheme'd
+    // or directory tables keep full inference (their listing semantics
+    // and mixed-file merge behavior must stay the reader's business)
+    if (!f.isFile) return spark.read.parquet(p)
+    val key = s"$p|${f.length}:${f.lastModified}"
+    val sch = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(p)
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
