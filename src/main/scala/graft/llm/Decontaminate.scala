@@ -84,7 +84,19 @@ object Decontaminate {
   def contaminationReportBloom(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, k: Int = 5,
       fpp: Double = 0.01): DataFrame = {
-    val cg = shingleSet(corpus, idCol, textCol, k)
+    // n_ngrams rides the exploded rows as size(sh) — hashedShingles is
+    // already distinct per doc, so the per-doc total IS the array size,
+    // and every contaminated doc keeps ≥1 survivor row carrying it.
+    // That folds the old separate totals pass (a second corpus
+    // scan+shingling) and its re-join into the one survivor aggregate.
+    // The shingle array is staged as an attribute in its own projection
+    // so the generate keeps it a per-input-row value (the
+    // inline-payload-next-to-explode trap only bites expressions).
+    val cg = corpus
+      .select(col(idCol).as("id"),
+        Dedup.hashedShingles(col(textCol), k).as("sh"))
+      .select(col("id"), size(col("sh")).cast("long").as("n_ngrams"),
+        explode(col("sh")).as("sig"))
     val bg = shingleSet(bench, idCol, textCol, k)
       .select(col("sig")).distinct()
       .persist()
@@ -95,10 +107,9 @@ object Decontaminate {
       val survivors = graft.relational.RuntimeFilter
         .bloomSemiFilter(cg, "sig", bg, "sig", nBench, fpp)
         .join(bg, Seq("sig"), "left_semi")
-      val overlap = survivors.groupBy(col("id"))
-        .agg(count(lit(1)).as("n_overlap"))
-      val totals = cg.groupBy(col("id")).agg(count(lit(1)).as("n_ngrams"))
-      overlap.join(totals, Seq("id"))
+      survivors.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_overlap"),
+          first(col("n_ngrams")).as("n_ngrams"))
         .select(col("id"), col("n_overlap"), col("n_ngrams"),
           round(col("n_overlap") / col("n_ngrams"), 6).as("overlap_frac"))
     } finally { bg.unpersist(): Unit }

@@ -4316,15 +4316,24 @@ object Catalog {
       val skewed = Tables.lineitem(s, d).select(
         when(col("l_orderkey") % 100 < 90, lit(0L))
           .otherwise(col("l_orderkey") % 100).as("sk"))
-      val (summary, n) =
-        graft.llm.Vocabulary.heavyHittersKeys(skewed, "sk", capacity)
+      // the sketch pass and the exact-count pass are independent scans
+      // — overlap them (guide §2.6); the n/capacity bound filter moves
+      // to the driver over the key-bounded (≤ 101-row) group digest,
+      // which is the same k-bounded fetch contract either way
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val fSketch = scala.concurrent.Future(
+        graft.llm.Vocabulary.heavyHittersKeys(skewed, "sk", capacity))
+      val fExact = scala.concurrent.Future(
+        skewed.groupBy(col("sk"))
+          .agg(count(lit(1)).as("n_exact"))
+          .collect())
+      val (summary, n) = scala.concurrent.Await.result(fSketch,
+        scala.concurrent.duration.Duration.Inf)
       val bound = n / capacity
-      // at most capacity-1 keys can exceed n/capacity — a k-bounded
-      // driver fetch like the other sketch digests
-      val rows = skewed.groupBy(col("sk"))
-        .agg(count(lit(1)).as("n_exact"))
-        .filter(col("n_exact") > bound)
-        .collect()
+      val rows = scala.concurrent.Await.result(fExact,
+          scala.concurrent.duration.Duration.Inf)
+        .filter(_.getLong(1) > bound)
         .map { r =>
           val (k, exact) = (r.getLong(0), r.getLong(1))
           val est = summary.getOrElse(k.toString, -1L)

@@ -371,12 +371,21 @@ object Streams {
                  Seq("band"), "left_semi").select(col("id"))
                  .union(dupBatch)
              else dupBatch).distinct()
+          // the survivor write and the store-key write are independent
+          // actions on the persisted keys frame — overlap them (guide
+          // §2.6); both land in idempotent batch=<id> dirs, and the
+          // replay contract never orders one against the other (the
+          // history read filters batch < current either way)
+          val sw = scala.concurrent.Future {
+            keys.select(col("band")).distinct()
+              .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+          }(scala.concurrent.ExecutionContext.global)
           batch.join(
               broadcast(dups.withColumnRenamed("id", idCol)), Seq(idCol),
               "left_anti")
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-          keys.select(col("band")).distinct()
-            .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+          scala.concurrent.Await.result(sw,
+            scala.concurrent.duration.Duration.Inf)
           keys.unpersist()
           batches.incrementAndGet(): Unit
       }
@@ -413,12 +422,19 @@ object Streams {
           // so acceptance+rejection stays a partition of the input
           val marked = batch
             .withColumn("__accept", coalesce(accept, lit(false))).persist()
+          // the two sides of the router are independent writes over the
+          // persisted gate frame — overlap them (guide §2.6); each is
+          // idempotent in its own batch=<id> dir
+          val dlq = scala.concurrent.Future {
+            marked.filter(!col("__accept")).drop("__accept")
+              .withColumn("reject_reason", lit(reason))
+              .write.mode("overwrite")
+              .parquet(s"$deadLetterDir/batch=$batchId")
+          }(scala.concurrent.ExecutionContext.global)
           marked.filter(col("__accept")).drop("__accept")
             .write.mode("overwrite").parquet(s"$acceptDir/batch=$batchId")
-          marked.filter(!col("__accept")).drop("__accept")
-            .withColumn("reject_reason", lit(reason))
-            .write.mode("overwrite")
-            .parquet(s"$deadLetterDir/batch=$batchId")
+          scala.concurrent.Await.result(dlq,
+            scala.concurrent.duration.Duration.Inf)
           marked.unpersist()
           batches.incrementAndGet(): Unit
       }
