@@ -612,6 +612,9 @@ object Dedup {
       maxIter: Int = 20,
       broadcastThreshold: Long = 4000000L,
       checkpointDir: Option[String] = None): DataFrame = {
+    require(broadcastThreshold >= 0 && broadcastThreshold < Int.MaxValue,
+      s"broadcastThreshold must be in [0, Int.MaxValue), got " +
+        s"$broadcastThreshold (0 = always use the distributed layout)")
     val materialize =
       Checkpointing.materializer(vertices.sparkSession, checkpointDir)
     // materialize the adjacency ONCE: every round joins against it, and
@@ -624,9 +627,8 @@ object Dedup {
       .persist()
     adj.count()
     val allIds = vertices.select(col(idCol).cast("long").as("id"))
-    var labels = materialize(allIds
+    val nonIsolated = allIds
       .join(adj.select(col("src").as("id")), Seq("id"), "left_semi")
-      .select(col("id"), col("id").as("label")))
     // Dual layout (the graph_pagerank pattern): when the NON-ISOLATED
     // vertex set is bounded (≤ broadcastThreshold, 8 B/id = 32 MB at
     // the default), the min-label loop runs on dense primitive arrays
@@ -635,17 +637,21 @@ object Dedup {
     // treeReduce(min) job per round. The DataFrame loop below pays
     // ~0.5 s/round of join+checkpoint plan fixed cost at ANY size;
     // the dense loop pays ~50 ms. Above the threshold the keyed-join
-    // loop IS the scale path and runs unchanged.
-    val nNonIsolated = labels.count()
-    if (nNonIsolated == 0) {
+    // loop IS the scale path and runs unchanged. The mode probe is ONE
+    // limit-capped collect (the labelPropagation idiom: threshold+1
+    // rows fetched at most) that doubles as the dense path's id fetch
+    // — the old materialize + count + collect triple was three jobs
+    // for the same decision.
+    val probe = nonIsolated.select(col("id"))
+      .limit(broadcastThreshold.toInt + 1).collect()
+    if (probe.isEmpty) {
       // no edges at all: every vertex is its own singleton component —
       // no loop to run in either layout
       adj.unpersist()
       return allIds.select(col("id"), col("id").as("component"))
     }
-    if (nNonIsolated <= broadcastThreshold) {
-      val ids = labels.select(col("id")).collect().map(_.getLong(0))
-      val components = ccBroadcast(adj, ids, maxIter)
+    if (probe.length <= broadcastThreshold) {
+      val components = ccBroadcast(adj, probe.map(_.getLong(0)), maxIter)
         .select(col("id"), col("label").as("component"))
       adj.unpersist()
       val isolated = allIds
@@ -653,6 +659,8 @@ object Dedup {
         .select(col("id"), col("id").as("component"))
       return components.union(isolated)
     }
+    var labels = materialize(
+      nonIsolated.select(col("id"), col("id").as("label")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {

@@ -186,24 +186,36 @@ object Vocabulary {
   def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int = 64): Unit = {
     val (v, staged) = IndexManifest.stage(path)
+    // persist the tokenized frame: the stats aggregate and the postings
+    // build both consume it (unpersisted, the corpus tokenizes twice),
+    // and the two staged writes are independent — the stats write runs
+    // as a concurrent job (guide §2.6); the single commit below still
+    // publishes both atomically
     val docs = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).as("dl"))
-    // sum_dl rides along for the APPEND verb: integer token counts
-    // sum exactly, so a merged avgdl (sum/count over eras) is
-    // bit-identical to a full-rebuild avg — double accumulation of
-    // integers below 2^53 is exact, so avg(dl) == sum_dl/n_docs here
-    docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
-        sum(col("dl")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$staged/stats")
-    docs.select(col("id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bkt", termBucketCol(col("term"), buckets))
-      .repartition(col("bkt"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").partitionBy("bkt")
-      .parquet(s"$staged/postings")
+      .persist()
+    try {
+      // sum_dl rides along for the APPEND verb: integer token counts
+      // sum exactly, so a merged avgdl (sum/count over eras) is
+      // bit-identical to a full-rebuild avg — double accumulation of
+      // integers below 2^53 is exact, so avg(dl) == sum_dl/n_docs here
+      val sw = scala.concurrent.Future {
+        docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+            sum(col("dl")).as("sum_dl"))
+          .write.mode("overwrite").parquet(s"$staged/stats")
+      }(scala.concurrent.ExecutionContext.global)
+      docs.select(col("id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bkt", termBucketCol(col("term"), buckets))
+        .repartition(col("bkt"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$staged/postings")
+      scala.concurrent.Await.result(sw,
+        scala.concurrent.duration.Duration.Inf)
+    } finally { docs.unpersist(blocking = false); () }
     // postings + stats publish in ONE pointer flip
     IndexManifest.commit(path, v)
   }
@@ -236,20 +248,27 @@ object Vocabulary {
       .select(col("id"), col("toks"), size(col("toks")).as("dl"))
       .persist()
     try {
-      docs.select(col("id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy(col("id"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("bkt", termBucketCol(col("term"), buckets))
-        .repartition(col("bkt"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("append").partitionBy("bkt")
-        .parquet(s"$staged/postings")
+      // the delta-postings write and the stats merge read the same
+      // persisted delta independently — overlap them (guide §2.6); the
+      // CAS commit below still publishes both atomically
+      val pw = scala.concurrent.Future {
+        docs.select(col("id"), col("dl"), explode(col("toks")).as("term"))
+          .groupBy(col("id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("bkt", termBucketCol(col("term"), buckets))
+          .repartition(col("bkt"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("append").partitionBy("bkt")
+          .parquet(s"$staged/postings")
+      }(scala.concurrent.ExecutionContext.global)
       val old = IndexManifest.readArtifact(spark, path, "stats", m.base)
         .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
         .collect().head
       val add = docs
         .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("s"))
         .collect().head
+      scala.concurrent.Await.result(pw,
+        scala.concurrent.duration.Duration.Inf)
       val n = old.getLong(0) + add.getLong(0)
       val s = old.getLong(1) + (if (add.isNullAt(1)) 0L else add.getLong(1))
       // exact integer sums ⇒ merged avgdl is bit-identical to a full
