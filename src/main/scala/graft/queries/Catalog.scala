@@ -7643,11 +7643,18 @@ $union
       val deduped = corpus.join(canon, Seq("doc_id"), "left_semi")
       val nPunct = length(
         regexp_replace(col("text"), "[\\p{L}\\p{Nd}\\s]", ""))
+      // persisted: BOTH the contamination branch and the final
+      // anti-join consume the cleaned frame — unpersisted, the whole
+      // dedup+gate+tokenize chain runs twice. The handle goes
+      // unreferenced when the returned frame is materialized, so the
+      // ContextCleaner reclaims the blocks (the exactPairsFor
+      // discipline, scoped to one query run).
       val cleaned = deduped
         .withColumn("n_tok", TextAnalysis.tokenCount(col("text"))
           .cast("long"))
         .filter(col("n_tok") >= 10 &&
           nPunct * lit(4) <= length(col("text")))
+        .persist()
       val bad = Decontaminate.contaminationReport(cleaned, bench,
           "doc_id", "text", k = 4)
         .select(col("id").as("doc_id"))
