@@ -121,12 +121,21 @@ object SeqPack {
         org.apache.spark.sql.types.LongType).contains(idType),
       s"paddingReport needs an integral id column for arrival-order " +
         s"ranking; '$idCol' is $idType")
+    // persisted: FIVE consumers read these slim (id, n) rows — the
+    // bounds probe plus two per strategy (twoPhaseRank's local-rank
+    // window and its bucket-count aggregate) — and unpersisted each
+    // re-runs the caller's upstream (typically a corpus tokenize).
+    // Two longs per document, so the cache is corpus-row-bounded and
+    // spillable; the handle goes unreferenced once the report frame
+    // is materialized and the ContextCleaner reclaims the blocks.
     val base = df.select(col(idCol).cast("long").as("id"),
         col(nCol).cast("long").as("n"))
       .filter(col("n") > 0)
+      .persist()
     // one tiny driver-side row: value bounds -> ~2048 order-aligned
     // bucket spans (rows with equal n share a bucket, so the (n, id)
-    // tie-break never crosses a bucket boundary)
+    // tie-break never crosses a bucket boundary); doubles as the
+    // cache-materializing action
     val bounds = base.agg(
       min(col("id")), max(col("id")), min(col("n")), max(col("n"))).head()
     def span(lo: Int, hi: Int): Long =

@@ -6010,10 +6010,16 @@ object Catalog {
       val ranked = fused.withColumn("rrf_rank",
         row_number().over(Window.partitionBy(pmod(hash(col("doc_id")), lit(1)))
           .orderBy(col("rrf").desc, col("doc_id"))))
-      val withTok = ranked.join(
-        docs.select(col("doc_id"),
-          graft.llm.TextAnalysis.tokenCount(col("text")).cast("long")
-            .as("n_tok")), "doc_id")
+      // tokenCount AFTER the join: the fused list holds <= k rows, so
+      // joining first and tokenizing the survivors costs k regex
+      // passes — tokenizing inside the join input would pay a full
+      // corpus tokenize for a 10-row result (the guide's
+      // decide-with-small-rows rule)
+      val withTok = ranked.join(docs.select(col("doc_id"), col("text")),
+          "doc_id")
+        .withColumn("n_tok",
+          graft.llm.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .drop("text")
       withTok
         .withColumn("cum_tok",
           sum(col("n_tok")).over(
@@ -6520,9 +6526,15 @@ object Catalog {
     "seq_pack",
     (s, d) => {
       import graft.llm.{SeqPack, TextAnalysis}
+      // persisted: the two-phase prefix sum consumes the counted frame
+      // twice (per-bucket local cumsum + bucket-total aggregate) —
+      // unpersisted, the corpus tokenize runs twice. Slim (id, n)
+      // rows; handle unreferenced after materialization (the
+      // pipeline_data_e2e discipline).
       val counted = Tables.documents(s, d).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        .persist()
       SeqPack.packChunks(counted, "doc_id", "n",
           (col("doc_id") / 500).cast("long"), chunkLen = 2048L)
         .orderBy(col("chunk"))
