@@ -78,15 +78,37 @@ object Bpe {
     syms
   }
 
-  /** The word → token-array dictionary for every distinct corpus word. */
+  /** The word → token-array dictionary for every distinct corpus word.
+    * ONE corpus scan collapses to the vocabulary-bounded (word, count)
+    * frame (the [[train]] discipline); the merge table then derives
+    * from pairs of DISTINCT words weighted by their occurrence counts
+    * — arithmetically identical to [[mergeTable]]'s per-occurrence
+    * count (Σ over occurrences ≡ Σ over distinct words × count), but
+    * the pair explode runs over vocabulary rows, not corpus tokens.
+    * The persisted frame is vocabulary-bounded at any corpus size;
+    * the handle goes unreferenced once the dictionary materializes
+    * and the ContextCleaner reclaims the blocks.
+    */
   def dictionary(spark: SparkSession, docs: DataFrame, textCol: String,
       m: Int): DataFrame = {
-    val table = mergeTable(docs, textCol, m)
+    val vocab = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      .persist()
+    val table = vocab
+      .filter(length(col("w")) > 1)
+      .select(col("wn"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(m)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => r.getString(0) -> (i + 1) }
+      .toMap
     val bc = spark.sparkContext.broadcast(table)
     val enc = udf((w: String) => encodeWord(w, bc.value))
-    docs.select(explode(split(col(textCol), " ")).as("w"))
-      .distinct()
-      .select(col("w"), enc(col("w")).as("toks"))
+    vocab.select(col("w"), enc(col("w")).as("toks"))
   }
 
   /** Iterative BPE TRAINING (Sennrich et al. 2016 §3.2 shape): learn a
