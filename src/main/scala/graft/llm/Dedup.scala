@@ -327,8 +327,17 @@ object Dedup {
     require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
       s"jaccardJoinExact requires an integral idCol (widened to long); " +
         s"'$idCol' is ${idType.simpleString}. Hash or rank string ids first.")
+    // persisted: THREE consumers read the shingled frame (the prefix
+    // explode plus the two payload join-backs onto the deduped pair
+    // list) — unpersisted, each re-runs the corpus scan AND the
+    // per-doc shingle+hash UDF. Rows are (id, hash array): the text
+    // payload never enters the cache, and MEMORY_AND_DISK spills at
+    // scale where re-shingling would burn CPU over the whole corpus.
+    // The handle goes unreferenced once the caller materializes the
+    // pair frame; the ContextCleaner reclaims the blocks.
     val docs = df.select(col(idCol).as("id"),
       hashedShingles(col(textCol), shingleK).as("sh"))
+      .persist()
     val toks = docs.select(col("id"), explode(col("sh")).as("tok"))
     // global document frequency = the total order (rare first, hash
     // value tie-break makes it deterministic); window-count computes it
