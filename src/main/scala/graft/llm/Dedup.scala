@@ -148,6 +148,38 @@ object Dedup {
       bands: Int = 16): Column =
     minhashBandsUdf(shingleK, numHashes, bands)(TextAnalysis.tokens(text))
 
+  /** [[minhashBandsUdf]] over an ALREADY-hashed distinct shingle array
+    * (the [[hashedShingles]] column) — bit-identical band keys (same
+    * per-shingle base hash, same splitmix mix family, same band
+    * polynomial; the min-fold is insensitive to the two functions'
+    * slightly different dedup carriers), for callers that materialize
+    * the shingle frame anyway and must not re-tokenize the corpus to
+    * band it.
+    */
+  private[llm] def minhashBandsFromHashesUdf(numHashes: Int, bands: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    udf((hashes: Seq[Long]) => {
+      val hs = if (hashes == null) Seq.empty[Long] else hashes
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      hs.foreach { base =>
+        var i = 0
+        while (i < numHashes) {
+          val h = mix(base, i)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      (0 until bands).map { b =>
+        var h = 1125899906842597L
+        var j = b * rowsPerBand
+        while (j < (b + 1) * rowsPerBand) { h = h * 31 + sig(j); j += 1 }
+        h ^ (b * 0x9e3779b97f4a7c15L)
+      }
+    })
+  }
+
   /** Exact Jaccard similarity of two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -181,14 +213,24 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     // Candidate generation runs over SLIM (id, band) rows only. Payloads
-    // (shingle arrays) must never enter the exploded/joined lineage:
+    // (shingle arrays) must never be SELECTED next to the explode:
     // Catalyst places per-row expressions ABOVE a Generate, so a shingle
-    // column selected next to explode(bands) is recomputed once per band
-    // (16×), and the candidate join would shuffle/broadcast the arrays —
-    // measured 60-120 s vs ~8 s for this shape at 5k docs.
-    val bandRows = df.select(
-      col(idCol).as("id"),
-      explode(bandHashes(col(textCol), shingleK, numHashes, bands))
+    // column projected alongside explode(bands) is recomputed once per
+    // band (16×), and the candidate join would shuffle/broadcast the
+    // arrays — measured 60-120 s vs ~8 s for this shape at 5k docs.
+    // The shingle frame itself persists ONCE (8 B hashes, no text) and
+    // feeds all three consumers: band derivation (the band keys are a
+    // pure function of the same per-shingle base hashes —
+    // minhashBandsFromHashesUdf is bit-identical to bandHashes) and the
+    // two verification join-backs. One corpus scan + one shingle pass,
+    // where the text form paid three of each. Handle unreferenced after
+    // materialization; ContextCleaner reclaims the blocks.
+    val sh = df.select(col(idCol).as("id"),
+      hashedShingles(col(textCol), shingleK).as("sh"))
+      .persist()
+    val bandRows = sh.select(
+      col("id"),
+      explode(minhashBandsFromHashesUdf(numHashes, bands)(col("sh")))
         .as("band"))
     // ONE banding pass + ONE shuffle: bucket members gather via
     // collect_list (bounded by maxBucket) and in-bucket pairs are
@@ -211,8 +253,7 @@ object Dedup {
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct() // a pair may share several bands; verify once
     // hashed shingles (8 B each) joined onto the small candidate list
-    val sh = df.select(col(idCol).as("id"),
-      hashedShingles(col(textCol), shingleK).as("sh"))
+    // from the SAME persisted frame the banding read
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -244,11 +285,21 @@ object Dedup {
       idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val hBands = history.select(col(idCol).as("id_hist"),
-      explode(bandHashes(col(textCol), shingleK, numHashes, bands))
+    // each side's shingle frame persists once and feeds both its band
+    // derivation and its verification join-back (the nearDupPairs
+    // one-scan-one-shingle-pass discipline; bands are bit-identical
+    // to bandHashes via minhashBandsFromHashesUdf)
+    val shH = history.select(col(idCol).as("id_hist"),
+      hashedShingles(col(textCol), shingleK).as("sh_h"))
+      .persist()
+    val shI = incoming.select(col(idCol).as("id_in"),
+      hashedShingles(col(textCol), shingleK).as("sh_i"))
+      .persist()
+    val hBands = shH.select(col("id_hist"),
+      explode(minhashBandsFromHashesUdf(numHashes, bands)(col("sh_h")))
         .as("band"))
-    val iBands = incoming.select(col(idCol).as("id_in"),
-      explode(bandHashes(col(textCol), shingleK, numHashes, bands))
+    val iBands = shI.select(col("id_in"),
+      explode(minhashBandsFromHashesUdf(numHashes, bands)(col("sh_i")))
         .as("band"))
     val hGrouped = withBucketMetrics(
       hBands.groupBy(col("band")).agg(collect_list(col("id_hist")).as("ids")),
@@ -265,10 +316,6 @@ object Dedup {
     val candidates = iBands.join(hRows, Seq("band"))
       .select(col("id_in"), col("id_hist"))
       .distinct() // a pair may share several bands; verify once
-    val shH = history.select(col(idCol).as("id_hist"),
-      hashedShingles(col(textCol), shingleK).as("sh_h"))
-    val shI = incoming.select(col(idCol).as("id_in"),
-      hashedShingles(col(textCol), shingleK).as("sh_i"))
     candidates
       .join(shI, Seq("id_in"))
       .join(shH, Seq("id_hist"))
@@ -306,9 +353,8 @@ object Dedup {
     * overlap ≥ t·(szA+szB)/(1+t) — pairs sharing only a LATE prefix
     * token are pruned while still 32 B rows, before any array joins,
     * (5) verification joins of the 8 B/shingle hashed arrays onto the
-    * surviving candidates only. The plan derives the (id, shingles)
-    * frame once per verification branch — at scale, persist or
-    * checkpoint that frame (an index build, like any similarity join)
+    * surviving candidates only. The (id, shingles) frame PERSISTS for
+    * its three consumers (an index build, like any similarity join),
     * so the corpus is scanned and shingled once, not three times.
     * Worst case is output-bound: an
     * all-identical corpus yields O(n²) candidates because the ANSWER

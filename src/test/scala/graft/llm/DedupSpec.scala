@@ -37,6 +37,25 @@ class DedupSpec extends SparkSpec {
       s"unrelated doc matched: $pairs")
   }
 
+  test("bands from hashed shingles are bit-identical to bandHashes") {
+    // nearDupPairs/nearDupAgainst derive band keys FROM the persisted
+    // hashed-shingle arrays; a drift between the two derivations would
+    // silently change candidate recall. Edge rows included: empty
+    // text (degenerate whole-text shingle), sub-k token count, null.
+    val edge = Seq((1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, ""), (5L, "two words"), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val both = edge.select(col("doc_id"),
+      Dedup.bandHashes(col("text")).as("direct"),
+      Dedup.minhashBandsFromHashesUdf(64, 16)(
+        Dedup.hashedShingles(col("text"))).as("derived"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"band mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("prefix-filter exact join matches brute-force all-pairs") {
     // brute-force truth over the same hashed shingles
     val sh = docs.select(col("doc_id"),
