@@ -292,9 +292,21 @@ object Similarity {
     val withVec = source
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .filter(size(col("vec")) === dim)
+    // Both collapse frames PERSIST: `groups` feeds four consumers (the
+    // member expansion join, the signature pass, the probe pass, the
+    // within-family score) and `members` four more (two sides of the
+    // cross expansion, two of the within expansion) — unpersisted,
+    // each re-ran the source scan AND the groupBy(vec) shuffle of the
+    // full vector payload (13 source scans in the explained plan).
+    // `groups` is one row per DISTINCT vector (duplicate-heavy corpora
+    // shrink it), `members` is 16 B (rep, id) rows; both spill. The
+    // handles go unreferenced once the caller materializes the pair
+    // frame; the ContextCleaner reclaims the blocks.
     val groups = withVec.groupBy(col("vec")).agg(min(col("id")).as("rep"))
+      .persist()
     val members = withVec.join(groups, Seq("vec"))
       .select(col("rep"), col("id"))
+      .persist()
     val reps = groups.select(col("rep").as(idCol), col("vec").as(vecCol))
     val repPairs = multiProbeDistinct(reps, vecCol, idCol, threshold,
       dim, bits, tables, flipBits, probeHamming, seedPrefix, maxBucket)
