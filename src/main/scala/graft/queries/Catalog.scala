@@ -4426,13 +4426,20 @@ object Catalog {
     "funnel_conversion",
     (s, d) => {
       val e = Tables.events(s, d)
+      // each stage frame persists for its TWO consumers (the next
+      // stage's join + the final counts) — unpersisted, the funnel
+      // chain re-derived v inside c and c inside p, scanning events 6
+      // times instead of 3 (one pushed-filter scan per stage). Slim
+      // per-user rows; handles unreferenced after materialization.
       val v = e.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        .persist()
       val c = e.filter(col("event_type") === "click")
         .join(v, Seq("user_id"))
         .filter(col("ts") > col("t_view"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"),
           min(col("t_view")).as("t_view"))
+        .persist()
       val p = e.filter(col("event_type") === "purchase")
         .join(c, Seq("user_id"))
         .filter(col("ts") > col("t_click"))
